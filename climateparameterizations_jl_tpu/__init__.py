@@ -1,0 +1,30 @@
+"""TPU-native framework for learning ocean-column turbulence parameterizations.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of
+CliMA/ClimateParameterizations.jl (a.k.a. OceanParameterizations.jl):
+
+- ``core``     : staggered z-grid, stencil differentiation operators, feature
+                 scaling, coarse-graining, smoothing filters.
+- ``ops``      : batched numerical kernels (Thomas tridiagonal solve in
+                 pure-XLA and Pallas variants).
+- ``physics``  : convective adjustment, modified Pacanowski-Philander (mPP)
+                 Ri-dependent diffusivity, K-profile parameterization (KPP),
+                 TKE mass-flux column models.
+- ``closures`` : MLP flux closures and exact Gaussian-process regression.
+- ``models``   : fused column RHS (free-convection and wind-mixing NDEs) and
+                 lax.scan timesteppers (explicit + operator-split implicit).
+- ``data``     : LESbrary JLD2/HDF5 readers, dataset registries, synthetic-LES
+                 generators, coarse-graining + scaling pipelines.
+- ``train``    : optax training loops (direct flux regression, NDE training
+                 through the scan, mPP calibration, KPP calibration),
+                 checkpoint/resume.
+- ``parallel`` : device-mesh sharding (pjit/shard_map) over simulations and
+                 column ensembles.
+- ``eval``     : NDE-profile evaluation harness, loss matrices, animations.
+- ``embed``    : host-model embedding (column ensembles, double gyre).
+
+Everything in the compute path is jittable, vmappable, and static-shape; the
+hot loops run as a single fused ``lax.scan`` per simulation batch.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,100 @@
+"""Tridiagonal solve and implicit diffusion tests (scan backend on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.ops import (
+    implicit_diffusion_matrix,
+    implicit_diffusion_step,
+    tridiagonal_solve,
+)
+
+
+def dense_from_diags(dl, d, du):
+    n = len(d)
+    A = np.diag(d)
+    for i in range(1, n):
+        A[i, i - 1] = dl[i]
+        A[i - 1, i] = du[i - 1]
+    return A
+
+
+def random_system(rng, n):
+    d = rng.uniform(2.0, 3.0, size=n)
+    dl = rng.uniform(-0.5, 0.5, size=n)
+    du = rng.uniform(-0.5, 0.5, size=n)
+    dl[0] = 0.0
+    du[-1] = 0.0
+    b = rng.normal(size=n)
+    return dl, d, du, b
+
+
+class TestThomas:
+    @pytest.mark.parametrize("n", [3, 32, 33])
+    def test_matches_dense_solve(self, n):
+        rng = np.random.default_rng(0)
+        dl, d, du, b = random_system(rng, n)
+        x = tridiagonal_solve(*(jnp.asarray(a) for a in (dl, d, du, b)))
+        expected = np.linalg.solve(dense_from_diags(dl, d, du), b)
+        np.testing.assert_allclose(x, expected, rtol=1e-8)
+
+    def test_batched(self):
+        rng = np.random.default_rng(1)
+        systems = [random_system(rng, 32) for _ in range(6)]
+        dl = jnp.asarray(np.stack([s[0] for s in systems]).reshape(2, 3, 32))
+        d = jnp.asarray(np.stack([s[1] for s in systems]).reshape(2, 3, 32))
+        du = jnp.asarray(np.stack([s[2] for s in systems]).reshape(2, 3, 32))
+        b = jnp.asarray(np.stack([s[3] for s in systems]).reshape(2, 3, 32))
+        x = tridiagonal_solve(dl, d, du, b)
+        assert x.shape == (2, 3, 32)
+        for k, (dlk, dk, duk, bk) in enumerate(systems):
+            np.testing.assert_allclose(
+                np.asarray(x).reshape(6, 32)[k],
+                np.linalg.solve(dense_from_diags(dlk, dk, duk), bk),
+                rtol=1e-8,
+            )
+
+    def test_differentiable(self):
+        rng = np.random.default_rng(2)
+        dl, d, du, b = (jnp.asarray(a) for a in random_system(rng, 8))
+
+        def loss(bb):
+            return jnp.sum(tridiagonal_solve(dl, d, du, bb) ** 2)
+
+        g = jax.grad(loss)(b)
+        eps = 1e-6
+        b0 = np.asarray(b)
+        fd = (loss(jnp.asarray(b0 + eps * np.eye(8)[3])) - loss(jnp.asarray(b0 - eps * np.eye(8)[3]))) / (2 * eps)
+        np.testing.assert_allclose(g[3], fd, rtol=1e-4)
+
+
+class TestImplicitDiffusion:
+    def test_matrix_matches_reference_structure(self):
+        """Diagonals must reproduce oceananigans_nn.jl:25-34 exactly."""
+        Nz, dt, dz = 8, 600.0, 8.0
+        rng = np.random.default_rng(3)
+        nu = rng.uniform(0.0, 1e-2, size=Nz + 1)
+        dl, d, du = (np.asarray(a) for a in implicit_diffusion_matrix(jnp.asarray(nu), dt, dz))
+        r = dt / dz**2
+        # Julia: ld[i] = -r*nu[i] for i in 2:Nz  (1-based nu over faces)
+        np.testing.assert_allclose(dl[1:], -r * nu[1:Nz], rtol=1e-12)
+        # Julia: ud[i] = -r*nu[i+1] for i in 1:Nz-1
+        np.testing.assert_allclose(du[:-1], -r * nu[1:Nz], rtol=1e-12)
+        # Julia: d[i] = 1 + r*(nu[i] + nu[i+1]) for i in 1:Nz-1; d[Nz] = 1 + r*nu[Nz]
+        np.testing.assert_allclose(d[:-1], 1 + r * (nu[:-2] + nu[1:-1]), rtol=1e-12)
+        np.testing.assert_allclose(d[-1], 1 + r * nu[Nz - 1], rtol=1e-12)
+
+    def test_step_conserves_with_zero_diffusivity(self):
+        phi = jnp.asarray(np.random.default_rng(4).normal(size=32))
+        out = implicit_diffusion_step(phi, jnp.zeros(33), 600.0, 8.0)
+        np.testing.assert_allclose(out, phi, rtol=1e-10)
+
+    def test_step_smooths(self):
+        """Diffusion must reduce the profile's variance."""
+        rng = np.random.default_rng(5)
+        phi = jnp.asarray(rng.normal(size=32))
+        nu = jnp.full((33,), 1e-2)
+        out = implicit_diffusion_step(phi, nu, 600.0, 8.0)
+        assert float(jnp.var(out)) < float(jnp.var(phi))
