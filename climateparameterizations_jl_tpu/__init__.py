@@ -28,3 +28,44 @@ hot loops run as a single fused ``lax.scan`` per simulation batch.
 """
 
 __version__ = "0.1.0"
+
+from climateparameterizations_jl_tpu.core.grid import ColumnGrid
+from climateparameterizations_jl_tpu.core.operators import (
+    d_face_to_center,
+    d_center_to_face,
+    cell_to_cell_derivative,
+)
+from climateparameterizations_jl_tpu.core.scalings import (
+    ZeroMeanUnitVarianceScaling,
+    MinMaxScaling,
+    fit_scaling,
+)
+from climateparameterizations_jl_tpu.core.coarse_grain import (
+    coarse_grain_center,
+    coarse_grain_face,
+    coarse_grain_linear_interpolation,
+)
+from climateparameterizations_jl_tpu.core.filters import smoothing_filter
+from climateparameterizations_jl_tpu.core.convective_adjust import convective_adjust_profile
+from climateparameterizations_jl_tpu.ops.tridiagonal import (
+    tridiagonal_solve,
+    implicit_diffusion_step,
+)
+
+__all__ = [
+    "ColumnGrid",
+    "d_face_to_center",
+    "d_center_to_face",
+    "cell_to_cell_derivative",
+    "ZeroMeanUnitVarianceScaling",
+    "MinMaxScaling",
+    "fit_scaling",
+    "coarse_grain_center",
+    "coarse_grain_face",
+    "coarse_grain_linear_interpolation",
+    "smoothing_filter",
+    "convective_adjust_profile",
+    "tridiagonal_solve",
+    "implicit_diffusion_step",
+    "__version__",
+]

@@ -1,0 +1,97 @@
+"""Free-convection NDE: single-NN heat-flux closure for a convecting column.
+
+TPU-native re-design of the reference's free-convection NDEs
+(``free_convection/src/free_convection_nde.jl:1-62`` and
+``free_convection/src/convective_adjustment_nde.jl:1-57``): the state is the
+scaled temperature profile ``T`` (``Nz`` centers), one MLP predicts the
+``Nz - 1`` interior scaled heat fluxes, the non-dimensional PDE
+
+    dT/dt_hat = -sigma_wT/sigma_T * tau/H * d/dz_hat(wT)            [plain]
+    dT/dt_hat = sigma_wT/sigma_T * tau/H *
+                (-d/dz_hat(wT) + d/dz_hat(min(0, kappa dT/dz_hat))) [conv-adj]
+
+is integrated with a ``lax.scan``. The convective-adjustment term is the
+differentiable ``min``-form base closure (kappa = 10 in the reference,
+``convective_adjustment_nde.jl:45``) acting directly on the scaled profile.
+
+Batches over leading axes of ``T0`` (simulations, ensemble members).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.models.timestepper import solve_fixed_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FreeConvectionModel:
+    """Constants + scalings + BC fluxes for a free-convection column.
+
+    ``bottom_flux`` / ``top_flux`` are the *scaled* boundary heat fluxes
+    appended to the NN's interior fluxes (parity:
+    ``free_convection_nde.jl:49-62`` packs them into the ODE parameter tail).
+    """
+
+    H: jnp.ndarray  # column depth [m]
+    tau: jnp.ndarray  # simulation span [s]
+    T_scaling: ZeroMeanUnitVarianceScaling
+    wT_scaling: ZeroMeanUnitVarianceScaling
+    bottom_flux: jnp.ndarray  # scaled wT at the bottom face
+    top_flux: jnp.ndarray  # scaled wT at the top face (surface forcing)
+    kappa: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(10.0))
+    Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
+    base_closure: str = dataclasses.field(metadata=dict(static=True), default="convective_adjustment")
+
+    @property
+    def dz_hat(self) -> float:
+        return 1.0 / self.Nz
+
+
+def _assemble_wT(model: FreeConvectionModel, nn: MLP, T):
+    interior = mlp_apply(nn, T)
+    bot = jnp.broadcast_to(jnp.asarray(model.bottom_flux, T.dtype), T.shape[:-1])[..., None]
+    top = jnp.broadcast_to(jnp.asarray(model.top_flux, T.dtype), T.shape[:-1])[..., None]
+    return jnp.concatenate([bot, interior, top], axis=-1)
+
+
+def free_convection_rhs(model: FreeConvectionModel, nn: MLP, T, t):
+    """``dT/dt_hat`` for scaled temperature ``T`` ``(..., Nz)``."""
+    wT = _assemble_wT(model, nn, T)
+    prefactor = model.wT_scaling.sigma / model.T_scaling.sigma * model.tau / model.H
+    div_wT = d_face_to_center(wT, model.dz_hat)
+    if model.base_closure == "convective_adjustment":
+        dTdz = d_center_to_face(T, model.dz_hat)
+        ca_flux = jnp.minimum(0.0, model.kappa * dTdz)
+        div_ca = d_face_to_center(ca_flux, model.dz_hat)
+        return prefactor * (-div_wT + div_ca)
+    return -prefactor * div_wT
+
+
+def solve_free_convection_nde(model: FreeConvectionModel, nn: MLP, T0, t0, dt_save, n_save: int, n_substeps: int = 2, method: str = "rk4", checkpoint: bool = True):
+    """Integrate; returns ``(n_save + 1, ..., Nz)`` scaled trajectories.
+
+    Replaces the reference's ROCK4/Tsit5 + InterpolatingAdjoint solve
+    (``free_convection/src/solve.jl:1-6``) with RK4-in-scan + discrete adjoint.
+    """
+    rhs = lambda T, t: free_convection_rhs(model, nn, T, t)  # noqa: E731
+    return solve_fixed_step(rhs, T0, t0, dt_save, n_save, n_substeps, method, checkpoint)
+
+
+def diagnose_wT(model: FreeConvectionModel, nn: MLP, T_traj):
+    """Scaled wT faces, incl. the conv-adj contribution, for a trajectory.
+
+    Parity: the wT reconstruction in ``free_convection/src/solve.jl:8-51``.
+    """
+    wT = _assemble_wT(model, nn, T_traj)
+    if model.base_closure == "convective_adjustment":
+        dTdz = d_center_to_face(T_traj, model.dz_hat)
+        wT = wT - jnp.minimum(0.0, model.kappa * dTdz)
+    return wT

@@ -1,0 +1,322 @@
+"""Wind-mixing coupled NDE: triple-NN momentum/heat fluxes + mPP base closure.
+
+This is the TPU-native re-design of the reference's wind-mixing column model
+(``wind_mixing/src/NDE_training.jl:56-165``): the state is the scaled
+``x = [u; v; T]`` vector (``3 Nz`` centers), three MLPs predict the interior
+scaled fluxes ``u'w', v'w', w'T'`` from ``x``, the modified
+Pacanowski-Philander Ri-dependent diffusivity provides the physical base
+closure, and the non-dimensional PDE
+
+    du/dt_hat = -tau/H * sigma_uw/sigma_u * d/dz_hat(uw) + f tau/sigma_u (sigma_v v + mu_v)
+    dv/dt_hat = -tau/H * sigma_vw/sigma_v * d/dz_hat(vw) - f tau/sigma_v (sigma_u u + mu_u)
+    dT/dt_hat = -tau/H * sigma_wT/sigma_T * d/dz_hat(wT)
+
+is advanced by a ``lax.scan`` (fully explicit RK4, or operator-split with
+backward-Euler implicit mPP diffusion via the batched Thomas solve).
+
+Everything batches over leading axes: one call integrates a single column or
+a ``(n_sims, n_ensemble)`` block of columns with the same compiled program.
+
+Reference parity map:
+- ``predict_flux``      -> ``NDE_training.jl:83-147``
+- ``wind_mixing_rhs``   -> ``NDE_training.jl:149-165`` (``predict_NDE``)
+- mPP-only physics DE   -> ``diffusivity_parameter_optimisation.jl:1-33`` (use
+  ``zero_nns=True``)
+- diurnal surface flux  -> ``NDE_training.jl:68-81`` + ``data_containers.jl:131-156``
+- semi-implicit split   -> ``NDE_oceananigans.jl:61-101``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.core.filters import smoothing_filter
+from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.models.timestepper import solve_fixed_step
+from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters, mpp_diffusivity
+from climateparameterizations_jl_tpu.physics.richardson import local_richardson_scaled
+
+SECONDS_PER_DAY = 86400.0
+
+
+class FluxNNs(NamedTuple):
+    """The three flux closures. Any of them may be ``None`` (physics-only runs)."""
+
+    uw: MLP | None
+    vw: MLP | None
+    wT: MLP | None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WindMixingScalings:
+    u: ZeroMeanUnitVarianceScaling
+    v: ZeroMeanUnitVarianceScaling
+    T: ZeroMeanUnitVarianceScaling
+    uw: ZeroMeanUnitVarianceScaling
+    vw: ZeroMeanUnitVarianceScaling
+    wT: ZeroMeanUnitVarianceScaling
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BoundaryConditions:
+    """Scaled flux boundary conditions ``(uw, vw, wT) x (bottom, top)``.
+
+    ``diurnal_amplitude`` is the dimensional heat-flux amplitude
+    ``Q_b / (alpha g)``; when the model's ``diurnal`` flag is set, the top
+    ``wT`` BC becomes ``wT_scaling(amplitude * sin(2 pi t / day))``
+    (reference ``data_containers.jl:131-156``). Fields may carry leading
+    batch axes (per-simulation BCs).
+    """
+
+    uw_bot: jnp.ndarray
+    uw_top: jnp.ndarray
+    vw_bot: jnp.ndarray
+    vw_top: jnp.ndarray
+    wT_bot: jnp.ndarray
+    wT_top: jnp.ndarray
+    diurnal_amplitude: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
+
+    @classmethod
+    def from_vector(cls, v) -> "BoundaryConditions":
+        """From the reference's 6-vector layout ``NDE_training.jl:59``."""
+        return cls(uw_bot=v[..., 0], uw_top=v[..., 1], vw_bot=v[..., 2], vw_top=v[..., 3], wT_bot=v[..., 4], wT_top=v[..., 5])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WindMixingModel:
+    """Static configuration + physical constants for a wind-mixing column."""
+
+    # pytree leaves
+    H: jnp.ndarray  # column depth [m]
+    tau: jnp.ndarray  # simulation span [s] (time scale of t_hat)
+    f: jnp.ndarray  # Coriolis parameter [1/s]
+    g: jnp.ndarray  # gravity [m/s^2]
+    alpha: jnp.ndarray  # thermal expansion [1/K]
+    kappa: jnp.ndarray  # convective-adjustment diffusivity [m^2/s]
+    scalings: WindMixingScalings
+    mpp: MPPParameters
+    # static (compile-time) fields
+    Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
+    use_mpp: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    use_conv_adj: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    zero_weights: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    smooth_NN: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    smooth_Ri: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    diurnal: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    @property
+    def dz_hat(self) -> float:
+        return 1.0 / self.Nz
+
+
+def split_uvT(x, Nz: int):
+    """Split ``(..., 3 Nz)`` into ``u, v, T`` (reference ``loss.jl:5-7``)."""
+    return x[..., :Nz], x[..., Nz : 2 * Nz], x[..., 2 * Nz :]
+
+
+def join_uvT(u, v, T):
+    return jnp.concatenate([u, v, T], axis=-1)
+
+
+def _effective_bcs(model: WindMixingModel, bcs: BoundaryConditions, t):
+    """Resolve the (possibly time-dependent) top heat-flux BC at time ``t_hat``."""
+    if not model.diurnal:
+        return bcs
+    t_dim = t * model.tau
+    wT_top_dim = bcs.diurnal_amplitude * jnp.sin(2.0 * jnp.pi * t_dim / SECONDS_PER_DAY)
+    return dataclasses.replace(bcs, wT_top=model.scalings.wT.scale(wT_top_dim))
+
+
+def _pad_faces(interior, bottom, top):
+    """Assemble ``(..., Nz+1)`` faces from ``(..., Nz-1)`` interior + scalar-ish BCs."""
+    bottom = jnp.broadcast_to(jnp.asarray(bottom, interior.dtype), interior.shape[:-1])[..., None]
+    top = jnp.broadcast_to(jnp.asarray(top, interior.dtype), interior.shape[:-1])[..., None]
+    return jnp.concatenate([bottom, interior, top], axis=-1)
+
+
+def _nn_fluxes(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x):
+    """Scaled NN flux faces for (uw, vw, wT); reference ``NDE_training.jl:94-112``."""
+    zeros_interior = jnp.zeros(x.shape[:-1] + (model.Nz - 1,), x.dtype)
+    interiors = []
+    for nn in (nns.uw, nns.vw, nns.wT):
+        out = mlp_apply(nn, x) if nn is not None else zeros_interior
+        if model.smooth_NN:
+            out = smoothing_filter(out, 3)
+        interiors.append(out)
+
+    if model.zero_weights:
+        z = jnp.zeros_like(bcs.uw_bot)
+        pads = [(z, z)] * 3
+    else:
+        pads = [(bcs.uw_bot, bcs.uw_top), (bcs.vw_bot, bcs.vw_top), (bcs.wT_bot, bcs.wT_top)]
+    return tuple(_pad_faces(i, b, t) for i, (b, t) in zip(interiors, pads))
+
+
+def _mpp_fluxes(model: WindMixingModel, bcs: BoundaryConditions, x, return_nu: bool = False):
+    """mPP downgradient flux faces ``nu * dphi/dz`` terms; ``NDE_training.jl:114-139``."""
+    s = model.scalings
+    u, v, T = split_uvT(x, model.Nz)
+    dz_hat = model.dz_hat
+    eps = jnp.asarray(1e-7, x.dtype)
+
+    dudz = d_center_to_face(u, dz_hat)
+    dvdz = d_center_to_face(v, dz_hat)
+    dTdz = d_center_to_face(T, dz_hat)
+    Ri = local_richardson_scaled(dudz + eps, dvdz + eps, dTdz + eps, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma)
+    if model.smooth_Ri:
+        Ri = smoothing_filter(Ri, 3)
+    nu = mpp_diffusivity(Ri, model.mpp)
+
+    cu = s.u.sigma / s.uw.sigma / model.H
+    cv = s.v.sigma / s.vw.sigma / model.H
+    cT = s.T.sigma / s.wT.sigma / model.H / model.mpp.Pr
+
+    if model.zero_weights:
+        # Boundary faces: the (scaled) BC flux rides on the mPP term so the
+        # total face flux equals the prescribed one (NDE_training.jl:130-132).
+        zero_u = s.uw.scale(jnp.zeros_like(bcs.uw_bot))
+        zero_v = s.vw.scale(jnp.zeros_like(bcs.vw_bot))
+        zero_T = s.wT.scale(jnp.zeros_like(bcs.wT_bot))
+        nu_dudz = _pad_faces(cu * nu[..., 1:-1] * dudz[..., 1:-1], -(bcs.uw_bot - zero_u), -(bcs.uw_top - zero_u))
+        nu_dvdz = _pad_faces(cv * nu[..., 1:-1] * dvdz[..., 1:-1], -(bcs.vw_bot - zero_v), -(bcs.vw_top - zero_v))
+        nu_dTdz = _pad_faces(cT * nu[..., 1:-1] * dTdz[..., 1:-1], -(bcs.wT_bot - zero_T), -(bcs.wT_top - zero_T))
+    else:
+        nu_dudz = cu * nu * dudz
+        nu_dvdz = cv * nu * dvdz
+        nu_dTdz = cT * nu * dTdz
+
+    if return_nu:
+        return (nu_dudz, nu_dvdz, nu_dTdz), nu
+    return nu_dudz, nu_dvdz, nu_dTdz
+
+
+def predict_flux(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x, t=0.0):
+    """Total scaled flux faces ``(uw, vw, wT)`` each ``(..., Nz+1)``.
+
+    Parity: ``predict_flux`` (``NDE_training.jl:83-147``).
+    """
+    bcs = _effective_bcs(model, bcs, t)
+    uw, vw, wT = _nn_fluxes(model, nns, bcs, x)
+
+    if model.use_mpp:
+        nu_dudz, nu_dvdz, nu_dTdz = _mpp_fluxes(model, bcs, x)
+        return uw - nu_dudz, vw - nu_dvdz, wT - nu_dTdz
+    if model.use_conv_adj:
+        _, _, T = split_uvT(x, model.Nz)
+        dTdz = d_center_to_face(T, model.dz_hat)
+        s = model.scalings
+        kap = s.T.sigma / s.wT.sigma / model.H * model.kappa * jnp.minimum(0.0, dTdz)
+        return uw, vw, wT - kap
+    return uw, vw, wT
+
+
+def _tendencies(model: WindMixingModel, x, uw, vw, wT):
+    """Flux divergence + Coriolis; parity ``predict_NDE`` (``NDE_training.jl:149-165``)."""
+    s = model.scalings
+    u, v, _ = split_uvT(x, model.Nz)
+    r = model.tau / model.H
+    dudt = -r * s.uw.sigma / s.u.sigma * d_face_to_center(uw, model.dz_hat) + model.f * model.tau / s.u.sigma * (s.v.sigma * v + s.v.mu)
+    dvdt = -r * s.vw.sigma / s.v.sigma * d_face_to_center(vw, model.dz_hat) - model.f * model.tau / s.v.sigma * (s.u.sigma * u + s.u.mu)
+    dTdt = -r * s.wT.sigma / s.T.sigma * d_face_to_center(wT, model.dz_hat)
+    return join_uvT(dudt, dvdt, dTdt)
+
+
+def wind_mixing_rhs(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x, t):
+    """Full NDE right-hand side ``dx/dt_hat`` at scaled state ``x`` ``(..., 3 Nz)``."""
+    uw, vw, wT = predict_flux(model, nns, bcs, x, t)
+    return _tendencies(model, x, uw, vw, wT)
+
+
+def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 4, method: str = "rk4", checkpoint: bool = True):
+    """Integrate the fully-explicit NDE; returns ``(n_save + 1, ..., 3 Nz)``.
+
+    Replaces the reference's ROCK4 + InterpolatingAdjoint solve
+    (``NDE_training.jl:291``) with an RK4 ``lax.scan`` and a discrete adjoint.
+    """
+    rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
+    return solve_fixed_step(rhs, x0, t0, dt_save, n_save, n_substeps, method, checkpoint)
+
+
+def _explicit_rhs_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x, t):
+    """Explicit part for the operator-split stepper: NN fluxes + Coriolis + BC faces."""
+    bcs_t = _effective_bcs(model, bcs, t)
+    uw, vw, wT = _nn_fluxes(model, nns, bcs_t, x)
+    if model.use_mpp and model.zero_weights:
+        # The boundary-face BC fluxes live on the mPP term in zero-weights
+        # mode; keep them explicit (the implicit solve is zero-flux).
+        (nu_dudz, nu_dvdz, nu_dTdz), _ = _mpp_fluxes(model, bcs_t, x, return_nu=True)
+        zero_int = jnp.zeros_like(nu_dudz[..., 1:-1])
+        uw = uw - jnp.concatenate([nu_dudz[..., :1], zero_int, nu_dudz[..., -1:]], axis=-1)
+        vw = vw - jnp.concatenate([nu_dvdz[..., :1], zero_int, nu_dvdz[..., -1:]], axis=-1)
+        wT = wT - jnp.concatenate([nu_dTdz[..., :1], zero_int, nu_dTdz[..., -1:]], axis=-1)
+    return _tendencies(model, x, uw, vw, wT)
+
+
+def _interior_nu(model: WindMixingModel, x):
+    """Face mPP diffusivity with zero boundary faces, for the implicit solve."""
+    s = model.scalings
+    u, v, T = split_uvT(x, model.Nz)
+    dz_hat = model.dz_hat
+    eps = jnp.asarray(1e-7, x.dtype)
+    dudz = d_center_to_face(u, dz_hat) + eps
+    dvdz = d_center_to_face(v, dz_hat) + eps
+    dTdz = d_center_to_face(T, dz_hat) + eps
+    Ri = local_richardson_scaled(dudz, dvdz, dTdz, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma)
+    if model.smooth_Ri:
+        Ri = smoothing_filter(Ri, 3)
+    nu = mpp_diffusivity(Ri, model.mpp)
+    mask = jnp.ones(nu.shape[-1], nu.dtype).at[0].set(0.0).at[-1].set(0.0)
+    return nu * mask
+
+
+def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True):
+    """Operator-split semi-implicit integration (unconditionally stable in nu).
+
+    Per substep: explicit Euler on NN fluxes + Coriolis + BC faces, then a
+    backward-Euler solve of the interior mPP diffusion with the diffusivity
+    lagged at the start-of-step state — the scheme the reference uses inside
+    its Oceananigans embedding (``NDE_oceananigans.jl:61-101``), here as one
+    batched Thomas solve over all columns x 3 variables.
+    """
+    dt = dt_save / n_substeps
+    # Non-dimensional diffusion coefficient: nu * tau / H^2 (see module docstring).
+    nu_scale = model.tau / (model.H * model.H)
+
+    def substep(x, t):
+        x_adv = x + dt * _explicit_rhs_split(model, nns, bcs, x, t)
+        if model.use_mpp:
+            nu = _interior_nu(model, x) * nu_scale
+            u, v, T = split_uvT(x_adv, model.Nz)
+            # One batched solve: stack (u, v, T) on a new leading axis.
+            phi = jnp.stack([u, v, T], axis=0)
+            nu3 = jnp.stack([nu, nu, nu / model.mpp.Pr], axis=0)
+            phi = implicit_diffusion_step(phi, nu3, dt, model.dz_hat, backend=tridiag_backend)
+            x_adv = join_uvT(phi[0], phi[1], phi[2])
+        return x_adv
+
+    def interval(x, t_start):
+        def body(x, i):
+            return substep(x, t_start + i * dt), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_substeps))
+        return x
+
+    if checkpoint:
+        interval = jax.checkpoint(interval)
+
+    def save_body(x, i):
+        x = interval(x, t0 + i * dt_save)
+        return x, x
+
+    _, xs = jax.lax.scan(save_body, x0, jnp.arange(n_save))
+    return jnp.concatenate([x0[None], xs], axis=0)

@@ -1,0 +1,235 @@
+"""Column-model tests: wind-mixing NDE, free-convection NDE, steppers."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp, wind_mixing_mlp
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.models.free_convection import (
+    FreeConvectionModel,
+    solve_free_convection_nde,
+)
+from climateparameterizations_jl_tpu.models.timestepper import solve_fixed_step
+from climateparameterizations_jl_tpu.models.wind_mixing import (
+    BoundaryConditions,
+    FluxNNs,
+    WindMixingModel,
+    WindMixingScalings,
+    predict_flux,
+    solve_wind_mixing_nde,
+    solve_wind_mixing_split,
+    split_uvT,
+)
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+
+f32 = jnp.float32
+
+
+def _scaling(mu, sigma):
+    return ZeroMeanUnitVarianceScaling(f32(mu), f32(sigma))
+
+
+def make_model(**overrides):
+    scalings = WindMixingScalings(
+        u=_scaling(0.0, 0.1),
+        v=_scaling(0.0, 0.1),
+        T=_scaling(19.0, 0.5),
+        uw=_scaling(0.0, 1e-4),
+        vw=_scaling(0.0, 1e-4),
+        wT=_scaling(0.0, 1e-5),
+    )
+    kw = dict(
+        H=f32(256.0),
+        tau=f32(691200.0),
+        f=f32(1e-4),
+        g=f32(9.80665),
+        alpha=f32(2e-4),
+        kappa=f32(10.0),
+        scalings=scalings,
+        mpp=MPPParameters.default(),
+        Nz=32,
+    )
+    kw.update(overrides)
+    return WindMixingModel(**kw)
+
+
+def zero_bcs():
+    z = f32(0.0)
+    return BoundaryConditions(uw_bot=z, uw_top=z, vw_bot=z, vw_top=z, wT_bot=z, wT_top=z)
+
+
+NO_NNS = FluxNNs(uw=None, vw=None, wT=None)
+
+
+class TestTimestepper:
+    def test_exponential_decay(self):
+        rhs = lambda x, t: -x  # noqa: E731
+        traj = solve_fixed_step(rhs, jnp.ones(4), 0.0, 0.1, 10, n_substeps=4, method="rk4")
+        expected = np.exp(-0.1 * np.arange(11))
+        np.testing.assert_allclose(np.array(traj[:, 0]), expected, rtol=1e-6)
+
+    def test_output_includes_initial_state(self):
+        rhs = lambda x, t: jnp.zeros_like(x)  # noqa: E731
+        x0 = jnp.asarray([3.0])
+        traj = solve_fixed_step(rhs, x0, 0.0, 1.0, 3)
+        assert traj.shape == (4, 1)
+        np.testing.assert_allclose(np.array(traj), 3.0)
+
+
+class TestWindMixingInertialOscillation:
+    """With all fluxes off, the momentum equations are an inertial oscillation.
+
+    In scaled space with mu_u = mu_v = 0 and sigma_u = sigma_v:
+    du/dt_hat = f tau v, dv/dt_hat = -f tau u -> (u + iv)(t) rotating at f tau.
+    """
+
+    def test_rotation_matches_analytic(self):
+        model = make_model(use_mpp=False, use_conv_adj=False, zero_weights=True)
+        bcs = zero_bcs()
+        Nz = model.Nz
+        u0, v0 = 1.0, 0.0
+        x0 = jnp.concatenate([jnp.full((Nz,), u0), jnp.full((Nz,), v0), jnp.zeros(Nz)]).astype(jnp.float32)
+        dt_save = 1e-3
+        n_save = 20
+        traj = solve_wind_mixing_nde(model, NO_NNS, bcs, x0, 0.0, dt_save, n_save, n_substeps=8)
+        omega = float(model.f * model.tau)
+        t = dt_save * np.arange(n_save + 1)
+        u_expected = u0 * np.cos(omega * t)
+        v_expected = -u0 * np.sin(omega * t)
+        u, v, _ = split_uvT(traj, Nz)
+        np.testing.assert_allclose(np.array(u[:, 0]), u_expected, atol=2e-4)
+        np.testing.assert_allclose(np.array(v[:, 0]), v_expected, atol=2e-4)
+
+
+class TestWindMixingMPP:
+    def test_heat_conserved_with_zero_bc_fluxes(self):
+        model = make_model()
+        bcs = zero_bcs()
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(rng.normal(size=(3, 96)) * 0.1, jnp.float32)
+        traj = solve_wind_mixing_nde(model, NO_NNS, bcs, x0, 0.0, 5e-4, 10, n_substeps=8)
+        _, _, T = split_uvT(traj, 32)
+        # Zero BC flux => heat content (sum of scaled T, uniform grid) conserved.
+        np.testing.assert_allclose(np.array(T.sum(-1)[-1]), np.array(T.sum(-1)[0]), rtol=1e-4)
+
+    def test_split_matches_explicit(self):
+        model = make_model()
+        bcs = zero_bcs()
+        rng = np.random.default_rng(2)
+        x0 = jnp.asarray(rng.normal(size=(96,)) * 0.1, jnp.float32)
+        expl = solve_wind_mixing_nde(model, NO_NNS, bcs, x0, 0.0, 2e-4, 10, n_substeps=16)
+        splt = solve_wind_mixing_split(model, NO_NNS, bcs, x0, 0.0, 2e-4, 10, n_substeps=16)
+        np.testing.assert_allclose(np.array(expl[-1]), np.array(splt[-1]), atol=2e-3)
+
+    def test_surface_stress_accelerates_top(self):
+        model = make_model()
+        # Negative scaled top uw BC -> momentum injected at the surface.
+        bcs = dataclasses.replace(zero_bcs(), uw_top=f32(-1.0))
+        x0 = jnp.zeros(96, jnp.float32)
+        traj = solve_wind_mixing_nde(model, NO_NNS, bcs, x0, 0.0, 5e-4, 5, n_substeps=8)
+        u, _, _ = split_uvT(traj, 32)
+        assert abs(float(u[-1, -1])) > abs(float(u[-1, 0]))  # top cell spun up most
+
+    def test_nn_fluxes_and_gradients_finite(self):
+        model = make_model()
+        bcs = zero_bcs()
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        nns = FluxNNs(
+            uw=wind_mixing_mlp(keys[0], 32, scale=1e-5),
+            vw=wind_mixing_mlp(keys[1], 32, scale=1e-5),
+            wT=wind_mixing_mlp(keys[2], 32, scale=1e-5),
+        )
+        x0 = jnp.asarray(np.random.default_rng(3).normal(size=(2, 96)) * 0.1, jnp.float32)
+
+        def loss(nns):
+            traj = solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 5e-4, 5, n_substeps=4)
+            return jnp.mean(traj**2)
+
+        g = jax.grad(loss)(nns)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert leaves and all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
+
+    def test_predict_flux_boundary_values_zero_weights(self):
+        """zero_weights mode: total boundary-face flux == BC - scaled zero."""
+        model = make_model()
+        bcs = dataclasses.replace(zero_bcs(), uw_top=f32(0.7), wT_bot=f32(-0.2))
+        x = jnp.zeros(96, jnp.float32)
+        uw, vw, wT = predict_flux(model, NO_NNS, bcs, x)
+        s = model.scalings
+        np.testing.assert_allclose(float(uw[-1]), 0.7 - float(s.uw.scale(0.0)), rtol=1e-5)
+        np.testing.assert_allclose(float(wT[0]), -0.2 - float(s.wT.scale(0.0)), rtol=1e-5)
+
+    def test_diurnal_top_flux(self):
+        model = make_model(diurnal=True)
+        bcs = dataclasses.replace(zero_bcs(), diurnal_amplitude=f32(1e-4))
+        x = jnp.zeros(96, jnp.float32)
+        # Quarter-day: sin(2 pi t/day) = 1 -> top wT = wT_scaling(amplitude).
+        t_quarter = float(86400.0 / 4.0 / model.tau)
+        _, _, wT = predict_flux(model, NO_NNS, bcs, x, t=t_quarter)
+        s = model.scalings
+        expected = float(s.wT.scale(1e-4)) - float(s.wT.scale(0.0))
+        np.testing.assert_allclose(float(wT[-1]), expected, rtol=1e-4)
+
+
+class TestFreeConvection:
+    def make(self, base_closure="convective_adjustment", top_flux=0.0):
+        return FreeConvectionModel(
+            H=f32(256.0),
+            tau=f32(691200.0),
+            T_scaling=_scaling(19.0, 0.5),
+            wT_scaling=_scaling(0.0, 1e-5),
+            bottom_flux=f32(0.0),
+            top_flux=f32(top_flux),
+            Nz=32,
+            base_closure=base_closure,
+        )
+
+    def test_stable_profile_stationary_without_forcing(self):
+        model = self.make(base_closure="none")
+        nn = None
+
+        # With no NN we can't call solve (needs an MLP); use a zero-output NN.
+        nn = free_convection_mlp(jax.random.PRNGKey(0), 32)
+        nn = jax.tree.map(jnp.zeros_like, nn)
+        T0 = jnp.linspace(-1.0, 1.0, 32).astype(jnp.float32)
+        traj = solve_free_convection_nde(model, nn, T0, 0.0, 1e-3, 5)
+        np.testing.assert_allclose(np.array(traj[-1]), np.array(T0), atol=1e-6)
+
+    def test_conv_adj_mixes_unstable_profile(self):
+        model = self.make()
+        nn = jax.tree.map(jnp.zeros_like, free_convection_mlp(jax.random.PRNGKey(0), 32))
+        T0 = jnp.linspace(1.0, -1.0, 32).astype(jnp.float32)  # unstable
+        traj = solve_free_convection_nde(model, nn, T0, 0.0, 1e-4, 20, n_substeps=8)
+        var0 = float(jnp.var(traj[0]))
+        var1 = float(jnp.var(traj[-1]))
+        assert var1 < var0  # adjustment homogenizes
+        # Heat conserved (zero BC fluxes).
+        np.testing.assert_allclose(float(traj[-1].sum()), float(traj[0].sum()), atol=1e-3)
+
+    def test_surface_cooling_cools_column(self):
+        # Positive (upward) top heat flux removes heat.
+        model = self.make(top_flux=1.0)
+        nn = jax.tree.map(jnp.zeros_like, free_convection_mlp(jax.random.PRNGKey(0), 32))
+        T0 = jnp.zeros(32, jnp.float32)
+        traj = solve_free_convection_nde(model, nn, T0, 0.0, 1e-4, 10, n_substeps=4)
+        assert float(traj[-1].sum()) < float(traj[0].sum())
+
+    def test_gradient_through_solver(self):
+        model = self.make()
+        nn = free_convection_mlp(jax.random.PRNGKey(1), 32)
+        T0 = jnp.linspace(-1.0, 1.0, 32).astype(jnp.float32)
+        target = jnp.zeros((6, 32), jnp.float32)
+
+        def loss(nn):
+            traj = solve_free_convection_nde(model, nn, T0, 0.0, 1e-3, 5, n_substeps=2)
+            return jnp.mean((traj - target) ** 2)
+
+        g = jax.grad(loss)(nn)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert leaves and all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
+        # Gradients should be nonzero (NN influences the trajectory).
+        assert any(float(jnp.abs(leaf).max()) > 0 for leaf in leaves)
