@@ -1,0 +1,102 @@
+"""LESbrary ``.jld2`` readers (JLD2 files are HDF5 — read with h5py).
+
+Two on-disk layouts, mirroring the reference's two loaders:
+
+- **wind_mixing statistics files** (``wind_mixing/src/lesbrary_data.jl:56-190``):
+  ``timeseries/<var>/<iteration>`` groups holding ``(1, 1, Nz + 2*halo)``
+  horizontally-averaged profiles with a halo of 3 on each side
+  (``lesbrary_data.jl:156-157``), plus ``grid/{zC,zF,Lz}``,
+  ``buoyancy[/model]/equation_of_state/{α,β}`` + gravity, ``coriolis/f``, and
+  ``parameters/{buoyancy_flux, boundary_condition_u_top,
+  boundary_condition_θ_bottom, boundary_condition_u_bottom}``. The surface
+  temperature flux is derived as ``buoyancy_flux / (α g)``
+  (``lesbrary_data.jl:164-165``).
+
+- **free_convection FieldDataset files**
+  (``free_convection/src/data.jl:32-71``): same ``timeseries`` idea with
+  ``T`` and ``wT`` only; surface flux in ``parameters``.
+
+The reader returns a time-major :class:`ColumnTimeSeries` ready for
+``coarsen_dataset`` + scaling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from climateparameterizations_jl_tpu.data.containers import ColumnTimeSeries
+
+try:
+    import h5py
+
+    HAVE_H5PY = True
+except ImportError:  # pragma: no cover
+    HAVE_H5PY = False
+
+
+def _iterations(group) -> list[str]:
+    return sorted(group.keys(), key=lambda k: int(k))
+
+
+def _profile_series(f, name: str, halo: int) -> np.ndarray:
+    """Stack ``timeseries/<name>/<iter>`` into ``(Nt, Nz)``, stripping halos."""
+    g = f["timeseries"][name]
+    frames = []
+    for it in _iterations(g):
+        arr = np.asarray(g[it])
+        arr = arr.reshape(-1)  # stored as (1, 1, N) or (N,)
+        if halo > 0:
+            arr = arr[halo:-halo]
+        frames.append(arr)
+    return np.stack(frames, axis=0)
+
+
+def _first(f, paths):
+    for p in paths:
+        try:
+            node = f
+            for part in p.split("/"):
+                node = node[part]
+            return np.asarray(node)[()]
+        except KeyError:
+            continue
+    raise KeyError(f"none of {paths} found in file")
+
+
+def read_les_profiles(path: str, halo: int = 3, dtype=np.float32) -> ColumnTimeSeries:
+    """Read a wind-mixing LESbrary statistics file into a :class:`ColumnTimeSeries`."""
+    if not HAVE_H5PY:
+        raise RuntimeError("h5py is required to read .jld2 LES files")
+    with h5py.File(path, "r") as f:
+        tgroup = f["timeseries"]["t"]
+        t = np.asarray([np.asarray(tgroup[it])[()] for it in _iterations(tgroup)], dtype)
+
+        T = _profile_series(f, "T", halo).astype(dtype)
+        u = _profile_series(f, "u", halo).astype(dtype) if "u" in f["timeseries"] else np.zeros_like(T)
+        v = _profile_series(f, "v", halo).astype(dtype) if "v" in f["timeseries"] else np.zeros_like(T)
+
+        Nz = T.shape[1]
+        zeros_f = np.zeros((T.shape[0], Nz + 1), dtype)
+        wT = _profile_series(f, "wT", halo).astype(dtype) if "wT" in f["timeseries"] else zeros_f
+        wu = _profile_series(f, "wu", halo).astype(dtype) if "wu" in f["timeseries"] else zeros_f
+        wv = _profile_series(f, "wv", halo).astype(dtype) if "wv" in f["timeseries"] else zeros_f
+
+        alpha = _first(f, ["buoyancy/model/equation_of_state/α", "buoyancy/equation_of_state/α"])
+        beta = _first(f, ["buoyancy/model/equation_of_state/β", "buoyancy/equation_of_state/β"])
+        g = _first(f, ["buoyancy/model/gravitational_acceleration", "buoyancy/gravitational_acceleration"])
+        f_cor = _first(f, ["coriolis/f"])
+        L = _first(f, ["grid/Lz"])
+
+        buoyancy_flux = _first(f, ["parameters/buoyancy_flux"])
+        theta_top = buoyancy_flux / alpha / g
+        u_top = _first(f, ["parameters/boundary_condition_u_top"])
+        theta_bottom = _first(f, ["parameters/boundary_condition_θ_bottom", "parameters/boundary_condition_theta_bottom"])
+
+    import jax.numpy as jnp
+
+    a = lambda x: jnp.asarray(np.asarray(x, dtype))  # noqa: E731
+    return ColumnTimeSeries(
+        u=a(u), v=a(v), T=a(T), uw=a(wu), vw=a(wv), wT=a(wT), t=a(t),
+        H=a(L), f=a(f_cor), g=a(g), alpha=a(alpha), beta=a(beta),
+        u_top=a(u_top), theta_top=a(theta_top), theta_bottom=a(theta_bottom),
+    )

@@ -1,0 +1,89 @@
+"""Checkpoint / resume: params + optimizer state + scalings + loss history.
+
+Parity: the reference's pervasive append-only JLD2 training files
+(``wind_mixing/src/data_writing.jl:4-117`` — metadata + per-iteration losses
++ NNs + ADAM state; ``free_convection/src/training.jl:3-22`` — per-epoch NN
+history) and their compaction (``wind_mixing/src/data_extraction.jl:1-150``).
+
+Format: a directory per run with
+- ``meta.json``       — static metadata (shapes, config, stage names)
+- ``state.npz``       — flattened pytree leaves (params, optimizer state,
+                        scalings) under deterministic keys
+- ``history.jsonl``   — one JSON line per iteration (the 6 loss channels)
+
+Pure numpy + json: no orbax dependency, deterministic, diff-able, and
+readable without JAX. ``load_checkpoint`` restores into a provided pytree
+skeleton (same treedef), mirroring the "extract_NN" replay capability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrainingHistory:
+    """Append-only per-iteration history writer (``history.jsonl``)."""
+
+    path: str
+
+    def append(self, record: dict):
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def read(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+def _flatten_with_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_checkpoint(directory: str, state, meta: dict | None = None):
+    """Save a pytree ``state`` (params/opt-state/scalings) + json metadata."""
+    os.makedirs(directory, exist_ok=True)
+    arrays = _flatten_with_paths(state)
+    np.savez(os.path.join(directory, "state.npz"), **arrays)
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2, default=str)
+
+
+def load_checkpoint(directory: str, skeleton):
+    """Restore arrays into ``skeleton`` (a pytree with the same structure).
+
+    Returns ``(state, meta)``.
+    """
+    data = np.load(os.path.join(directory, "state.npz"))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+    leaves = []
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        if key not in data:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        arr = data[key]
+        leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype).reshape(np.shape(leaf)))
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    meta_path = os.path.join(directory, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def history_path(directory: str) -> TrainingHistory:
+    os.makedirs(directory, exist_ok=True)
+    return TrainingHistory(os.path.join(directory, "history.jsonl"))

@@ -1,0 +1,81 @@
+"""Calibration of the 5 mPP diffusivity parameters against LES trajectories.
+
+Parity: reference
+``wind_mixing/src/diffusivity_parameter_optimisation.jl:35-231``
+(``optimise_modified_pacanowski_philander``): parameters are rescaled to
+O(1) by their initial values, the physics-only NDE (zeroed NNs) is solved
+over the training window, the 6-channel loss is applied, and a
+box-constrained optimizer (``lb=0, ub=10`` in scaled units) walks the
+parameters. Here: projected optax adam (or L-BFGS) with gradients through
+the scanned solve — one jitted program instead of per-iteration re-tracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from climateparameterizations_jl_tpu.data.containers import TrainingBatch
+from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, WindMixingModel
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+from climateparameterizations_jl_tpu.train.loss import (
+    LossChannels,
+    apply_loss_scalings,
+    nde_loss_channels,
+)
+from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, _solve, determine_loss_scalings
+
+NO_NNS = FluxNNs(uw=None, vw=None, wT=None)
+
+
+def optimise_mpp_parameters(
+    model: WindMixingModel,
+    batch: TrainingBatch,
+    config: NDETrainConfig,
+    initial: MPPParameters | None = None,
+    lb: float = 0.0,
+    ub: float = 10.0,
+    callback=None,
+):
+    """Fit ``(nu_0, nu_minus, delta_Ri, Ri_c, Pr)``; returns ``(params, history)``.
+
+    The search space is the scaled vector ``theta = p / p_init`` clipped to
+    ``[lb, ub]`` after each update (projected gradient), matching the
+    reference's box constraints (``diffusivity_parameter_optimisation.jl:197``).
+    """
+    p0 = initial if initial is not None else model.mpp
+    init_vec = p0.as_vector()
+
+    def unscale(theta):
+        return MPPParameters.from_vector(theta * init_vec)
+
+    loss_scalings = determine_loss_scalings(dataclasses.replace(model, mpp=p0), NO_NNS, batch, config)
+
+    def loss_fn(theta):
+        m = dataclasses.replace(model, mpp=unscale(theta))
+        pred = _solve(m, NO_NNS, batch, config)
+        channels = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
+        scaled = apply_loss_scalings(channels, loss_scalings)
+        return scaled.total(), scaled
+
+    optimizer = optax.adam(config.learning_rate)
+    theta = jnp.ones_like(init_vec)
+    opt_state = optimizer.init(theta)
+
+    @jax.jit
+    def step(theta, opt_state):
+        (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = jnp.clip(optax.apply_updates(theta, updates), lb, ub)
+        return theta, opt_state, total, channels
+
+    history = []
+    for i in range(config.maxiters):
+        theta, opt_state, total, channels = step(theta, opt_state)
+        history.append((float(total), jax.tree.map(float, unscale(theta))))
+        if callback is not None:
+            callback(i, float(total), unscale(theta))
+    return unscale(theta), history

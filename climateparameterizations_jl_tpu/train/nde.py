@@ -1,0 +1,190 @@
+"""NDE training: optax gradients through the scanned timestepper.
+
+Replaces the reference's GalacticOptim + Zygote + continuous-adjoint stack
+(``wind_mixing/src/NDE_training.jl:167-374``,
+``free_convection/src/training.jl:44-74``) with discretize-then-optimize:
+the whole multi-simulation solve + 6-channel loss + backward pass is ONE
+jitted XLA program per curriculum stage; simulations ride a leading batch
+axis (no per-sim Python loop), and longer time windows are handled by the
+same compiled program via static ``n_save``.
+
+Curriculum staging (growing time windows, ``train_free_convection_nde.jl:246-266``,
+``train_NDE.jl:153-191``) is expressed as a list of
+:class:`CurriculumStage`; each stage re-jits once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from climateparameterizations_jl_tpu.data.containers import TrainingBatch
+from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel, solve_free_convection_nde
+from climateparameterizations_jl_tpu.models.wind_mixing import (
+    FluxNNs,
+    WindMixingModel,
+    solve_wind_mixing_nde,
+    solve_wind_mixing_split,
+)
+from climateparameterizations_jl_tpu.train.loss import (
+    LossChannels,
+    apply_loss_scalings,
+    calculate_loss_scalings,
+    nde_loss_channels,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class NDETrainConfig:
+    """Hyperparameters for one NDE training run/stage."""
+
+    learning_rate: float = 1e-3
+    maxiters: int = 200
+    n_substeps: int = 4
+    method: str = "rk4"  # "rk4" | "heun" | "euler" | "split"
+    train_gradient: bool = True
+    gradient_scaling: float = 5e-3
+    training_fractions: dict | None = None  # {"T":, "dTdz":, "profile":}
+    optimizer: str = "adam"
+
+
+@dataclasses.dataclass(frozen=True)
+class CurriculumStage:
+    """One curriculum window: which tsteps to fit and for how many iterations."""
+
+    tsteps: Sequence[int]
+    maxiters: int
+    learning_rate: float = 1e-3
+
+
+def _make_optimizer(config: NDETrainConfig, lr=None):
+    lr = config.learning_rate if lr is None else lr
+    if config.optimizer == "adam":
+        return optax.adam(lr)
+    if config.optimizer == "sgd":
+        return optax.sgd(lr)
+    if config.optimizer == "lbfgs":
+        return optax.lbfgs(lr)
+    raise ValueError(f"unknown optimizer {config.optimizer!r}")
+
+
+def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: NDETrainConfig):
+    t = batch.t
+    n_save = t.shape[0] - 1
+    dt_save = (t[-1] - t[0]) / n_save
+    if config.method == "split":
+        traj = solve_wind_mixing_split(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps)
+    else:
+        traj = solve_wind_mixing_nde(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, config.method)
+    return jnp.moveaxis(traj, 0, -2)  # (S, Nt, 3Nz)
+
+
+def make_wind_mixing_loss_fn(model: WindMixingModel, batch: TrainingBatch, loss_scalings: LossChannels, config: NDETrainConfig) -> Callable:
+    """Loss over all simulations at once; returns ``(total, channels)``."""
+
+    def loss_fn(nns: FluxNNs):
+        pred = _solve(model, nns, batch, config)
+        channels = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
+        scaled = apply_loss_scalings(channels, loss_scalings)
+        return scaled.total(), scaled
+
+    return loss_fn
+
+
+def determine_loss_scalings(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: NDETrainConfig) -> LossChannels:
+    """Fixed ``gradient_scaling`` weights, or auto-balanced from a pre-solve.
+
+    Parity: ``determine_loss_scalings`` (``NDE_training.jl:256-288``).
+    """
+    if config.training_fractions is None:
+        return LossChannels.ones(config.gradient_scaling if config.train_gradient else 0.0)
+    pred = _solve(model, nns, batch, config)
+    channels = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
+    return calculate_loss_scalings(channels, config.training_fractions, config.train_gradient)
+
+
+def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None):
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, channels
+
+    history = []
+    for i in range(maxiters):
+        params, opt_state, total, channels = step(params, opt_state)
+        history.append(jax.tree.map(float, channels))
+        if callback is not None:
+            callback(i, float(total), channels, params)
+    return params, history, opt_state
+
+
+def train_wind_mixing_nde(
+    model: WindMixingModel,
+    nns: FluxNNs,
+    batch: TrainingBatch,
+    config: NDETrainConfig,
+    stages: Sequence[CurriculumStage] | None = None,
+    full_batch_fn: Callable | None = None,
+    callback=None,
+):
+    """Train the three flux NNs through the scanned NDE solve.
+
+    If ``stages`` is given, ``full_batch_fn(tsteps)`` must rebuild the
+    training batch for each stage's time window (curriculum training).
+    Returns ``(nns, history)`` where history is a list of per-iteration
+    :class:`LossChannels` floats.
+    """
+    history_all = []
+    if stages is None:
+        loss_scalings = determine_loss_scalings(model, nns, batch, config)
+        loss_fn = make_wind_mixing_loss_fn(model, batch, loss_scalings, config)
+        nns, history_all, _ = _train_loop(loss_fn, nns, _make_optimizer(config), config.maxiters, callback)
+        return nns, history_all
+
+    for stage in stages:
+        stage_batch = full_batch_fn(stage.tsteps)
+        loss_scalings = determine_loss_scalings(model, nns, stage_batch, config)
+        loss_fn = make_wind_mixing_loss_fn(model, stage_batch, loss_scalings, config)
+        nns, h, _ = _train_loop(loss_fn, nns, _make_optimizer(config, stage.learning_rate), stage.maxiters, callback)
+        history_all.extend(h)
+    return nns, history_all
+
+
+def train_free_convection_nde(
+    model: FreeConvectionModel,
+    nn,
+    T0,
+    targets,
+    t,
+    config: NDETrainConfig,
+    callback=None,
+):
+    """Train the heat-flux NN through the free-convection NDE solve.
+
+    ``T0``: ``(S, Nz)`` scaled initial profiles; ``targets``: ``(S, Nt, Nz)``
+    scaled truth; ``t``: ``(Nt,)`` non-dimensional save times. The loss is the
+    plain MSE over all sims/frames (parity:
+    ``free_convection/src/training.jl:55-62``).
+    """
+    t = jnp.asarray(t)
+    n_save = t.shape[0] - 1
+    dt_save = (t[-1] - t[0]) / n_save
+
+    def loss_fn(nn):
+        traj = solve_free_convection_nde(model, nn, T0, t[0], dt_save, n_save, config.n_substeps, "rk4" if config.method == "split" else config.method)
+        pred = jnp.moveaxis(traj, 0, -2)  # (S, Nt, Nz)
+        total = jnp.mean((pred - targets) ** 2)
+        zero = jnp.zeros_like(total)
+        return total, LossChannels(u=zero, v=zero, T=total, dudz=zero, dvdz=zero, dTdz=zero)
+
+    nn, history, _ = _train_loop(loss_fn, nn, _make_optimizer(config), config.maxiters, callback)
+    return nn, history

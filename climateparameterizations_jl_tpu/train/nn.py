@@ -1,0 +1,81 @@
+"""Direct supervised flux regression (NN pre-training).
+
+Parity: reference ``wind_mixing/src/NN_training.jl`` (``train_NN``: loss =
+``MSE(flux) + gradient_scaling * MSE(d flux/dz)``, ``NN_training.jl:219-231``)
+and the core trainer ``src/NeuralNetworks/NeuralNetworks.jl:15-24``.
+
+TPU design: full-batch (or minibatched) regression where the whole
+``(n_samples, features)`` block hits the MXU in one matmul chain per layer —
+no per-sample loop, no Flux-style per-batch Python iteration.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.core.operators import d_face_to_center
+
+
+def flux_nn_loss(nn: MLP, x, y, gradient_scaling: float = 0.0, dz_hat: float | None = None, bcs=None):
+    """MSE on predicted interior fluxes (+ optional flux-gradient penalty).
+
+    ``x``: ``(B, 3 Nz)`` scaled states; ``y``: ``(B, Nz + 1)`` scaled target
+    flux faces. The NN predicts the ``Nz - 1`` interior faces; boundary faces
+    are taken from the targets (they are BCs, not learnable).
+    """
+    pred_interior = mlp_apply(nn, x)
+    pred = jnp.concatenate([y[..., :1], pred_interior, y[..., -1:]], axis=-1)
+    loss = jnp.mean((pred - y) ** 2)
+    if gradient_scaling and dz_hat is not None:
+        dpred = d_face_to_center(pred, dz_hat)
+        dy = d_face_to_center(y, dz_hat)
+        loss = loss + gradient_scaling * jnp.mean((dpred - dy) ** 2)
+    return loss
+
+
+def train_flux_nn(
+    nn: MLP,
+    x,
+    y,
+    learning_rate: float = 1e-3,
+    epochs: int = 200,
+    batch_size: int | None = None,
+    gradient_scaling: float = 0.0,
+    dz_hat: float | None = None,
+    key=None,
+    callback=None,
+):
+    """Train one flux MLP; returns ``(nn, per-epoch loss history)``.
+
+    With ``batch_size=None`` every epoch is one full-batch step (the datasets
+    here are tiny: ~1k-20k rows x 96 features — a single MXU tile).
+    """
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(nn)
+    n = x.shape[0]
+
+    @jax.jit
+    def step(nn, opt_state, xb, yb):
+        loss, grads = jax.value_and_grad(flux_nn_loss)(nn, xb, yb, gradient_scaling, dz_hat)
+        updates, opt_state = optimizer.update(grads, opt_state, nn)
+        return optax.apply_updates(nn, updates), opt_state, loss
+
+    history = []
+    key = key if key is not None else jax.random.PRNGKey(0)
+    for epoch in range(epochs):
+        if batch_size is None:
+            nn, opt_state, loss = step(nn, opt_state, x, y)
+        else:
+            key, sub = jax.random.split(key)
+            perm = jax.random.permutation(sub, n)
+            loss = 0.0
+            for start in range(0, n - batch_size + 1, batch_size):
+                idx = perm[start : start + batch_size]
+                nn, opt_state, loss = step(nn, opt_state, x[idx], y[idx])
+        history.append(float(loss))
+        if callback is not None:
+            callback(epoch, float(loss), nn)
+    return nn, history

@@ -1,0 +1,153 @@
+"""Data-layer tests: synthetic LES, coarsening pipeline, registry, flux reconstruction."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.data.containers import (
+    coarsen_dataset,
+    direct_regression_pairs,
+    fit_wind_mixing_scalings,
+    scaled_state_array,
+    stack_datasets,
+    training_tensors,
+)
+from climateparameterizations_jl_tpu.data.flux_reconstruction import reconstruct_flux_profiles
+from climateparameterizations_jl_tpu.data.registry import (
+    WIND_MIXING_CATALOG,
+    lesbrary_relative_path,
+    simulation_parameters,
+)
+from climateparameterizations_jl_tpu.data.synthetic import (
+    synthetic_free_convection_les,
+    synthetic_wind_mixing_les,
+    three_layer_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def wm_les():
+    return synthetic_wind_mixing_les(Nz=64, n_save=24, dt_save=600.0, n_substeps=2)
+
+
+class TestSyntheticWindMixing:
+    def test_shapes(self, wm_les):
+        assert wm_les.T.shape == (25, 64)
+        assert wm_les.wT.shape == (25, 65)
+        assert wm_les.t.shape == (25,)
+
+    def test_finite_and_physical(self, wm_les):
+        for name in ("u", "v", "T", "uw", "vw", "wT"):
+            assert np.isfinite(np.array(getattr(wm_les, name))).all(), name
+        # Wind stress spins up a surface current.
+        assert abs(float(wm_les.u[-1, -1])) > abs(float(wm_les.u[0, -1]))
+
+    def test_surface_flux_bc_on_faces(self, wm_les):
+        # Top face of uw equals the prescribed stress (zero-weights BC assembly).
+        np.testing.assert_allclose(np.array(wm_les.uw[1:, -1]), float(wm_les.u_top), rtol=1e-5)
+
+    def test_three_layer_profile_monotone(self):
+        z = np.linspace(-256, 0, 129)
+        T = np.array(three_layer_profile(z))
+        assert np.all(np.diff(T) >= 0)  # warm above cold: stable
+
+
+class TestSyntheticFreeConvection:
+    def test_cooling_deepens_mixed_layer(self):
+        les = synthetic_free_convection_les(Nz=64, n_save=48, dt_save=600.0)
+        T = np.array(les.T)
+        assert np.isfinite(T).all()
+        # Column loses heat at the imposed rate.
+        dz = float(les.H) / 64
+        expected_loss = float(les.theta_top) * float(les.t[-1]) / dz
+        # f32 tridiagonal solves drift the sum slightly over ~200 steps.
+        np.testing.assert_allclose(T[0].sum() - T[-1].sum(), expected_loss, rtol=0.06)
+        # Profile stays statically stable after adjustment (no big inversions).
+        assert np.diff(T[-1]).min() > -1e-3
+
+
+class TestPipeline:
+    def test_coarsen_and_scale(self, wm_les):
+        coarse = coarsen_dataset(wm_les, 32)
+        assert coarse.T.shape == (25, 32)
+        assert coarse.wT.shape == (25, 33)
+        # Block mean preserves the column mean of center fields.
+        np.testing.assert_allclose(
+            np.array(coarse.T.mean(-1)), np.array(wm_les.T.mean(-1)), rtol=1e-5
+        )
+        scalings = fit_wind_mixing_scalings([coarse])
+        x = scaled_state_array(coarse, scalings)
+        assert x.shape == (25, 96)
+        # Scaled temperature has ~zero mean / unit variance.
+        Ts = np.array(x[:, 64:])
+        assert abs(Ts.mean()) < 1e-4
+        assert Ts.std() == pytest.approx(1.0, rel=0.05)
+
+    def test_training_tensors(self, wm_les):
+        coarse = coarsen_dataset(wm_les, 32)
+        suite = stack_datasets([coarse, coarse])
+        scalings = fit_wind_mixing_scalings([coarse])
+        batch = training_tensors(suite, scalings, tsteps=np.arange(0, 20))
+        assert batch.x0.shape == (2, 96)
+        assert batch.targets.shape == (2, 20, 96)
+        assert batch.t.shape == (20,)
+        assert batch.bcs.uw_top.shape == (2,)
+        # Non-dimensional times in [0, 1].
+        assert float(batch.t[-1]) <= 1.0
+        # x0 equals the first target frame.
+        np.testing.assert_allclose(np.array(batch.x0), np.array(batch.targets[:, 0]))
+
+    def test_direct_regression_pairs(self, wm_les):
+        coarse = coarsen_dataset(wm_les, 32)
+        scalings = fit_wind_mixing_scalings([coarse])
+        x, y = direct_regression_pairs(coarse, scalings, "wT")
+        assert x.shape == (25, 96) and y.shape == (25, 33)
+
+
+class TestFluxReconstruction:
+    def test_recovers_fluxes_from_budget(self):
+        """Manufacture profiles from a known flux field and invert the budget."""
+        rng = np.random.default_rng(0)
+        Nz, Nt = 16, 40
+        dz, dt, f = 4.0, 60.0, 0.0
+        # Known flux: smooth in z, zero at bottom face.
+        z_faces = np.arange(Nz + 1) * dz
+        wT_true = np.sin(np.pi * z_faces / (Nz * dz))[None, :] * np.linspace(1, 2, Nt)[:, None]
+        wT_true[:, 0] = 0.0
+        div = (wT_true[:, 1:] - wT_true[:, :-1]) / dz
+        # dT/dt = -d(wT)/dz, forward Euler consistent with the reconstruction.
+        T = np.zeros((Nt, Nz))
+        for n in range(Nt - 1):
+            T[n + 1] = T[n] - dt * div[n]
+        t = dt * np.arange(Nt)
+        u = np.zeros_like(T)
+        v = np.zeros_like(T)
+        _, _, _, uw_r, vw_r, wT_r, t_r = reconstruct_flux_profiles(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(T), jnp.asarray(t, jnp.float64), f, dz
+        )
+        np.testing.assert_allclose(np.array(wT_r), wT_true[:-1], atol=1e-8)
+        np.testing.assert_allclose(np.array(uw_r), 0.0, atol=1e-12)
+
+
+class TestRegistry:
+    def test_catalog_size_and_parse(self):
+        assert len(WIND_MIXING_CATALOG) >= 100
+        for name in WIND_MIXING_CATALOG:
+            spec = simulation_parameters(name)
+            assert spec.Qu >= 0.0
+
+    def test_known_paths(self):
+        # Spot-check exact reference paths (data_containers.jl:8,17,128).
+        assert lesbrary_relative_path("-1e-3") == (
+            "Data/three_layer_constant_fluxes_linear_hr192_Qu1.0e-03_Qb0.0e+00_f1.0e-04_Nh256_Nz128_wind_mixing_8days_2_statistics.jld2"
+        )
+        assert lesbrary_relative_path("cooling_3e-8") == (
+            "Data/three_layer_constant_fluxes_linear_hr192_Qu0.0e+00_Qb3.0e-08_f1.0e-04_Nh256_Nz128_free_convection_8days_statistics.jld2"
+        )
+        assert lesbrary_relative_path("wind_-5e-4_diurnal_5e-8") == (
+            "Data/three_layer_constant_fluxes_linear_hr192_Qu5.0e-04_Qb5.0e-08_f1.0e-04_Nh256_Nz128_diurnal_8days_statistics.jld2"
+        )
+
+    def test_diurnal_flag(self):
+        assert simulation_parameters("wind_-5e-4_diurnal_5e-8").diurnal
+        assert not simulation_parameters("wind_-5e-4_cooling_3e-8").diurnal

@@ -1,0 +1,177 @@
+"""End-to-end training tests: the minimum slice of SURVEY.md §7 on synthetic data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp, wind_mixing_mlp
+from climateparameterizations_jl_tpu.data.containers import (
+    coarsen_dataset,
+    direct_regression_pairs,
+    fit_wind_mixing_scalings,
+    stack_datasets,
+    training_tensors,
+)
+from climateparameterizations_jl_tpu.data.synthetic import (
+    synthetic_free_convection_les,
+    synthetic_wind_mixing_les,
+)
+from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
+from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, WindMixingModel, WindMixingScalings
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from climateparameterizations_jl_tpu.train.loss import LossChannels, calculate_loss_scalings
+from climateparameterizations_jl_tpu.train.mpp_calibration import optimise_mpp_parameters
+from climateparameterizations_jl_tpu.train.nde import (
+    NDETrainConfig,
+    train_free_convection_nde,
+    train_wind_mixing_nde,
+)
+from climateparameterizations_jl_tpu.train.nn import train_flux_nn
+
+f32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def wm_setup():
+    les1 = synthetic_wind_mixing_les(Qu=-5e-4, Qb=3e-8, Nz=64, n_save=30, dt_save=600.0, n_substeps=2)
+    les2 = synthetic_wind_mixing_les(Qu=-2e-4, Qb=1e-8, Nz=64, n_save=30, dt_save=600.0, n_substeps=2)
+    coarse = [coarsen_dataset(d, 32) for d in (les1, les2)]
+    scalings = fit_wind_mixing_scalings(coarse)
+    suite = stack_datasets(coarse)
+    tau = jnp.abs(coarse[0].t[-1] - coarse[0].t[0])
+    model = WindMixingModel(
+        H=coarse[0].H,
+        tau=tau,
+        f=coarse[0].f,
+        g=coarse[0].g,
+        alpha=coarse[0].alpha,
+        kappa=f32(10.0),
+        scalings=scalings,
+        mpp=MPPParameters.default(),
+        Nz=32,
+        zero_weights=True,
+    )
+    batch = training_tensors(suite, scalings, tsteps=np.arange(0, 15), tau=tau)
+    return model, suite, scalings, batch
+
+
+class TestLossScalings:
+    def test_fractions_hit_targets(self):
+        """The closed-form weights push channel shares to the requested fractions."""
+        losses = LossChannels(
+            u=jnp.asarray(0.3), v=jnp.asarray(0.2), T=jnp.asarray(2.0),
+            dudz=jnp.asarray(5.0), dvdz=jnp.asarray(3.0), dTdz=jnp.asarray(0.7),
+        )
+        fractions = {"T": 0.8, "dTdz": 0.8, "profile": 0.5}
+        w = calculate_loss_scalings(losses, fractions, train_gradient=True)
+        scaled_T = float(w.T * losses.T)
+        scaled_uv = float(w.u * losses.u + w.v * losses.v)
+        assert scaled_T / (scaled_T + scaled_uv) == pytest.approx(0.8, rel=1e-5)
+        scaled_dT = float(w.dTdz * losses.dTdz)
+        scaled_duv = float(w.dudz * losses.dudz + w.dvdz * losses.dvdz)
+        assert scaled_dT / (scaled_dT + scaled_duv) == pytest.approx(0.8, rel=1e-5)
+        profile = scaled_T + scaled_uv
+        gradient = scaled_dT + scaled_duv
+        assert profile / (profile + gradient) == pytest.approx(0.5, rel=1e-5)
+
+
+class TestWindMixingNDETraining:
+    def test_loss_decreases(self, wm_setup):
+        model, suite, scalings, batch = wm_setup
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        nns = FluxNNs(
+            uw=wind_mixing_mlp(keys[0], 32, scale=1e-5),
+            vw=wind_mixing_mlp(keys[1], 32, scale=1e-5),
+            wT=wind_mixing_mlp(keys[2], 32, scale=1e-5),
+        )
+        config = NDETrainConfig(learning_rate=3e-3, maxiters=15, n_substeps=2, method="rk4")
+        nns2, history = train_wind_mixing_nde(model, nns, batch, config)
+        first = history[0].total()
+        last = min(h.total() for h in history)
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first  # optimizer makes progress
+
+    def test_training_fractions_mode(self, wm_setup):
+        model, suite, scalings, batch = wm_setup
+        nns = FluxNNs(uw=None, vw=None, wT=wind_mixing_mlp(jax.random.PRNGKey(1), 32, scale=1e-5))
+        config = NDETrainConfig(
+            learning_rate=1e-3, maxiters=3, n_substeps=2,
+            training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
+        )
+        _, history = train_wind_mixing_nde(model, nns, batch, config)
+        assert len(history) == 3
+        assert np.isfinite(history[-1].total())
+
+
+class TestMPPCalibration:
+    def test_recovers_lower_loss(self, wm_setup):
+        model, suite, scalings, batch = wm_setup
+        import dataclasses as dc
+
+        # Perturb the parameters away from those that generated the data.
+        wrong = MPPParameters(
+            nu_0=f32(3e-4), nu_minus=f32(3e-2), Ri_c=f32(0.4), delta_Ri=f32(2.0), Pr=f32(1.5)
+        )
+        m = dc.replace(model, mpp=wrong)
+        config = NDETrainConfig(learning_rate=0.05, maxiters=10, n_substeps=2, train_gradient=False)
+        fitted, history = optimise_mpp_parameters(m, batch, config, initial=wrong)
+        losses = [h[0] for h in history]
+        assert losses[-1] < losses[0]  # calibration reduces trajectory loss
+        assert float(fitted.nu_0) >= 0.0
+
+
+class TestDirectFluxRegression:
+    def test_fits_synthetic_fluxes(self, wm_setup):
+        model, suite, scalings, batch = wm_setup
+        x, y = direct_regression_pairs(suite, scalings, "wT")
+        nn = wind_mixing_mlp(jax.random.PRNGKey(2), 32, hidden=(64,), activation="relu")
+        nn, history = train_flux_nn(nn, x, y, learning_rate=3e-3, epochs=200, gradient_scaling=5e-3, dz_hat=1 / 32)
+        assert history[-1] < history[0]
+        assert history[-1] < 0.3 * history[0]  # substantial fit progress
+
+
+class TestFreeConvectionNDETraining:
+    def test_loss_decreases(self):
+        les = synthetic_free_convection_les(Nz=64, n_save=30, dt_save=600.0)
+        coarse = coarsen_dataset(les, 32)
+        from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+
+        T_scaling = ZeroMeanUnitVarianceScaling.fit(coarse.T)
+        wT_scaling = ZeroMeanUnitVarianceScaling.fit(coarse.wT)
+        model = FreeConvectionModel(
+            H=coarse.H,
+            tau=jnp.abs(coarse.t[-1] - coarse.t[0]),
+            T_scaling=T_scaling,
+            wT_scaling=wT_scaling,
+            bottom_flux=wT_scaling.scale(f32(0.0)),
+            top_flux=wT_scaling.scale(coarse.theta_top),
+            Nz=32,
+        )
+        T_scaled = T_scaling.scale(coarse.T)  # (Nt, 32)
+        tsteps = np.arange(0, 20)
+        targets = T_scaled[None, tsteps]  # (1, 20, 32)
+        T0 = targets[:, 0]
+        t = (coarse.t[tsteps] - coarse.t[0]) / model.tau
+        nn = free_convection_mlp(jax.random.PRNGKey(0), 32)
+        nn = jax.tree.map(lambda a: a * 1e-3, nn)
+        config = NDETrainConfig(learning_rate=2e-3, maxiters=15, n_substeps=2)
+        nn2, history = train_free_convection_nde(model, nn, T0, targets, t, config)
+        totals = [float(h.T) for h in history]
+        assert totals[-1] < totals[0]
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, wm_setup):
+        model, suite, scalings, batch = wm_setup
+        nns = FluxNNs(uw=None, vw=None, wT=wind_mixing_mlp(jax.random.PRNGKey(3), 32))
+        state = {"nns": nns, "scalings": scalings}
+        save_checkpoint(str(tmp_path / "run1"), state, meta={"stage": "test"})
+        skeleton = {"nns": jax.tree.map(jnp.zeros_like, nns), "scalings": jax.tree.map(jnp.zeros_like, scalings)}
+        restored, meta = load_checkpoint(str(tmp_path / "run1"), skeleton)
+        assert meta["stage"] == "test"
+        np.testing.assert_allclose(
+            np.array(restored["nns"].wT.weights[0]), np.array(nns.wT.weights[0])
+        )
+        np.testing.assert_allclose(float(restored["scalings"].T.mu), float(scalings.T.mu))
