@@ -1,0 +1,73 @@
+"""Headline benchmark: forward column-timesteps/sec at 32 levels x 1024 columns.
+
+Runs the flagship wind-mixing column model (mPP Ri-dependent diffusivity +
+triple-NN flux closure, the full ``predict_flux`` + ``predict_NDE`` RHS) as a
+fused ``lax.scan`` of RK4 steps over a 1024-column batch, and reports
+
+    column-timesteps/sec = n_columns * n_steps / wall_seconds
+
+Baseline: the reference's only recorded comparable number — the OceanTurb
+KPP full 2-day column evolution, 25.762 ms for ~1153 steps of a single
+column on CPU (``wind_mixing/Benchmarking.jl:25``) => ~4.5e4
+column-timesteps/sec. ``vs_baseline`` is the speedup over that.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_COLUMN_TIMESTEPS_PER_SEC = 4.5e4
+
+
+def main():
+    from __graft_entry__ import _make_setup
+    from climateparameterizations_jl_tpu.models.timestepper import rk4_step
+    from climateparameterizations_jl_tpu.models.wind_mixing import wind_mixing_rhs
+
+    n_columns = 1024
+    n_steps = 1024
+    model, nns, bcs, x0 = _make_setup(Nz=32, n_columns=n_columns)
+    dt = jnp.float32(1e-5)
+
+    @jax.jit
+    def run(nns, x):
+        rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
+
+        def body(x, i):
+            return rk4_step(rhs, x, i * dt, dt), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
+        return x
+
+    # Warmup/compile.
+    out = run(nns, x0)
+    jax.block_until_ready(out)
+
+    reps = 5
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = run(nns, out)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    column_timesteps_per_sec = n_columns * n_steps * reps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "column-timesteps/sec (fwd, mPP+3NN RHS, RK4, 32 levels x 1024 columns)",
+                "value": round(column_timesteps_per_sec, 1),
+                "unit": "column-timesteps/s",
+                "vs_baseline": round(column_timesteps_per_sec / BASELINE_COLUMN_TIMESTEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

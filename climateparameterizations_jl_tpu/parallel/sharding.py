@@ -1,0 +1,109 @@
+"""Device-mesh parallelism: sharded NDE training and column ensembles.
+
+The reference is single-process CPU Julia with **no** distributed layer
+(SURVEY.md §2/§5); its only scaling story is ARGS-parameterized cluster
+scripts. This module is the TPU-native capability extension mandated by
+BASELINE.json: a 1-D ``jax.sharding.Mesh`` over the batch axis (simulations
+for NDE training, ensemble members / columns for UQ sweeps), with
+
+- parameters replicated, batch sharded (pure data parallelism — the models
+  are tiny MLPs; the batch axis is where the work is);
+- gradient reduction left to XLA: the jitted ``value_and_grad`` over a
+  sharded batch lowers to per-device partial sums + one ``psum`` over ICI
+  (the compiler inserts the collective from the sharding annotations —
+  no hand-written NCCL/MPI analogue);
+- the same code running on 1 device (mesh of 1) or N chips unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from climateparameterizations_jl_tpu.data.containers import TrainingBatch
+from climateparameterizations_jl_tpu.models.wind_mixing import (
+    FluxNNs,
+    WindMixingModel,
+    solve_wind_mixing_nde,
+    solve_wind_mixing_split,
+)
+from climateparameterizations_jl_tpu.train.loss import LossChannels, apply_loss_scalings, nde_loss_channels
+from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, make_wind_mixing_loss_fn
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (parameters) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_training_batch(batch: TrainingBatch, mesh: Mesh, axis_name: str = "batch") -> TrainingBatch:
+    """Shard the simulation axis across the mesh; replicate shared scalars.
+
+    Arrays whose leading dim equals the number of simulations are split over
+    the mesh axis; everything else (save times, tau) is replicated.
+    """
+    S = batch.x0.shape[0]
+    split = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == S:
+            return jax.device_put(x, split)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, batch)
+
+
+def make_sharded_nde_train_step(model: WindMixingModel, batch: TrainingBatch, config: NDETrainConfig, optimizer, loss_scalings: LossChannels | None = None):
+    """One jitted data-parallel NDE training step.
+
+    ``batch`` must already be placed with :func:`shard_training_batch`;
+    parameters/opt state should be replicated (:func:`replicate`). XLA
+    inserts the gradient ``psum`` from the shardings.
+
+    Returns ``step(nns, opt_state) -> (nns, opt_state, total, channels)``.
+    """
+    scalings = loss_scalings if loss_scalings is not None else LossChannels.ones(config.gradient_scaling)
+    loss_fn = make_wind_mixing_loss_fn(model, batch, scalings, config)
+
+    @jax.jit
+    def step(nns, opt_state):
+        (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(nns)
+        updates, opt_state = optimizer.update(grads, opt_state, nns)
+        nns = optax.apply_updates(nns, updates)
+        return nns, opt_state, total, channels
+
+    return step
+
+
+def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh, axis_name: str = "batch"):
+    """Forward ensemble solver with columns sharded across the mesh.
+
+    For the 1k-column UQ / double-gyre ensembles: ``x0`` ``(E, 3 Nz)`` and
+    per-member BCs shard over the mesh; the returned trajectories stay
+    device-sharded (``(Nt, E, 3 Nz)`` with E split), so downstream
+    reductions (ensemble means/variances) also run sharded.
+    """
+    split = NamedSharding(mesh, P(None, axis_name))
+
+    def solve(nns: FluxNNs, bcs, x0, t0, dt_save, n_save, out_sharding=split):
+        if config.method == "split":
+            traj = solve_wind_mixing_split(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps)
+        else:
+            traj = solve_wind_mixing_nde(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps, config.method)
+        return jax.lax.with_sharding_constraint(traj, out_sharding)
+
+    return jax.jit(solve, static_argnums=(5,))
