@@ -1,0 +1,159 @@
+"""TKE-based mass-flux column closure, batched and jitted.
+
+Reimplementation of the role OceanTurb.jl's ``TKEMassFlux.Model`` plays as
+the reference's second classical baseline
+(``src/PhysicalParameterizations/turbulent_kinetic_energy_closure.jl:1-60``,
+``free_convection/src/tke_mass_flux.jl:3-52`` with
+``RiDependentDiffusivities``). One prognostic turbulent kinetic energy
+equation closes the eddy diffusivities:
+
+    de/dt = d/dz(K_e de/dz) + K_U S^2 - K_T N^2 - Cd e^(3/2) / ell + surface production
+    ell   = min(kappa_vk * d, Cb * sqrt(e) / N)    (wall- and stratification-limited)
+    K_Phi = C_Phi * ell * sqrt(e) + K0_Phi
+
+with Richardson-number-dependent stability coefficients ``C_Phi(Ri)``
+(the ``RiDependentDiffusivities`` choice in ``tke_mass_flux.jl:21-27``):
+``C_Phi = C_Phi_shear + (C_Phi_conv - C_Phi_shear) * step(-Ri)``.
+
+Stepping: explicit sources, implicit vertical diffusion (batched Thomas),
+same operator split as the KPP model. Everything batches over leading axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.core.operators import d_center_to_face
+from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
+from climateparameterizations_jl_tpu.physics.mpp import tanh_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TKEParameters:
+    kappa_vk: jnp.ndarray  # von Karman constant (wall mixing length)
+    Cb: jnp.ndarray  # stratified mixing-length coefficient
+    Cd: jnp.ndarray  # dissipation coefficient
+    CK_U_shear: jnp.ndarray  # velocity diffusivity coefficient, shear regime
+    CK_U_conv: jnp.ndarray  # velocity diffusivity coefficient, convective regime
+    CK_T_shear: jnp.ndarray
+    CK_T_conv: jnp.ndarray
+    CK_e: jnp.ndarray  # TKE diffusivity coefficient
+    C_surf: jnp.ndarray  # surface TKE production coefficient (~ ustar^3 input)
+    e_min: jnp.ndarray
+    ell_min: jnp.ndarray
+    KU0: jnp.ndarray
+    KT0: jnp.ndarray
+
+    @classmethod
+    def default(cls, dtype=jnp.float32, **overrides) -> "TKEParameters":
+        vals = dict(
+            kappa_vk=0.4, Cb=0.7, Cd=2.91, CK_U_shear=0.1, CK_U_conv=0.4,
+            CK_T_shear=0.16, CK_T_conv=1.3, CK_e=0.1, C_surf=3.75,
+            e_min=1e-9, ell_min=0.01, KU0=1e-6, KT0=1e-7,
+        )
+        vals.update(overrides)
+        return cls(**{k: jnp.asarray(v, dtype) for k, v in vals.items()})
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TKEState:
+    U: jnp.ndarray
+    V: jnp.ndarray
+    T: jnp.ndarray
+    e: jnp.ndarray  # turbulent kinetic energy (centers)
+
+
+def tke_diffusivities(state: TKEState, dz, zc, params: TKEParameters, g, alpha):
+    """Face diffusivities ``(K_U, K_T, K_e)`` from the current TKE field."""
+    e_pad = jnp.pad(state.e, [(0, 0)] * (state.e.ndim - 1) + [(1, 1)], mode="edge")
+    e_face = jnp.maximum(params.e_min, 0.5 * (e_pad[..., :-1] + e_pad[..., 1:]))
+    sqrt_e = jnp.sqrt(e_face)
+
+    dUdz = d_center_to_face(state.U, dz)
+    dVdz = d_center_to_face(state.V, dz)
+    dTdz = d_center_to_face(state.T, dz)
+    N2 = g * alpha * dTdz
+    S2 = dUdz**2 + dVdz**2
+    Ri = N2 / (S2 + 1e-30)
+
+    # Mixing length: wall distance below the surface, stratification-capped.
+    # Faces bottom->top: z_f[k] = k dz - H, depth below surface = H - k dz.
+    Nz = state.U.shape[-1]
+    depth_f = (Nz - jnp.arange(Nz + 1, dtype=state.U.dtype)) * dz
+    d_wall = jnp.maximum(params.ell_min, params.kappa_vk * depth_f)
+    ell_strat = params.Cb * sqrt_e / jnp.sqrt(jnp.maximum(N2, 1e-12))
+    ell = jnp.minimum(d_wall, ell_strat)
+    ell = jnp.maximum(ell, params.ell_min)
+
+    # Ri-dependent stability coefficients: blend shear <-> convective regimes.
+    conv_weight = tanh_step(Ri)  # ~1 for Ri << 0 (convective), ~0 for stratified
+    CK_U = params.CK_U_shear + (params.CK_U_conv - params.CK_U_shear) * conv_weight
+    CK_T = params.CK_T_shear + (params.CK_T_conv - params.CK_T_shear) * conv_weight
+
+    K_U = CK_U * ell * sqrt_e + params.KU0
+    K_T = CK_T * ell * sqrt_e + params.KT0
+    K_e = params.CK_e * ell * sqrt_e + params.KU0
+
+    mask = jnp.ones_like(K_U).at[..., 0].set(0.0).at[..., -1].set(0.0)
+    return K_U * mask, K_T * mask, K_e * mask, (S2, N2, ell, sqrt_e)
+
+
+def tke_step(state: TKEState, dt, dz, zc, params: TKEParameters, Fu, Fb, f_cor, g, alpha, tridiag_backend: str = "scan") -> TKEState:
+    """One operator-split TKE step."""
+    K_U, K_T, K_e, (S2, N2, ell, sqrt_e) = tke_diffusivities(state, dz, zc, params, g, alpha)
+
+    # TKE sources at centers (average face quantities back to centers).
+    to_c = lambda x: 0.5 * (x[..., 1:] + x[..., :-1])  # noqa: E731
+    production = to_c(K_U * S2) - to_c(K_T * N2)
+    e_center = jnp.maximum(state.e, params.e_min)
+    ell_c = to_c(ell)
+    dissipation = params.Cd * e_center**1.5 / ell_c
+
+    e_half = jnp.maximum(state.e + dt * (production - dissipation), params.e_min)
+    # Surface TKE production from wind work: flux C_surf * ustar^3 into top cell.
+    ustar3 = jnp.abs(Fu) ** 1.5
+    e_half = e_half.at[..., -1].add(dt * params.C_surf * ustar3 / dz)
+    # Convective TKE input from destabilizing surface buoyancy flux.
+    e_half = e_half.at[..., -1].add(dt * jnp.maximum(0.0, Fb))
+
+    U_half = state.U + dt * f_cor * state.V
+    V_half = state.V - dt * f_cor * state.U
+    U_half = U_half.at[..., -1].add(-dt * Fu / dz)
+    F_theta = Fb / (g * alpha)
+    T_half = state.T.at[..., -1].add(-dt * F_theta / dz)
+
+    U_new = implicit_diffusion_step(U_half, K_U, dt, dz, backend=tridiag_backend)
+    V_new = implicit_diffusion_step(V_half, K_U, dt, dz, backend=tridiag_backend)
+    T_new = implicit_diffusion_step(T_half, K_T, dt, dz, backend=tridiag_backend)
+    e_new = implicit_diffusion_step(e_half, K_e, dt, dz, backend=tridiag_backend)
+    return TKEState(U=U_new, V=V_new, T=T_new, e=jnp.maximum(e_new, params.e_min))
+
+
+def solve_tke(state0: TKEState, t_save, params: TKEParameters, Fu, Fb, H, Nz: int, f_cor, g, alpha, n_substeps: int = 1, tridiag_backend: str = "scan") -> TKEState:
+    """Evolve a (batch of) TKE column(s); returns trajectories ``(Nt, ..., Nz)``.
+
+    Parity: ``closure_tke_full_evolution``
+    (``turbulent_kinetic_energy_closure.jl:1-60``).
+    """
+    dtype = state0.T.dtype
+    t_save = jnp.asarray(t_save, dtype)
+    n_save = t_save.shape[0] - 1
+    dt = (t_save[-1] - t_save[0]) / (n_save * n_substeps)
+    dz = jnp.asarray(H / Nz, dtype)
+    zc = (jnp.arange(Nz, dtype=dtype) + 0.5) * dz - H
+
+    def substep(state, _):
+        return tke_step(state, dt, dz, zc, params, Fu, Fb, f_cor, g, alpha, tridiag_backend), None
+
+    def interval(state, _):
+        state, _ = jax.lax.scan(substep, state, None, length=n_substeps)
+        return state, state
+
+    _, frames = jax.lax.scan(interval, state0, None, length=n_save)
+    stack = lambda s0, fr: jnp.concatenate([s0[None], fr], axis=0)  # noqa: E731
+    return TKEState(U=stack(state0.U, frames.U), V=stack(state0.V, frames.V), T=stack(state0.T, frames.T), e=stack(state0.e, frames.e))

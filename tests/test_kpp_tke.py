@@ -1,0 +1,115 @@
+"""KPP and TKE column-model baselines: physical-invariant ("golden") tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.data.synthetic import three_layer_profile
+from climateparameterizations_jl_tpu.physics.kpp import (
+    KPPForcing,
+    KPPParameters,
+    KPPState,
+    boundary_layer_depth,
+    solve_kpp,
+)
+from climateparameterizations_jl_tpu.physics.tke import TKEParameters, TKEState, solve_tke
+
+f32 = jnp.float32
+Nz, H = 32, 256.0
+dz = H / Nz
+g, alpha, f_cor = 9.80665, 2e-4, 1e-4
+
+
+def initial_state():
+    zc = (np.arange(Nz) + 0.5) * dz - H
+    T0 = jnp.asarray(np.array(three_layer_profile(zc)), jnp.float32)
+    zeros = jnp.zeros(Nz, jnp.float32)
+    return zeros, zeros, T0
+
+
+class TestBoundaryLayerDepth:
+    def test_deepens_with_stronger_cooling(self):
+        U, V, T = initial_state()
+        zc = jnp.asarray((np.arange(Nz) + 0.5) * dz - H, jnp.float32)
+        params = KPPParameters.default()
+        B = g * alpha * T
+        # Well-mixed surface layer: h should be shallow for stable profile.
+        h_weak = boundary_layer_depth(U, V, B, zc, params, jnp.float32(1e-9), jnp.float32(H))
+        # Homogenize the top 100 m (deep mixed layer) -> deeper h.
+        T_deep = T.at[-12:].set(T[-1])
+        B_deep = g * alpha * T_deep
+        h_deep = boundary_layer_depth(U, V, B_deep, zc, params, jnp.float32(1e-9), jnp.float32(H))
+        assert float(h_deep) > float(h_weak)
+
+
+class TestKPP:
+    def test_cooling_run_mixes_and_conserves_momentum(self):
+        U, V, T0 = initial_state()
+        state0 = KPPState(U=U, V=V, T=T0)
+        forcing = KPPForcing(Fu=f32(0.0), Fb=f32(1e-7), dTdz_bottom=f32(0.0))
+        t = jnp.linspace(0.0, 86400.0, 25)  # one day, 1-hour saves
+        params = KPPParameters.default()
+        traj = solve_kpp(state0, t, params, forcing, f32(H), Nz, f32(f_cor), f32(g), f32(alpha), n_substeps=6)
+        T = np.array(traj.T)
+        assert np.isfinite(T).all()
+        # Surface cooling: heat removed at rate F_theta.
+        F_theta = 1e-7 / (g * alpha)
+        expected_loss = F_theta * 86400.0 / dz
+        np.testing.assert_allclose(T[0].sum() - T[-1].sum(), expected_loss, rtol=0.05)
+        # Mixed layer forms: surface temperature drops, near-surface gradient ~ 0.
+        assert T[-1, -1] < T[0, -1]
+        assert abs(T[-1, -1] - T[-1, -4]) < 0.05
+
+    def test_wind_run_spins_up_currents(self):
+        U, V, T0 = initial_state()
+        state0 = KPPState(U=U, V=V, T=T0)
+        forcing = KPPForcing(Fu=f32(-1e-3), Fb=f32(0.0), dTdz_bottom=f32(0.0))
+        t = jnp.linspace(0.0, 43200.0, 13)
+        params = KPPParameters.default()
+        traj = solve_kpp(state0, t, params, forcing, f32(H), Nz, f32(f_cor), f32(g), f32(alpha), n_substeps=6)
+        assert np.isfinite(np.array(traj.U)).all()
+        # Momentum injected: surface speed grows.
+        speed = np.sqrt(np.array(traj.U[:, -1]) ** 2 + np.array(traj.V[:, -1]) ** 2)
+        assert speed[-1] > speed[0] + 1e-3
+
+    def test_batched_columns(self):
+        U, V, T0 = initial_state()
+        B = 8
+        state0 = KPPState(
+            U=jnp.tile(U, (B, 1)), V=jnp.tile(V, (B, 1)), T=jnp.tile(T0, (B, 1))
+        )
+        Fb = jnp.linspace(1e-8, 1e-7, B).astype(jnp.float32)
+        forcing = KPPForcing(Fu=jnp.zeros(B, jnp.float32), Fb=Fb, dTdz_bottom=jnp.zeros(B, jnp.float32))
+        t = jnp.linspace(0.0, 21600.0, 7)
+        traj = solve_kpp(state0, t, KPPParameters.default(), forcing, f32(H), Nz, f32(f_cor), f32(g), f32(alpha), n_substeps=4)
+        assert traj.T.shape == (7, B, Nz)
+        # Stronger cooling loses more heat.
+        losses = np.array(traj.T[0].sum(-1) - traj.T[-1].sum(-1))
+        assert np.all(np.diff(losses) > 0)
+
+
+class TestTKE:
+    def test_cooling_run(self):
+        U, V, T0 = initial_state()
+        state0 = TKEState(U=U, V=V, T=T0, e=jnp.full(Nz, 1e-6, jnp.float32))
+        t = jnp.linspace(0.0, 43200.0, 13)
+        traj = solve_tke(state0, t, TKEParameters.default(), f32(0.0), f32(5e-8), f32(H), Nz, f32(f_cor), f32(g), f32(alpha), n_substeps=10)
+        T = np.array(traj.T)
+        e = np.array(traj.e)
+        assert np.isfinite(T).all() and np.isfinite(e).all()
+        assert (e >= 0).all()
+        # Heat loss at the imposed rate.
+        F_theta = 5e-8 / (g * alpha)
+        expected_loss = F_theta * 43200.0 / dz
+        np.testing.assert_allclose(T[0].sum() - T[-1].sum(), expected_loss, rtol=0.05)
+
+    def test_wind_run_generates_tke(self):
+        U, V, T0 = initial_state()
+        state0 = TKEState(U=U, V=V, T=T0, e=jnp.full(Nz, 1e-9, jnp.float32))
+        t = jnp.linspace(0.0, 21600.0, 7)
+        traj = solve_tke(state0, t, TKEParameters.default(), f32(-5e-4), f32(0.0), f32(H), Nz, f32(f_cor), f32(g), f32(alpha), n_substeps=10)
+        e = np.array(traj.e)
+        assert np.isfinite(e).all()
+        # Wind work raises near-surface TKE by orders of magnitude.
+        assert e[-1, -1] > 100 * e[0, -1]
