@@ -1,0 +1,179 @@
+"""Gaussian-process closure tests: kernels, distances, exact GP, model selection."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.closures.gp import (
+    GPKernel,
+    best_kernel,
+    distance_matrix,
+    get_kernel,
+    gp_fit,
+    gp_predict,
+    gp_uncertainty,
+    mean_log_marginal_loss,
+)
+
+
+def _kernel(family="squared_exponential", gamma=1.0, sigma=1.0, alpha=1.0, metric="euclidean"):
+    return GPKernel(
+        gamma=jnp.asarray(gamma, jnp.float64),
+        sigma=jnp.asarray(sigma, jnp.float64),
+        alpha=jnp.asarray(alpha, jnp.float64),
+        family=family,
+        metric=metric,
+    )
+
+
+class TestDistances:
+    def setup_method(self):
+        rng = np.random.default_rng(0)
+        self.A = jnp.asarray(rng.normal(size=(5, 8)))
+        self.B = jnp.asarray(rng.normal(size=(7, 8)))
+        self.z = jnp.linspace(-10.0, 0.0, 8)
+
+    def test_euclidean_matches_norm(self):
+        D = distance_matrix(self.A, self.B, self.z, "euclidean")
+        expected = np.linalg.norm(np.array(self.A)[:, None] - np.array(self.B)[None], axis=-1)
+        np.testing.assert_allclose(np.array(D), expected, rtol=1e-8)
+
+    def test_derivative_distance(self):
+        D = distance_matrix(self.A, self.B, self.z, "derivative")
+        dz = np.diff(np.array(self.z))
+        fa = np.diff(np.array(self.A), axis=-1) / dz
+        fb = np.diff(np.array(self.B), axis=-1) / dz
+        expected = np.linalg.norm(fa[:, None] - fb[None], axis=-1)
+        np.testing.assert_allclose(np.array(D), expected, rtol=1e-8)
+
+    def test_antiderivative_distance(self):
+        D = distance_matrix(self.A, self.B, self.z, "antiderivative")
+        dz = np.diff(np.array(self.z))
+        fa = np.diff(np.array(self.A), axis=-1) * dz
+        fb = np.diff(np.array(self.B), axis=-1) * dz
+        expected = np.linalg.norm(fa[:, None] - fb[None], axis=-1)
+        np.testing.assert_allclose(np.array(D), expected, rtol=1e-8)
+
+
+class TestKernels:
+    @pytest.mark.parametrize("family", ["squared_exponential", "matern12", "matern32", "matern52", "rational_quadratic"])
+    def test_zero_distance_gives_sigma(self, family):
+        k = _kernel(family, sigma=2.5)
+        assert float(k(jnp.asarray(0.0))) == pytest.approx(2.5)
+
+    @pytest.mark.parametrize("family", ["squared_exponential", "matern12", "matern32", "matern52", "rational_quadratic"])
+    def test_monotone_decreasing(self, family):
+        k = _kernel(family)
+        d = jnp.linspace(0.0, 5.0, 50)
+        vals = np.array(k(d))
+        assert np.all(np.diff(vals) < 0)
+
+    def test_get_kernel_factory(self):
+        k = get_kernel(3, 0.5, 0.0, "derivative")
+        assert k.family == "matern32"
+        assert float(k.gamma) == pytest.approx(10**0.5)
+        assert k.metric == "derivative"
+
+
+class TestExactGP:
+    def _make_1d_problem(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(np.sort(rng.uniform(-3, 3, size=40))[:, None])
+        y = jnp.sin(x)
+        z = jnp.asarray([0.0])  # single-feature: distances need >= 1 entry
+        return x, y, z
+
+    def test_interpolates_training_data(self):
+        x, y, z = self._make_1d_problem()
+        model = gp_fit(x, y, _kernel(gamma=1.0), z)
+        pred = gp_predict(model, x)
+        np.testing.assert_allclose(np.array(pred), np.array(y), atol=1e-4)
+
+    def test_generalizes_to_test_points(self):
+        x, y, z = self._make_1d_problem()
+        model = gp_fit(x, y, _kernel(gamma=1.0), z)
+        xq = jnp.asarray(np.linspace(-2.5, 2.5, 20)[:, None])
+        pred = gp_predict(model, xq)
+        np.testing.assert_allclose(np.array(pred[:, 0]), np.sin(np.array(xq[:, 0])), atol=1e-2)
+
+    def test_uncertainty_zero_at_train_larger_away(self):
+        x, y, z = self._make_1d_problem()
+        model = gp_fit(x, y, _kernel(gamma=1.0), z)
+        var_train = float(gp_uncertainty(model, x[:1])[0])
+        var_far = float(gp_uncertainty(model, jnp.asarray([[10.0]]))[0])
+        assert var_train < 1e-4
+        assert var_far > 0.5
+
+    def test_multi_output(self):
+        """Vector-valued targets (the flux-profile case): one fit, D outputs."""
+        rng = np.random.default_rng(2)
+        X = jnp.asarray(rng.normal(size=(60, 12)))
+        W = jnp.asarray(rng.normal(size=(12, 7)))
+        Y = jnp.tanh(X @ W)
+        z = jnp.linspace(-1.0, 0.0, 12)
+        model = gp_fit(X, Y, _kernel(gamma=3.0), z)
+        pred = gp_predict(model, X)
+        assert pred.shape == (60, 7)
+        np.testing.assert_allclose(np.array(pred), np.array(Y), atol=1e-3)
+
+    def test_log_marginal_loss_finite(self):
+        x, y, z = self._make_1d_problem()
+        model = gp_fit(x, y, _kernel(gamma=1.0), z)
+        lml = float(mean_log_marginal_loss(model, y, add_constant=True))
+        assert np.isfinite(lml)
+
+
+class TestModelSelection:
+    def test_best_kernel_prefers_good_gamma(self):
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(np.sort(rng.uniform(-3, 3, size=50))[:, None])
+        Y = jnp.sin(X)
+        Xv = jnp.asarray(np.linspace(-2.8, 2.8, 30)[:, None])
+        Yv = jnp.sin(Xv)
+        z = jnp.asarray([0.0])
+        kernel, err = best_kernel(X, Y, Xv, Yv, z, kernel_ids=(1, 2), log_gammas=np.linspace(-1, 1, 5))
+        assert err < 1e-2
+
+
+class TestGPClosureDE:
+    def test_gp_closure_integrates(self):
+        """Fit GPs on synthetic flux data and integrate the GP-closure column."""
+        import jax
+
+        from climateparameterizations_jl_tpu.data.containers import (
+            coarsen_dataset,
+            fit_wind_mixing_scalings,
+            scaled_flux_arrays,
+            scaled_state_array,
+        )
+        from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
+        from climateparameterizations_jl_tpu.models.gp_closure import FluxGPs, solve_gp_closure
+        from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingModel
+        from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+
+        les = synthetic_wind_mixing_les(Nz=64, n_save=20, dt_save=600.0, n_substeps=2)
+        coarse = coarsen_dataset(les, 32)
+        scalings = fit_wind_mixing_scalings([coarse])
+        x = scaled_state_array(coarse, scalings).astype(jnp.float64)
+        uw_s, vw_s, wT_s = (a.astype(jnp.float64) for a in scaled_flux_arrays(coarse, scalings))
+        z = jnp.linspace(-1.0, 0.0, 96)  # scaled-state pseudo-grid for distances
+        k = _kernel(gamma=1.0)
+        gps = FluxGPs(
+            uw=gp_fit(x, uw_s, k, z),
+            vw=gp_fit(x, vw_s, k, z),
+            wT=gp_fit(x, wT_s, k, z),
+        )
+        tau = jnp.abs(coarse.t[-1] - coarse.t[0])
+        model = WindMixingModel(
+            H=coarse.H.astype(jnp.float64), tau=tau.astype(jnp.float64), f=coarse.f.astype(jnp.float64),
+            g=coarse.g.astype(jnp.float64), alpha=coarse.alpha.astype(jnp.float64),
+            kappa=jnp.float64(10.0), scalings=jax.tree.map(lambda a: a.astype(jnp.float64), scalings),
+            mpp=MPPParameters.default(jnp.float64), Nz=32,
+        )
+        dt_save = 600.0 / float(tau)
+        traj = solve_gp_closure(model, gps, x[0], 0.0, dt_save, 10, n_substeps=2)
+        assert traj.shape == (11, 96)
+        assert np.isfinite(np.array(traj)).all()
+        # GP closure keeps the trajectory near the training trajectory.
+        err = float(jnp.mean((traj - x[:11]) ** 2))
+        assert err < 0.1
