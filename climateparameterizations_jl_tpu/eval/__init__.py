@@ -1,0 +1,30 @@
+"""Evaluation harness: NDE-profile comparisons, loss matrices, animations.
+
+TPU-native re-design of the reference's evaluation layer:
+
+- :mod:`profile`     -> ``wind_mixing/src/training_postprocessing.jl:250-632``
+  (``NDE_profile``: NDE vs mPP-only vs KPP vs LES truth with per-timestep
+  losses, flux decompositions, and Ri diagnostics).
+- :mod:`loss_matrix` -> ``free_convection/src/testing.jl:186-231``
+  (``plot_loss_matrix``) and ``compute_nde_solution_history``.
+- :mod:`animations`  -> ``free_convection/src/animations.jl``,
+  ``wind_mixing/src/animation.jl`` (matplotlib, GIF via pillow).
+"""
+
+from climateparameterizations_jl_tpu.eval.profile import (
+    ProfileEvaluation,
+    nde_profile,
+    free_convection_profile,
+)
+from climateparameterizations_jl_tpu.eval.loss_matrix import (
+    loss_matrix,
+    solution_history,
+)
+
+__all__ = [
+    "ProfileEvaluation",
+    "nde_profile",
+    "free_convection_profile",
+    "loss_matrix",
+    "solution_history",
+]

@@ -1,0 +1,166 @@
+"""Matplotlib plots + GIF animations for evaluation results.
+
+Replaces the reference's Plots.jl / CairoMakie figure suite:
+
+- :func:`animate_profiles`                 -> ``src/DataWrangling/animate_gif.jl:1-19``,
+  ``free_convection/src/animations.jl:12-118``
+- :func:`animate_profiles_fluxes_comparison` -> ``wind_mixing/src/animation.jl:345+``
+- :func:`plot_loss`                         -> ``wind_mixing/src/loss.jl:48-105``
+- :func:`plot_loss_matrix`                  -> ``free_convection/src/testing.jl:186-231``
+- :func:`plot_epoch_loss`                   -> ``free_convection/src/testing.jl:34-62``
+
+All figures render headless (Agg); animations are GIFs (pillow writer — the
+only writer guaranteed in this image). Everything takes plain arrays, so the
+hot path never imports this module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.animation as manimation  # noqa: E402
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def animate_profiles(profiles: dict, z, t, path: str, xlabel: str = "", fps: int = 15, stride: int = 1):
+    """Animate named profiles vs depth over time; saves a GIF.
+
+    ``profiles``: ``{label: (Nt, Nz_like)}`` — entries may sit on centers or
+    faces (lengths may differ); ``z`` may be a dict keyed the same way or a
+    single array shared by all.
+    """
+    t = np.asarray(t)
+    frames = range(0, t.shape[0], stride)
+    fig, ax = plt.subplots(figsize=(5, 6))
+
+    lines = {}
+    for label, prof in profiles.items():
+        prof = np.asarray(prof)
+        zi = np.asarray(z[label] if isinstance(z, dict) else z)
+        (lines[label],) = ax.plot(prof[0], zi, label=label)
+    lo = min(float(np.min(np.asarray(p))) for p in profiles.values())
+    hi = max(float(np.max(np.asarray(p))) for p in profiles.values())
+    pad = 0.05 * (hi - lo + 1e-12)
+    ax.set_xlim(lo - pad, hi + pad)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("z [m]")
+    ax.legend(loc="lower right", fontsize=8)
+    title = ax.set_title("")
+
+    def update(i):
+        for label, prof in profiles.items():
+            lines[label].set_xdata(np.asarray(prof)[i])
+        title.set_text(f"t = {t[i] / 86400:.2f} days")
+        return list(lines.values())
+
+    anim = manimation.FuncAnimation(fig, update, frames=frames, blit=False)
+    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
+def animate_profiles_fluxes_comparison(ev, path: str, fps: int = 15, stride: int = 1, models=("truth", "nde", "mpp", "kpp")):
+    """7-panel animation (u, v, T | u'w', v'w', w'T' | Ri) from a ProfileEvaluation.
+
+    Parity: ``animate_profiles_fluxes_comparison`` (``animation.jl:345+``).
+    """
+    data = ev.to_dict() if hasattr(ev, "to_dict") else dict(ev)
+    t = np.asarray(data["t"])
+    zc, zf = np.asarray(data["zc"]), np.asarray(data["zf"])
+    frames = range(0, t.shape[0], stride)
+
+    panels = [
+        ("u", "u [m/s]", zc), ("v", "v [m/s]", zc), ("T", "T [C]", zc),
+        ("uw", "u'w' [m2/s2]", zf), ("vw", "v'w' [m2/s2]", zf), ("wT", "w'T' [m/s C]", zf),
+        ("Ri", "Ri", zf),
+    ]
+    fig, axes = plt.subplots(2, 4, figsize=(16, 8), sharey=True)
+    axes = axes.ravel()
+    lines = {}
+    for ax, (var, label, zaxis) in zip(axes, panels):
+        for m in models:
+            key = f"{m}_{var}"
+            if key not in data:
+                continue
+            arr = np.asarray(data[key])
+            (lines[key],) = ax.plot(arr[0], zaxis, label=m)
+        vals = [np.asarray(data[f"{m}_{var}"]) for m in models if f"{m}_{var}" in data]
+        if vals:
+            lo = min(float(v.min()) for v in vals)
+            hi = max(float(v.max()) for v in vals)
+            if var == "Ri":
+                lo, hi = -1.0, 2.0
+            pad = 0.05 * (hi - lo + 1e-12)
+            ax.set_xlim(lo - pad, hi + pad)
+        ax.set_xlabel(label)
+    axes[0].set_ylabel("z [m]")
+    axes[4].set_ylabel("z [m]")
+    axes[-1].axis("off")
+    axes[0].legend(loc="lower right", fontsize=8)
+    title = fig.suptitle("")
+
+    def update(i):
+        for key, line in lines.items():
+            line.set_xdata(np.asarray(data[key])[i])
+        title.set_text(f"t = {t[i] / 86400:.2f} days")
+        return list(lines.values())
+
+    anim = manimation.FuncAnimation(fig, update, frames=frames, blit=False)
+    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
+def plot_loss(losses: dict, t, path: str, ylabel: str = "MSE", logy: bool = True):
+    """Per-timestep loss curves for named solutions (``loss.jl:48-105``)."""
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    t_days = np.asarray(t) / 86400.0
+    for name, curve in losses.items():
+        ax.plot(t_days, np.asarray(curve), label=name)
+    if logy:
+        ax.set_yscale("log")
+    ax.set_xlabel("t [days]")
+    ax.set_ylabel(ylabel)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def plot_epoch_loss(epoch_losses, path: str, label: str = "training loss"):
+    """Loss vs training epoch (``testing.jl:34-62``)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(np.asarray(epoch_losses), label=label)
+    ax.set_yscale("log")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("MSE")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def plot_loss_matrix(matrix: dict, sim_names, path: str):
+    """Heatmap: simulations x solution types (``testing.jl:186-231``).
+
+    ``matrix``: ``{solution_name: (S,) losses}``.
+    """
+    names = list(matrix.keys())
+    arr = np.stack([np.asarray(matrix[n]).reshape(-1) for n in names], axis=1)  # (S, M)
+    fig, ax = plt.subplots(figsize=(2 + 1.2 * len(names), 1 + 0.6 * arr.shape[0]))
+    im = ax.imshow(np.log10(arr + 1e-30), aspect="auto", cmap="viridis")
+    ax.set_xticks(range(len(names)), names, rotation=30, ha="right")
+    ax.set_yticks(range(arr.shape[0]), [str(s) for s in sim_names])
+    for i in range(arr.shape[0]):
+        for j in range(len(names)):
+            ax.text(j, i, f"{arr[i, j]:.2e}", ha="center", va="center", fontsize=7, color="w")
+    fig.colorbar(im, ax=ax, label="log10 MSE")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

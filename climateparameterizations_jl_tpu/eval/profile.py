@@ -1,0 +1,300 @@
+"""NDE-profile evaluation: trained closure vs physics baselines vs truth.
+
+TPU-native re-design of the reference's evaluation harness ``NDE_profile``
+(``wind_mixing/src/training_postprocessing.jl:250-632``): for one held-out
+simulation it produces
+
+- the **NDE** solution (trained NNs + mPP base closure),
+- the **mPP-only** solution (zeroed NNs, ``training_postprocessing.jl:326-352``),
+- the **KPP** baseline (``training_postprocessing.jl:368-388``),
+- per-timestep 6-channel losses for each vs the LES truth,
+- total / NN-only flux decompositions along each trajectory
+  (``training_postprocessing.jl:474-496``),
+- local-Richardson-number diagnostics for each,
+
+collected into one flat dict-of-arrays (the reference's ~40-key output Dict,
+``training_postprocessing.jl:534-631``). Unlike the reference — which re-runs
+each solver one column at a time on the host — every trajectory here comes
+out of a single jitted ``lax.scan`` and the diagnostics are one batched
+``vmap`` over the saved frames.
+
+``free_convection_profile`` is the analogous harness for the
+free-convection workload (``free_convection/test_free_convection_nde.jl:110-165``:
+truth vs NDE vs conv-adj-only vs KPP vs TKE).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climateparameterizations_jl_tpu.data.containers import (
+    ColumnTimeSeries,
+    TrainingBatch,
+    training_tensors,
+)
+from climateparameterizations_jl_tpu.models.free_convection import (
+    FreeConvectionModel,
+    diagnose_wT,
+    solve_free_convection_nde,
+)
+from climateparameterizations_jl_tpu.models.wind_mixing import (
+    BoundaryConditions,
+    FluxNNs,
+    WindMixingModel,
+    _nn_fluxes,
+    join_uvT,
+    predict_flux,
+    solve_wind_mixing_nde,
+    solve_wind_mixing_split,
+    split_uvT,
+)
+from climateparameterizations_jl_tpu.physics.kpp import (
+    KPPForcing,
+    KPPParameters,
+    KPPState,
+    solve_kpp,
+)
+from climateparameterizations_jl_tpu.physics.richardson import richardson_profile
+from climateparameterizations_jl_tpu.physics.tke import TKEParameters, TKEState, solve_tke
+
+
+def _per_timestep_channels(pred, target, Nz: int, dz_hat: float):
+    """Per-timestep (u, v, T, du/dz, dv/dz, dT/dz) MSE channels.
+
+    ``pred``/``target``: scaled states ``(Nt, 3 Nz)`` (time-major). Returns a
+    dict of six ``(Nt,)`` arrays — the reference's per-timestep loss channels
+    (``training_postprocessing.jl:390-470``).
+    """
+    from climateparameterizations_jl_tpu.core.operators import d_center_to_face
+
+    pu, pv, pT = split_uvT(pred, Nz)
+    tu, tv, tT = split_uvT(target, Nz)
+    msE = lambda a, b: jnp.mean((a - b) ** 2, axis=-1)  # noqa: E731
+    dz = lambda a: d_center_to_face(a, dz_hat)  # noqa: E731
+    return {
+        "u": msE(pu, tu),
+        "v": msE(pv, tv),
+        "T": msE(pT, tT),
+        "du": msE(dz(pu), dz(tu)),
+        "dv": msE(dz(pv), dz(tv)),
+        "dT": msE(dz(pT), dz(tT)),
+    }
+
+
+@dataclasses.dataclass
+class ProfileEvaluation:
+    """Flat bag of evaluation arrays (numpy); see :func:`nde_profile`."""
+
+    data: dict
+
+    def __getitem__(self, key):
+        return self.data[key]
+
+    def keys(self):
+        return self.data.keys()
+
+    def to_dict(self) -> dict:
+        return dict(self.data)
+
+
+def _solve_scaled(model, nns, bcs, x0, t, solver, n_substeps):
+    t0 = t[0]
+    dt_save = t[1] - t[0]
+    n_save = t.shape[0] - 1
+    if solver == "split":
+        return solve_wind_mixing_split(model, nns, bcs, x0, t0, dt_save, n_save, n_substeps=n_substeps)
+    return solve_wind_mixing_nde(model, nns, bcs, x0, t0, dt_save, n_save, n_substeps=n_substeps)
+
+
+def _trajectory_diagnostics(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, traj, t):
+    """Fluxes (total + NN-only, unscaled) and Ri along a scaled trajectory."""
+    s = model.scalings
+
+    def frame(x, ti):
+        uw, vw, wT = predict_flux(model, nns, bcs, x, ti)
+        nn_uw, nn_vw, nn_wT = _nn_fluxes(model, nns, bcs, x)
+        return uw, vw, wT, nn_uw, nn_vw, nn_wT
+
+    uw, vw, wT, nn_uw, nn_vw, nn_wT = jax.vmap(frame)(traj, t)
+    u, v, T = split_uvT(traj, model.Nz)
+    Ri = richardson_profile(u, v, T, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+    return {
+        "uw": s.uw.unscale(uw),
+        "vw": s.vw.unscale(vw),
+        "wT": s.wT.unscale(wT),
+        # NN contribution in dimensional units: sigma * (scaled NN face flux)
+        # — the decomposition of training_postprocessing.jl:474-496.
+        "nn_uw": s.uw.sigma * nn_uw,
+        "nn_vw": s.vw.sigma * nn_vw,
+        "nn_wT": s.wT.sigma * nn_wT,
+        "Ri": Ri,
+    }
+
+
+def nde_profile(
+    model: WindMixingModel,
+    nns: FluxNNs,
+    ds_test: ColumnTimeSeries,
+    tsteps,
+    *,
+    solver: str = "split",
+    n_substeps: int = 4,
+    kpp_params: KPPParameters | None = None,
+    include_kpp: bool = True,
+) -> ProfileEvaluation:
+    """Full comparison harness for one held-out wind-mixing simulation.
+
+    ``model.scalings`` must be the *training* scalings (the reference's
+    ``override_scalings`` semantics). ``tsteps`` selects the evaluation
+    window out of ``ds_test``'s frames.
+
+    Parity: ``NDE_profile`` (``training_postprocessing.jl:250-632``).
+    """
+    s = model.scalings
+    batch: TrainingBatch = training_tensors(ds_test, s, tsteps, tau=model.tau)
+    t = batch.t
+    t_dim = np.asarray(t) * float(model.tau)
+    Nz = model.Nz
+
+    # --- the three solves (each one jitted scan) -------------------------
+    traj_nde = _solve_scaled(model, nns, batch.bcs, batch.x0, t, solver, n_substeps)
+    zero_nns = FluxNNs(uw=None, vw=None, wT=None)
+    traj_mpp = _solve_scaled(model, zero_nns, batch.bcs, batch.x0, t, solver, n_substeps)
+
+    truth = batch.targets
+
+    out: dict = {
+        "t": t_dim,
+        "zc": np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H),
+        "zf": np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H),
+    }
+
+    def unpack(name, traj):
+        u, v, T = split_uvT(traj, Nz)
+        out[f"{name}_u"] = np.asarray(s.u.unscale(u))
+        out[f"{name}_v"] = np.asarray(s.v.unscale(v))
+        out[f"{name}_T"] = np.asarray(s.T.unscale(T))
+
+    unpack("truth", truth)
+    unpack("nde", traj_nde)
+    unpack("mpp", traj_mpp)
+
+    # Truth fluxes over the window.
+    for name in ("uw", "vw", "wT"):
+        out[f"truth_{name}"] = np.asarray(jnp.take(getattr(ds_test, name), jnp.asarray(tsteps), axis=-2))
+
+    # --- flux + Ri diagnostics along each trajectory ---------------------
+    for name, traj, dnns in (("nde", traj_nde, nns), ("mpp", traj_mpp, zero_nns)):
+        diag = _trajectory_diagnostics(model, dnns, batch.bcs, traj, t)
+        for k, v in diag.items():
+            out[f"{name}_{k}"] = np.asarray(v)
+    u_t, v_t, T_t = split_uvT(truth, Nz)
+    out["truth_Ri"] = np.asarray(
+        richardson_profile(u_t, v_t, T_t, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+    )
+
+    # --- per-timestep loss channels --------------------------------------
+    for name, traj in (("nde", traj_nde), ("mpp", traj_mpp)):
+        for k, v in _per_timestep_channels(traj, truth, Nz, model.dz_hat).items():
+            out[f"losses_{name}_{k}"] = np.asarray(v)
+
+    # --- KPP baseline -----------------------------------------------------
+    if include_kpp:
+        kpp_params = kpp_params if kpp_params is not None else KPPParameters.default()
+        i0 = np.asarray(tsteps)[0]
+        state0 = KPPState(
+            U=ds_test.u[..., i0, :],
+            V=ds_test.v[..., i0, :],
+            T=ds_test.T[..., i0, :],
+        )
+        forcing = KPPForcing(
+            Fu=ds_test.u_top,
+            Fb=ds_test.theta_top * ds_test.g * ds_test.alpha,
+            dTdz_bottom=ds_test.theta_bottom,
+        )
+        kpp = solve_kpp(state0, t_dim, kpp_params, forcing, model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha)
+        out["kpp_u"], out["kpp_v"], out["kpp_T"] = (np.asarray(kpp.U), np.asarray(kpp.V), np.asarray(kpp.T))
+        kpp_scaled = join_uvT(s.u.scale(kpp.U), s.v.scale(kpp.V), s.T.scale(kpp.T))
+        for k, v in _per_timestep_channels(kpp_scaled, truth, Nz, model.dz_hat).items():
+            out[f"losses_kpp_{k}"] = np.asarray(v)
+
+    return ProfileEvaluation(out)
+
+
+def free_convection_profile(
+    model: FreeConvectionModel,
+    nn,
+    ds_test: ColumnTimeSeries,
+    tsteps,
+    *,
+    n_substeps: int = 2,
+    kpp_params: KPPParameters | None = None,
+    tke_params: TKEParameters | None = None,
+    include_kpp: bool = True,
+    include_tke: bool = True,
+) -> ProfileEvaluation:
+    """Free-convection comparison: truth vs NDE vs conv-adj-only vs KPP vs TKE.
+
+    Parity: the solution table assembled by
+    ``free_convection/test_free_convection_nde.jl:110-165`` (true / NDE /
+    KPP / TKE / convective-adjustment solutions + per-sim losses).
+    """
+    tsteps = np.asarray(tsteps)
+    T_truth = jnp.take(ds_test.T, jnp.asarray(tsteps), axis=-2)
+    t_row = ds_test.t[0] if ds_test.t.ndim > 1 else ds_test.t
+    t_dim = np.asarray(jnp.take(t_row, jnp.asarray(tsteps)))
+    t_hat = jnp.asarray(t_dim) / model.tau
+    dt_save = t_hat[1] - t_hat[0]
+    n_save = t_hat.shape[0] - 1
+
+    T0_scaled = model.T_scaling.scale(T_truth[..., 0, :])
+    Nz = model.Nz
+
+    out: dict = {
+        "t": t_dim,
+        "zc": np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H),
+        "zf": np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H),
+        "truth_T": np.asarray(T_truth),
+        "truth_wT": np.asarray(jnp.take(ds_test.wT, jnp.asarray(tsteps), axis=-2)),
+    }
+
+    runs = {"nde": nn, "conv_adj": None}
+    mse_t = lambda a, b: np.asarray(jnp.mean((a - b) ** 2, axis=-1))  # noqa: E731
+    T_truth_scaled = model.T_scaling.scale(T_truth)
+    for name, run_nn in runs.items():
+        traj = solve_free_convection_nde(model, run_nn, T0_scaled, t_hat[0], dt_save, n_save, n_substeps=n_substeps)
+        out[f"{name}_T"] = np.asarray(model.T_scaling.unscale(traj))
+        out[f"{name}_wT"] = np.asarray(model.wT_scaling.unscale(diagnose_wT(model, run_nn, traj)))
+        out[f"losses_{name}_T"] = mse_t(traj, T_truth_scaled)
+
+    zeros = jnp.zeros_like(T_truth[..., 0, :])
+    if include_kpp:
+        kpp_params = kpp_params if kpp_params is not None else KPPParameters.default()
+        forcing = KPPForcing(
+            Fu=jnp.zeros_like(ds_test.u_top),
+            Fb=ds_test.theta_top * ds_test.g * ds_test.alpha,
+            dTdz_bottom=ds_test.theta_bottom,
+        )
+        kpp = solve_kpp(
+            KPPState(U=zeros, V=zeros, T=T_truth[..., 0, :]),
+            t_dim, kpp_params, forcing, model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha,
+        )
+        out["kpp_T"] = np.asarray(kpp.T)
+        out["losses_kpp_T"] = mse_t(model.T_scaling.scale(kpp.T), T_truth_scaled)
+
+    if include_tke:
+        tke_params = tke_params if tke_params is not None else TKEParameters.default()
+        tke = solve_tke(
+            TKEState(U=zeros, V=zeros, T=T_truth[..., 0, :], e=jnp.full_like(zeros, 1e-6)),
+            t_dim, tke_params,
+            jnp.zeros_like(ds_test.u_top), ds_test.theta_top * ds_test.g * ds_test.alpha,
+            model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha,
+        )
+        out["tke_T"] = np.asarray(tke.T)
+        out["losses_tke_T"] = mse_t(model.T_scaling.scale(tke.T), T_truth_scaled)
+
+    return ProfileEvaluation(out)
