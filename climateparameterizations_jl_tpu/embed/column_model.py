@@ -1,0 +1,184 @@
+"""Dimensional host column model with an embedded NN closure.
+
+This is the TPU-native equivalent of the reference's Oceananigans column
+embeddings:
+
+- ``free_convection/src/oceananigans_nn.jl:42-211``
+  (``oceananigans_convective_adjustment_nn``): a 1x1xNz column stepped with
+  the NN heat-flux divergence as a ``Forcing`` plus an implicit
+  backward-Euler convective adjustment, run twice — conv-adj only and
+  conv-adj + NN.
+- ``wind_mixing/src/NDE_oceananigans.jl:331-475``
+  (``oceananigans_modified_pacanowski_philander_nn``): a (u, v, T) column
+  with Coriolis, three NN flux forcings recomputed every step, and implicit
+  mPP diffusion (``modified_pacanowski_philander!`` ``:61-101``).
+
+Where the reference drives Oceananigans through per-step Julia callbacks
+(one column at a time), this model is a single ``lax.scan`` whose step
+fuses: one batched MLP call for all columns (MXU), the flux-divergence
+forcing, Coriolis, surface-flux injection, and the batched Thomas solve for
+the implicit physics diffusion. It batches over arbitrary leading axes, so
+the same compiled program steps 1 column or an ensemble of thousands —
+that is also exactly the per-(i, j) closure loop the double gyre needs
+(``double_gyre_nn.jl:149-168``), done as one call.
+
+The model works in *dimensional* units; the closure's feature scalings are
+applied around the NN exactly like the reference's
+``scale -> NN -> unscale -> enforce-BC -> d/dz`` chain
+(``oceananigans_nn.jl:120-126``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
+from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, WindMixingScalings
+from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters, mpp_diffusivity
+from climateparameterizations_jl_tpu.physics.richardson import local_richardson, sanitize_richardson
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HostColumnModel:
+    """Configuration of the dimensional host column.
+
+    ``closure``: ``"mpp"`` (wind-mixing embedding) or ``"conv_adj"``
+    (free-convection embedding). Surface fluxes are kinematic
+    (``Fu`` [m^2/s^2] into u, ``Ftheta`` [K m/s] into T); ``dTdz_bottom``
+    is the fixed bottom temperature gradient.
+    """
+
+    H: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    alpha: jnp.ndarray
+    Fu: jnp.ndarray
+    Ftheta: jnp.ndarray
+    dTdz_bottom: jnp.ndarray
+    scalings: WindMixingScalings
+    mpp: MPPParameters
+    kappa_conv: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
+    Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
+    closure: str = dataclasses.field(metadata=dict(static=True), default="mpp")
+
+    @property
+    def dz(self):
+        return self.H / self.Nz
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HostColumnState:
+    u: jnp.ndarray
+    v: jnp.ndarray
+    T: jnp.ndarray
+
+
+def _nn_forcing(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState):
+    """Per-cell forcing ``-d/dz(w'phi'_NN)`` for (u, v, T), dimensional.
+
+    The scale -> NN -> unscale -> d/dz chain of ``oceananigans_nn.jl:120-126``
+    / ``NDE_oceananigans.jl:380-405``, with zero interior->boundary padding
+    (the host model owns the boundary fluxes). One batched MLP call per flux.
+    """
+    if nns is None:
+        zero = jnp.zeros_like(state.T)
+        return zero, zero, zero
+    s = model.scalings
+    x = jnp.concatenate([s.u.scale(state.u), s.v.scale(state.v), s.T.scale(state.T)], axis=-1)
+
+    def flux_div(nn: MLP | None, scaling):
+        if nn is None:
+            return jnp.zeros_like(state.T)
+        interior = scaling.sigma * mlp_apply(nn, x)  # dimensional NN contribution
+        zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
+        faces = jnp.concatenate([zeros, interior, zeros], axis=-1)
+        return -d_face_to_center(faces, model.dz)
+
+    return flux_div(nns.uw, s.uw), flux_div(nns.vw, s.vw), flux_div(nns.wT, s.wT)
+
+
+def _diffusivities(model: HostColumnModel, state: HostColumnState):
+    """Face (nu, kappa_T) profiles for the implicit solve, boundary faces zeroed."""
+    if model.closure == "conv_adj":
+        dTdz = d_center_to_face(state.T, model.dz)
+        kappa = jnp.where(dTdz < 0.0, model.kappa_conv, 0.0)
+        nu = jnp.zeros_like(kappa)
+    else:
+        dudz = d_center_to_face(state.u, model.dz)
+        dvdz = d_center_to_face(state.v, model.dz)
+        dTdz = d_center_to_face(state.T, model.dz)
+        Ri = sanitize_richardson(local_richardson(dudz, dvdz, dTdz + 1e-12, model.g, model.alpha))
+        nu = mpp_diffusivity(Ri, model.mpp)
+        kappa = nu / model.mpp.Pr
+    mask = jnp.ones(kappa.shape[-1], kappa.dtype).at[0].set(0.0).at[-1].set(0.0)
+    return nu * mask, kappa * mask
+
+
+def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState, dt, tridiag_backend: str = "scan") -> HostColumnState:
+    """One host-model step: NN forcing + Coriolis + surface fluxes (explicit),
+    then implicit physics diffusion (backward Euler, batched Thomas solve)."""
+    fu, fv, fT = _nn_forcing(model, nns, state)
+
+    u = state.u + dt * (model.f * state.v + fu)
+    v = state.v + dt * (-model.f * state.u + fv)
+    T = state.T + dt * fT
+
+    # Surface fluxes into the top cell, bottom gradient on T
+    # (flux BCs of NDE_oceananigans.jl:331-362 / oceananigans_nn.jl:167-210).
+    dz = model.dz
+    u = u.at[..., -1].add(-dt * model.Fu / dz)
+    T = T.at[..., -1].add(-dt * model.Ftheta / dz)
+    nu, kappa = _diffusivities(model, state)
+    T = T.at[..., 0].add(dt * kappa[..., 1] * model.dTdz_bottom / dz)
+
+    u = implicit_diffusion_step(u, nu, dt, dz, backend=tridiag_backend)
+    v = implicit_diffusion_step(v, nu, dt, dz, backend=tridiag_backend)
+    T = implicit_diffusion_step(T, kappa, dt, dz, backend=tridiag_backend)
+    return HostColumnState(u=u, v=v, T=T)
+
+
+def run_embedded_column(
+    model: HostColumnModel,
+    nns: FluxNNs | None,
+    state0: HostColumnState,
+    dt,
+    n_save: int,
+    save_every: int = 1,
+    tridiag_backend: str = "scan",
+) -> HostColumnState:
+    """Run the host column, saving every ``save_every`` steps.
+
+    Returns trajectories with time on the leading axis
+    ``(n_save + 1, ..., Nz)``; batches over leading axes of ``state0`` /
+    batched model fields (ensembles, gyre columns).
+    """
+
+    def substep(state, _):
+        return host_column_step(model, nns, state, dt, tridiag_backend), None
+
+    def interval(state, _):
+        state, _ = jax.lax.scan(substep, state, None, length=save_every)
+        return state, state
+
+    _, frames = jax.lax.scan(interval, state0, None, length=n_save)
+    cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)  # noqa: E731
+    return HostColumnState(u=cat(state0.u, frames.u), v=cat(state0.v, frames.v), T=cat(state0.T, frames.T))
+
+
+def run_paired_columns(model: HostColumnModel, nns: FluxNNs, state0: HostColumnState, dt, n_save: int, save_every: int = 1, tridiag_backend: str = "scan"):
+    """Run the physics-only baseline and the baseline+NN simulation.
+
+    Parity: the paired runs of ``oceananigans_nn.jl:167-210`` ("convective
+    adjustment" vs "oceananigans" solutions) and
+    ``NDE_oceananigans.jl:457-464``. Returns ``(baseline, with_nn)``.
+    """
+    baseline = run_embedded_column(model, None, state0, dt, n_save, save_every, tridiag_backend)
+    with_nn = run_embedded_column(model, nns, state0, dt, n_save, save_every, tridiag_backend)
+    return baseline, with_nn

@@ -1,0 +1,449 @@
+"""3-D wind-driven double gyre with an embedded learned column closure.
+
+TPU-native re-design of the reference's double-gyre experiments
+(``free_convection/double_gyre.jl:60-196``: 96x96x32 beta-plane basin,
+double-gyre wind stress, surface temperature restoring, bottom drag,
+convective adjustment; ``free_convection/double_gyre_nn.jl:122-168``: the
+trained free-convection NN applied as a per-column heat-flux forcing).
+
+Instead of translating Oceananigans' nonhydrostatic solver, this is a
+hydrostatic Boussinesq basin model designed for XLA:
+
+- **Arakawa C-grid**, flat bottom, closed basin; arrays are laid out
+  ``(Ny, Nx, Nz)`` with the column axis *last*, so every column physics op
+  (implicit diffusion, convective adjustment, the NN closure) is a batched
+  op over ``Ny x Nx`` columns with unit-stride columns.
+- **Semi-implicit free surface**: the barotropic correction solves
+  ``(1 - g H dt^2 lap) d_eta = -dt div(H u*)`` **directly by 2-D DCT**
+  (Neumann walls -> cosine basis) — an FFT pair instead of an iterative
+  elliptic solve, so the whole step stays inside one jitted scan with no
+  data-dependent control flow.
+- **Hydrostatic pressure** from the linear EOS ``b = g alpha (T - T0)`` by a
+  reversed cumulative sum along the (contiguous) z axis.
+- **Vertical mixing** is backward-Euler implicit via the batched Thomas
+  solve (``ops.tridiagonal``) over all ``Ny*Nx`` columns at once; convective
+  adjustment raises the implicit diffusivity where ``dT/dz < 0`` — the same
+  scheme as the reference's per-column tridiagonal
+  (``oceananigans_nn.jl:13-40``) but one solve for the whole basin.
+- **NN closure**: the free-convection MLP ``T -> w'T'`` is applied to every
+  column as ONE ``(Ny*Nx, Nz) @ weights`` matmul per step (MXU), replacing
+  the reference's per-(i, j) host loop (``double_gyre_nn.jl:153-163``).
+
+Momentum advection is 2nd-order advective-form (optional — ``linear_momentum``
+gives the classic linear gyre); tracer advection is 2nd-order flux form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DoubleGyreModel:
+    """Basin configuration (defaults follow ``double_gyre.jl:60-120``'s regime)."""
+
+    Lx: jnp.ndarray  # basin width [m]
+    Ly: jnp.ndarray  # basin length [m]
+    H: jnp.ndarray  # depth [m]
+    f0: jnp.ndarray  # Coriolis at the southern wall [1/s]
+    beta: jnp.ndarray  # beta-plane gradient [1/(m s)]
+    g: jnp.ndarray  # gravity [m/s^2]
+    alpha: jnp.ndarray  # thermal expansion [1/K]
+    T0: jnp.ndarray  # EOS reference temperature [C]
+    tau0: jnp.ndarray  # wind-stress amplitude / rho0 [m^2/s^2]
+    r_drag: jnp.ndarray  # linear bottom drag [1/s]
+    Ah: jnp.ndarray  # horizontal viscosity [m^2/s]
+    Av: jnp.ndarray  # vertical viscosity [m^2/s]
+    kappa_h: jnp.ndarray  # horizontal tracer diffusivity [m^2/s]
+    kappa_v: jnp.ndarray  # background vertical tracer diffusivity [m^2/s]
+    kappa_conv: jnp.ndarray  # convective-adjustment diffusivity [m^2/s]
+    T_north: jnp.ndarray  # restoring SST at the northern wall [C]
+    T_south: jnp.ndarray  # restoring SST at the southern wall [C]
+    t_restore: jnp.ndarray  # surface restoring timescale [s]
+    Nx: int = dataclasses.field(metadata=dict(static=True), default=96)
+    Ny: int = dataclasses.field(metadata=dict(static=True), default=96)
+    Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
+    linear_momentum: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    @classmethod
+    def default(cls, Nx: int = 96, Ny: int = 96, Nz: int = 32, dtype=jnp.float32, **overrides) -> "DoubleGyreModel":
+        vals = dict(
+            Lx=3.84e6, Ly=3.84e6, H=1.8e3,
+            f0=1e-4, beta=1.5e-11, g=9.80665, alpha=2e-4, T0=10.0,
+            tau0=1e-4, r_drag=1e-6, Ah=5e3, Av=1e-3,
+            kappa_h=1e3, kappa_v=1e-5, kappa_conv=1.0,
+            T_north=2.0, T_south=22.0, t_restore=30.0 * 86400.0,
+        )
+        vals.update(overrides)
+        leaves = {k: jnp.asarray(v, dtype) for k, v in vals.items()}
+        return cls(Nx=Nx, Ny=Ny, Nz=Nz, **leaves)
+
+    @property
+    def dx(self):
+        return self.Lx / self.Nx
+
+    @property
+    def dy(self):
+        return self.Ly / self.Ny
+
+    @property
+    def dz(self):
+        return self.H / self.Nz
+
+    def y_centers(self, dtype=jnp.float32):
+        return (jnp.arange(self.Ny, dtype=dtype) + 0.5) * self.dy
+
+    def wind_stress(self, dtype=jnp.float32):
+        """Zonal double-gyre wind stress at cell-center latitudes ``(Ny,)``.
+
+        ``tau_x(y) = -tau0 cos(2 pi y / Ly)`` (``double_gyre.jl``'s profile).
+        """
+        y = self.y_centers(dtype)
+        return -self.tau0 * jnp.cos(2.0 * jnp.pi * y / self.Ly)
+
+    def restoring_sst(self, dtype=jnp.float32):
+        """Linear north-south restoring target ``(Ny,)``."""
+        y = self.y_centers(dtype)
+        return self.T_south + (self.T_north - self.T_south) * y / self.Ly
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DoubleGyreState:
+    """C-grid prognostic fields, z last (bottom -> top).
+
+    ``u``: ``(Ny, Nx + 1, Nz)`` at x-faces (walls pinned to 0);
+    ``v``: ``(Ny + 1, Nx, Nz)`` at y-faces; ``T``: ``(Ny, Nx, Nz)``;
+    ``eta``: ``(Ny, Nx)`` free surface.
+    """
+
+    u: jnp.ndarray
+    v: jnp.ndarray
+    T: jnp.ndarray
+    eta: jnp.ndarray
+
+    @classmethod
+    def rest(cls, model: DoubleGyreModel, dtype=jnp.float32, stratification: float = 5e-3) -> "DoubleGyreState":
+        """Initial condition: rest + linear stratification + restoring SST ramp."""
+        Ny, Nx, Nz = model.Ny, model.Nx, model.Nz
+        zc = (jnp.arange(Nz, dtype=dtype) + 0.5) * model.dz - model.H
+        T_strat = model.T0 + stratification * (zc + model.H)
+        sst = model.restoring_sst(dtype)
+        # Blend surface restoring profile into the top ~quarter of the column.
+        w = jnp.clip((zc + 0.25 * model.H) / (0.25 * model.H), 0.0, 1.0)
+        T = T_strat[None, None, :] + w[None, None, :] * (sst[:, None, None] - model.T0)
+        return cls(
+            u=jnp.zeros((Ny, Nx + 1, Nz), dtype),
+            v=jnp.zeros((Ny + 1, Nx, Nz), dtype),
+            T=jnp.broadcast_to(T, (Ny, Nx, Nz)),
+            eta=jnp.zeros((Ny, Nx), dtype),
+        )
+
+
+# ----------------------------------------------------------------------------
+# spatial operators (all pure slicing, XLA-fusable)
+# ----------------------------------------------------------------------------
+
+
+def _pad_u(ui):
+    """Interior u tendencies ``(Ny, Nx-1, Nz)`` -> full face array with 0 walls."""
+    z = jnp.zeros(ui.shape[:1] + (1,) + ui.shape[2:], ui.dtype)
+    return jnp.concatenate([z, ui, z], axis=1)
+
+
+def _pad_v(vi):
+    z = jnp.zeros((1,) + vi.shape[1:], vi.dtype)
+    return jnp.concatenate([z, vi, z], axis=0)
+
+
+def hydrostatic_pressure(model: DoubleGyreModel, T):
+    """Kinematic hydrostatic pressure at centers from ``b = g alpha (T - T0)``.
+
+    ``p(z) = -int_z^0 b dz'``; computed as a reversed cumsum along z (last
+    axis, contiguous). Top half-cell uses b/2 (midpoint rule).
+    """
+    b = model.g * model.alpha * (T - model.T0)
+    below_top = jnp.cumsum(b[..., ::-1], axis=-1)[..., ::-1]
+    return -model.dz * (below_top - 0.5 * b)
+
+
+def vertical_velocity(model: DoubleGyreModel, u, v):
+    """Diagnostic w at z-faces ``(Ny, Nx, Nz+1)`` from continuity (w=0 at bottom)."""
+    div_h = (u[:, 1:, :] - u[:, :-1, :]) / model.dx + (v[1:, :, :] - v[:-1, :, :]) / model.dy
+    w_int = -model.dz * jnp.cumsum(div_h, axis=-1)
+    zeros = jnp.zeros(div_h.shape[:-1] + (1,), u.dtype)
+    return jnp.concatenate([zeros, w_int], axis=-1)
+
+
+def _laplacian_h(phi, dx, dy, axis_x=1, axis_y=0):
+    """Horizontal Laplacian with zero-flux (free-slip) walls via edge padding."""
+    pad = [(0, 0)] * phi.ndim
+    pad_x = list(pad)
+    pad_x[axis_x] = (1, 1)
+    px = jnp.pad(phi, pad_x, mode="edge")
+    sl = lambda a, ax, s: jax.lax.slice_in_dim(a, s.start, s.stop, axis=ax)  # noqa: E731
+    n = phi.shape[axis_x]
+    d2x = (sl(px, axis_x, slice(2, n + 2)) - 2 * phi + sl(px, axis_x, slice(0, n))) / dx**2
+    pad_y = list(pad)
+    pad_y[axis_y] = (1, 1)
+    py = jnp.pad(phi, pad_y, mode="edge")
+    m = phi.shape[axis_y]
+    d2y = (sl(py, axis_y, slice(2, m + 2)) - 2 * phi + sl(py, axis_y, slice(0, m))) / dy**2
+    return d2x + d2y
+
+
+# ----------------------------------------------------------------------------
+# barotropic mode: direct DCT Helmholtz solve
+# ----------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _dct_matrix(N: int, dtype_name: str = "float32"):
+    """Orthonormal DCT-II basis matrix ``(N, N)``: rows = modes, cols = cells.
+
+    At basin sizes (N ~ 96) the transform-as-matmul beats an FFT path on the
+    MXU and — unlike jnp.fft — is supported on every TPU backend.
+    """
+    import numpy as np
+
+    n = np.arange(N)
+    k = n[:, None]
+    M = np.cos(np.pi * (n[None, :] + 0.5) * k / N)
+    M *= np.sqrt(2.0 / N)
+    M[0] *= np.sqrt(0.5)
+    return jnp.asarray(M, dtype=jnp.dtype(dtype_name))
+
+
+def _neumann_laplacian_eigenvalues(model: DoubleGyreModel, dtype):
+    mx = jnp.arange(model.Nx, dtype=dtype)
+    my = jnp.arange(model.Ny, dtype=dtype)
+    lam_x = -4.0 / model.dx**2 * jnp.sin(jnp.pi * mx / (2 * model.Nx)) ** 2
+    lam_y = -4.0 / model.dy**2 * jnp.sin(jnp.pi * my / (2 * model.Ny)) ** 2
+    return lam_y[:, None] + lam_x[None, :]
+
+
+def solve_free_surface(model: DoubleGyreModel, rhs, dt):
+    """Solve ``(1 - g H dt^2 lap) d_eta = rhs`` on the (Ny, Nx) grid by 2-D DCT.
+
+    Neumann (no-normal-flow) walls make the 5-point Laplacian diagonal in the
+    cosine basis, so the solve is exact and direct: two DCT matmuls in, a
+    pointwise divide, two inverse matmuls out — one fused XLA region, no
+    iterative elliptic solver.
+    """
+    dtype_name = jnp.dtype(rhs.dtype).name
+    Cy = _dct_matrix(model.Ny, dtype_name)
+    Cx = _dct_matrix(model.Nx, dtype_name)
+    lam = _neumann_laplacian_eigenvalues(model, rhs.dtype)
+    rhat = Cy @ rhs @ Cx.T
+    denom = 1.0 - model.g * model.H * dt * dt * lam
+    return Cy.T @ (rhat / denom) @ Cx
+
+
+# ----------------------------------------------------------------------------
+# closure hooks (per-column physics over the whole basin)
+# ----------------------------------------------------------------------------
+
+
+def nn_closure_forcing(model: DoubleGyreModel, nn: MLP, T, T_scaling: ZeroMeanUnitVarianceScaling, wT_scaling: ZeroMeanUnitVarianceScaling):
+    """``-d/dz(w'T'_NN)`` for every column as one batched MLP call.
+
+    Parity: ``compute_neural_network_forcing!`` (``double_gyre_nn.jl:149-168``)
+    — the reference assembles ``dz_wT_NN[i, j, k]`` column by column in a
+    Julia loop; here the ``(Ny*Nx, Nz)`` scaled temperature block hits the
+    MLP weights as one matmul.
+    """
+    x = T_scaling.scale(T)  # (Ny, Nx, Nz) — z last, batched over leading axes
+    interior = wT_scaling.sigma * mlp_apply(nn, x)  # dimensional (Ny, Nx, Nz-1)
+    zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
+    wT = jnp.concatenate([zeros, interior, zeros], axis=-1)
+    return -(wT[..., 1:] - wT[..., :-1]) / model.dz
+
+
+def _implicit_vertical_mixing(model: DoubleGyreModel, u, v, T, dt, tridiag_backend="scan"):
+    """Backward-Euler vertical viscosity + conv-adj diffusivity for the basin."""
+    dTdz = (T[..., 1:] - T[..., :-1]) / model.dz
+    kappa_int = jnp.where(dTdz < 0.0, model.kappa_conv, model.kappa_v)
+    zeros = jnp.zeros(kappa_int.shape[:-1] + (1,), T.dtype)
+    kappa = jnp.concatenate([zeros, kappa_int, zeros], axis=-1)
+    T = implicit_diffusion_step(T, kappa, dt, model.dz, backend=tridiag_backend)
+
+    nu = jnp.full(u.shape[:-1] + (model.Nz + 1,), model.Av, u.dtype)
+    nu = nu.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    u = implicit_diffusion_step(u, nu, dt, model.dz, backend=tridiag_backend)
+    nuv = jnp.full(v.shape[:-1] + (model.Nz + 1,), model.Av, v.dtype)
+    nuv = nuv.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    v = implicit_diffusion_step(v, nuv, dt, model.dz, backend=tridiag_backend)
+    return u, v, T
+
+
+# ----------------------------------------------------------------------------
+# one time step
+# ----------------------------------------------------------------------------
+
+
+def double_gyre_step(
+    model: DoubleGyreModel,
+    state: DoubleGyreState,
+    dt,
+    nn: MLP | None = None,
+    T_scaling: ZeroMeanUnitVarianceScaling | None = None,
+    wT_scaling: ZeroMeanUnitVarianceScaling | None = None,
+    tridiag_backend: str = "scan",
+) -> DoubleGyreState:
+    """Advance one step: explicit dynamics -> barotropic DCT correction ->
+    implicit vertical mixing (+ optional NN column closure)."""
+    u, v, T, eta = state.u, state.v, state.T, state.eta
+    dx, dy, dz = model.dx, model.dy, model.dz
+    dtype = T.dtype
+
+    p = hydrostatic_pressure(model, T)
+    w = vertical_velocity(model, u, v)
+
+    yc = model.y_centers(dtype)
+    yf = jnp.arange(model.Ny + 1, dtype=dtype) * dy
+    f_c = model.f0 + model.beta * yc  # at u rows
+    f_f = model.f0 + model.beta * yf  # at v rows
+
+    # ---- u tendency at interior x-faces (i = 1..Nx-1) --------------------
+    v_at_u = 0.25 * (v[:-1, :-1, :] + v[:-1, 1:, :] + v[1:, :-1, :] + v[1:, 1:, :])  # (Ny, Nx-1, Nz)
+    dpdx = (p[:, 1:, :] - p[:, :-1, :]) / dx
+    detadx = (eta[:, 1:] - eta[:, :-1])[..., None] / dx
+    Gu = f_c[:, None, None] * v_at_u - dpdx - model.g * detadx
+    Gu = Gu + model.Ah * _laplacian_h(u, dx, dy)[:, 1:-1, :]
+    if not model.linear_momentum:
+        ui = u[:, 1:-1, :]
+        dudx = (u[:, 2:, :] - u[:, :-2, :]) / (2 * dx)
+        up = jnp.pad(u, ((1, 1), (0, 0), (0, 0)), mode="edge")
+        dudy = (up[2:, 1:-1, :] - up[:-2, 1:-1, :]) / (2 * dy)
+        uz = jnp.pad(u, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        dudz = (uz[:, 1:-1, 2:] - uz[:, 1:-1, :-2]) / (2 * dz)
+        w_at_u = 0.5 * (w[:, 1:, :] + w[:, :-1, :])
+        w_at_u = 0.5 * (w_at_u[..., 1:] + w_at_u[..., :-1])
+        Gu = Gu - (ui * dudx + v_at_u * dudy + w_at_u * dudz)
+    # Wind stress (top cell) + bottom drag (bottom cell).
+    tau_x = model.wind_stress(dtype)
+    Gu = Gu.at[..., -1].add(tau_x[:, None] / dz)
+    Gu = Gu.at[..., 0].add(-model.r_drag * u[:, 1:-1, 0])
+    u_star = u + dt * _pad_u(Gu)
+
+    # ---- v tendency at interior y-faces (j = 1..Ny-1) --------------------
+    # Forward-backward Coriolis: v sees the *updated* u (u_star) — neutrally
+    # stable for inertial oscillations up to f dt ~ 2, where forward Euler
+    # amplifies them by ~(f dt)^2/2 per step and blows up on long runs.
+    u_fb = u_star
+    u_at_v = 0.25 * (u_fb[:-1, :-1, :] + u_fb[:-1, 1:, :] + u_fb[1:, :-1, :] + u_fb[1:, 1:, :])  # (Ny-1, Nx, Nz)
+    dpdy = (p[1:, :, :] - p[:-1, :, :]) / dy
+    detady = (eta[1:, :] - eta[:-1, :])[..., None] / dy
+    Gv = -f_f[1:-1, None, None] * u_at_v - dpdy - model.g * detady
+    Gv = Gv + model.Ah * _laplacian_h(v, dx, dy)[1:-1, :, :]
+    if not model.linear_momentum:
+        vi = v[1:-1, :, :]
+        dvdy = (v[2:, :, :] - v[:-2, :, :]) / (2 * dy)
+        vp = jnp.pad(v, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        dvdx = (vp[1:-1, 2:, :] - vp[1:-1, :-2, :]) / (2 * dx)
+        vz = jnp.pad(v, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        dvdz = (vz[1:-1, :, 2:] - vz[1:-1, :, :-2]) / (2 * dz)
+        w_at_v = 0.5 * (w[1:, :, :] + w[:-1, :, :])
+        w_at_v = 0.5 * (w_at_v[..., 1:] + w_at_v[..., :-1])
+        Gv = Gv - (u_at_v * dvdx + vi * dvdy + w_at_v * dvdz)
+    Gv = Gv.at[..., 0].add(-model.r_drag * v[1:-1, :, 0])
+    v_star = v + dt * _pad_v(Gv)
+
+    # ---- barotropic correction (semi-implicit free surface) --------------
+    ubar = jnp.mean(u_star, axis=-1)
+    vbar = jnp.mean(v_star, axis=-1)
+    div_bar = (ubar[:, 1:] - ubar[:, :-1]) / dx + (vbar[1:, :] - vbar[:-1, :]) / dy
+    rhs = -dt * model.H * div_bar
+    d_eta = solve_free_surface(model, rhs, dt)
+    eta_new = eta + d_eta
+    corr_x = -model.g * dt * (d_eta[:, 1:] - d_eta[:, :-1])[..., None] / dx
+    corr_y = -model.g * dt * (d_eta[1:, :] - d_eta[:-1, :])[..., None] / dy
+    u_new = u_star.at[:, 1:-1, :].add(corr_x)
+    v_new = v_star.at[1:-1, :, :].add(corr_y)
+
+    # ---- temperature: flux-form advection + diffusion + forcings ---------
+    T_at_u = 0.5 * (T[:, 1:, :] + T[:, :-1, :])
+    Fx = u[:, 1:-1, :] * T_at_u
+    Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
+    T_at_v = 0.5 * (T[1:, :, :] + T[:-1, :, :])
+    Fy = v[1:-1, :, :] * T_at_v
+    Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
+    Tz = jnp.concatenate([T[..., :1], 0.5 * (T[..., 1:] + T[..., :-1]), T[..., -1:]], axis=-1)
+    Fz = w * Tz
+    GT = (
+        -(Fx[:, 1:, :] - Fx[:, :-1, :]) / dx
+        - (Fy[1:, :, :] - Fy[:-1, :, :]) / dy
+        - (Fz[..., 1:] - Fz[..., :-1]) / dz
+        + model.kappa_h * _laplacian_h(T, dx, dy)
+    )
+    # Surface restoring toward T*(y) in the top cell (restoring T-flux BC of
+    # double_gyre.jl's FluxBoundaryCondition).
+    sst_target = model.restoring_sst(dtype)
+    GT = GT.at[..., -1].add((sst_target[:, None] - T[..., -1]) / model.t_restore)
+    if nn is not None:
+        GT = GT + nn_closure_forcing(model, nn, T, T_scaling, wT_scaling)
+    T_new = T + dt * GT
+
+    # ---- implicit vertical mixing + convective adjustment -----------------
+    u_new, v_new, T_new = _implicit_vertical_mixing(model, u_new, v_new, T_new, dt, tridiag_backend)
+    # Re-pin the walls (implicit solve preserves them, but be explicit).
+    u_new = u_new.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+    v_new = v_new.at[0, :, :].set(0.0).at[-1, :, :].set(0.0)
+    return DoubleGyreState(u=u_new, v=v_new, T=T_new, eta=eta_new)
+
+
+def run_double_gyre(
+    model: DoubleGyreModel,
+    state0: DoubleGyreState,
+    dt,
+    n_save: int,
+    save_every: int,
+    nn: MLP | None = None,
+    T_scaling: ZeroMeanUnitVarianceScaling | None = None,
+    wT_scaling: ZeroMeanUnitVarianceScaling | None = None,
+    tridiag_backend: str = "scan",
+) -> DoubleGyreState:
+    """Integrate the basin, saving every ``save_every`` steps.
+
+    Returns trajectories with a leading time axis ``(n_save + 1, ...)``.
+    Parity: the ``run!(simulation)`` drivers of ``double_gyre.jl:150-196``
+    (baseline) and ``double_gyre_nn.jl`` (with the NN forcing).
+    """
+
+    def substep(state, _):
+        return double_gyre_step(model, state, dt, nn, T_scaling, wT_scaling, tridiag_backend), None
+
+    def interval(state, _):
+        state, _ = jax.lax.scan(substep, state, None, length=save_every)
+        return state, state
+
+    _, frames = jax.lax.scan(interval, state0, None, length=n_save)
+    cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)  # noqa: E731
+    return DoubleGyreState(
+        u=cat(state0.u, frames.u),
+        v=cat(state0.v, frames.v),
+        T=cat(state0.T, frames.T),
+        eta=cat(state0.eta, frames.eta),
+    )
+
+
+def barotropic_streamfunction(model: DoubleGyreModel, u):
+    """Depth-integrated streamfunction ``psi(y, x)`` [Sv-ish, m^3/s] from u.
+
+    ``psi(y) = -int_0^y U dx``-free diagnostic: integrate ``U = H mean_z(u)``
+    in y from the southern wall. Useful for verifying the double-gyre
+    circulation pattern (western intensification, two counter-rotating cells).
+    """
+    U = model.H * jnp.mean(u, axis=-1)  # (Ny, Nx+1)
+    Uc = 0.5 * (U[:, 1:] + U[:, :-1])  # (Ny, Nx)
+    return -jnp.cumsum(Uc, axis=0) * model.dy

@@ -1,0 +1,190 @@
+"""Embedding-layer tests: host column model and 3-D double gyre."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp, wind_mixing_mlp
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.embed.column_model import (
+    HostColumnModel,
+    HostColumnState,
+    run_embedded_column,
+    run_paired_columns,
+)
+from climateparameterizations_jl_tpu.embed.double_gyre import (
+    DoubleGyreModel,
+    DoubleGyreState,
+    barotropic_streamfunction,
+    run_double_gyre,
+    solve_free_surface,
+    vertical_velocity,
+)
+from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, WindMixingScalings
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+
+f32 = jnp.float32
+
+
+def _scaling(mu, sigma):
+    return ZeroMeanUnitVarianceScaling(f32(mu), f32(sigma))
+
+
+def make_host_model(dtype=jnp.float32, **overrides):
+    d = lambda x: jnp.asarray(x, dtype)  # noqa: E731
+    sc = lambda mu, sigma: ZeroMeanUnitVarianceScaling(d(mu), d(sigma))  # noqa: E731
+    scalings = WindMixingScalings(
+        u=sc(0.0, 0.1), v=sc(0.0, 0.1), T=sc(19.0, 0.5),
+        uw=sc(0.0, 1e-4), vw=sc(0.0, 1e-4), wT=sc(0.0, 1e-5),
+    )
+    kw = dict(
+        H=d(256.0), f=d(1e-4), g=d(9.80665), alpha=d(2e-4),
+        Fu=d(-5e-4), Ftheta=d(1e-5), dTdz_bottom=d(0.01),
+        scalings=scalings, mpp=MPPParameters.default(dtype), Nz=32,
+    )
+    kw.update(overrides)
+    return HostColumnModel(**kw)
+
+
+def stratified_state(Nz=32, H=256.0, dtype=jnp.float32):
+    zc = (jnp.arange(Nz, dtype=dtype) + 0.5) * (H / Nz) - H
+    T = 19.0 + 0.01 * (zc + H)
+    return HostColumnState(u=jnp.zeros(Nz, dtype), v=jnp.zeros(Nz, dtype), T=T.astype(dtype))
+
+
+class TestHostColumn:
+    def test_baseline_finite_and_mixes(self):
+        model = make_host_model()
+        state0 = stratified_state()
+        traj = run_embedded_column(model, None, state0, 60.0, n_save=20, save_every=10)
+        assert traj.T.shape == (21, 32)
+        assert np.all(np.isfinite(np.asarray(traj.T)))
+        # Surface cooling (Ftheta > 0) removes heat from the top cell.
+        assert float(traj.T[-1, -1]) < float(state0.T[-1])
+        # Wind stress (Fu < 0) accelerates the surface eastward.
+        assert float(traj.u[-1, -1]) > 0.0
+
+    def test_heat_budget_closes(self):
+        # With zero bottom-gradient flux, total heat change = -integral of
+        # surface flux: d/dt sum(T) dz = -Ftheta. Exact in f64 (the implicit
+        # diffusion with zeroed boundary faces is conservative); f32 only
+        # adds tridiagonal-solve roundoff.
+        model = make_host_model(dtype=jnp.float64, dTdz_bottom=jnp.float64(0.0))
+        state0 = stratified_state(dtype=jnp.float64)
+        dt, n_save, save_every = 60.0, 10, 5
+        traj = run_embedded_column(model, None, state0, dt, n_save, save_every)
+        dz = 256.0 / 32
+        heat0 = float(jnp.sum(traj.T[0]) * dz)
+        heat1 = float(jnp.sum(traj.T[-1]) * dz)
+        expected = -float(model.Ftheta) * dt * n_save * save_every
+        assert abs((heat1 - heat0) - expected) < 1e-6 * abs(expected)
+
+    def test_paired_runs_differ_with_nn(self):
+        model = make_host_model()
+        key = jax.random.PRNGKey(0)
+        nns = FluxNNs(*[wind_mixing_mlp(k, 32, scale=0.3) for k in jax.random.split(key, 3)])
+        base, with_nn = run_paired_columns(model, nns, stratified_state(), 60.0, n_save=5, save_every=5)
+        np.testing.assert_allclose(np.asarray(base.T[0]), np.asarray(with_nn.T[0]))
+        assert float(jnp.max(jnp.abs(base.T[-1] - with_nn.T[-1]))) > 1e-7
+
+    def test_conv_adj_mode_removes_instability(self):
+        model = make_host_model(closure="conv_adj", kappa_conv=f32(1.0), Fu=f32(0.0), Ftheta=f32(0.0), dTdz_bottom=f32(0.0))
+        Nz = 32
+        zc = (jnp.arange(Nz, dtype=jnp.float32) + 0.5) * (256.0 / Nz) - 256.0
+        T_unstable = 19.0 - 0.01 * (zc + 256.0)  # warm below cold: unstable
+        state0 = HostColumnState(u=jnp.zeros(Nz), v=jnp.zeros(Nz), T=T_unstable)
+        traj = run_embedded_column(model, None, state0, 600.0, n_save=20, save_every=5)
+        dT_final = np.diff(np.asarray(traj.T[-1]))
+        assert np.min(dT_final) > np.min(np.diff(np.asarray(T_unstable))) * 0.2
+
+    def test_batched_ensemble(self):
+        model = make_host_model()
+        base = stratified_state()
+        ens = HostColumnState(
+            u=jnp.broadcast_to(base.u, (16, 32)),
+            v=jnp.broadcast_to(base.v, (16, 32)),
+            T=base.T[None] + 0.01 * jax.random.normal(jax.random.PRNGKey(2), (16, 32), jnp.float32),
+        )
+        traj = run_embedded_column(model, None, ens, 60.0, n_save=3, save_every=5)
+        assert traj.T.shape == (4, 16, 32)
+        assert np.all(np.isfinite(np.asarray(traj.T)))
+
+
+class TestFreeSurfaceSolve:
+    def test_solves_helmholtz_exactly(self):
+        model = DoubleGyreModel.default(Nx=24, Ny=16, Nz=4)
+        rhs = jax.random.normal(jax.random.PRNGKey(0), (16, 24), jnp.float32)
+        dt = 1800.0
+        x = solve_free_surface(model, rhs, dt)
+
+        # Apply the discrete operator: (1 - g H dt^2 lap_N) x with zero-flux BCs.
+        xp = jnp.pad(x, ((1, 1), (0, 0)), mode="edge")
+        lap_y = (xp[2:] - 2 * x + xp[:-2]) / float(model.dy) ** 2
+        xq = jnp.pad(x, ((0, 0), (1, 1)), mode="edge")
+        lap_x = (xq[:, 2:] - 2 * x + xq[:, :-2]) / float(model.dx) ** 2
+        applied = x - float(model.g * model.H) * dt * dt * (lap_y + lap_x)
+        np.testing.assert_allclose(np.asarray(applied), np.asarray(rhs), atol=1e-4)
+
+
+class TestDoubleGyre:
+    @pytest.fixture(scope="class")
+    def spun_up(self):
+        model = DoubleGyreModel.default(Nx=24, Ny=24, Nz=8)
+        state0 = DoubleGyreState.rest(model)
+        traj = run_double_gyre(model, state0, dt=1800.0, n_save=4, save_every=24)
+        return model, state0, traj
+
+    def test_finite_and_shapes(self, spun_up):
+        model, _, traj = spun_up
+        assert traj.u.shape == (5, 24, 25, 8)
+        assert traj.v.shape == (5, 25, 24, 8)
+        assert traj.T.shape == (5, 24, 24, 8)
+        assert traj.eta.shape == (5, 24, 24)
+        for field in (traj.u, traj.v, traj.T, traj.eta):
+            assert np.all(np.isfinite(np.asarray(field)))
+
+    def test_volume_conserved(self, spun_up):
+        _, _, traj = spun_up
+        means = np.asarray(jnp.mean(traj.eta, axis=(1, 2)))
+        assert np.all(np.abs(means) < 1e-6)
+
+    def test_walls_closed(self, spun_up):
+        _, _, traj = spun_up
+        assert float(jnp.max(jnp.abs(traj.u[:, :, 0, :]))) == 0.0
+        assert float(jnp.max(jnp.abs(traj.u[:, :, -1, :]))) == 0.0
+        assert float(jnp.max(jnp.abs(traj.v[:, 0, :, :]))) == 0.0
+        assert float(jnp.max(jnp.abs(traj.v[:, -1, :, :]))) == 0.0
+
+    def test_double_gyre_circulation_develops(self, spun_up):
+        model, _, traj = spun_up
+        psi = np.asarray(barotropic_streamfunction(model, traj.u[-1]))
+        # Two counter-rotating cells: psi changes sign between the southern
+        # and northern halves and the circulation is nonzero.
+        assert psi.min() < 0.0 < psi.max() or abs(psi).max() > 1e3
+        south = psi[: psi.shape[0] // 2].mean()
+        north = psi[psi.shape[0] // 2 :].mean()
+        assert np.sign(south) != np.sign(north) or abs(psi).max() > 1e3
+
+    def test_continuity_w_top_matches_eta_tendency(self, spun_up):
+        # w integrates continuity, so w at the surface ~ free-surface motion:
+        # small compared to interior |w| scale over a long run is not
+        # guaranteed, but w must be exactly 0 at the bottom.
+        model, _, traj = spun_up
+        w = vertical_velocity(model, traj.u[-1], traj.v[-1])
+        assert float(jnp.max(jnp.abs(w[..., 0]))) == 0.0
+
+    def test_nn_closure_hook(self, spun_up):
+        model, state0, _ = spun_up
+        nn = free_convection_mlp(jax.random.PRNGKey(3), Nz=8)
+        T_scaling = ZeroMeanUnitVarianceScaling(f32(10.0), f32(5.0))
+        wT_scaling = ZeroMeanUnitVarianceScaling(f32(0.0), f32(1e-5))
+        traj_nn = run_double_gyre(
+            model, state0, dt=1800.0, n_save=1, save_every=12,
+            nn=nn, T_scaling=T_scaling, wT_scaling=wT_scaling,
+        )
+        traj_base = run_double_gyre(model, state0, dt=1800.0, n_save=1, save_every=12)
+        assert np.all(np.isfinite(np.asarray(traj_nn.T)))
+        assert float(jnp.max(jnp.abs(traj_nn.T[-1] - traj_base.T[-1]))) > 1e-8
