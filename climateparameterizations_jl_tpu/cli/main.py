@@ -1,0 +1,530 @@
+"""CLI implementation. See the package docstring for the subcommand map."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+# ----------------------------------------------------------------------------
+# shared helpers
+# ----------------------------------------------------------------------------
+
+
+def _load_config(path: str | None) -> dict:
+    if not path:
+        return {}
+    with open(path) as f:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            return yaml.safe_load(f) or {}
+        return json.load(f)
+
+
+def _apply_config(args: argparse.Namespace, config: dict, parser_defaults: dict):
+    """Config overrides defaults; explicit CLI flags override config."""
+    for key, value in config.items():
+        attr = key.replace("-", "_")
+        if hasattr(args, attr) and getattr(args, attr) == parser_defaults.get(attr):
+            setattr(args, attr, value)
+    return args
+
+
+def _sims(arg: str) -> list[str]:
+    return [s.strip() for s in arg.split(",") if s.strip()]
+
+
+def _load_suite(names, Nz: int, data_dir=None, n_save=288, dt_save=600.0, Nz_les=128):
+    from climateparameterizations_jl_tpu.data.containers import (
+        coarsen_dataset,
+        enforce_surface_fluxes,
+        stack_datasets,
+    )
+    from climateparameterizations_jl_tpu.data.registry import load_simulation
+
+    datasets = [
+        enforce_surface_fluxes(
+            coarsen_dataset(load_simulation(n, data_dir=data_dir, Nz_les=Nz_les, n_save=n_save, dt_save=dt_save), Nz)
+        )
+        for n in names
+    ]
+    return stack_datasets(datasets) if len(datasets) > 1 else datasets[0]
+
+
+def _wind_model(ds, Nz: int, **overrides):
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.data.containers import fit_wind_mixing_scalings
+    from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingModel
+    from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+
+    scalings = fit_wind_mixing_scalings(ds)
+    first = lambda x: x.reshape(-1)[0]  # noqa: E731 — suite-stacked constants are identical
+    t_row = ds.t.reshape(-1, ds.t.shape[-1])[0]
+    kw = dict(
+        H=first(ds.H), tau=jnp.abs(t_row[-1] - t_row[0]), f=first(ds.f), g=first(ds.g),
+        alpha=first(ds.alpha), kappa=jnp.float32(10.0), scalings=scalings,
+        mpp=MPPParameters.default(), Nz=Nz,
+    )
+    kw.update(overrides)
+    return WindMixingModel(**kw)
+
+
+def _save_nns(output: str, nns, meta: dict):
+    from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
+
+    arch = {}
+    for name in ("uw", "vw", "wT"):
+        nn = getattr(nns, name, None)
+        if nn is not None:
+            arch[name] = {"sizes": list(nn.sizes), "activation": nn.activation}
+    save_checkpoint(output, nns, {**meta, "arch": arch})
+
+
+def _load_nns(directory: str):
+    import jax
+
+    from climateparameterizations_jl_tpu.closures.mlp import mlp_init
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+    from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint
+
+    with open(os.path.join(directory, "meta.json")) as f:
+        meta = json.load(f)
+    arch = meta["arch"]
+    skeleton = FluxNNs(
+        **{
+            name: (
+                mlp_init(jax.random.PRNGKey(0), arch[name]["sizes"], arch[name]["activation"])
+                if name in arch
+                else None
+            )
+            for name in ("uw", "vw", "wT")
+        }
+    )
+    return load_checkpoint(directory, skeleton)
+
+
+def _history_writer(output: str):
+    from climateparameterizations_jl_tpu.train.checkpoint import history_path
+
+    hist = history_path(output)
+
+    def callback(i, total, channels=None, *_rest):
+        rec = {"iter": int(i), "loss": float(total)}
+        if channels is not None:
+            for field in ("u", "v", "T", "du", "dv", "dT"):
+                if hasattr(channels, field):
+                    rec[field] = float(getattr(channels, field))
+        hist.append(rec)
+
+    return callback
+
+
+# ----------------------------------------------------------------------------
+# subcommand handlers
+# ----------------------------------------------------------------------------
+
+
+def cmd_catalog(args) -> int:
+    from climateparameterizations_jl_tpu.data.registry import (
+        FREE_CONVECTION_IDS,
+        WIND_MIXING_CATALOG,
+    )
+
+    print("# wind_mixing catalog (%d simulations)" % len(WIND_MIXING_CATALOG))
+    for name in WIND_MIXING_CATALOG:
+        print(name)
+    print("# free_convection ids:", ", ".join(str(i) for i in FREE_CONVECTION_IDS))
+    return 0
+
+
+def cmd_train_nn(args) -> int:
+    import jax
+
+    from climateparameterizations_jl_tpu.closures.mlp import mlp_init
+    from climateparameterizations_jl_tpu.data.containers import (
+        direct_regression_pairs,
+        fit_wind_mixing_scalings,
+    )
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+    from climateparameterizations_jl_tpu.train.nn import train_flux_nn
+
+    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    scalings = fit_wind_mixing_scalings(ds)
+    key = jax.random.PRNGKey(args.seed)
+    trained = {}
+    for flux in _sims(args.fluxes):
+        x, y = direct_regression_pairs(ds, scalings, flux)
+        key, k = jax.random.split(key)
+        nn = mlp_init(k, [3 * args.nz, args.hidden, args.nz - 1], args.activation)
+        nn, history = train_flux_nn(
+            nn, x, y, learning_rate=args.lr, epochs=args.epochs,
+            gradient_scaling=args.gradient_scaling, dz_hat=1.0 / args.nz,
+        )
+        trained[flux] = nn
+        print(f"train-nn[{flux}]: loss {history[0]:.4e} -> {history[-1]:.4e}")
+    nns = FluxNNs(uw=trained.get("uw"), vw=trained.get("vw"), wT=trained.get("wT"))
+    _save_nns(args.output, nns, {"command": "train-nn", "sims": args.sims, "nz": args.nz})
+    print(f"saved checkpoint to {args.output}")
+    return 0
+
+
+def cmd_train_nde(args) -> int:
+    import jax
+
+    from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+    from climateparameterizations_jl_tpu.train.nde import (
+        CurriculumStage,
+        NDETrainConfig,
+        train_wind_mixing_nde,
+    )
+
+    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    model = _wind_model(ds, args.nz)
+    if args.init_from:
+        nns, _ = _load_nns(args.init_from)
+    else:
+        ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
+        nns = FluxNNs(*[wind_mixing_mlp(k, args.nz, scale=args.init_scale) for k in ks])
+
+    config = NDETrainConfig(
+        learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps,
+        method=args.method, gradient_scaling=args.gradient_scaling,
+        training_fractions=(
+            {"T": args.fraction_T, "dTdz": args.fraction_dTdz, "profile": args.fraction_profile}
+            if args.auto_balance
+            else None
+        ),
+    )
+    windows = [int(x) for x in args.curriculum.split(",")] if args.curriculum else [args.n_train_steps]
+    stages = [CurriculumStage(tsteps=np.arange(0, w), maxiters=args.maxiters, learning_rate=args.lr) for w in windows]
+    batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau)  # noqa: E731
+    batch = batch_fn(stages[0].tsteps)
+
+    nns, history = train_wind_mixing_nde(
+        model, nns, batch, config,
+        stages=stages if len(stages) > 1 else None,
+        full_batch_fn=batch_fn if len(stages) > 1 else None,
+        callback=_history_writer(args.output),
+    )
+    _save_nns(args.output, nns, {"command": "train-nde", "sims": args.sims, "nz": args.nz})
+    print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
+    return 0
+
+
+def cmd_train_fc_nde(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+    from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+    from climateparameterizations_jl_tpu.data.containers import coarsen_dataset
+    from climateparameterizations_jl_tpu.data.synthetic import synthetic_free_convection_les
+    from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
+    from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, train_free_convection_nde
+
+    ds = coarsen_dataset(synthetic_free_convection_les(n_save=args.n_save, dt_save=args.dt_save), args.nz)
+    T_scaling = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
+    wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
+    tau = jnp.abs(ds.t[-1] - ds.t[0])
+    model = FreeConvectionModel(
+        H=ds.H, tau=tau, T_scaling=T_scaling, wT_scaling=wT_scaling,
+        bottom_flux=wT_scaling.scale(ds.wT[0, 0]), top_flux=wT_scaling.scale(ds.theta_top),
+        Nz=args.nz, base_closure=args.base_closure,
+    )
+    nn = free_convection_mlp(jax.random.PRNGKey(args.seed), args.nz)
+    tsteps = np.arange(0, args.n_train_steps)
+    T0 = T_scaling.scale(ds.T[tsteps[0]])
+    targets = T_scaling.scale(jnp.take(ds.T, jnp.asarray(tsteps), axis=-2))
+    t = jnp.take(ds.t, jnp.asarray(tsteps)) / tau
+    config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps)
+    nn, history = train_free_convection_nde(model, nn, T0[None], targets[None], t, config, callback=_history_writer(args.output))
+    save_checkpoint(args.output, nn, {"command": "train-fc-nde", "arch": {"sizes": list(nn.sizes), "activation": nn.activation}})
+    print(f"train-fc-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
+    return 0
+
+
+def cmd_optimise_mpp(args) -> int:
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.train.mpp_calibration import optimise_mpp_parameters
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    model = _wind_model(ds, args.nz)
+    batch = training_tensors(ds, model.scalings, np.arange(0, args.n_train_steps), tau=model.tau)
+    config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method)
+    params, history = optimise_mpp_parameters(model, batch, config)
+    result = {
+        "nu_0": float(params.nu_0), "nu_minus": float(params.nu_minus),
+        "Ri_c": float(params.Ri_c), "delta_Ri": float(params.delta_Ri), "Pr": float(params.Pr),
+        "loss_initial": float(history[0][0]), "loss_final": float(history[-1][0]),
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "mpp_parameters.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_calibrate_kpp(args) -> int:
+    from climateparameterizations_jl_tpu.train.kpp_calibration import calibrate_kpp
+
+    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    params, info = calibrate_kpp(
+        ds, np.arange(0, args.n_train_steps), args.nz,
+        n_plugin=args.n_plugin, n_line_search=args.n_line_search,
+    )
+    result = {name: float(v) for name, v in zip(info["names"], np.asarray(info["values"]))}
+    result["loss"] = info["final_loss"]
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "kpp_parameters.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_train_gp(args) -> int:
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.closures.gp import best_kernel, gp_fit, gp_predict
+    from climateparameterizations_jl_tpu.data.containers import (
+        direct_regression_pairs,
+        fit_wind_mixing_scalings,
+    )
+
+    train_ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    test_ds = _load_suite(_sims(args.test_sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    scalings = fit_wind_mixing_scalings(train_ds)
+    z = jnp.linspace(0.0, 1.0, 3 * args.nz)
+    report = {}
+    for flux in _sims(args.fluxes):
+        x_tr, y_tr = direct_regression_pairs(train_ds, scalings, flux)
+        x_te, y_te = direct_regression_pairs(test_ds, scalings, flux)
+        if args.subsample > 1:
+            x_tr, y_tr = x_tr[:: args.subsample], y_tr[:: args.subsample]
+        kernel, err = best_kernel(x_tr, y_tr, x_te, y_te, z, metric=args.metric)
+        model = gp_fit(x_tr, y_tr, kernel, z)
+        pred = gp_predict(model, x_te)
+        mse = float(jnp.mean((pred - y_te) ** 2))
+        report[flux] = {"kernel": kernel.family, "log_gamma": float(jnp.log10(kernel.gamma)), "mse": mse}
+        print(f"train-gp[{flux}]: kernel {kernel.family}, mse {mse:.4e}")
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "gp_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from climateparameterizations_jl_tpu.eval.animations import (
+        animate_profiles_fluxes_comparison,
+        plot_loss,
+    )
+    from climateparameterizations_jl_tpu.eval.profile import nde_profile
+
+    ds = _load_suite(_sims(args.test_sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    train_ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save) if args.sims else ds
+    model = _wind_model(train_ds, args.nz)
+    nns, _ = _load_nns(args.checkpoint)
+    tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
+    ev = nde_profile(model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps)
+    os.makedirs(args.output, exist_ok=True)
+    np.savez(os.path.join(args.output, "evaluation.npz"), **ev.to_dict())
+    plot_loss(
+        {m: ev[f"losses_{m}_T"] for m in ("nde", "mpp", "kpp") if f"losses_{m}_T" in ev.keys()},
+        ev["t"], os.path.join(args.output, "loss.png"),
+    )
+    if args.animate:
+        animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride)
+    summary = {m: float(np.mean(ev[f"losses_{m}_T"])) for m in ("nde", "mpp", "kpp") if f"losses_{m}_T" in ev.keys()}
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_double_gyre(args) -> int:
+    import jax
+
+    from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+    from climateparameterizations_jl_tpu.embed.double_gyre import (
+        DoubleGyreModel,
+        DoubleGyreState,
+        barotropic_streamfunction,
+        run_double_gyre,
+    )
+
+    model = DoubleGyreModel.default(Nx=args.nx, Ny=args.ny, Nz=args.nz_gyre)
+    state0 = DoubleGyreState.rest(model)
+    nn = T_scaling = wT_scaling = None
+    if args.checkpoint:
+        import jax.numpy as jnp
+
+        from climateparameterizations_jl_tpu.closures.mlp import mlp_init
+        from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint
+
+        with open(os.path.join(args.checkpoint, "meta.json")) as f:
+            arch = json.load(f)["arch"]
+        skeleton = mlp_init(jax.random.PRNGKey(0), arch["sizes"], arch["activation"])
+        nn, _ = load_checkpoint(args.checkpoint, skeleton)
+        T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(args.T_mu), jnp.float32(args.T_sigma))
+        wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(0.0), jnp.float32(args.wT_sigma))
+
+    n_steps = int(args.days * 86400.0 / args.dt)
+    save_every = max(1, n_steps // max(args.n_frames, 1))
+    traj = run_double_gyre(
+        model, state0, dt=args.dt, n_save=max(1, n_steps // save_every), save_every=save_every,
+        nn=nn, T_scaling=T_scaling, wT_scaling=wT_scaling,
+    )
+    psi = np.asarray(barotropic_streamfunction(model, traj.u[-1])) / 1e6
+    os.makedirs(args.output, exist_ok=True)
+    np.savez(
+        os.path.join(args.output, "double_gyre.npz"),
+        T=np.asarray(traj.T), eta=np.asarray(traj.eta), psi=psi,
+        u_surface=np.asarray(traj.u[..., -1]), v_surface=np.asarray(traj.v[..., -1]),
+    )
+    print(json.dumps({"psi_min_Sv": float(psi.min()), "psi_max_Sv": float(psi.max()), "frames": int(traj.T.shape[0])}))
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    bench.main()
+    return 0
+
+
+# ----------------------------------------------------------------------------
+# parser
+# ----------------------------------------------------------------------------
+
+
+def _add_common(p, with_sims=True):
+    p.add_argument("--config", default=None, help="YAML/JSON config file (flags override)")
+    if with_sims:
+        p.add_argument("--sims", default="strong_wind", help="comma-separated catalog names")
+        p.add_argument("--data-dir", default=None, help="root of local LESbrary .jld2 files (synthetic fallback otherwise)")
+        p.add_argument("--nz", type=int, default=32)
+        p.add_argument("--n-save", type=int, default=96, help="LES frames to generate/load")
+        p.add_argument("--dt-save", type=float, default=600.0)
+    p.add_argument("--output", default="runs/latest")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="climateparameterizations_jl_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("catalog", help="list dataset catalog names").set_defaults(fn=cmd_catalog)
+
+    p = sub.add_parser("train-nn", help="direct flux regression")
+    _add_common(p)
+    p.add_argument("--fluxes", default="uw,vw,wT")
+    p.add_argument("--hidden", type=int, default=400)
+    p.add_argument("--activation", default="relu")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--gradient-scaling", type=float, default=0.0)
+    p.set_defaults(fn=cmd_train_nn)
+
+    p = sub.add_parser("train-nde", help="wind-mixing triple-NN NDE training")
+    _add_common(p)
+    p.add_argument("--init-from", default=None, help="checkpoint dir to warm-start NNs")
+    p.add_argument("--init-scale", type=float, default=1e-5)
+    p.add_argument("--lr", type=float, default=2e-2)
+    p.add_argument("--maxiters", type=int, default=50)
+    p.add_argument("--n-substeps", type=int, default=4)
+    p.add_argument("--method", default="split", choices=["split", "rk4", "heun", "euler"])
+    p.add_argument("--n-train-steps", type=int, default=32)
+    p.add_argument("--curriculum", default=None, help="comma-separated window lengths, e.g. 8,16,32")
+    p.add_argument("--gradient-scaling", type=float, default=5e-3)
+    p.add_argument("--auto-balance", action="store_true")
+    p.add_argument("--fraction-T", type=float, default=0.8)
+    p.add_argument("--fraction-dTdz", type=float, default=0.8)
+    p.add_argument("--fraction-profile", type=float, default=0.5)
+    p.set_defaults(fn=cmd_train_nde)
+
+    p = sub.add_parser("train-fc-nde", help="free-convection NDE training")
+    _add_common(p, with_sims=False)
+    p.add_argument("--nz", type=int, default=32)
+    p.add_argument("--n-save", type=int, default=96)
+    p.add_argument("--dt-save", type=float, default=600.0)
+    p.add_argument("--base-closure", default="convective_adjustment", choices=["convective_adjustment", "none"])
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--maxiters", type=int, default=50)
+    p.add_argument("--n-substeps", type=int, default=4)
+    p.add_argument("--n-train-steps", type=int, default=32)
+    p.set_defaults(fn=cmd_train_fc_nde)
+
+    p = sub.add_parser("optimise-mpp", help="mPP diffusivity parameter calibration")
+    _add_common(p)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--maxiters", type=int, default=100)
+    p.add_argument("--n-substeps", type=int, default=4)
+    p.add_argument("--method", default="split")
+    p.add_argument("--n-train-steps", type=int, default=32)
+    p.set_defaults(fn=cmd_optimise_mpp)
+
+    p = sub.add_parser("calibrate-kpp", help="KPP parameter random search + line search")
+    _add_common(p)
+    p.add_argument("--n-plugin", type=int, default=64)
+    p.add_argument("--n-line-search", type=int, default=20)
+    p.add_argument("--n-train-steps", type=int, default=32)
+    p.set_defaults(fn=cmd_calibrate_kpp)
+
+    p = sub.add_parser("train-gp", help="GP kernel grid search + fit + test MSE")
+    _add_common(p)
+    p.add_argument("--test-sims", default="strong_wind_weak_cooling")
+    p.add_argument("--fluxes", default="wT")
+    p.add_argument("--metric", default="euclidean", choices=["euclidean", "derivative", "antiderivative"])
+    p.add_argument("--subsample", type=int, default=4)
+    p.set_defaults(fn=cmd_train_gp)
+
+    p = sub.add_parser("evaluate", help="NDE-profile comparison vs baselines")
+    _add_common(p)
+    p.add_argument("--test-sims", default="strong_wind_weak_cooling")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--method", default="split")
+    p.add_argument("--n-substeps", type=int, default=4)
+    p.add_argument("--n-train-steps", type=int, default=32)
+    p.add_argument("--eval-stride", type=int, default=2)
+    p.add_argument("--animate", action="store_true")
+    p.add_argument("--gif-stride", type=int, default=4)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("double-gyre", help="3-D basin run with optional NN closure")
+    _add_common(p, with_sims=False)
+    p.add_argument("--nx", type=int, default=96)
+    p.add_argument("--ny", type=int, default=96)
+    p.add_argument("--nz-gyre", type=int, default=32)
+    p.add_argument("--days", type=float, default=30.0)
+    p.add_argument("--dt", type=float, default=1800.0)
+    p.add_argument("--n-frames", type=int, default=10)
+    p.add_argument("--checkpoint", default=None, help="free-convection NN checkpoint dir")
+    p.add_argument("--T-mu", type=float, default=10.0)
+    p.add_argument("--T-sigma", type=float, default=5.0)
+    p.add_argument("--wT-sigma", type=float, default=1e-5)
+    p.set_defaults(fn=cmd_double_gyre)
+
+    p = sub.add_parser("benchmark", help="run the repo benchmark (bench.py)")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_benchmark)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    config = _load_config(getattr(args, "config", None))
+    if config:
+        defaults = {a.dest: a.default for sp in parser._subparsers._group_actions for a in getattr(sp.choices.get(args.command), "_actions", [])}  # noqa: SLF001
+        _apply_config(args, config, defaults)
+    return args.fn(args)

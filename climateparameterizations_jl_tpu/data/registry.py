@@ -168,3 +168,40 @@ def _build_catalog() -> tuple:
 
 
 WIND_MIXING_CATALOG = _build_catalog()
+
+
+def load_simulation(
+    name: str,
+    data_dir: str | None = None,
+    Nz_les: int = 128,
+    n_save: int = 288,
+    dt_save: float = 600.0,
+    **synthetic_kwargs,
+):
+    """Load one catalog simulation as a :class:`ColumnTimeSeries`.
+
+    If ``data_dir`` is given and the reference's ``.jld2`` file exists there
+    (layout of ``lesbrary_relative_path``), it is read with the HDF5 reader;
+    otherwise the catalog entry's physical parameters drive the synthetic
+    generator — every catalog name has an offline stand-in, the fixture
+    strategy the reference lacks (SURVEY.md section 4).
+    """
+    import os
+
+    spec = simulation_parameters(name)
+    if data_dir is not None:
+        path = os.path.join(data_dir, lesbrary_relative_path(name))
+        if os.path.exists(path):
+            from climateparameterizations_jl_tpu.data.lesbrary import read_les_profiles
+
+            return read_les_profiles(path)
+
+    from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
+
+    # Catalog Qu values are stress magnitudes for the 2DaySuite; the synthetic
+    # generator expects the signed kinematic flux (negative = eastward wind).
+    Qu = -abs(spec.Qu) if spec.Qu != 0.0 else 0.0
+    return synthetic_wind_mixing_les(
+        Qu=Qu, Qb=spec.Qb, f=spec.f, diurnal=spec.diurnal,
+        Nz=Nz_les, n_save=n_save, dt_save=dt_save, **synthetic_kwargs,
+    )

@@ -1,0 +1,196 @@
+"""KPP parameter calibration: random plugin search + random line search.
+
+Parity: ``free_convection/train_kpp.jl:101-249`` — the reference draws
+``n`` random parameter sets from uniform priors (``RandomPlugin``), keeps the
+best, then refines with a numerical-gradient random line search
+(``RandomLineSearch``), each loss evaluation being one full KPP column solve
+against the LES truth.
+
+TPU-native twist: every search stage evaluates its whole candidate
+population **in one vmapped KPP solve** — 100 plugin candidates or 12
+line-search step sizes run as a single batched program (the reference's
+serial loop does one 25.8 ms column per candidate,
+``wind_mixing/Benchmarking.jl:25``). The calibrated subset is a dict of
+field names (defaults ``CSL, CNL, Cb_T, CKE`` — ``train_kpp.jl:205-210``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.data.containers import ColumnTimeSeries
+from climateparameterizations_jl_tpu.physics.kpp import (
+    KPPForcing,
+    KPPParameters,
+    KPPState,
+    solve_kpp,
+)
+
+DEFAULT_PRIORS = {
+    # train_kpp.jl:205-210 (uniform priors over the four free parameters)
+    "CSL": (0.01, 0.99),
+    "CNL": (0.0, 8.0),
+    "Cb_T": (0.0, 6.0),
+    "CKE": (0.0, 5.0),
+}
+
+
+def _with_overrides(base: KPPParameters, names, values) -> KPPParameters:
+    return dataclasses.replace(base, **{n: v for n, v in zip(names, values)})
+
+
+def make_kpp_loss_fn(
+    ds: ColumnTimeSeries,
+    tsteps,
+    Nz: int,
+    base_params: KPPParameters | None = None,
+    names: tuple = ("CSL", "CNL", "Cb_T", "CKE"),
+    n_substeps: int = 1,
+) -> Callable:
+    """Loss(values) = MSE of the KPP temperature trajectory vs the dataset.
+
+    ``values`` is a vector ordered like ``names``. The returned function is
+    jit/vmap-able, so populations of parameter sets evaluate in one solve.
+    """
+    import numpy as np
+
+    tsteps = np.asarray(tsteps)
+    T_truth = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
+    t_row = ds.t[0] if ds.t.ndim > 1 else ds.t
+    t_save = jnp.take(t_row, jnp.asarray(tsteps))
+    base = base_params if base_params is not None else KPPParameters.default()
+    i0 = tsteps[0]
+
+    state0 = KPPState(U=ds.u[..., i0, :], V=ds.v[..., i0, :], T=ds.T[..., i0, :])
+    forcing = KPPForcing(
+        Fu=ds.u_top,
+        Fb=ds.theta_top * ds.g * ds.alpha,
+        dTdz_bottom=ds.theta_bottom,
+    )
+
+    def loss(values):
+        values = jnp.asarray(values, ds.T.dtype)
+        params = _with_overrides(base, names, [values[i] for i in range(len(names))])
+        sol = solve_kpp(state0, t_save, params, forcing, ds.H, Nz, ds.f, ds.g, ds.alpha, n_substeps=n_substeps)
+        # solve_kpp returns time-major (Nt, ..., Nz); truth is (..., Nt, Nz).
+        T_sol = jnp.moveaxis(sol.T, 0, -2)
+        return jnp.mean((T_sol - T_truth) ** 2)
+
+    return loss
+
+
+def random_plugin(
+    loss_fn: Callable,
+    priors: dict,
+    n_samples: int,
+    key,
+    batch_size: int | None = None,
+):
+    """Uniform random search; the population evaluates in one vmapped solve.
+
+    Returns ``(best_values, best_loss, all_losses)``.
+    Parity: ``RandomPlugin`` / ``optimize`` (``train_kpp.jl:101-152``).
+    """
+    names = list(priors.keys())
+    lo = jnp.asarray([priors[n][0] for n in names])
+    hi = jnp.asarray([priors[n][1] for n in names])
+    candidates = lo + (hi - lo) * jax.random.uniform(key, (n_samples, len(names)))
+
+    batched_loss = jax.jit(jax.vmap(loss_fn))
+    if batch_size is None:
+        losses = batched_loss(candidates)
+    else:
+        chunks = [batched_loss(candidates[i : i + batch_size]) for i in range(0, n_samples, batch_size)]
+        losses = jnp.concatenate(chunks)
+    losses = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+    best = jnp.argmin(losses)
+    return candidates[best], losses[best], losses
+
+
+def random_line_search(
+    loss_fn: Callable,
+    values0,
+    key,
+    n_iters: int = 20,
+    n_steps: int = 12,
+    max_step: float = 0.5,
+    fd_eps: float = 1e-4,
+    bounds: tuple | None = None,
+):
+    """Numerical-gradient line search along one random coordinate per iteration.
+
+    Each iteration: pick a random coordinate, finite-difference the loss,
+    then evaluate a geometric ladder of ``n_steps`` step sizes along the
+    descent direction **in one vmapped batch** and keep the best.
+    Parity: ``RandomLineSearch`` (``train_kpp.jl:154-249``).
+    """
+    values = jnp.asarray(values0, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    n_dim = values.shape[0]
+    batched_loss = jax.jit(jax.vmap(loss_fn))
+    scalar_loss = jax.jit(loss_fn)
+    steps = max_step * jnp.geomspace(1e-3, 1.0, n_steps)
+
+    history = [float(scalar_loss(values))]
+    for it in range(n_iters):
+        key, k1 = jax.random.split(key)
+        coord = int(jax.random.randint(k1, (), 0, n_dim))
+        e = jnp.zeros_like(values).at[coord].set(1.0)
+        g = (scalar_loss(values + fd_eps * e) - scalar_loss(values - fd_eps * e)) / (2 * fd_eps)
+        direction = -jnp.sign(g)
+        scale = jnp.maximum(jnp.abs(values[coord]), 1e-2)
+        candidates = values[None, :] + (direction * scale * steps)[:, None] * e[None, :]
+        if bounds is not None:
+            lo, hi = bounds
+            candidates = jnp.clip(candidates, jnp.asarray(lo), jnp.asarray(hi))
+        losses = batched_loss(candidates)
+        losses = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+        best = jnp.argmin(losses)
+        if float(losses[best]) < history[-1]:
+            values = candidates[best]
+            history.append(float(losses[best]))
+        else:
+            history.append(history[-1])
+    return values, history
+
+
+def calibrate_kpp(
+    ds: ColumnTimeSeries,
+    tsteps,
+    Nz: int,
+    key=None,
+    priors: dict | None = None,
+    n_plugin: int = 128,
+    n_line_search: int = 30,
+    base_params: KPPParameters | None = None,
+    n_substeps: int = 1,
+) -> tuple[KPPParameters, dict]:
+    """Full calibration pipeline: plugin search then line-search refinement.
+
+    Returns the calibrated :class:`KPPParameters` and an info dict with the
+    loss history. Parity: the driver block ``train_kpp.jl:212-249``.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    priors = priors if priors is not None else dict(DEFAULT_PRIORS)
+    names = tuple(priors.keys())
+    base = base_params if base_params is not None else KPPParameters.default()
+    loss_fn = make_kpp_loss_fn(ds, tsteps, Nz, base, names, n_substeps)
+
+    k1, k2 = jax.random.split(key)
+    best_values, best_loss, plugin_losses = random_plugin(loss_fn, priors, n_plugin, k1)
+    lo = [priors[n][0] for n in names]
+    hi = [priors[n][1] for n in names]
+    values, history = random_line_search(loss_fn, best_values, k2, n_iters=n_line_search, bounds=(lo, hi))
+
+    calibrated = _with_overrides(base, names, [values[i] for i in range(len(names))])
+    info = {
+        "names": names,
+        "values": values,
+        "plugin_best_loss": float(best_loss),
+        "final_loss": history[-1],
+        "history": history,
+    }
+    return calibrated, info

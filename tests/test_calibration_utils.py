@@ -1,0 +1,131 @@
+"""Tests: KPP parameter calibration, predict helper, polynomial
+decomposition, profiling utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.data.containers import coarsen_dataset
+from climateparameterizations_jl_tpu.data.synthetic import synthetic_free_convection_les
+from climateparameterizations_jl_tpu.physics.kpp import KPPParameters
+from climateparameterizations_jl_tpu.train.kpp_calibration import (
+    calibrate_kpp,
+    make_kpp_loss_fn,
+    random_line_search,
+    random_plugin,
+)
+from climateparameterizations_jl_tpu.utils.polynomial import (
+    basis_functions,
+    polynomial_decomposition,
+    reconstruct,
+)
+from climateparameterizations_jl_tpu.utils.predict import predict
+from climateparameterizations_jl_tpu.utils.profiling import Timer, time_fn
+
+
+@pytest.fixture(scope="module")
+def fc_dataset():
+    ds = synthetic_free_convection_les(Nz=64, n_save=16, dt_save=1800.0)
+    return coarsen_dataset(ds, 32)
+
+
+class TestKPPCalibration:
+    def test_loss_fn_finite_and_vmappable(self, fc_dataset):
+        loss_fn = make_kpp_loss_fn(fc_dataset, np.arange(0, 16, 4), 32)
+        defaults = KPPParameters.default()
+        v = jnp.asarray([float(defaults.CSL), float(defaults.CNL), float(defaults.Cb_T), float(defaults.CKE)])
+        l0 = loss_fn(v)
+        assert np.isfinite(float(l0))
+        batch = jnp.stack([v, v * 1.1, v * 0.9])
+        losses = jax.vmap(loss_fn)(batch)
+        assert losses.shape == (3,)
+        np.testing.assert_allclose(float(losses[0]), float(l0), rtol=1e-5)
+
+    def test_random_plugin_improves_over_worst(self, fc_dataset):
+        loss_fn = make_kpp_loss_fn(fc_dataset, np.arange(0, 16, 4), 32)
+        best, best_loss, losses = random_plugin(
+            loss_fn, {"CSL": (0.01, 0.99), "CNL": (0.0, 8.0), "Cb_T": (0.1, 6.0), "CKE": (0.0, 5.0)},
+            n_samples=16, key=jax.random.PRNGKey(0),
+        )
+        finite = np.asarray(losses)[np.isfinite(np.asarray(losses))]
+        assert float(best_loss) == finite.min()
+        assert best.shape == (4,)
+
+    def test_line_search_monotone(self, fc_dataset):
+        loss_fn = make_kpp_loss_fn(fc_dataset, np.arange(0, 16, 4), 32)
+        v0 = jnp.asarray([0.5, 4.0, 2.0, 2.0])
+        _, history = random_line_search(loss_fn, v0, jax.random.PRNGKey(1), n_iters=5)
+        h = np.asarray(history)
+        assert np.all(np.diff(h) <= 1e-12)  # never worsens
+
+    def test_full_pipeline(self, fc_dataset):
+        params, info = calibrate_kpp(
+            fc_dataset, np.arange(0, 16, 4), 32,
+            key=jax.random.PRNGKey(2), n_plugin=8, n_line_search=3,
+        )
+        assert isinstance(params, KPPParameters)
+        assert info["final_loss"] <= info["plugin_best_loss"] + 1e-12
+        assert 0.0 < float(params.CSL) < 1.0
+
+
+class TestPredict:
+    def test_scaled_and_unscaled(self):
+        x = jnp.ones((5, 3))
+        y = 2.0 * jnp.ones((5, 2))
+        model = lambda x: jnp.ones((x.shape[0], 2))  # noqa: E731
+        pred, truth = predict(model, x, y)
+        np.testing.assert_allclose(np.asarray(pred), 1.0)
+        np.testing.assert_allclose(np.asarray(truth), 2.0)
+        pred_u, truth_u = predict(model, x, y, unscale_fn=lambda z: 10.0 * z)
+        np.testing.assert_allclose(np.asarray(pred_u), 10.0)
+        np.testing.assert_allclose(np.asarray(truth_u), 20.0)
+
+
+class TestPolynomialDecomposition:
+    @pytest.mark.parametrize("kind", ["legendre", "chebyshev", "fourier"])
+    def test_reconstructs_smooth_function(self, kind):
+        x = jnp.linspace(-1.0, 1.0, 201)
+        f = jnp.exp(-(x**2)) * jnp.cos(2 * x)
+        coeffs = polynomial_decomposition(f, x, kind=kind, n=16)
+        f_rec = reconstruct(coeffs, x, kind=kind)
+        err = float(jnp.max(jnp.abs(f - f_rec)))
+        # Fourier converges slower for non-periodic derivatives (C0 extension).
+        tol = 5e-2 if kind == "fourier" else 2e-2
+        assert err < tol, (kind, err)
+
+    def test_legendre_exact_for_polynomials(self):
+        x = jnp.linspace(-1.0, 1.0, 401)
+        f = 3.0 + 2.0 * x - x**2
+        coeffs = polynomial_decomposition(f, x, kind="legendre", n=5)
+        f_rec = reconstruct(coeffs, x, kind="legendre")
+        np.testing.assert_allclose(np.asarray(f_rec), np.asarray(f), atol=1e-3)
+        # Degree-3+ coefficients vanish for a quadratic (up to trapezoid error).
+        assert abs(float(coeffs[3])) < 1e-3 and abs(float(coeffs[4])) < 1e-3
+
+    def test_basis_shapes(self):
+        x = jnp.linspace(0.0, 1.0, 33)
+        for kind in ("legendre", "chebyshev", "fourier"):
+            phi = basis_functions(kind, 7, x, domain=(0.0, 1.0))
+            assert phi.shape == (7, 33)
+
+
+class TestProfiling:
+    def test_time_fn(self):
+        fn = jax.jit(lambda x: (x * x).sum())
+        stats = time_fn(fn, jnp.arange(1024.0), iters=3, warmup=1)
+        assert stats["compile_s"] > 0
+        assert stats["median_s"] > 0
+        assert stats["iters"] == 3
+
+    def test_timer_sections(self):
+        timer = Timer()
+        with timer("a"):
+            pass
+        with timer("a"):
+            pass
+        with timer("b"):
+            pass
+        report = timer.report()
+        assert report["a"]["count"] == 2
+        assert report["b"]["count"] == 1

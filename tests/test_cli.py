@@ -1,0 +1,131 @@
+"""CLI tests: every subcommand runs end-to-end at tiny sizes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.cli import main
+
+TINY = ["--nz", "16", "--n-save", "12", "--dt-save", "600"]
+
+
+@pytest.fixture(scope="module")
+def nn_ckpt(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt") / "nn")
+    rc = main([
+        "train-nn", "--sims", "strong_wind", *TINY,
+        "--epochs", "5", "--hidden", "32", "--output", out,
+    ])
+    assert rc == 0
+    return out
+
+
+def test_catalog(capsys):
+    assert main(["catalog"]) == 0
+    out = capsys.readouterr().out
+    assert "strong_wind" in out and "wind_-5e-4_cooling_3e-8_new" in out
+
+
+def test_train_nn_checkpoint(nn_ckpt):
+    assert os.path.exists(os.path.join(nn_ckpt, "state.npz"))
+    with open(os.path.join(nn_ckpt, "meta.json")) as f:
+        meta = json.load(f)
+    assert set(meta["arch"]) == {"uw", "vw", "wT"}
+
+
+def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
+    out = str(tmp_path / "nde")
+    rc = main([
+        "train-nde", "--sims", "strong_wind", *TINY,
+        "--maxiters", "3", "--n-train-steps", "8", "--n-substeps", "2",
+        "--output", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "history.jsonl"))
+    capsys.readouterr()
+
+    eval_out = str(tmp_path / "eval")
+    rc = main([
+        "evaluate", "--sims", "strong_wind", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--checkpoint", out, "--n-train-steps", "8", "--n-substeps", "2",
+        "--eval-stride", "2", "--output", eval_out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"nde", "mpp", "kpp"} <= set(summary)
+    assert os.path.exists(os.path.join(eval_out, "evaluation.npz"))
+    assert os.path.exists(os.path.join(eval_out, "loss.png"))
+
+
+def test_train_fc_nde(tmp_path):
+    out = str(tmp_path / "fc")
+    rc = main([
+        "train-fc-nde", "--nz", "16", "--n-save", "12", "--dt-save", "600",
+        "--maxiters", "3", "--n-train-steps", "8", "--n-substeps", "4", "--output", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "state.npz"))
+
+
+def test_optimise_mpp(tmp_path, capsys):
+    out = str(tmp_path / "mpp")
+    rc = main([
+        "optimise-mpp", "--sims", "strong_wind", *TINY,
+        "--maxiters", "3", "--n-train-steps", "6", "--n-substeps", "2", "--output", out,
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["nu_0"] > 0 and np.isfinite(result["loss_final"])
+
+
+def test_calibrate_kpp(tmp_path, capsys):
+    out = str(tmp_path / "kpp")
+    rc = main([
+        "calibrate-kpp", "--sims", "strong_wind", *TINY,
+        "--n-plugin", "4", "--n-line-search", "2", "--n-train-steps", "6", "--output", out,
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 < result["CSL"] < 1.0 and np.isfinite(result["loss"])
+
+
+def test_train_gp(tmp_path, capsys):
+    out = str(tmp_path / "gp")
+    rc = main([
+        "train-gp", "--sims", "strong_wind", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--fluxes", "wT", "--subsample", "8", "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "gp_report.json")) as f:
+        report = json.load(f)
+    assert np.isfinite(report["wT"]["mse"])
+
+
+def test_double_gyre(tmp_path, capsys):
+    out = str(tmp_path / "gyre")
+    rc = main([
+        "double-gyre", "--nx", "16", "--ny", "16", "--nz-gyre", "8",
+        "--days", "2", "--dt", "1800", "--n-frames", "2", "--output", out,
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["psi_min_Sv"])
+    data = np.load(os.path.join(out, "double_gyre.npz"))
+    assert np.all(np.isfinite(data["T"]))
+
+
+def test_config_file_overrides(tmp_path):
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text("epochs: 2\nhidden: 16\nfluxes: wT\n")
+    out = str(tmp_path / "nn_cfg")
+    rc = main([
+        "train-nn", "--sims", "strong_wind", *TINY,
+        "--config", str(cfg), "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert list(meta["arch"]) == ["wT"]
+    assert meta["arch"]["wT"]["sizes"][1] == 16
