@@ -208,11 +208,13 @@ def _laplacian_h(phi, dx, dy, axis_x=1, axis_y=0):
 
 
 @functools.lru_cache(maxsize=8)
-def _dct_matrix(N: int, dtype_name: str = "float32"):
+def _dct_matrix_np(N: int, dtype_name: str = "float32"):
     """Orthonormal DCT-II basis matrix ``(N, N)``: rows = modes, cols = cells.
 
     At basin sizes (N ~ 96) the transform-as-matmul beats an FFT path on the
-    MXU and — unlike jnp.fft — is supported on every TPU backend.
+    MXU and — unlike jnp.fft — is supported on every TPU backend. Cached as
+    NUMPY (never a jax array: caching device values created inside a trace
+    leaks tracers across jit boundaries).
     """
     import numpy as np
 
@@ -221,7 +223,11 @@ def _dct_matrix(N: int, dtype_name: str = "float32"):
     M = np.cos(np.pi * (n[None, :] + 0.5) * k / N)
     M *= np.sqrt(2.0 / N)
     M[0] *= np.sqrt(0.5)
-    return jnp.asarray(M, dtype=jnp.dtype(dtype_name))
+    return M.astype(dtype_name)
+
+
+def _dct_matrix(N: int, dtype_name: str = "float32"):
+    return jnp.asarray(_dct_matrix_np(N, dtype_name))
 
 
 def _neumann_laplacian_eigenvalues(model: DoubleGyreModel, dtype):
