@@ -1,0 +1,51 @@
+"""Parity test: fused Pallas multi-step kernel vs the XLA reference path.
+
+Runs in Pallas interpret mode (CPU); on real TPU the same kernel compiles
+natively (exercised by bench.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climateparameterizations_jl_tpu.models.timestepper import rk4_step
+from climateparameterizations_jl_tpu.models.wind_mixing import wind_mixing_rhs
+from climateparameterizations_jl_tpu.ops.fused_rhs import fused_wind_mixing_multistep
+
+
+def _setup(n_columns=64, Nz=32):
+    import __graft_entry__ as g
+
+    return g._make_setup(Nz=Nz, n_columns=n_columns)
+
+
+class TestFusedRHS:
+    def test_matches_xla_path(self):
+        model, nns, bcs, x0 = _setup()
+        dt, n_steps = 1e-5, 8
+
+        fused = fused_wind_mixing_multistep(model, nns, bcs, x0, dt, n_steps, interpret=True)
+
+        def xla_run(x):
+            rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
+
+            def body(x, i):
+                return rk4_step(rhs, x, i * dt, jnp.float32(dt)), None
+
+            x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
+            return x
+
+        reference = jax.jit(xla_run)(x0)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(reference), rtol=2e-4, atol=2e-6)
+
+    def test_column_blocking_invariant(self):
+        model, nns, bcs, x0 = _setup(n_columns=96)
+        a = fused_wind_mixing_multistep(model, nns, bcs, x0, 1e-5, 4, column_block=32, interpret=True)
+        b = fused_wind_mixing_multistep(model, nns, bcs, x0, 1e-5, 4, column_block=96, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_nontrivial_dynamics(self):
+        model, nns, bcs, x0 = _setup(n_columns=16)
+        out = fused_wind_mixing_multistep(model, nns, bcs, x0, 1e-5, 16, interpret=True)
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert float(jnp.max(jnp.abs(out - x0))) > 1e-6
