@@ -164,6 +164,7 @@ def cmd_train_nn(args) -> int:
         nn, history = train_flux_nn(
             nn, x, y, learning_rate=args.lr, epochs=args.epochs,
             gradient_scaling=args.gradient_scaling, dz_hat=1.0 / args.nz,
+            causality=args.spatial_causality,
         )
         trained[flux] = nn
         print(f"train-nn[{flux}]: loss {history[0]:.4e} -> {history[-1]:.4e}")
@@ -432,6 +433,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--gradient-scaling", type=float, default=0.0)
+    p.add_argument("--spatial-causality", default="none", choices=["none", "soft", "hard"])
     p.set_defaults(fn=cmd_train_nn)
 
     p = sub.add_parser("train-nde", help="wind-mixing triple-NN NDE training")

@@ -111,3 +111,95 @@ def destructure(nn: MLP):
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return flat, rebuild
+
+
+# ----------------------------------------------------------------------------
+# Convolutional closure variant + spatial-causality constraints
+# ----------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConvMLP:
+    """1-D conv front-end + dense MLP: the reference's ``--conv`` variant.
+
+    Parity: ``Chain(Conv((w, 1), 1 => 1, relu), Dense(Nz - w + 1, 4Nz, relu),
+    Dense(4Nz, 4Nz, relu), Dense(4Nz, Nz - 1))``
+    (``free_convection/train_free_convection_nde.jl:110-118``). The valid
+    (no-padding) single-channel convolution is applied as ``w`` shifted adds
+    — an XLA-fusable stencil, no im2col needed at these sizes.
+    """
+
+    kernel: jnp.ndarray  # (width,)
+    conv_bias: jnp.ndarray  # ()
+    mlp: MLP
+
+    @property
+    def width(self) -> int:
+        return self.kernel.shape[0]
+
+    def __call__(self, x):
+        return conv_mlp_apply(self, x)
+
+
+def conv_mlp_apply(nn: ConvMLP, x):
+    """Apply over the last axis ``(..., Nz) -> (..., n_out)``."""
+    w = nn.width
+    n = x.shape[-1]
+    out = nn.kernel[0] * x[..., : n - w + 1]
+    for k in range(1, w):
+        out = out + nn.kernel[k] * x[..., k : n - w + 1 + k]
+    out = jax.nn.relu(out + nn.conv_bias)
+    return mlp_apply(nn.mlp, out)
+
+
+def free_convection_conv_mlp(key, Nz: int = 32, conv_width: int = 2, activation: str = "relu", dtype=jnp.float32) -> ConvMLP:
+    """Conv variant of the free-convection closure (``--conv w`` with w > 1)."""
+    k1, k2 = jax.random.split(key)
+    bound = np.sqrt(6.0 / (conv_width + 1))
+    kernel = jax.random.uniform(k1, (conv_width,), dtype, -bound, bound)
+    mlp = mlp_init(k2, [Nz - conv_width + 1, 4 * Nz, 4 * Nz, Nz - 1], activation, dtype)
+    return ConvMLP(kernel=kernel, conv_bias=jnp.zeros((), dtype), mlp=mlp)
+
+
+def _first_dense(nn):
+    return nn.mlp if isinstance(nn, ConvMLP) else nn
+
+
+def spatial_causality_mask(shape: tuple) -> jnp.ndarray:
+    """Boolean mask of "acausal" first-layer entries: ``mask[i, j] = i < j``.
+
+    Matches the reference's ``[x < y for x in 1:nrows, y in 1:ncols]`` on the
+    first dense layer's ``(n_out, n_in)`` weight
+    (``train_free_convection_nde.jl:188-193``).
+    """
+    i = jnp.arange(shape[0])[:, None]
+    j = jnp.arange(shape[1])[None, :]
+    return i < j
+
+
+def spatial_causality_penalty(nn) -> jnp.ndarray:
+    """Soft penalty ``sum(W1[mask]^2)`` (``train_free_convection_nde.jl:195-197``)."""
+    W1 = _first_dense(nn).weights[0]
+    return jnp.sum(jnp.where(spatial_causality_mask(W1.shape), W1, 0.0) ** 2)
+
+
+def apply_spatial_causality_mask(nn):
+    """Hard variant: zero the acausal first-layer entries in place.
+
+    Parity: the masked-weight trainer ``dense_spatial_causality_train!``
+    (``free_convection/src/training.jl:24-42``) — call after each optimizer
+    update.
+    """
+    dense = _first_dense(nn)
+    W1 = dense.weights[0]
+    masked = jnp.where(spatial_causality_mask(W1.shape), 0.0, W1)
+    new_dense = dataclasses.replace(dense, weights=(masked,) + tuple(dense.weights[1:]))
+    if isinstance(nn, ConvMLP):
+        return dataclasses.replace(nn, mlp=new_dense)
+    return new_dense
+
+
+def apply_closure(nn, x):
+    """Apply either closure flavor (MLP or ConvMLP) over the last axis."""
+    return conv_mlp_apply(nn, x) if isinstance(nn, ConvMLP) else mlp_apply(nn, x)

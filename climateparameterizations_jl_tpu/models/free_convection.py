@@ -59,7 +59,9 @@ def _assemble_wT(model: FreeConvectionModel, nn: MLP | None, T):
     if nn is None:  # physics-only baseline (zeroed NN, convective_adjustment_nde.jl with 0 weights)
         interior = jnp.zeros(T.shape[:-1] + (model.Nz - 1,), T.dtype)
     else:
-        interior = mlp_apply(nn, T)
+        from climateparameterizations_jl_tpu.closures.mlp import apply_closure
+
+        interior = apply_closure(nn, T)
     bot = jnp.broadcast_to(jnp.asarray(model.bottom_flux, T.dtype), T.shape[:-1])[..., None]
     top = jnp.broadcast_to(jnp.asarray(model.top_flux, T.dtype), T.shape[:-1])[..., None]
     return jnp.concatenate([bot, interior, top], axis=-1)

@@ -15,24 +15,33 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.closures.mlp import (
+    MLP,
+    apply_closure,
+    apply_spatial_causality_mask,
+    spatial_causality_penalty,
+)
 from climateparameterizations_jl_tpu.core.operators import d_face_to_center
 
 
-def flux_nn_loss(nn: MLP, x, y, gradient_scaling: float = 0.0, dz_hat: float | None = None, bcs=None):
+def flux_nn_loss(nn: MLP, x, y, gradient_scaling: float = 0.0, dz_hat: float | None = None, bcs=None, causality_weight: float = 0.0):
     """MSE on predicted interior fluxes (+ optional flux-gradient penalty).
 
     ``x``: ``(B, 3 Nz)`` scaled states; ``y``: ``(B, Nz + 1)`` scaled target
     flux faces. The NN predicts the ``Nz - 1`` interior faces; boundary faces
     are taken from the targets (they are BCs, not learnable).
+    ``causality_weight > 0`` adds the soft spatial-causality penalty on the
+    first dense layer (``train_free_convection_nde.jl:184-200``).
     """
-    pred_interior = mlp_apply(nn, x)
+    pred_interior = apply_closure(nn, x)
     pred = jnp.concatenate([y[..., :1], pred_interior, y[..., -1:]], axis=-1)
     loss = jnp.mean((pred - y) ** 2)
     if gradient_scaling and dz_hat is not None:
         dpred = d_face_to_center(pred, dz_hat)
         dy = d_face_to_center(y, dz_hat)
         loss = loss + gradient_scaling * jnp.mean((dpred - dy) ** 2)
+    if causality_weight:
+        loss = loss + causality_weight * spatial_causality_penalty(nn)
     return loss
 
 
@@ -47,21 +56,32 @@ def train_flux_nn(
     dz_hat: float | None = None,
     key=None,
     callback=None,
+    causality: str = "none",
+    causality_weight: float = 1.0,
 ):
     """Train one flux MLP; returns ``(nn, per-epoch loss history)``.
 
     With ``batch_size=None`` every epoch is one full-batch step (the datasets
     here are tiny: ~1k-20k rows x 96 features — a single MXU tile).
+    ``causality``: ``"none"`` | ``"soft"`` (L2 penalty on acausal first-layer
+    weights) | ``"hard"`` (re-zero them after every update; parity:
+    ``free_convection/src/training.jl:24-42``).
     """
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(nn)
     n = x.shape[0]
+    soft_w = causality_weight if causality == "soft" else 0.0
+    if causality == "hard":
+        nn = apply_spatial_causality_mask(nn)
 
     @jax.jit
     def step(nn, opt_state, xb, yb):
-        loss, grads = jax.value_and_grad(flux_nn_loss)(nn, xb, yb, gradient_scaling, dz_hat)
+        loss, grads = jax.value_and_grad(flux_nn_loss)(nn, xb, yb, gradient_scaling, dz_hat, None, soft_w)
         updates, opt_state = optimizer.update(grads, opt_state, nn)
-        return optax.apply_updates(nn, updates), opt_state, loss
+        nn = optax.apply_updates(nn, updates)
+        if causality == "hard":
+            nn = apply_spatial_causality_mask(nn)
+        return nn, opt_state, loss
 
     history = []
     key = key if key is not None else jax.random.PRNGKey(0)
