@@ -1,0 +1,185 @@
+"""Benchmark suite: build/run timings for every model family.
+
+Parity: ``wind_mixing/Benchmarking.jl`` (KPP/TKE/GP build + 2-day-column run
+timings, results recorded in comments ``:22-55``) and
+``wind_mixing/benchmark_NDE_training.jl`` (NDE gradient-step timing across
+training-window sizes ``:34-47``) — but as a first-class, runnable module
+that reports JSON instead of numbers pasted into comments.
+
+Every timing uses ``utils.profiling.time_fn`` (compile time separated,
+``block_until_ready``). The reference's recorded CPU numbers are attached
+as ``reference_*`` fields where they exist, so speedups are self-describing.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.utils.profiling import time_fn
+
+# Reference wall-clock numbers recorded in wind_mixing/Benchmarking.jl:22-55
+# (single column, single-threaded CPU, circa 2021).
+REFERENCE_SECONDS = {
+    "kpp_run_2day_column": 25.762e-3,
+    "tke_run_2day_column": 2.710e-3,
+    "gp_build_3_models": 42.818e-3,
+}
+
+
+def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
+    """KPP full-evolution: 2-day column at 600 s steps (Benchmarking.jl:25)."""
+    from climateparameterizations_jl_tpu.physics.kpp import (
+        KPPForcing,
+        KPPParameters,
+        KPPState,
+        solve_kpp,
+    )
+
+    f32 = jnp.float32
+    zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (256.0 / Nz) - 256.0
+    T0 = jnp.broadcast_to(19.0 + 0.01 * (zc + 256.0), (n_columns, Nz)).astype(f32)
+    state0 = KPPState(U=jnp.zeros((n_columns, Nz), f32), V=jnp.zeros((n_columns, Nz), f32), T=T0)
+    forcing = KPPForcing(
+        Fu=jnp.full((n_columns,), -5e-4, f32),
+        Fb=jnp.full((n_columns,), 3e-8, f32),
+        dTdz_bottom=jnp.full((n_columns,), 0.01, f32),
+    )
+    t_save = jnp.linspace(0.0, n_steps * 600.0, n_steps + 1)
+    params = KPPParameters.default()
+
+    fn = jax.jit(
+        lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4).T
+    )
+    stats = time_fn(fn, state0, iters=5)
+    stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
+    stats["vs_reference"] = REFERENCE_SECONDS["kpp_run_2day_column"] / (stats["median_s"] / n_columns)
+    return stats
+
+
+def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
+    """TKE mass-flux full evolution (Benchmarking.jl:37)."""
+    from climateparameterizations_jl_tpu.physics.tke import TKEParameters, TKEState, solve_tke
+
+    f32 = jnp.float32
+    zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (256.0 / Nz) - 256.0
+    T0 = jnp.broadcast_to(19.0 + 0.01 * (zc + 256.0), (n_columns, Nz)).astype(f32)
+    state0 = TKEState(
+        U=jnp.zeros((n_columns, Nz), f32), V=jnp.zeros((n_columns, Nz), f32),
+        T=T0, e=jnp.full((n_columns, Nz), 1e-6, f32),
+    )
+    t_save = jnp.linspace(0.0, n_steps * 600.0, n_steps + 1)
+    params = TKEParameters.default()
+    Fu = jnp.full((n_columns,), -5e-4, f32)
+    Fb = jnp.full((n_columns,), 3e-8, f32)
+
+    fn = jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
+    stats = time_fn(fn, state0, iters=5)
+    stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
+    stats["vs_reference"] = REFERENCE_SECONDS["tke_run_2day_column"] / (stats["median_s"] / n_columns)
+    return stats
+
+
+def bench_gp(n_train: int = 1024, n_features: int = 96):
+    """Exact-GP build (3 flux models: Gram + Cholesky) (Benchmarking.jl:55)."""
+    from climateparameterizations_jl_tpu.closures.gp import get_kernel, gp_fit
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n_train, n_features), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(1), (n_train, 33), jnp.float32)
+    z = jnp.linspace(0.0, 1.0, n_features)
+    kernel = get_kernel(1, 0.0, 0.0, "euclidean", dtype=jnp.float32)
+
+    def build_three(x, y):
+        models = [gp_fit(x, y, kernel, z) for _ in range(3)]
+        return models[0].alpha
+
+    stats = time_fn(jax.jit(build_three), x, y, iters=3)
+    stats["vs_reference"] = REFERENCE_SECONDS["gp_build_3_models"] / stats["median_s"]
+    return stats
+
+
+def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024):
+    """The headline forward benchmark (same path as bench.py)."""
+    from __graft_entry__ import _make_setup
+
+    from climateparameterizations_jl_tpu.models.timestepper import rk4_step
+    from climateparameterizations_jl_tpu.models.wind_mixing import wind_mixing_rhs
+
+    model, nns, bcs, x0 = _make_setup(Nz=Nz, n_columns=n_columns)
+    dt = jnp.float32(1e-5)
+
+    @jax.jit
+    def run(nns, x):
+        rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
+
+        def body(x, i):
+            return rk4_step(rhs, x, i * dt, dt), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
+        return x
+
+    stats = time_fn(run, nns, x0, iters=5)
+    stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
+    return stats
+
+
+def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
+    """One NDE gradient step (value_and_grad through the scanned solve).
+
+    Parity: ``benchmark_NDE_training.jl:34-47`` (mutating vs non-mutating NDE
+    training step across training-window sizes).
+    """
+    import numpy as np
+    import optax
+
+    from __graft_entry__ import _make_setup
+
+    from climateparameterizations_jl_tpu.data.containers import TrainingBatch
+    from climateparameterizations_jl_tpu.models.wind_mixing import BoundaryConditions
+    from climateparameterizations_jl_tpu.train.loss import LossChannels
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, make_wind_mixing_loss_fn
+
+    model, nns, _, _ = _make_setup(Nz=Nz, n_columns=1)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(n_sims, 3 * Nz)) * 0.1, jnp.float32)
+    zeros = jnp.zeros((n_sims,), jnp.float32)
+    bcs = BoundaryConditions(uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros, wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros)
+    batch = TrainingBatch(
+        x0=x0, targets=jnp.repeat(x0[:, None, :], n_window, axis=1), bcs=bcs,
+        t=jnp.linspace(0.0, 1e-3 * (n_window - 1), n_window), tau=jnp.float32(691200.0),
+    )
+    config = NDETrainConfig(n_substeps=4, method="split")
+    loss_fn = make_wind_mixing_loss_fn(model, batch, LossChannels.ones(config.gradient_scaling), config)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(nns)
+
+    @jax.jit
+    def step(nns, opt_state):
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(nns)
+        updates, opt_state = optimizer.update(grads, opt_state, nns)
+        return optax.apply_updates(nns, updates), opt_state, total
+
+    stats = time_fn(step, nns, opt_state, iters=5)
+    stats["train_steps_per_sec"] = 1.0 / stats["median_s"]
+    return stats
+
+
+def run_suite(quick: bool = False) -> dict:
+    """Run every benchmark; returns ``{name: stats}``."""
+    scale = 0.25 if quick else 1.0
+    n_cols = max(64, int(1024 * scale))
+    suite = {
+        "kpp_2day_columns": bench_kpp(n_columns=n_cols),
+        "tke_2day_columns": bench_tke(n_columns=n_cols),
+        "gp_build": bench_gp(n_train=max(128, int(1024 * scale))),
+        "nde_forward": bench_nde_forward(n_columns=n_cols, n_steps=max(64, int(1024 * scale))),
+        "nde_train_step": bench_nde_train_step(n_sims=max(2, int(8 * scale)), n_window=max(8, int(32 * scale))),
+    }
+    return suite
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_suite(), indent=2))

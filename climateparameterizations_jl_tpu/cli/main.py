@@ -393,6 +393,11 @@ def cmd_double_gyre(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
+    if args.suite:
+        from climateparameterizations_jl_tpu.benchmarks import run_suite
+
+        print(json.dumps(run_suite(quick=args.quick), indent=2))
+        return 0
     import importlib.util
 
     spec = importlib.util.spec_from_file_location("bench", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"))
@@ -515,8 +520,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wT-sigma", type=float, default=1e-5)
     p.set_defaults(fn=cmd_double_gyre)
 
-    p = sub.add_parser("benchmark", help="run the repo benchmark (bench.py)")
+    p = sub.add_parser("benchmark", help="run the repo benchmark (bench.py) or the full suite")
     p.add_argument("--config", default=None)
+    p.add_argument("--suite", action="store_true", help="KPP/TKE/GP/NDE suite (Benchmarking.jl parity)")
+    p.add_argument("--quick", action="store_true", help="reduced sizes for CI/CPU")
     p.set_defaults(fn=cmd_benchmark)
 
     return parser

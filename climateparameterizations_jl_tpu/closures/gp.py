@@ -153,7 +153,9 @@ def gp_fit(x_train, y_train, kernel: GPKernel, z, jitter_scale: float | None = N
     D = distance_matrix(x_train, x_train, z, kernel.metric)
     K = kernel(D)
     if jitter_scale is None:
-        jitter_scale = float(jnp.sqrt(jnp.finfo(jnp.float64).eps))
+        import numpy as np
+
+        jitter_scale = float(np.sqrt(np.finfo(np.float64).eps))  # numpy: stays concrete under jit
     K = K + jnp.max(K) * jitter_scale * jnp.eye(K.shape[0], dtype=K.dtype)
     chol = jsl.cholesky(K, lower=True)
     alpha = jsl.cho_solve((chol, True), y_train)
