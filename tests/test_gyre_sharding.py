@@ -1,0 +1,58 @@
+"""Sharded double gyre: y-decomposition over the 8-device CPU mesh matches
+the single-device run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.embed.double_gyre import (
+    DoubleGyreModel,
+    DoubleGyreState,
+    run_double_gyre,
+)
+from climateparameterizations_jl_tpu.parallel.gyre_sharding import (
+    make_gyre_mesh,
+    run_double_gyre_sharded,
+    shard_gyre_state,
+    state_shardings,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = DoubleGyreModel.default(Nx=16, Ny=24, Nz=8)  # Ny divisible by 8
+    state0 = DoubleGyreState.rest(model)
+    return model, state0
+
+
+class TestGyreSharding:
+    def test_sharded_state_layout(self, setup):
+        model, state0 = setup
+        mesh = make_gyre_mesh(8)
+        sharded = shard_gyre_state(state0, mesh)
+        # T (Ny, Nx, Nz) split over y: each device holds Ny/8 rows.
+        assert sharded.T.sharding.is_equivalent_to(state_shardings(mesh).T, ndim=3)
+        shard_shapes = {s.data.shape for s in sharded.T.addressable_shards}
+        assert shard_shapes == {(3, 16, 8)}
+
+    def test_matches_unsharded_run(self, setup):
+        model, state0 = setup
+        mesh = make_gyre_mesh(8)
+        traj_1 = run_double_gyre(model, state0, dt=1800.0, n_save=2, save_every=6)
+        traj_8 = run_double_gyre_sharded(model, state0, dt=1800.0, n_save=2, save_every=6, mesh=mesh)
+        for field in ("u", "v", "T", "eta"):
+            a = np.asarray(getattr(traj_1, field))
+            b = np.asarray(getattr(traj_8, field))
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6, err_msg=field)
+
+    def test_uneven_v_axis_replicated(self, setup):
+        # v has Ny+1 = 25 rows (not divisible by 8): stored replicated.
+        model, state0 = setup
+        mesh = make_gyre_mesh(8)
+        sharded = shard_gyre_state(state0, mesh)
+        assert sharded.v.shape == (25, 16, 8)
+        assert sharded.v.sharding.is_fully_replicated
+        assert np.all(np.isfinite(np.asarray(sharded.v)))
