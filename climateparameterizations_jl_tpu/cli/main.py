@@ -223,31 +223,71 @@ def cmd_train_fc_nde(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+    from climateparameterizations_jl_tpu.closures.mlp import (
+        free_convection_conv_mlp,
+        free_convection_mlp,
+    )
     from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
-    from climateparameterizations_jl_tpu.data.containers import coarsen_dataset
-    from climateparameterizations_jl_tpu.data.synthetic import synthetic_free_convection_les
+    from climateparameterizations_jl_tpu.data.containers import stack_datasets
+    from climateparameterizations_jl_tpu.data.free_convection import (
+        free_convection_regression_pairs,
+        load_free_convection_simulation,
+        validate_simulation_ids,
+    )
     from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
     from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, train_free_convection_nde
+    from climateparameterizations_jl_tpu.train.nn import train_flux_nn
 
-    ds = coarsen_dataset(synthetic_free_convection_les(n_save=args.n_save, dt_save=args.dt_save), args.nz)
+    ids = [int(s) for s in _sims(args.sim_ids)]
+    validate_simulation_ids(ids, [i for i in range(1, 10) if i not in ids])
+    datasets = [
+        load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save)
+        for i in ids
+    ]
+    ds = stack_datasets(datasets) if len(datasets) > 1 else datasets[0]
     T_scaling = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
     wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
-    tau = jnp.abs(ds.t[-1] - ds.t[0])
+    t_row = ds.t.reshape(-1, ds.t.shape[-1])[0] if ds.t.ndim > 1 else ds.t
+    tau = jnp.abs(t_row[-1] - t_row[0])
+    first = lambda x: x.reshape(-1)[0]  # noqa: E731
     model = FreeConvectionModel(
-        H=ds.H, tau=tau, T_scaling=T_scaling, wT_scaling=wT_scaling,
-        bottom_flux=wT_scaling.scale(ds.wT[0, 0]), top_flux=wT_scaling.scale(ds.theta_top),
+        H=first(ds.H), tau=tau, T_scaling=T_scaling, wT_scaling=wT_scaling,
+        bottom_flux=wT_scaling.scale(ds.wT.reshape(-1, ds.wT.shape[-1])[0, 0]),
+        top_flux=wT_scaling.scale(first(ds.theta_top)),
         Nz=args.nz, base_closure=args.base_closure,
     )
-    nn = free_convection_mlp(jax.random.PRNGKey(args.seed), args.nz)
+    if args.conv > 1:
+        nn = free_convection_conv_mlp(jax.random.PRNGKey(args.seed), args.nz, conv_width=args.conv)
+    else:
+        nn = free_convection_mlp(jax.random.PRNGKey(args.seed), args.nz)
+
+    if args.pretrain_epochs > 0:
+        # Flux pre-training: T -> wT regression before the NDE stage
+        # (train_free_convection_nde.jl:210-216).
+        x, y = free_convection_regression_pairs(ds, T_scaling, wT_scaling)
+        nn, pre_hist = train_flux_nn(
+            nn, x, y, learning_rate=args.lr, epochs=args.pretrain_epochs,
+            causality=args.spatial_causality,
+        )
+        print(f"train-fc-nde[pretrain]: loss {pre_hist[0]:.4e} -> {pre_hist[-1]:.4e}")
+
     tsteps = np.arange(0, args.n_train_steps)
-    T0 = T_scaling.scale(ds.T[tsteps[0]])
-    targets = T_scaling.scale(jnp.take(ds.T, jnp.asarray(tsteps), axis=-2))
-    t = jnp.take(ds.t, jnp.asarray(tsteps)) / tau
+    take_t = lambda a: jnp.take(a, jnp.asarray(tsteps), axis=-2)  # noqa: E731
+    T_sel = take_t(ds.T)
+    T0 = T_scaling.scale(T_sel[..., 0, :])
+    targets = T_scaling.scale(T_sel)
+    if T0.ndim == 1:
+        T0, targets = T0[None], targets[None]
+    t = jnp.take(t_row, jnp.asarray(tsteps)) / tau
     config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps)
-    nn, history = train_free_convection_nde(model, nn, T0[None], targets[None], t, config, callback=_history_writer(args.output))
-    save_checkpoint(args.output, nn, {"command": "train-fc-nde", "arch": {"sizes": list(nn.sizes), "activation": nn.activation}})
+    nn, history = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output))
+    meta = {"command": "train-fc-nde", "sim_ids": ids, "conv": args.conv}
+    if hasattr(nn, "sizes"):
+        meta["arch"] = {"sizes": list(nn.sizes), "activation": nn.activation}
+    else:
+        meta["arch"] = {"sizes": list(nn.mlp.sizes), "activation": nn.mlp.activation, "conv_width": nn.width}
+    save_checkpoint(args.output, nn, meta)
     print(f"train-fc-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
 
@@ -388,6 +428,10 @@ def cmd_double_gyre(args) -> int:
         T=np.asarray(traj.T), eta=np.asarray(traj.eta), psi=psi,
         u_surface=np.asarray(traj.u[..., -1]), v_surface=np.asarray(traj.v[..., -1]),
     )
+    if args.animate:
+        from climateparameterizations_jl_tpu.eval.animations import animate_double_gyre
+
+        animate_double_gyre(traj, model, os.path.join(args.output, "double_gyre.gif"))
     print(json.dumps({"psi_min_Sv": float(psi.min()), "psi_max_Sv": float(psi.max()), "frames": int(traj.T.shape[0])}))
     return 0
 
@@ -460,10 +504,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("train-fc-nde", help="free-convection NDE training")
     _add_common(p, with_sims=False)
+    p.add_argument("--sim-ids", default="1", help="comma-separated LESbrary free-convection ids (1..9)")
+    p.add_argument("--data-dir", default=None)
     p.add_argument("--nz", type=int, default=32)
     p.add_argument("--n-save", type=int, default=96)
     p.add_argument("--dt-save", type=float, default=600.0)
     p.add_argument("--base-closure", default="convective_adjustment", choices=["convective_adjustment", "none"])
+    p.add_argument("--conv", type=int, default=0, help="conv front-end width (> 1 enables the conv variant)")
+    p.add_argument("--spatial-causality", default="none", choices=["none", "soft", "hard"])
+    p.add_argument("--pretrain-epochs", type=int, default=0, help="flux-regression pre-training epochs")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--maxiters", type=int, default=50)
     p.add_argument("--n-substeps", type=int, default=4)
@@ -518,6 +567,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--T-mu", type=float, default=10.0)
     p.add_argument("--T-sigma", type=float, default=5.0)
     p.add_argument("--wT-sigma", type=float, default=1e-5)
+    p.add_argument("--animate", action="store_true")
     p.set_defaults(fn=cmd_double_gyre)
 
     p = sub.add_parser("benchmark", help="run the repo benchmark (bench.py) or the full suite")

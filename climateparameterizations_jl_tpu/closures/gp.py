@@ -109,6 +109,78 @@ class GPKernel:
             return s * (1.0 + d**2 / (2.0 * self.alpha * g**2)) ** (-self.alpha)
         raise ValueError(f"unknown kernel family {self.family!r}")
 
+    def gram(self, A, B, z):
+        """Kernel matrix from feature matrices ``(n, D) x (m, D) -> (n, m)``."""
+        return self(distance_matrix(A, B, z, self.metric))
+
+    def self_variance(self, x):
+        """``k(x, x)`` for each row (prior variance), shape ``(m,)``."""
+        return self(jnp.zeros((x.shape[0],), x.dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpectralMixtureKernel:
+    """Spectral-mixture-product kernel (GPML ``covSM``; reference
+    ``src/GaussianProcesses/kernels.jl:133-204``, SpectralMixtureProductI/A).
+
+    ``K(a, b) = prod_d sum_q w_q^2 exp(-0.5 (2 pi tau_d)^2 gamma_dq)
+    cos(2 pi tau_d mu_dq)`` with ``tau = a - b``. Isotropic form (``I``):
+    pass ``(Q,)`` hyperparameter rows shared across dimensions; ARD form
+    (``A``): ``(D, Q)`` arrays. The product over feature dimensions runs as
+    a ``lax.scan`` carrying the ``(n, m)`` Gram slab — never materializing
+    the ``(n, m, D, Q)`` tensor.
+    """
+
+    w: jnp.ndarray  # (Q,) or (D, Q) mixture weights (squared inside)
+    mu: jnp.ndarray  # spectral means, same shape
+    gamma: jnp.ndarray  # spectral variances, same shape
+    metric: str = dataclasses.field(metadata=dict(static=True), default="euclidean")
+
+    @classmethod
+    def from_hyperparameters(cls, hyp, D: int | None = None, dtype=jnp.float64) -> "SpectralMixtureKernel":
+        """Reference constructors: flat ``3Q`` vector (I) or ``3DQ`` (A)."""
+        hyp = jnp.asarray(hyp, dtype)
+        if D is None:
+            Q = hyp.shape[0] // 3
+            if 3 * Q != hyp.shape[0]:
+                raise ValueError("isotropic SM kernel needs a length-3Q hyperparameter vector")
+            return cls(w=hyp[:Q], mu=hyp[Q : 2 * Q], gamma=hyp[2 * Q :])
+        Q = hyp.shape[0] // (3 * D)
+        r = lambda a: a.reshape(D, Q, order="F")  # noqa: E731 — Julia column-major reshape
+        return cls(w=r(hyp[: D * Q]), mu=r(hyp[D * Q : 2 * D * Q]), gamma=r(hyp[2 * D * Q :]))
+
+    def _per_dim(self, tau, w, mu, gamma):
+        """``sum_q w_q^2 h((2 pi tau)^2 gamma_q, 2 pi tau mu_q)`` on an (n, m) slab."""
+        t = 2.0 * jnp.pi * tau[..., None]  # (n, m, Q)
+        return jnp.sum((w**2) * jnp.exp(-0.5 * t**2 * gamma) * jnp.cos(t * mu), axis=-1)
+
+    def gram(self, A, B, z=None):
+        A = jnp.asarray(A)
+        B = jnp.asarray(B)
+        D = A.shape[-1]
+        w, mu, gamma = (
+            (jnp.broadcast_to(p, (D,) + p.shape) if p.ndim == 1 else p)
+            for p in (self.w, self.mu, self.gamma)
+        )
+
+        def body(carry, inputs):
+            a_d, b_d, w_d, mu_d, g_d = inputs
+            tau = a_d[:, None] - b_d[None, :]
+            return carry * self._per_dim(tau, w_d, mu_d, g_d), None
+
+        init = jnp.ones((A.shape[0], B.shape[0]), A.dtype)
+        K, _ = jax.lax.scan(body, init, (A.T, B.T, w, mu, gamma))
+        return K
+
+    def __call__(self, d):
+        raise TypeError("SpectralMixtureKernel is not distance-based; use .gram(A, B)")
+
+    def self_variance(self, x):
+        D = x.shape[-1]
+        w = self.w if self.w.ndim == 2 else jnp.broadcast_to(self.w, (D,) + self.w.shape)
+        return jnp.broadcast_to(jnp.prod(jnp.sum(w**2, axis=-1)), (x.shape[0],)).astype(x.dtype)
+
 
 _FAMILY_IDS = {1: "squared_exponential", 2: "matern12", 3: "matern32", 4: "matern52", 5: "rational_quadratic"}
 
@@ -150,8 +222,7 @@ def gp_fit(x_train, y_train, kernel: GPKernel, z, jitter_scale: float | None = N
     """Fit the posterior weights (robust Cholesky; ``gaussian_process.jl:48-82``)."""
     x_train = jnp.asarray(x_train)
     y_train = jnp.asarray(y_train)
-    D = distance_matrix(x_train, x_train, z, kernel.metric)
-    K = kernel(D)
+    K = kernel.gram(x_train, x_train, z)
     if jitter_scale is None:
         import numpy as np
 
@@ -168,17 +239,15 @@ def gp_predict(model: GPModel, x):
     Parity: ``model_output`` (``gaussian_process.jl:112-117``), vectorized.
     """
     x = jnp.atleast_2d(jnp.asarray(x))
-    d = distance_matrix(x, model.x_train, model.z, model.kernel.metric)
-    return model.kernel(d) @ model.alpha
+    return model.kernel.gram(x, model.x_train, model.z) @ model.alpha
 
 
 def gp_uncertainty(model: GPModel, x):
     """Posterior variance at each query point (``gaussian_process.jl:130-139``)."""
     x = jnp.atleast_2d(jnp.asarray(x))
-    kx = model.kernel(distance_matrix(x, model.x_train, model.z, model.kernel.metric))  # (m, n)
+    kx = model.kernel.gram(x, model.x_train, model.z)  # (m, n)
     v = jsl.cho_solve((model.chol, True), kx.T)  # (n, m)
-    k_self = model.kernel(jnp.zeros((x.shape[0],), x.dtype))
-    return k_self - jnp.sum(kx.T * v, axis=0)
+    return model.kernel.self_variance(x) - jnp.sum(kx.T * v, axis=0)
 
 
 def mean_log_marginal_loss(model: GPModel, y_train, add_constant: bool = False):

@@ -1,0 +1,99 @@
+"""Free-convection dataset helpers: the 9 LESbrary simulations.
+
+Parity: ``free_convection/src/data.jl`` (``validate_simulation_ids`` +
+``load_data``) and ``free_convection/src/training_data.jl``
+(``FreeConvectionTrainingDataInput`` / ``wrangle_*_training_data``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from climateparameterizations_jl_tpu.data.containers import ColumnTimeSeries, coarsen_dataset
+from climateparameterizations_jl_tpu.data.registry import FREE_CONVECTION_IDS
+
+logger = logging.getLogger(__name__)
+
+# Surface buoyancy fluxes + initial stratifications spanning the LESbrary
+# free-convection suite's range (9 numbered simulations, ``data.jl:3-12``) —
+# used by the synthetic stand-ins when the real files are absent.
+_SYNTHETIC_PARAMS = {
+    1: (1e-8, 2e-3), 2: (2.5e-8, 2e-3), 3: (5e-8, 2e-3),
+    4: (7.5e-8, 2e-3), 5: (1e-7, 2e-3), 6: (2.5e-8, 1e-3),
+    7: (5e-8, 1e-3), 8: (7.5e-8, 1e-3), 9: (1e-7, 1e-3),
+}
+
+
+def validate_simulation_ids(ids_train, ids_test) -> bool:
+    """Warn on overlapping or unused simulation ids (``data.jl:14-30``)."""
+    train, test = set(ids_train), set(ids_test)
+    ok = True
+    overlap = train & test
+    if overlap:
+        logger.warning("simulations %s appear in both the training and test sets", sorted(overlap))
+        ok = False
+    unused = set(FREE_CONVECTION_IDS) - train - test
+    if unused:
+        logger.warning("simulations %s are not used for training or testing", sorted(unused))
+        ok = False
+    bad = (train | test) - set(FREE_CONVECTION_IDS)
+    if bad:
+        logger.warning("unknown simulation ids %s (valid: 1..9)", sorted(bad))
+        ok = False
+    return ok
+
+
+def load_free_convection_simulation(
+    simulation_id: int,
+    data_dir: str | None = None,
+    Nz: int = 32,
+    Nz_les: int = 128,
+    n_save: int = 96,
+    dt_save: float = 600.0,
+) -> ColumnTimeSeries:
+    """One free-convection simulation, coarse-grained to ``Nz`` levels.
+
+    Reads ``<data_dir>/free_convection_<id>/instantaneous_statistics_with_halos.jld2``
+    when present (the DataDeps layout, ``data.jl:32-71``); otherwise the
+    id-specific synthetic stand-in.
+    """
+    if simulation_id not in FREE_CONVECTION_IDS:
+        raise KeyError(f"free-convection simulation id must be in 1..9, got {simulation_id}")
+    if data_dir is not None:
+        path = os.path.join(data_dir, f"free_convection_{simulation_id}", "instantaneous_statistics_with_halos.jld2")
+        if os.path.exists(path):
+            from climateparameterizations_jl_tpu.data.lesbrary import read_les_profiles
+
+            return coarsen_dataset(read_les_profiles(path), Nz)
+
+    from climateparameterizations_jl_tpu.data.synthetic import synthetic_free_convection_les
+
+    Qb, strat = _SYNTHETIC_PARAMS[simulation_id]
+    ds = synthetic_free_convection_les(Qb=Qb, Nz=Nz_les, n_save=n_save, dt_save=dt_save)
+    return coarsen_dataset(ds, Nz)
+
+
+def load_data(ids_train, ids_test, Nz: int = 32, data_dir: str | None = None, **kwargs):
+    """Load + partition the suite (``load_data``, ``data.jl:32-71``).
+
+    Returns ``(train: {id: ds}, test: {id: ds})`` of coarse datasets.
+    """
+    validate_simulation_ids(ids_train, ids_test)
+    load = lambda i: load_free_convection_simulation(i, data_dir, Nz, **kwargs)  # noqa: E731
+    return {i: load(i) for i in ids_train}, {i: load(i) for i in ids_test}
+
+
+def free_convection_regression_pairs(ds: ColumnTimeSeries, T_scaling, wT_scaling):
+    """Per-snapshot (scaled T profile, scaled wT faces) pairs.
+
+    Parity: ``wrangle_input_training_data`` / ``wrangle_output_training_data``
+    (``training_data.jl:15-46``). The targets include the boundary faces —
+    the trainer pins predictions to them (they are BCs, not learnable).
+    """
+    x = T_scaling.scale(ds.T).reshape(-1, ds.T.shape[-1])
+    y = wT_scaling.scale(ds.wT).reshape(-1, ds.wT.shape[-1])
+    return jnp.asarray(x), jnp.asarray(y)

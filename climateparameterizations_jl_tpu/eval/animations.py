@@ -164,3 +164,40 @@ def plot_loss_matrix(matrix: dict, sim_names, path: str):
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+def animate_double_gyre(traj, model, path: str, fps: int = 8):
+    """Animate the basin: SST, free surface, barotropic streamfunction.
+
+    ``traj``: a trajectory ``DoubleGyreState`` (time-leading fields).
+    Parity: the reference's double-gyre plot scripts
+    (``free_convection/plot_double_gyre*.jl``) and 3-D LES rendering
+    (``wind_mixing/src/animation.jl:1300+``), as planar fields.
+    """
+    from climateparameterizations_jl_tpu.embed.double_gyre import barotropic_streamfunction
+
+    T = np.asarray(traj.T)  # (Nt, Ny, Nx, Nz)
+    eta = np.asarray(traj.eta)
+    psi = np.stack([np.asarray(barotropic_streamfunction(model, traj.u[k])) for k in range(T.shape[0])]) / 1e6
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4.5))
+    sst = T[..., -1]
+    ims = [
+        axes[0].imshow(sst[0], origin="lower", cmap="RdYlBu_r", vmin=sst.min(), vmax=sst.max()),
+        axes[1].imshow(eta[0], origin="lower", cmap="BrBG", vmin=eta.min(), vmax=eta.max()),
+        axes[2].imshow(psi[0], origin="lower", cmap="RdBu_r", vmin=-np.abs(psi).max(), vmax=np.abs(psi).max()),
+    ]
+    for ax, im, label in zip(axes, ims, ("SST [C]", "eta [m]", "psi [Sv]")):
+        ax.set_title(label)
+        fig.colorbar(im, ax=ax, shrink=0.85)
+
+    def update(k):
+        ims[0].set_data(sst[k])
+        ims[1].set_data(eta[k])
+        ims[2].set_data(psi[k])
+        return ims
+
+    anim = manimation.FuncAnimation(fig, update, frames=range(T.shape[0]), blit=False)
+    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path

@@ -1,0 +1,80 @@
+"""Free-convection data helpers + FC CLI flux-pretraining path."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.cli import main
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.data.free_convection import (
+    free_convection_regression_pairs,
+    load_data,
+    load_free_convection_simulation,
+    validate_simulation_ids,
+)
+
+
+class TestFreeConvectionData:
+    def test_validate_ids(self, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            assert validate_simulation_ids([1, 2, 3, 4, 5, 6], [7, 8, 9])
+            assert not validate_simulation_ids([1, 2], [2, 3])  # overlap
+            assert not validate_simulation_ids([1], [2])  # unused
+            assert not validate_simulation_ids([1, 42], list(range(2, 10)))  # bad id
+
+    def test_load_by_id_distinct_forcings(self):
+        ds1 = load_free_convection_simulation(1, Nz=16, n_save=8)
+        ds5 = load_free_convection_simulation(5, Nz=16, n_save=8)
+        assert ds1.T.shape == (9, 16)
+        assert float(ds5.theta_top) > float(ds1.theta_top)  # stronger cooling
+        with pytest.raises(KeyError):
+            load_free_convection_simulation(10)
+
+    def test_load_data_partition(self):
+        train, test = load_data([1, 2], [3], Nz=16, n_save=8)
+        assert set(train) == {1, 2} and set(test) == {3}
+
+    def test_regression_pairs_shapes(self):
+        ds = load_free_convection_simulation(2, Nz=16, n_save=8)
+        T_s = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
+        wT_s = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
+        x, y = free_convection_regression_pairs(ds, T_s, wT_s)
+        assert x.shape == (9, 16) and y.shape == (9, 17)
+        assert np.all(np.isfinite(np.asarray(x)))
+
+
+class TestFCCLI:
+    def test_pretrain_and_conv_variant(self, tmp_path, capsys):
+        out = str(tmp_path / "fc_conv")
+        rc = main([
+            "train-fc-nde", "--sim-ids", "1,2", "--nz", "16", "--n-save", "10",
+            "--pretrain-epochs", "5", "--conv", "2", "--maxiters", "2",
+            "--n-train-steps", "6", "--n-substeps", "4", "--output", out,
+        ])
+        assert rc == 0
+        printed = capsys.readouterr().out
+        assert "pretrain" in printed
+        with open(os.path.join(out, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta["arch"]["conv_width"] == 2
+        assert meta["sim_ids"] == [1, 2]
+
+
+class TestGyreAnimation:
+    def test_animate_double_gyre(self, tmp_path):
+        from climateparameterizations_jl_tpu.embed.double_gyre import (
+            DoubleGyreModel,
+            DoubleGyreState,
+            run_double_gyre,
+        )
+        from climateparameterizations_jl_tpu.eval.animations import animate_double_gyre
+
+        model = DoubleGyreModel.default(Nx=12, Ny=12, Nz=4)
+        traj = run_double_gyre(model, DoubleGyreState.rest(model), dt=1800.0, n_save=2, save_every=4)
+        path = animate_double_gyre(traj, model, str(tmp_path / "gyre.gif"))
+        assert os.path.getsize(path) > 0

@@ -177,3 +177,64 @@ class TestGPClosureDE:
         # GP closure keeps the trajectory near the training trajectory.
         err = float(jnp.mean((traj - x[:11]) ** 2))
         assert err < 0.1
+
+
+class TestSpectralMixtureKernel:
+    def _kernel(self, D=None):
+        import numpy as np
+
+        from climateparameterizations_jl_tpu.closures.gp import SpectralMixtureKernel
+
+        rng = np.random.default_rng(0)
+        Q = 2
+        if D is None:
+            hyp = np.concatenate([rng.uniform(0.5, 1.0, Q), rng.uniform(0.0, 0.3, Q), rng.uniform(0.1, 0.5, Q)])
+            return SpectralMixtureKernel.from_hyperparameters(hyp)
+        hyp = np.concatenate([
+            rng.uniform(0.5, 1.0, D * Q), rng.uniform(0.0, 0.3, D * Q), rng.uniform(0.1, 0.5, D * Q)
+        ])
+        return SpectralMixtureKernel.from_hyperparameters(hyp, D=D)
+
+    def test_gram_matches_direct_formula(self):
+        import numpy as np
+
+        k = self._kernel()
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(4, 3))
+        B = rng.normal(size=(5, 3))
+        K = np.asarray(k.gram(A, B))
+        w, mu, g = np.asarray(k.w), np.asarray(k.mu), np.asarray(k.gamma)
+        for i in range(4):
+            for j in range(5):
+                prod = 1.0
+                for d in range(3):
+                    t = 2 * np.pi * (A[i, d] - B[j, d])
+                    prod *= np.sum(w**2 * np.exp(-0.5 * t**2 * g) * np.cos(t * mu))
+                np.testing.assert_allclose(K[i, j], prod, rtol=1e-6)
+
+    def test_psd_and_fits(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from climateparameterizations_jl_tpu.closures.gp import gp_fit, gp_predict, gp_uncertainty
+
+        k = self._kernel(D=4)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(20, 4))
+        y = np.sin(x.sum(axis=1, keepdims=True))
+        model = gp_fit(x, y, k, z=jnp.linspace(0, 1, 4))
+        pred = gp_predict(model, x)
+        # Exact GP interpolates its training data (up to jitter).
+        np.testing.assert_allclose(np.asarray(pred), y, atol=1e-3)
+        var = np.asarray(gp_uncertainty(model, x))
+        assert np.all(var > -1e-6)  # PSD posterior variance
+
+    def test_self_variance_is_gram_diagonal(self):
+        import numpy as np
+
+        k = self._kernel()
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(6, 3))
+        np.testing.assert_allclose(
+            np.asarray(k.self_variance(A)), np.diag(np.asarray(k.gram(A, A))), rtol=1e-6
+        )
