@@ -108,6 +108,23 @@ def _load_nns(directory: str):
     return load_checkpoint(directory, skeleton)
 
 
+def _resolve_train_state(directory: str | None) -> str | None:
+    """Accept either a run output dir (containing ``train_state/``) or the
+    train-state dir itself for ``--resume-from``."""
+    if directory is None:
+        return None
+    nested = os.path.join(directory, "train_state")
+    return nested if os.path.isdir(nested) else directory
+
+
+def cmd_extract(args) -> int:
+    from climateparameterizations_jl_tpu.train.checkpoint import extract_checkpoint
+
+    extract_checkpoint(args.run_dir, args.out_dir)
+    print(f"extracted {args.run_dir} -> {args.out_dir}")
+    return 0
+
+
 def _history_writer(output: str):
     from climateparameterizations_jl_tpu.train.checkpoint import history_path
 
@@ -204,6 +221,10 @@ def cmd_train_nde(args) -> int:
         ),
     )
     windows = [int(x) for x in args.curriculum.split(",")] if args.curriculum else [args.n_train_steps]
+    n_frames = ds.t.reshape(-1, ds.t.shape[-1]).shape[-1] if ds.t.ndim > 1 else ds.t.shape[-1]
+    if any(w > n_frames for w in windows):
+        print(f"warning: clamping training windows {windows} to {n_frames} available frames")
+        windows = [min(w, n_frames) for w in windows]
     stages = [CurriculumStage(tsteps=np.arange(0, w), maxiters=args.maxiters, learning_rate=args.lr) for w in windows]
     batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau)  # noqa: E731
     batch = batch_fn(stages[0].tsteps)
@@ -213,6 +234,8 @@ def cmd_train_nde(args) -> int:
         stages=stages if len(stages) > 1 else None,
         full_batch_fn=batch_fn if len(stages) > 1 else None,
         callback=_history_writer(args.output),
+        checkpoint_dir=os.path.join(args.output, "train_state"),
+        resume_from=_resolve_train_state(args.resume_from),
     )
     _save_nns(args.output, nns, {"command": "train-nde", "sims": args.sims, "nz": args.nz})
     print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
@@ -500,7 +523,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fraction-T", type=float, default=0.8)
     p.add_argument("--fraction-dTdz", type=float, default=0.8)
     p.add_argument("--fraction-profile", type=float, default=0.5)
+    p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
     p.set_defaults(fn=cmd_train_nde)
+
+    p = sub.add_parser("extract", help="compact a run dir into an extracted checkpoint")
+    p.add_argument("run_dir")
+    p.add_argument("out_dir")
+    p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("train-fc-nde", help="free-convection NDE training")
     _add_common(p, with_sims=False)

@@ -171,6 +171,13 @@ def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps,
     all ``tsteps``, BCs frozen at the window start), with time
     non-dimensionalized by ``tau`` = full simulation span by default.
     """
+    n_frames = ds.t.shape[-1]
+    import numpy as _np
+
+    if int(_np.max(_np.asarray(tsteps))) >= n_frames:
+        raise ValueError(
+            f"tsteps max {int(_np.max(_np.asarray(tsteps)))} out of range for {n_frames} saved frames"
+        )
     tsteps = jnp.asarray(tsteps)
     x = scaled_state_array(ds, scalings)  # (S, Nt, 3Nz)
     uw_s, vw_s, wT_s = scaled_flux_arrays(ds, scalings)

@@ -87,3 +87,50 @@ def load_checkpoint(directory: str, skeleton):
 def history_path(directory: str) -> TrainingHistory:
     os.makedirs(directory, exist_ok=True)
     return TrainingHistory(os.path.join(directory, "history.jsonl"))
+
+
+def extract_checkpoint(run_dir: str, out_dir: str):
+    """Compact an append-only run directory into a final "extracted" file.
+
+    Parity: ``extract_NN`` (``wind_mixing/src/data_extraction.jl:1-150``) —
+    pulls the final params + optimizer state + the FULL loss history out of a
+    training run into one compact, self-contained directory: ``state.npz``
+    (final leaves), ``meta.json`` (run metadata + ``n_iterations``), and
+    ``losses.npz`` (each history channel as one dense array instead of one
+    JSON line per iteration).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    records = TrainingHistory(os.path.join(run_dir, "history.jsonl")).read()
+    channels: dict[str, list] = {}
+    for rec in records:
+        for key, val in rec.items():
+            if isinstance(val, (int, float)):
+                channels.setdefault(key, []).append(val)
+    np.savez(os.path.join(out_dir, "losses.npz"), **{k: np.asarray(v) for k, v in channels.items()})
+
+    state_path = os.path.join(run_dir, "state.npz")
+    if os.path.exists(state_path):
+        data = np.load(state_path)
+        np.savez(os.path.join(out_dir, "state.npz"), **{k: data[k] for k in data.files})
+    # Params + optimizer state written by the trainer's checkpoint_dir
+    # (parity: extract_NN also carries the ADAM state forward).
+    train_state_path = os.path.join(run_dir, "train_state", "state.npz")
+    if os.path.exists(train_state_path):
+        data = np.load(train_state_path)
+        np.savez(os.path.join(out_dir, "train_state.npz"), **{k: data[k] for k in data.files})
+
+    meta = {}
+    meta_path = os.path.join(run_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta["n_iterations"] = len(records)
+    meta["extracted_from"] = os.path.abspath(run_dir)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_extracted_losses(out_dir: str) -> dict:
+    """Read the dense loss-history arrays written by :func:`extract_checkpoint`."""
+    data = np.load(os.path.join(out_dir, "losses.npz"))
+    return {k: data[k] for k in data.files}

@@ -108,8 +108,9 @@ def determine_loss_scalings(model: WindMixingModel, nns: FluxNNs, batch: Trainin
     return calculate_loss_scalings(channels, config.training_fractions, config.train_gradient)
 
 
-def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None):
-    opt_state = optimizer.init(params)
+def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_state=None):
+    if opt_state is None:
+        opt_state = optimizer.init(params)
 
     @jax.jit
     def step(params, opt_state):
@@ -127,6 +128,21 @@ def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None):
     return params, history, opt_state
 
 
+def resume_train_state(checkpoint_dir: str, nns, optimizer):
+    """Restore ``(params, opt_state)`` saved by a previous run's checkpoint.
+
+    Parity: the reference restores ADAM ``beta``/``state`` from a previous
+    run's extracted file (``wind_mixing/train_NDE_args.jl:140-146``). The
+    skeleton for the optimizer state is built from a fresh ``init`` so any
+    optax optimizer round-trips.
+    """
+    from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint
+
+    skeleton = {"params": nns, "opt_state": optimizer.init(nns)}
+    state, _ = load_checkpoint(checkpoint_dir, skeleton)
+    return state["params"], state["opt_state"]
+
+
 def train_wind_mixing_nde(
     model: WindMixingModel,
     nns: FluxNNs,
@@ -135,27 +151,48 @@ def train_wind_mixing_nde(
     stages: Sequence[CurriculumStage] | None = None,
     full_batch_fn: Callable | None = None,
     callback=None,
+    checkpoint_dir: str | None = None,
+    resume_from: str | None = None,
 ):
     """Train the three flux NNs through the scanned NDE solve.
 
     If ``stages`` is given, ``full_batch_fn(tsteps)`` must rebuild the
     training batch for each stage's time window (curriculum training).
-    Returns ``(nns, history)`` where history is a list of per-iteration
+    ``checkpoint_dir`` saves params + optimizer state after every stage (and
+    at the end); ``resume_from`` restores both from such a checkpoint before
+    training (parity: ``train_NDE_args.jl:140-146``). Returns
+    ``(nns, history)`` where history is a list of per-iteration
     :class:`LossChannels` floats.
     """
+    from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
+
+    opt_state = None
+    if resume_from is not None:
+        nns, opt_state = resume_train_state(resume_from, nns, _make_optimizer(config))
+
+    def _save(nns, opt_state, stage_idx):
+        if checkpoint_dir is not None:
+            save_checkpoint(
+                checkpoint_dir,
+                {"params": nns, "opt_state": opt_state},
+                {"stage": stage_idx, "optimizer": config.optimizer, "learning_rate": config.learning_rate},
+            )
+
     history_all = []
     if stages is None:
         loss_scalings = determine_loss_scalings(model, nns, batch, config)
         loss_fn = make_wind_mixing_loss_fn(model, batch, loss_scalings, config)
-        nns, history_all, _ = _train_loop(loss_fn, nns, _make_optimizer(config), config.maxiters, callback)
+        nns, history_all, opt_state = _train_loop(loss_fn, nns, _make_optimizer(config), config.maxiters, callback, opt_state)
+        _save(nns, opt_state, 0)
         return nns, history_all
 
-    for stage in stages:
+    for i, stage in enumerate(stages):
         stage_batch = full_batch_fn(stage.tsteps)
         loss_scalings = determine_loss_scalings(model, nns, stage_batch, config)
         loss_fn = make_wind_mixing_loss_fn(model, stage_batch, loss_scalings, config)
-        nns, h, _ = _train_loop(loss_fn, nns, _make_optimizer(config, stage.learning_rate), stage.maxiters, callback)
+        nns, h, opt_state = _train_loop(loss_fn, nns, _make_optimizer(config, stage.learning_rate), stage.maxiters, callback, opt_state)
         history_all.extend(h)
+        _save(nns, opt_state, i)
     return nns, history_all
 
 

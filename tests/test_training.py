@@ -175,3 +175,49 @@ class TestCheckpoint:
             np.array(restored["nns"].wT.weights[0]), np.array(nns.wT.weights[0])
         )
         np.testing.assert_allclose(float(restored["scalings"].T.mu), float(scalings.T.mu))
+
+    def test_resume_matches_uninterrupted(self, tmp_path, wm_setup):
+        """Checkpoint after 3 iters + resume for 3 == one 6-iter run exactly.
+
+        Parity: optimizer-state restore in ``train_NDE_args.jl:140-146`` —
+        resuming must restore ADAM moments, not just the weights.
+        """
+        model, suite, scalings, batch = wm_setup
+        config = NDETrainConfig(learning_rate=1e-2, maxiters=6, n_substeps=2, method="split")
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        nns0 = FluxNNs(*[wind_mixing_mlp(k, 32, scale=1e-4) for k in ks])
+
+        nns_full, _ = train_wind_mixing_nde(model, nns0, batch, config)
+
+        half = NDETrainConfig(learning_rate=1e-2, maxiters=3, n_substeps=2, method="split")
+        ckpt = str(tmp_path / "resume_run")
+        nns_a, _ = train_wind_mixing_nde(model, nns0, batch, half, checkpoint_dir=ckpt)
+        nns_b, _ = train_wind_mixing_nde(model, nns0, batch, half, checkpoint_dir=ckpt, resume_from=ckpt)
+
+        for w_full, w_res in zip(nns_full.wT.weights, nns_b.wT.weights):
+            np.testing.assert_allclose(np.array(w_full), np.array(w_res), rtol=1e-5, atol=1e-7)
+
+    def test_extract_compaction(self, tmp_path, wm_setup):
+        """extract_checkpoint compacts history.jsonl into dense loss arrays."""
+        from climateparameterizations_jl_tpu.train.checkpoint import (
+            extract_checkpoint,
+            history_path,
+            load_extracted_losses,
+        )
+
+        model, suite, scalings, batch = wm_setup
+        run = str(tmp_path / "run")
+        hist = history_path(run)
+        for i in range(5):
+            hist.append({"iter": i, "loss": 1.0 / (i + 1)})
+        nns = FluxNNs(uw=None, vw=None, wT=wind_mixing_mlp(jax.random.PRNGKey(3), 32))
+        save_checkpoint(run, nns, meta={"stage": "s0"})
+
+        out = str(tmp_path / "extracted")
+        extract_checkpoint(run, out)
+        losses = load_extracted_losses(out)
+        assert losses["loss"].shape == (5,)
+        np.testing.assert_allclose(losses["loss"], [1.0 / (i + 1) for i in range(5)])
+        restored, meta = load_checkpoint(out, jax.tree.map(jnp.zeros_like, nns))
+        assert meta["n_iterations"] == 5
+        np.testing.assert_allclose(np.array(restored.wT.weights[0]), np.array(nns.wT.weights[0]))
