@@ -397,16 +397,20 @@ def cmd_evaluate(args) -> int:
     model = _wind_model(train_ds, args.nz)
     nns, _ = _load_nns(args.checkpoint)
     tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
-    ev = nde_profile(model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps)
+    ev = nde_profile(
+        model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps,
+        include_embedded=args.embedded,
+    )
     os.makedirs(args.output, exist_ok=True)
     np.savez(os.path.join(args.output, "evaluation.npz"), **ev.to_dict())
+    members = ("nde", "mpp", "kpp", "embedded", "embedded_baseline")
     plot_loss(
-        {m: ev[f"losses_{m}_T"] for m in ("nde", "mpp", "kpp") if f"losses_{m}_T" in ev.keys()},
+        {m: ev[f"losses_{m}_T"] for m in members if f"losses_{m}_T" in ev.keys()},
         ev["t"], os.path.join(args.output, "loss.png"),
     )
     if args.animate:
         animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride)
-    summary = {m: float(np.mean(ev[f"losses_{m}_T"])) for m in ("nde", "mpp", "kpp") if f"losses_{m}_T" in ev.keys()}
+    summary = {m: float(np.mean(ev[f"losses_{m}_T"])) for m in members if f"losses_{m}_T" in ev.keys()}
     print(json.dumps(summary))
     return 0
 
@@ -582,6 +586,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-stride", type=int, default=2)
     p.add_argument("--animate", action="store_true")
     p.add_argument("--gif-stride", type=int, default=4)
+    p.add_argument("--embedded", action="store_true", help="also run the host column model (baseline + NN)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("double-gyre", help="3-D basin run with optional NN closure")

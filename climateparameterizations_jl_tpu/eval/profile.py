@@ -145,6 +145,8 @@ def nde_profile(
     n_substeps: int = 4,
     kpp_params: KPPParameters | None = None,
     include_kpp: bool = True,
+    include_embedded: bool = False,
+    embedded_substeps: int = 10,
 ) -> ProfileEvaluation:
     """Full comparison harness for one held-out wind-mixing simulation.
 
@@ -221,6 +223,41 @@ def nde_profile(
         kpp_scaled = join_uvT(s.u.scale(kpp.U), s.v.scale(kpp.V), s.T.scale(kpp.T))
         for k, v in _per_timestep_channels(kpp_scaled, truth, Nz, model.dz_hat).items():
             out[f"losses_kpp_{k}"] = np.asarray(v)
+
+    # --- embedded host-model run (dimensional column, implicit mPP) ------
+    # Parity: solve_oceananigans_modified_pacanowski_philander_nn +
+    # NDE_profile_oceananigans (``training_postprocessing.jl:634-1156``) —
+    # the same NNs run inside the host column model, baseline and +NN.
+    if include_embedded:
+        from climateparameterizations_jl_tpu.embed.column_model import (
+            HostColumnModel,
+            HostColumnState,
+            run_paired_columns,
+        )
+
+        host = HostColumnModel(
+            H=model.H, f=model.f, g=model.g, alpha=model.alpha,
+            Fu=ds_test.u_top, Ftheta=ds_test.theta_top,
+            dTdz_bottom=ds_test.theta_bottom,
+            scalings=s, mpp=model.mpp, Nz=Nz, closure="mpp",
+        )
+        i0 = int(np.asarray(tsteps)[0])
+        state0 = HostColumnState(
+            u=ds_test.u[..., i0, :], v=ds_test.v[..., i0, :], T=ds_test.T[..., i0, :]
+        )
+        n_frames = len(t_dim) - 1
+        dt_emb = (t_dim[-1] - t_dim[0]) / (n_frames * embedded_substeps)
+        baseline, with_nn = run_paired_columns(
+            host, nns, state0, jnp.asarray(dt_emb, state0.T.dtype), n_frames, embedded_substeps
+        )
+        for name, sol in (("embedded_baseline", baseline), ("embedded", with_nn)):
+            u, v, T = (jnp.moveaxis(a, 0, -2) for a in (sol.u, sol.v, sol.T))
+            out[f"{name}_u"], out[f"{name}_v"], out[f"{name}_T"] = (
+                np.asarray(u), np.asarray(v), np.asarray(T),
+            )
+            scaled = join_uvT(s.u.scale(u), s.v.scale(v), s.T.scale(T))
+            for k, val in _per_timestep_channels(scaled, truth, Nz, model.dz_hat).items():
+                out[f"losses_{name}_{k}"] = np.asarray(val)
 
     return ProfileEvaluation(out)
 
