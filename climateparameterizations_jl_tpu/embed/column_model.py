@@ -35,7 +35,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.closures.mlp import MLP, apply_closure
 from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
 from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, WindMixingScalings
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
@@ -66,6 +66,10 @@ class HostColumnModel:
     kappa_conv: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
     Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
     closure: str = dataclasses.field(metadata=dict(static=True), default="mpp")
+    # NN feature vector: "uvT" (wind-mixing triple-NN embedding) or "T"
+    # (free-convection NN, reference ``oceananigans_nn.jl:120-126`` feeds the
+    # scaled temperature profile alone).
+    nn_input: str = dataclasses.field(metadata=dict(static=True), default="uvT")
 
     @property
     def dz(self):
@@ -91,12 +95,15 @@ def _nn_forcing(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnSt
         zero = jnp.zeros_like(state.T)
         return zero, zero, zero
     s = model.scalings
-    x = jnp.concatenate([s.u.scale(state.u), s.v.scale(state.v), s.T.scale(state.T)], axis=-1)
+    if model.nn_input == "T":
+        x = s.T.scale(state.T)
+    else:
+        x = jnp.concatenate([s.u.scale(state.u), s.v.scale(state.v), s.T.scale(state.T)], axis=-1)
 
     def flux_div(nn: MLP | None, scaling):
         if nn is None:
             return jnp.zeros_like(state.T)
-        interior = scaling.sigma * mlp_apply(nn, x)  # dimensional NN contribution
+        interior = scaling.sigma * apply_closure(nn, x)  # dimensional NN contribution
         zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
         faces = jnp.concatenate([zeros, interior, zeros], axis=-1)
         return -d_face_to_center(faces, model.dz)

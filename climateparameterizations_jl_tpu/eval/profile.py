@@ -273,6 +273,8 @@ def free_convection_profile(
     tke_params: TKEParameters | None = None,
     include_kpp: bool = True,
     include_tke: bool = True,
+    include_embedded: bool = False,
+    embedded_substeps: int = 10,
 ) -> ProfileEvaluation:
     """Free-convection comparison: truth vs NDE vs conv-adj-only vs KPP vs TKE.
 
@@ -333,5 +335,46 @@ def free_convection_profile(
         )
         out["tke_T"] = np.asarray(tke.T)
         out["losses_tke_T"] = mse_t(model.T_scaling.scale(tke.T), T_truth_scaled)
+
+    # --- embedded host column: conv-adj baseline vs conv-adj + NN --------
+    # Parity: ``oceananigans_convective_adjustment_nn``
+    # (``free_convection/src/oceananigans_nn.jl:42-211``) — the trained NN as
+    # a forcing in a dimensional column with implicit convective adjustment.
+    if include_embedded:
+        from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+        from climateparameterizations_jl_tpu.embed.column_model import (
+            HostColumnModel,
+            HostColumnState,
+            run_paired_columns,
+        )
+        from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingScalings
+        from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+
+        dtype = T_truth.dtype
+        unit = ZeroMeanUnitVarianceScaling(jnp.zeros((), dtype), jnp.ones((), dtype))
+        host = HostColumnModel(
+            H=model.H, f=ds_test.f, g=ds_test.g, alpha=ds_test.alpha,
+            Fu=jnp.zeros_like(ds_test.u_top), Ftheta=ds_test.theta_top,
+            dTdz_bottom=ds_test.theta_bottom,
+            scalings=WindMixingScalings(
+                u=unit, v=unit, T=model.T_scaling, uw=unit, vw=unit, wT=model.wT_scaling
+            ),
+            mpp=MPPParameters.default(dtype),
+            kappa_conv=model.kappa, Nz=Nz, closure="conv_adj", nn_input="T",
+        )
+        state0 = HostColumnState(
+            u=jnp.zeros_like(T_truth[..., 0, :]),
+            v=jnp.zeros_like(T_truth[..., 0, :]),
+            T=T_truth[..., 0, :],
+        )
+        dt_emb = (t_dim[-1] - t_dim[0]) / (n_save * embedded_substeps)
+        baseline, with_nn = run_paired_columns(
+            host, FluxNNs(uw=None, vw=None, wT=nn), state0,
+            jnp.asarray(dt_emb, dtype), n_save, embedded_substeps,
+        )
+        for name, sol in (("embedded_baseline", baseline), ("embedded", with_nn)):
+            T_emb = jnp.moveaxis(sol.T, 0, -2)
+            out[f"{name}_T"] = np.asarray(T_emb)
+            out[f"losses_{name}_T"] = mse_t(model.T_scaling.scale(T_emb), T_truth_scaled)
 
     return ProfileEvaluation(out)
