@@ -9,6 +9,8 @@ TPU-native re-design of the reference's evaluation layer:
   (``plot_loss_matrix``) and ``compute_nde_solution_history``.
 - :mod:`animations`  -> ``free_convection/src/animations.jl``,
   ``wind_mixing/src/animation.jl`` (matplotlib, GIF via pillow).
+- :mod:`report`      -> ``wind_mixing/src/animation.jl:832-962``
+  (``animate_training_results``: the one-call post-training orchestrator).
 """
 
 from climateparameterizations_jl_tpu.eval.profile import (
@@ -21,10 +23,20 @@ from climateparameterizations_jl_tpu.eval.loss_matrix import (
     solution_history,
 )
 
+def __getattr__(name):
+    # Lazy: report pulls in matplotlib; keep it off the hot import path.
+    if name == "training_report":
+        from climateparameterizations_jl_tpu.eval.report import training_report
+
+        return training_report
+    raise AttributeError(name)
+
+
 __all__ = [
     "ProfileEvaluation",
     "nde_profile",
     "free_convection_profile",
     "loss_matrix",
     "solution_history",
+    "training_report",
 ]

@@ -166,6 +166,49 @@ def plot_loss_matrix(matrix: dict, sim_names, path: str):
     return path
 
 
+def animate_training_data(var_les, z_les, var_coarse, z_coarse, t, path: str, xlabel: str = "T [C]", fps: int = 15, stride: int = 1):
+    """Animate hi-res LES vs its coarse-grained training profile.
+
+    Parity: ``animate_training_data`` (``free_convection/src/animations.jl:12-60``)
+    — the sanity check that coarse-graining preserves the structure the NN
+    will be trained on.
+    """
+    return animate_profiles(
+        {"LES": np.asarray(var_les), "coarse": np.asarray(var_coarse)},
+        {"LES": np.asarray(z_les), "coarse": np.asarray(z_coarse)},
+        t, path, xlabel=xlabel, fps=fps, stride=stride,
+    )
+
+
+def animate_nde_loss(per_timestep_losses, t, path: str, fps: int = 10, ylabel: str = "MSE"):
+    """Animate the per-timestep loss curve as training progresses.
+
+    ``per_timestep_losses``: ``(E, Nt)`` — one loss-vs-time curve per saved
+    epoch (from ``eval.loss_matrix.epoch_losses``). Parity:
+    ``animate_nde_loss`` (``free_convection/src/testing.jl:64-101``).
+    """
+    curves = np.asarray(per_timestep_losses)
+    t_days = np.asarray(t) / 86400.0
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    (line,) = ax.plot(t_days, curves[0])
+    ax.set_yscale("log")
+    lo, hi = max(curves.min(), 1e-30), curves.max()
+    ax.set_ylim(lo * 0.5, hi * 2)
+    ax.set_xlabel("t [days]")
+    ax.set_ylabel(ylabel)
+    title = ax.set_title("")
+
+    def update(e):
+        line.set_ydata(curves[e])
+        title.set_text(f"epoch {e}")
+        return [line]
+
+    anim = manimation.FuncAnimation(fig, update, frames=range(curves.shape[0]), blit=False)
+    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def animate_double_gyre(traj, model, path: str, fps: int = 8):
     """Animate the basin: SST, free surface, barotropic streamfunction.
 
