@@ -82,15 +82,18 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     return stats
 
 
-def bench_gp(n_train: int = 1024, n_features: int = 96):
-    """Exact-GP build (3 flux models: Gram + Cholesky) (Benchmarking.jl:55)."""
+def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
+    """Exact-GP build (3 flux models: Gram + Cholesky) (Benchmarking.jl:55).
+
+    ``backend="pallas"`` uses the fused MXU Gram kernel (``ops/gram.py``).
+    """
     from climateparameterizations_jl_tpu.closures.gp import get_kernel, gp_fit
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (n_train, n_features), jnp.float32)
     y = jax.random.normal(jax.random.PRNGKey(1), (n_train, 33), jnp.float32)
     z = jnp.linspace(0.0, 1.0, n_features)
-    kernel = get_kernel(1, 0.0, 0.0, "euclidean", dtype=jnp.float32)
+    kernel = get_kernel(1, 0.0, 0.0, "euclidean", dtype=jnp.float32, backend=backend)
 
     def build_three(x, y):
         models = [gp_fit(x, y, kernel, z) for _ in range(3)]
@@ -175,6 +178,11 @@ def run_suite(quick: bool = False) -> dict:
         "kpp_2day_columns": bench_kpp(n_columns=n_cols),
         "tke_2day_columns": bench_tke(n_columns=n_cols),
         "gp_build": bench_gp(n_train=max(128, int(1024 * scale))),
+        "gp_build_pallas": (
+            bench_gp(n_train=max(128, int(1024 * scale)), backend="pallas")
+            if jax.default_backend() == "tpu"
+            else {"skipped": "pallas Gram benchmark needs a real TPU"}
+        ),
         "nde_forward": bench_nde_forward(n_columns=n_cols, n_steps=max(64, int(1024 * scale))),
         "nde_train_step": bench_nde_train_step(n_sims=max(2, int(8 * scale)), n_window=max(8, int(32 * scale))),
     }

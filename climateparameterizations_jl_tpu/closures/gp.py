@@ -91,6 +91,9 @@ class GPKernel:
     alpha: jnp.ndarray
     family: str = dataclasses.field(metadata=dict(static=True), default="squared_exponential")
     metric: str = dataclasses.field(metadata=dict(static=True), default="euclidean")
+    # "xla" (differentiable, any dtype) or "pallas" (fused MXU Gram kernel,
+    # f32, forward-only — see ops/gram.py; interpret mode off-TPU).
+    backend: str = dataclasses.field(metadata=dict(static=True), default="xla")
 
     def __call__(self, d):
         g, s = self.gamma, self.sigma
@@ -111,6 +114,14 @@ class GPKernel:
 
     def gram(self, A, B, z):
         """Kernel matrix from feature matrices ``(n, D) x (m, D) -> (n, m)``."""
+        if self.backend == "pallas":
+            from climateparameterizations_jl_tpu.ops.gram import gram_pallas
+
+            tf = _DISTANCE_TRANSFORMS[self.metric]
+            return gram_pallas(
+                tf(A, z), tf(B, z), self.gamma, self.sigma, self.alpha,
+                family=self.family, interpret=jax.default_backend() != "tpu",
+            )
         return self(distance_matrix(A, B, z, self.metric))
 
     def self_variance(self, x):
@@ -185,7 +196,7 @@ class SpectralMixtureKernel:
 _FAMILY_IDS = {1: "squared_exponential", 2: "matern12", 3: "matern32", 4: "matern52", 5: "rational_quadratic"}
 
 
-def get_kernel(kernel_id: int, log_gamma: float, log_sigma: float, metric: str = "euclidean", alpha: float = 1.0, dtype=jnp.float64) -> GPKernel:
+def get_kernel(kernel_id: int, log_gamma: float, log_sigma: float, metric: str = "euclidean", alpha: float = 1.0, dtype=jnp.float64, backend: str = "xla") -> GPKernel:
     """Factory with the reference's ``10^x`` hyperparameter transform."""
     return GPKernel(
         gamma=jnp.asarray(10.0**log_gamma, dtype),
@@ -193,6 +204,7 @@ def get_kernel(kernel_id: int, log_gamma: float, log_sigma: float, metric: str =
         alpha=jnp.asarray(alpha, dtype),
         family=_FAMILY_IDS[kernel_id],
         metric=metric,
+        backend=backend,
     )
 
 

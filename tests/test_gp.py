@@ -238,3 +238,47 @@ class TestSpectralMixtureKernel:
         np.testing.assert_allclose(
             np.asarray(k.self_variance(A)), np.diag(np.asarray(k.gram(A, A))), rtol=1e-6
         )
+
+
+class TestPallasGram:
+    """Fused Pallas Gram kernel (ops/gram.py) vs the XLA path (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("family", [
+        "squared_exponential", "matern12", "matern32", "matern52", "rational_quadratic",
+    ])
+    @pytest.mark.parametrize("metric", ["euclidean", "derivative"])
+    def test_matches_xla_gram(self, family, metric):
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.normal(size=(37, 12)), jnp.float32)
+        B = jnp.asarray(rng.normal(size=(23, 12)), jnp.float32)
+        z = jnp.linspace(-5.0, 0.0, 12)
+        kw = dict(gamma=jnp.float32(1.7), sigma=jnp.float32(0.8), alpha=jnp.float32(1.3), family=family, metric=metric)
+        k_xla = GPKernel(backend="xla", **kw)
+        k_pl = GPKernel(backend="pallas", **kw)
+        K0 = np.asarray(k_xla.gram(A, B, z), np.float32)
+        K1 = np.asarray(k_pl.gram(A, B, z))
+        assert K1.shape == (37, 23)
+        np.testing.assert_allclose(K1, K0, rtol=2e-5, atol=2e-6)
+
+    def test_fit_predict_with_pallas_backend(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(40, 6)), jnp.float32)
+        y = jnp.asarray(np.sin(np.asarray(x).sum(axis=1, keepdims=True)), jnp.float32)
+        z = jnp.linspace(0.0, 1.0, 6)
+        k = GPKernel(
+            gamma=jnp.float32(2.0), sigma=jnp.float32(1.0), alpha=jnp.float32(1.0),
+            backend="pallas",
+        )
+        model = gp_fit(x, y, k, z)
+        pred = gp_predict(model, x)
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(y), atol=5e-2)
+
+    def test_large_padded_shapes(self):
+        # M, N straddle the 256-tile boundary; D > 128 exercises lane padding.
+        rng = np.random.default_rng(2)
+        A = jnp.asarray(rng.normal(size=(300, 130)), jnp.float32)
+        B = jnp.asarray(rng.normal(size=(257, 130)), jnp.float32)
+        kw = dict(gamma=jnp.float32(3.0), sigma=jnp.float32(1.0), alpha=jnp.float32(1.0))
+        K0 = np.asarray(GPKernel(backend="xla", **kw).gram(A, B, None), np.float32)
+        K1 = np.asarray(GPKernel(backend="pallas", **kw).gram(A, B, None))
+        np.testing.assert_allclose(K1, K0, rtol=2e-5, atol=2e-6)
