@@ -238,7 +238,9 @@ def gp_fit(x_train, y_train, kernel: GPKernel, z, jitter_scale: float | None = N
     if jitter_scale is None:
         import numpy as np
 
-        jitter_scale = float(np.sqrt(np.finfo(np.float64).eps))  # numpy: stays concrete under jit
+        # Dtype-aware jitter (numpy: stays concrete under jit). f64 matches
+        # the reference's robust-Cholesky scale; f32 needs ~sqrt(eps_f32).
+        jitter_scale = float(np.sqrt(np.finfo(np.dtype(K.dtype)).eps))
     K = K + jnp.max(K) * jitter_scale * jnp.eye(K.shape[0], dtype=K.dtype)
     chol = jsl.cholesky(K, lower=True)
     alpha = jsl.cho_solve((chol, True), y_train)
@@ -289,14 +291,39 @@ def gp_flux_model(x_train, y_train, z, kernel: GPKernel):
 
 
 def error_per_gamma(x_train, y_train, x_val, y_val, z, kernel_id: int, log_gammas, metric: str = "euclidean", log_sigma: float = 0.0):
-    """Held-out MSE for each log gamma (``GaussianProcesses.jl:60-74``)."""
-    errors = []
-    for lg in log_gammas:
-        kernel = get_kernel(kernel_id, float(lg), log_sigma, metric, dtype=jnp.asarray(x_train).dtype)
+    """Held-out MSE for each log gamma (``GaussianProcesses.jl:60-74``).
+
+    The whole grid is ONE jitted vmap: every gamma's Gram build, Cholesky,
+    solve, and validation MSE run as a single batched XLA program (the
+    reference refits in a sequential Julia loop). Batched Cholesky is native
+    on TPU; G grid points cost one kernel launch.
+    """
+    errs = _error_per_gamma_vmapped(
+        jnp.asarray(x_train), jnp.asarray(y_train), jnp.asarray(x_val), jnp.asarray(y_val),
+        z if z is None else jnp.asarray(z),
+        jnp.asarray(log_gammas, jnp.asarray(x_train).dtype),
+        kernel_id, metric, log_sigma,
+    )
+    return [float(e) for e in errs]
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _error_per_gamma_vmapped(x_train, y_train, x_val, y_val, z, log_gammas, kernel_id, metric, log_sigma):
+    dtype = x_train.dtype
+
+    def fit_and_score(log_gamma):
+        kernel = GPKernel(
+            gamma=10.0**log_gamma,
+            sigma=jnp.asarray(10.0**log_sigma, dtype),
+            alpha=jnp.asarray(1.0, dtype),
+            family=_FAMILY_IDS[kernel_id],
+            metric=metric,
+        )
         model = gp_fit(x_train, y_train, kernel, z)
         pred = gp_predict(model, x_val)
-        errors.append(float(jnp.mean((pred - y_val) ** 2)))
-    return errors
+        return jnp.mean((pred - y_val) ** 2)
+
+    return jax.vmap(fit_and_score)(log_gammas)
 
 
 def best_kernel(x_train, y_train, x_val, y_val, z, kernel_ids=(1, 2, 3, 4), log_gammas=None, metric: str = "euclidean", log_sigma: float = 0.0):

@@ -4,6 +4,7 @@ from climateparameterizations_jl_tpu.parallel.sharding import (
     replicate,
     make_sharded_nde_train_step,
     make_sharded_ensemble_solver,
+    sharded_kernel_search,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicate",
     "make_sharded_nde_train_step",
     "make_sharded_ensemble_solver",
+    "sharded_kernel_search",
 ]

@@ -89,6 +89,60 @@ def make_sharded_nde_train_step(model: WindMixingModel, batch: TrainingBatch, co
     return step
 
 
+def sharded_kernel_search(
+    mesh: Mesh,
+    x_train,
+    y_train,
+    x_val,
+    y_val,
+    z,
+    kernel_ids=(1, 2, 3, 4),
+    log_gammas=None,
+    metric: str = "euclidean",
+    log_sigma: float = 0.0,
+    axis_name: str = "batch",
+):
+    """GP kernel grid search with the gamma grid sharded across the mesh.
+
+    Each device fits its slice of the hyperparameter grid independently (one
+    batched Cholesky per device — the vmapped ``error_per_gamma`` program,
+    partitioned by XLA from the sharding annotation on ``log_gammas``).
+    Embarrassingly parallel: no collectives until the final argmin on host.
+
+    Parity: ``best_kernel`` / ``optimize_GP_kernels.jl``'s sweep, scaled to
+    a chip ensemble. Returns ``(kernel, mse)`` like ``best_kernel``.
+    """
+    from climateparameterizations_jl_tpu.closures.gp import (
+        _error_per_gamma_vmapped,
+        get_kernel,
+    )
+
+    if log_gammas is None:
+        log_gammas = np.linspace(-1.5, 1.5, 2 * mesh.devices.size)
+    log_gammas = np.asarray(log_gammas, dtype=np.asarray(x_train).dtype)
+    G = log_gammas.shape[0]
+    n_dev = mesh.devices.size
+    Gp = -(-G // n_dev) * n_dev
+    padded = np.concatenate([log_gammas, np.full(Gp - G, log_gammas[-1], log_gammas.dtype)])
+
+    split = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    lg = jax.device_put(jnp.asarray(padded), split)
+    args = [jax.device_put(jnp.asarray(a), repl) for a in (x_train, y_train, x_val, y_val)]
+    zz = None if z is None else jax.device_put(jnp.asarray(z), repl)
+
+    best = (None, float("inf"))
+    for kid in kernel_ids:
+        errs = np.asarray(_error_per_gamma_vmapped(*args, zz, lg, kid, metric, log_sigma))[:G]
+        i = int(np.argmin(errs))
+        if errs[i] < best[1]:
+            best = (
+                get_kernel(kid, float(log_gammas[i]), log_sigma, metric, dtype=jnp.asarray(x_train).dtype),
+                float(errs[i]),
+            )
+    return best
+
+
 def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh, axis_name: str = "batch"):
     """Forward ensemble solver with columns sharded across the mesh.
 

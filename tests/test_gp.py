@@ -282,3 +282,40 @@ class TestPallasGram:
         K0 = np.asarray(GPKernel(backend="xla", **kw).gram(A, B, None), np.float32)
         K1 = np.asarray(GPKernel(backend="pallas", **kw).gram(A, B, None))
         np.testing.assert_allclose(K1, K0, rtol=2e-5, atol=2e-6)
+
+
+class TestVmappedGridSearch:
+    def _data(self):
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(np.sort(rng.uniform(-3, 3, size=40))[:, None])
+        Xv = jnp.asarray(np.linspace(-2.8, 2.8, 25)[:, None])
+        return X, jnp.sin(X), Xv, jnp.sin(Xv), jnp.asarray([0.0])
+
+    def test_vmapped_matches_sequential_fits(self):
+        """One batched program == the reference's sequential refit loop."""
+        from climateparameterizations_jl_tpu.closures.gp import error_per_gamma
+
+        X, Y, Xv, Yv, z = self._data()
+        lgs = np.linspace(-1.0, 1.0, 6)
+        errs = error_per_gamma(X, Y, Xv, Yv, z, 1, lgs)
+        for lg, err in zip(lgs, errs):
+            kernel = get_kernel(1, float(lg), 0.0)
+            model = gp_fit(X, Y, kernel, z)
+            direct = float(jnp.mean((gp_predict(model, Xv) - Yv) ** 2))
+            np.testing.assert_allclose(err, direct, rtol=1e-6, atol=1e-12)
+
+    def test_sharded_search_matches_best_kernel(self):
+        """Gamma grid sharded over the 8-device mesh == single-device search."""
+        from climateparameterizations_jl_tpu.parallel.sharding import (
+            make_mesh,
+            sharded_kernel_search,
+        )
+
+        X, Y, Xv, Yv, z = self._data()
+        lgs = np.linspace(-1.0, 1.0, 11)  # non-multiple of 8: exercises padding
+        k_ref, err_ref = best_kernel(X, Y, Xv, Yv, z, kernel_ids=(1, 2), log_gammas=lgs)
+        mesh = make_mesh(8)
+        k_sh, err_sh = sharded_kernel_search(mesh, X, Y, Xv, Yv, z, kernel_ids=(1, 2), log_gammas=lgs)
+        np.testing.assert_allclose(err_sh, err_ref, rtol=1e-6)
+        assert k_sh.family == k_ref.family
+        np.testing.assert_allclose(float(k_sh.gamma), float(k_ref.gamma), rtol=1e-6)
