@@ -338,15 +338,28 @@ def cmd_optimise_mpp(args) -> int:
 
 
 def cmd_calibrate_kpp(args) -> int:
-    from climateparameterizations_jl_tpu.train.kpp_calibration import calibrate_kpp
-
     ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
-    params, info = calibrate_kpp(
-        ds, np.arange(0, args.n_train_steps), args.nz,
-        n_plugin=args.n_plugin, n_line_search=args.n_line_search,
-    )
-    result = {name: float(v) for name, v in zip(info["names"], np.asarray(info["values"]))}
-    result["loss"] = info["final_loss"]
+    tsteps = np.arange(0, min(args.n_train_steps, ds.t.shape[-1]))
+    if args.calibration_method == "eki":
+        from climateparameterizations_jl_tpu.train.eki import calibrate_kpp_eki
+
+        params, eki = calibrate_kpp_eki(
+            ds, tsteps, args.nz, n_ensemble=args.n_ensemble, n_iterations=args.n_eki_iters,
+        )
+        result = {
+            name: {"mean": float(m), "std": float(s)}
+            for name, m, s in zip(eki.names, np.asarray(eki.theta_mean), np.asarray(eki.theta_std))
+        }
+        result["misfit"] = eki.misfit_history[-1]
+    else:
+        from climateparameterizations_jl_tpu.train.kpp_calibration import calibrate_kpp
+
+        params, info = calibrate_kpp(
+            ds, tsteps, args.nz,
+            n_plugin=args.n_plugin, n_line_search=args.n_line_search,
+        )
+        result = {name: float(v) for name, v in zip(info["names"], np.asarray(info["values"]))}
+        result["loss"] = info["final_loss"]
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "kpp_parameters.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -561,10 +574,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-train-steps", type=int, default=32)
     p.set_defaults(fn=cmd_optimise_mpp)
 
-    p = sub.add_parser("calibrate-kpp", help="KPP parameter random search + line search")
+    p = sub.add_parser("calibrate-kpp", help="KPP parameter search (random or ensemble-Kalman)")
     _add_common(p)
+    p.add_argument("--calibration-method", default="random", choices=["random", "eki"])
     p.add_argument("--n-plugin", type=int, default=64)
     p.add_argument("--n-line-search", type=int, default=20)
+    p.add_argument("--n-ensemble", type=int, default=64, help="EKI ensemble size")
+    p.add_argument("--n-eki-iters", type=int, default=8)
     p.add_argument("--n-train-steps", type=int, default=32)
     p.set_defaults(fn=cmd_calibrate_kpp)
 

@@ -83,6 +83,42 @@ def make_kpp_loss_fn(
     return loss
 
 
+def make_kpp_forward_fn(
+    ds: ColumnTimeSeries,
+    tsteps,
+    Nz: int,
+    base_params: KPPParameters | None = None,
+    names: tuple = ("CSL", "CNL", "Cb_T", "CKE"),
+    n_substeps: int = 1,
+):
+    """Forward map for ensemble methods: ``values -> flattened T trajectory``.
+
+    Returns ``(forward_fn, y_obs)`` where ``y_obs`` is the matching flattened
+    LES truth — the ``(G, y)`` pair Ensemble Kalman Inversion needs
+    (the reference's commented-out EKI scaffold, ``train_kpp.jl:78-99``).
+    """
+    import numpy as np
+
+    tsteps = np.asarray(tsteps)
+    T_truth = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
+    t_row = ds.t[0] if ds.t.ndim > 1 else ds.t
+    t_save = jnp.take(t_row, jnp.asarray(tsteps))
+    base = base_params if base_params is not None else KPPParameters.default()
+    i0 = tsteps[0]
+    state0 = KPPState(U=ds.u[..., i0, :], V=ds.v[..., i0, :], T=ds.T[..., i0, :])
+    forcing = KPPForcing(
+        Fu=ds.u_top, Fb=ds.theta_top * ds.g * ds.alpha, dTdz_bottom=ds.theta_bottom
+    )
+
+    def forward(values):
+        values = jnp.asarray(values, ds.T.dtype)
+        params = _with_overrides(base, names, [values[i] for i in range(len(names))])
+        sol = solve_kpp(state0, t_save, params, forcing, ds.H, Nz, ds.f, ds.g, ds.alpha, n_substeps=n_substeps)
+        return jnp.moveaxis(sol.T, 0, -2).reshape(-1)
+
+    return forward, T_truth.reshape(-1)
+
+
 def random_plugin(
     loss_fn: Callable,
     priors: dict,

@@ -129,3 +129,40 @@ class TestProfiling:
         report = timer.report()
         assert report["a"]["count"] == 2
         assert report["b"]["count"] == 1
+
+
+class TestEKI:
+    def test_linear_gaussian_recovers_truth(self):
+        """EKI on a linear forward map converges to the generating parameters."""
+        from climateparameterizations_jl_tpu.train.eki import eki_calibrate
+
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.normal(size=(12, 2)))
+        theta_true = jnp.asarray([0.7, 2.5])
+        y = A @ theta_true
+        forward = lambda v: A @ v  # noqa: E731
+        priors = {"a": (0.0, 1.0), "b": (0.0, 5.0)}
+        result = eki_calibrate(
+            forward, y, priors, key=jax.random.PRNGKey(1),
+            n_ensemble=64, n_iterations=12, noise_std=1e-3,
+        )
+        np.testing.assert_allclose(np.asarray(result.theta_mean), np.asarray(theta_true), atol=0.05)
+        # Misfit collapses and the ensemble stays inside the prior box.
+        assert result.misfit_history[-1] < 0.01 * result.misfit_history[0]
+        ens = np.asarray(result.ensemble)
+        assert np.all(ens[:, 0] >= 0.0) and np.all(ens[:, 0] <= 1.0)
+        assert np.all(ens[:, 1] >= 0.0) and np.all(ens[:, 1] <= 5.0)
+        assert np.all(np.asarray(result.theta_std) >= 0.0)
+
+    def test_kpp_eki_smoke(self, fc_dataset):
+        """EKI drives the vmapped KPP ensemble; misfit decreases, params stay bounded."""
+        from climateparameterizations_jl_tpu.train.eki import calibrate_kpp_eki
+
+        params, result = calibrate_kpp_eki(
+            fc_dataset, np.arange(0, 16, 4), 32, key=jax.random.PRNGKey(2),
+            n_ensemble=16, n_iterations=3,
+        )
+        assert result.misfit_history[-1] <= result.misfit_history[0]
+        assert np.all(np.isfinite(np.asarray(result.theta_mean)))
+        assert 0.01 <= float(params.CSL) <= 0.99
+        assert np.all(np.asarray(result.theta_std) >= 0.0)
