@@ -170,6 +170,68 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
     return stats
 
 
+def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 32):
+    """3-D double gyre with the embedded NN closure (BASELINE.md config).
+
+    Every (i, j) column of the basin runs the learned closure as one batched
+    MXU matmul per step; reports basin column-timesteps/s (Nx * Ny columns).
+    """
+    from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+    from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+    from climateparameterizations_jl_tpu.embed.double_gyre import (
+        DoubleGyreModel,
+        DoubleGyreState,
+        run_double_gyre,
+    )
+
+    model = DoubleGyreModel.default(Nx=Nx, Ny=Ny, Nz=Nz)
+    state0 = DoubleGyreState.rest(model)
+    nn = free_convection_mlp(jax.random.PRNGKey(0), Nz)
+    f32 = jnp.float32
+    Ts = ZeroMeanUnitVarianceScaling(f32(15.0), f32(5.0))
+    ws = ZeroMeanUnitVarianceScaling(f32(0.0), f32(1e-5))
+
+    fn = jax.jit(
+        lambda s: run_double_gyre(model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn, T_scaling=Ts, wT_scaling=ws).T
+    )
+    stats = time_fn(fn, state0, iters=3)
+    stats["column_timesteps_per_sec"] = Nx * Ny * n_steps / stats["median_s"]
+    return stats
+
+
+def bench_column_ensemble(n_members: int = 1024, Nz: int = 32, n_steps: int = 256):
+    """1k-member sharded column ensemble (UQ config from BASELINE.md).
+
+    Uses the mesh-sharded ensemble solver (1-device mesh on a single chip;
+    the same program shards over ICI on a pod).
+    """
+    from __graft_entry__ import _make_setup
+
+    from climateparameterizations_jl_tpu.models.wind_mixing import BoundaryConditions
+    from climateparameterizations_jl_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_ensemble_solver,
+    )
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    model, nns, bcs_single, _ = _make_setup(Nz=Nz, n_columns=1)
+    rng = __import__("numpy").random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(n_members, 3 * Nz)) * 0.1, jnp.float32)
+    zeros = jnp.zeros((n_members,), jnp.float32)
+    bcs = BoundaryConditions(
+        uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros,
+        wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros,
+    )
+    mesh = make_mesh()
+    config = NDETrainConfig(n_substeps=n_steps, method="split")
+    solver = make_sharded_ensemble_solver(model, config, mesh)
+    with mesh:
+        fn = lambda x: solver(nns, bcs, x, jnp.float32(0.0), jnp.float32(1e-5 * n_steps), 1)  # noqa: E731
+        stats = time_fn(fn, x0, iters=3)
+    stats["column_timesteps_per_sec"] = n_members * n_steps / stats["median_s"]
+    return stats
+
+
 def run_suite(quick: bool = False) -> dict:
     """Run every benchmark; returns ``{name: stats}``."""
     scale = 0.25 if quick else 1.0
@@ -185,6 +247,13 @@ def run_suite(quick: bool = False) -> dict:
         ),
         "nde_forward": bench_nde_forward(n_columns=n_cols, n_steps=max(64, int(1024 * scale))),
         "nde_train_step": bench_nde_train_step(n_sims=max(2, int(8 * scale)), n_window=max(8, int(32 * scale))),
+        "double_gyre_nn": bench_double_gyre(
+            Nx=max(16, int(96 * scale)), Ny=max(16, int(96 * scale)),
+            n_steps=max(4, int(32 * scale)),
+        ),
+        "column_ensemble": bench_column_ensemble(
+            n_members=n_cols, n_steps=max(32, int(256 * scale)),
+        ),
     }
     return suite
 

@@ -510,6 +510,10 @@ def _add_common(p, with_sims=True):
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="climateparameterizations_jl_tpu", description=__doc__)
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force the JAX backend (overrides env; use cpu for offline runs)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("catalog", help="list dataset catalog names").set_defaults(fn=cmd_catalog)
@@ -632,6 +636,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must land before the first computation initializes a backend.
+        # jax.config wins over JAX_PLATFORMS (container site hooks may
+        # overwrite the env var after the user exported it).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     config = _load_config(getattr(args, "config", None))
     if config:
         defaults = {a.dest: a.default for sp in parser._subparsers._group_actions for a in getattr(sp.choices.get(args.command), "_actions", [])}  # noqa: SLF001

@@ -120,11 +120,18 @@ def eki_calibrate(
         chunks = [vforward(theta[i : i + batch_size]) for i in range(0, theta.shape[0], batch_size)]
         return jnp.concatenate(chunks)
 
+    # Diverged ensemble members (stiff parameter draws blowing up the
+    # forward solve) must not poison the Kalman update: bound every
+    # prediction to a wide band around the data (standard EKI failure
+    # handling) so innovations stay large-but-finite in f32.
+    span = float(jnp.max(y) - jnp.min(y)) + 1e-12
+    g_lo, g_hi = float(jnp.min(y)) - 100.0 * span, float(jnp.max(y)) + 100.0 * span
+
     misfits = []
     for _ in range(n_iterations):
         theta = _to_constrained(u, lo, hi)
         g = evaluate(theta)
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        g = jnp.clip(jnp.where(jnp.isfinite(g), g, g_hi), g_lo, g_hi)
         misfits.append(float(jnp.mean((g - y[None, :]) ** 2)))
         key, k = jax.random.split(key)
         u = update(u, g, k)

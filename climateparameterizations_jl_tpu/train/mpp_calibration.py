@@ -79,3 +79,42 @@ def optimise_mpp_parameters(
         if callback is not None:
             callback(i, float(total), unscale(theta))
     return unscale(theta), history
+
+
+def calibrate_mpp_eki(
+    model: WindMixingModel,
+    batch: TrainingBatch,
+    config: NDETrainConfig,
+    key=None,
+    priors: dict | None = None,
+    n_ensemble: int = 64,
+    n_iterations: int = 8,
+):
+    """mPP calibration via Ensemble Kalman Inversion (gradient-free + UQ).
+
+    Forward map: the physics-only (zeroed-NN) trajectory over the training
+    window; observations: the LES targets. Complements the gradient
+    optimizer above with posterior spread per parameter (the package's UQ
+    promise, ``README.md:7``). Returns ``(MPPParameters, EKIResult)``.
+    """
+    from climateparameterizations_jl_tpu.train.eki import eki_calibrate
+
+    if priors is None:
+        p0 = model.mpp
+        # Uniform boxes: [p/10, 10p] around the defaults — the same x10
+        # scaled-unit box the gradient path clips to.
+        priors = {
+            name: (0.1 * float(v), 10.0 * float(v))
+            for name, v in zip(("nu_0", "nu_minus", "delta_Ri", "Ri_c", "Pr"), p0.as_vector())
+        }
+    names = tuple(priors.keys())
+
+    def forward(values):
+        m = dataclasses.replace(model, mpp=MPPParameters.from_vector(jnp.asarray(values)))
+        return _solve(m, NO_NNS, batch, config).reshape(-1)
+
+    result = eki_calibrate(
+        forward, batch.targets.reshape(-1), priors, key=key,
+        n_ensemble=n_ensemble, n_iterations=n_iterations,
+    )
+    return MPPParameters.from_vector(result.theta_mean), result

@@ -121,6 +121,28 @@ class TestMPPCalibration:
         assert losses[-1] < losses[0]  # calibration reduces trajectory loss
         assert float(fitted.nu_0) >= 0.0
 
+    def test_eki_calibration_reduces_misfit(self, wm_setup):
+        """Gradient-free mPP calibration via EKI (+ posterior spread)."""
+        import dataclasses as dc
+
+        from climateparameterizations_jl_tpu.train.mpp_calibration import calibrate_mpp_eki
+
+        model, suite, scalings, batch = wm_setup
+        wrong = MPPParameters(
+            nu_0=f32(3e-4), nu_minus=f32(3e-2), Ri_c=f32(0.4), delta_Ri=f32(2.0), Pr=f32(1.5)
+        )
+        m = dc.replace(model, mpp=wrong)
+        # Split (implicit-diffusion) solver: stiff large-nu prior draws stay
+        # stable, keeping the ensemble forward map well-posed.
+        config = NDETrainConfig(n_substeps=2, train_gradient=False, method="split")
+        fitted, result = calibrate_mpp_eki(
+            m, batch, config, key=jax.random.PRNGKey(0), n_ensemble=16, n_iterations=3
+        )
+        assert result.misfit_history[-1] <= result.misfit_history[0]
+        assert np.all(np.isfinite(np.asarray(result.theta_mean)))
+        assert float(fitted.nu_0) > 0.0
+        assert np.all(np.asarray(result.theta_std) >= 0.0)
+
 
 class TestDirectFluxRegression:
     def test_fits_synthetic_fluxes(self, wm_setup):
