@@ -117,6 +117,34 @@ def _resolve_train_state(directory: str | None) -> str | None:
     return nested if os.path.isdir(nested) else directory
 
 
+def cmd_generate_les(args) -> int:
+    """Run the 3-D LES and save horizontally-averaged training data (.npz).
+
+    Parity: the reference's LES driver ``wind_mixing/wind_mixing.jl:1-143``
+    (256^3 Oceananigans GPU run -> AveragedField output), as one jitted scan.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
+
+    config = LESConfig.default(Nx=args.n_horizontal, Ny=args.n_horizontal, Nz=args.nz_les, Qu=args.qu, Qb=args.qb)
+    dt = args.dt if args.dt else stable_dt(config, u_max=args.u_max)
+    save_every = max(1, int(round(args.dt_save / dt)))
+    ds = run_les(config, dt=dt, n_save=args.n_save, save_every=save_every)
+    os.makedirs(args.output, exist_ok=True)
+    path = os.path.join(args.output, "les_profiles.npz")
+    np.savez(path, **{f.name: np.asarray(getattr(ds, f.name)) for f in dataclasses.fields(ds)})
+    T = np.asarray(ds.T)
+    print(json.dumps({
+        "output": path, "dt": float(dt), "save_every": save_every,
+        "frames": int(ds.t.shape[-1]), "T_final_range": [float(T[-1].min()), float(T[-1].max())],
+        "finite": bool(np.isfinite(T).all()),
+    }))
+    return 0
+
+
 def cmd_extract(args) -> int:
     from climateparameterizations_jl_tpu.train.checkpoint import extract_checkpoint
 
@@ -546,6 +574,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fraction-profile", type=float, default=0.5)
     p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
     p.set_defaults(fn=cmd_train_nde)
+
+    p = sub.add_parser("generate-les", help="run the 3-D LES and save averaged training profiles")
+    p.add_argument("--n-horizontal", type=int, default=32)
+    p.add_argument("--nz-les", type=int, default=32)
+    p.add_argument("--qu", type=float, default=-5e-4, help="surface momentum flux [m2/s2]")
+    p.add_argument("--qb", type=float, default=3e-8, help="surface buoyancy flux [m2/s3]")
+    p.add_argument("--dt", type=float, default=None, help="LES step [s] (default: stability bound)")
+    p.add_argument("--u-max", type=float, default=0.2, help="velocity scale for the stability bound")
+    p.add_argument("--dt-save", type=float, default=600.0)
+    p.add_argument("--n-save", type=int, default=48)
+    p.add_argument("--output", default="runs/les")
+    p.set_defaults(fn=cmd_generate_les)
 
     p = sub.add_parser("extract", help="compact a run dir into an extracted checkpoint")
     p.add_argument("run_dir")

@@ -14,6 +14,7 @@ from climateparameterizations_jl_tpu.data.synthetic import (
     three_layer_profile,
 )
 from climateparameterizations_jl_tpu.data.flux_reconstruction import reconstruct_flux_profiles
+from climateparameterizations_jl_tpu.data.les import LESConfig, LESState, initial_state, run_les, stable_dt
 from climateparameterizations_jl_tpu.data.registry import (
     WIND_MIXING_CATALOG,
     TWO_DAY_SUITE,
@@ -26,6 +27,11 @@ from climateparameterizations_jl_tpu.data.registry import (
 __all__ = [
     "ColumnTimeSeries",
     "TrainingBatch",
+    "LESConfig",
+    "LESState",
+    "initial_state",
+    "run_les",
+    "stable_dt",
     "coarsen_dataset",
     "fit_wind_mixing_scalings",
     "scaled_state_array",

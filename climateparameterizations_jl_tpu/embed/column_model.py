@@ -143,7 +143,12 @@ def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostCol
     u = u.at[..., -1].add(-dt * model.Fu / dz)
     T = T.at[..., -1].add(-dt * model.Ftheta / dz)
     nu, kappa = _diffusivities(model, state)
-    T = T.at[..., 0].add(dt * kappa[..., 1] * model.dTdz_bottom / dz)
+    # Fixed-gradient bottom BC: upward flux through the bottom face is
+    # -kappa * dTdz (heat exits downward in stable stratification), exactly
+    # cancelling the zero-flux Laplacian's +kappa*dTdz/dz erosion of cell 0,
+    # so the deep linear profile stays steady (Oceananigans
+    # GradientBoundaryCondition semantics, NDE_oceananigans.jl:331-362).
+    T = T.at[..., 0].add(-dt * kappa[..., 1] * model.dTdz_bottom / dz)
 
     u = implicit_diffusion_step(u, nu, dt, dz, backend=tridiag_backend)
     v = implicit_diffusion_step(v, nu, dt, dz, backend=tridiag_backend)

@@ -240,8 +240,10 @@ def kpp_step(state: KPPState, dt, dz, zf, zc, params: KPPParameters, forcing: KP
     U_half = U_half.at[..., -1].add(-dt * forcing.Fu / dz)
     F_theta = forcing.Fb / (g * alpha)
     T_half = T_half.at[..., -1].add(-dt * F_theta / dz)
-    # Bottom gradient BC on T: diffusive flux K*dTdz through the bottom face.
-    T_half = T_half.at[..., 0].add(dt * params.KT0 * forcing.dTdz_bottom / dz)
+    # Fixed-gradient bottom BC on T: upward flux -K*dTdz exits the bottom
+    # face (keeps the deep linear profile steady against the zero-flux
+    # Laplacian's erosion; Oceananigans GradientBoundaryCondition semantics).
+    T_half = T_half.at[..., 0].add(-dt * params.KT0 * forcing.dTdz_bottom / dz)
 
     # Nonlocal flux divergence (faces -> centers).
     dNL = (NL[..., 1:] - NL[..., :-1]) / dz

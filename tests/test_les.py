@@ -1,0 +1,154 @@
+"""3-D LES data-generator tests: projection, conservation, physics, output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climateparameterizations_jl_tpu.data.containers import ColumnTimeSeries, coarsen_dataset
+from climateparameterizations_jl_tpu.data.les import (
+    LESConfig,
+    LESState,
+    _divergence,
+    _poisson_solve,
+    initial_state,
+    les_step,
+    run_les,
+    stable_dt,
+)
+
+f32 = jnp.float32
+
+
+def small_config(**overrides):
+    kw = dict(Nx=8, Ny=8, Nz=16, dtype=jnp.float64)
+    kw.update(overrides)
+    return LESConfig.default(**kw)
+
+
+class TestPoisson:
+    def test_inverts_discrete_laplacian(self):
+        """poisson(laplacian(p)) == p (up to the pinned constant)."""
+        c = small_config()
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.normal(size=(c.Ny, c.Nx, c.Nz)))
+        p = p - jnp.mean(p)
+
+        # Apply the discrete MAC laplacian: div(grad(p)).
+        from climateparameterizations_jl_tpu.data.les import _xm, _xp, _ym, _yp
+
+        gx = (p - _xm(p)) / c.dx
+        gy = (p - _ym(p)) / c.dy
+        gz_int = (p[..., 1:] - p[..., :-1]) / c.dz
+        zeros = jnp.zeros_like(p[..., :1])
+        gz = jnp.concatenate([zeros, gz_int, zeros], axis=-1)
+        lap = _divergence(c, gx, gy, gz)
+
+        p_rec = _poisson_solve(c, lap)
+        # Equal up to an additive constant (the pinned gauge).
+        diff = np.asarray(p_rec - p)
+        np.testing.assert_allclose(diff - diff.mean(), 0.0, atol=1e-8)
+
+    def test_projection_kills_divergence(self):
+        c = small_config()
+        key = jax.random.PRNGKey(1)
+        state = initial_state(c, key, noise=1e-2)
+        # Random (divergent) velocity field.
+        k1, k2, k3 = jax.random.split(key, 3)
+        state = LESState(
+            u=0.01 * jax.random.normal(k1, state.u.shape, state.u.dtype),
+            v=0.01 * jax.random.normal(k2, state.v.shape, state.v.dtype),
+            w=state.w.at[..., 1:-1].set(0.01 * jax.random.normal(k3, state.w[..., 1:-1].shape, state.w.dtype)),
+            T=state.T,
+        )
+        new = les_step(c, state, dt=1.0)
+        div = np.asarray(_divergence(c, new.u, new.v, new.w))
+        assert np.max(np.abs(div)) < 1e-10
+
+
+class TestLESPhysics:
+    def test_rest_state_stays_at_rest(self):
+        """No forcing + no noise: the stratified rest state stays still.
+
+        Velocities stay exactly zero (buoyancy is fully absorbed by the
+        projection); T is steady everywhere except the top cell, which
+        diffuses molecularly under the zero-flux lid (the bottom cell is
+        held steady by the fixed-gradient BC).
+        """
+        c = small_config(Qu=0.0, Qb=0.0)
+        state = initial_state(c, noise=0.0)
+        out = state
+        for _ in range(5):
+            out = les_step(c, out, dt=30.0)
+        assert float(jnp.max(jnp.abs(out.u))) < 1e-10
+        assert float(jnp.max(jnp.abs(out.w))) < 1e-10
+        np.testing.assert_allclose(
+            np.asarray(out.T[..., :-1]), np.asarray(state.T[..., :-1]), atol=1e-9
+        )
+        # Top cell cools at the molecular rate nu * dTdz / dz.
+        expected_drop = float(c.nu * c.dTdz / c.dz) * 5 * 30.0
+        drop = float(jnp.mean(state.T[..., -1] - out.T[..., -1]))
+        np.testing.assert_allclose(drop, expected_drop, rtol=1e-4)
+
+    def test_heat_budget(self):
+        """Total heat change == surface-flux loss + bottom-gradient outflux."""
+        c = small_config(Qu=0.0, Qb=3e-8)
+        state = initial_state(c, noise=0.0)
+        n, dt = 20, 30.0
+        out = state
+        for _ in range(n):
+            out = les_step(c, out, dt=dt)
+        dz = float(c.dz)
+        heat0 = float(jnp.mean(jnp.sum(state.T, axis=-1), axis=(0, 1))) * dz
+        heat1 = float(jnp.mean(jnp.sum(out.T, axis=-1), axis=(0, 1))) * dz
+        expected = -(float(c.theta_top) + float(c.nu * c.dTdz)) * n * dt
+        assert abs((heat1 - heat0) - expected) < 5e-3 * abs(expected) + 1e-12
+
+    def test_convection_mixes_surface(self):
+        """Surface cooling: a mixed layer forms (unstable near-surface gradient removed)."""
+        c = small_config(Nz=16, Qu=0.0, Qb=2e-7, nu=1e-4)
+        dt = stable_dt(c, u_max=0.05)
+        ds = run_les(c, dt=dt, n_save=4, save_every=40, key=jax.random.PRNGKey(2))
+        T0, T1 = np.asarray(ds.T[0]), np.asarray(ds.T[-1])
+        assert np.all(np.isfinite(T1))
+        # Cooling removed heat overall.
+        assert T1.sum() < T0.sum()
+        # The top of the column cooled the most.
+        assert (T0 - T1)[-4:].mean() > (T0 - T1)[:4].mean()
+
+
+class TestLESOutput:
+    @pytest.fixture(scope="class")
+    def dataset(self):
+        c = small_config(Nz=32, Qu=-2e-4, Qb=1e-8, nu=1e-4)
+        dt = stable_dt(c, u_max=0.05)
+        return run_les(c, dt=dt, n_save=6, save_every=25, key=jax.random.PRNGKey(3))
+
+    def test_column_time_series_contract(self, dataset):
+        ds = dataset
+        assert isinstance(ds, ColumnTimeSeries)
+        assert ds.T.shape == (7, 32)
+        assert ds.wT.shape == (7, 33)
+        assert ds.t.shape == (7,)
+        for name in ("u", "v", "T", "uw", "vw", "wT"):
+            assert np.all(np.isfinite(np.asarray(getattr(ds, name)))), name
+
+    def test_boundary_fluxes_imposed(self, dataset):
+        ds = dataset
+        np.testing.assert_allclose(np.asarray(ds.uw[:, -1]), float(ds.u_top), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds.wT[:, -1]), float(ds.theta_top), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds.uw[:, 0]), 0.0, atol=1e-12)
+
+    def test_wind_accelerates_surface_current(self, dataset):
+        # Qu < 0: eastward surface current spins up.
+        ds = dataset
+        assert float(ds.u[-1, -1]) > 0.0
+
+    def test_coarsens_into_pipeline(self, dataset):
+        coarse = coarsen_dataset(dataset, 16)
+        assert coarse.T.shape == (7, 16)
+        assert coarse.wT.shape == (7, 17)
+        # Coarse-graining preserves the column mean.
+        np.testing.assert_allclose(
+            np.asarray(coarse.T.mean(axis=-1)), np.asarray(dataset.T.mean(axis=-1)), rtol=1e-6
+        )
