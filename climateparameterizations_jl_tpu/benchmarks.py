@@ -232,6 +232,32 @@ def bench_column_ensemble(n_members: int = 1024, Nz: int = 32, n_steps: int = 25
     return stats
 
 
+def bench_les(n_horizontal: int = 64, Nz: int = 64, n_steps: int = 100):
+    """3-D LES data generator throughput (cell-steps/s).
+
+    Reference point: the 256^3 Oceananigans LES takes "a few hours ... on a
+    good GPU" (``free_convection/README.md:7``).
+    """
+    from climateparameterizations_jl_tpu.data.les import LESConfig, initial_state, les_step, stable_dt
+
+    config = LESConfig.default(Nx=n_horizontal, Ny=n_horizontal, Nz=Nz)
+    state0 = initial_state(config, jax.random.PRNGKey(0))
+    dt = stable_dt(config)
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return les_step(config, s, dt), None
+
+        s, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return s
+
+    stats = time_fn(run, state0, iters=3)
+    stats["cell_steps_per_sec"] = n_horizontal * n_horizontal * Nz * n_steps / stats["median_s"]
+    stats["dt_s"] = float(dt)
+    return stats
+
+
 def run_suite(quick: bool = False) -> dict:
     """Run every benchmark; returns ``{name: stats}``."""
     scale = 0.25 if quick else 1.0
@@ -253,6 +279,10 @@ def run_suite(quick: bool = False) -> dict:
         ),
         "column_ensemble": bench_column_ensemble(
             n_members=n_cols, n_steps=max(32, int(256 * scale)),
+        ),
+        "les_3d": bench_les(
+            n_horizontal=max(16, int(64 * scale)), Nz=max(16, int(64 * scale)),
+            n_steps=max(10, int(100 * scale)),
         ),
     }
     return suite

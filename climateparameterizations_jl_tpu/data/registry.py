@@ -176,19 +176,37 @@ def load_simulation(
     Nz_les: int = 128,
     n_save: int = 288,
     dt_save: float = 600.0,
+    source: str = "auto",
     **synthetic_kwargs,
 ):
     """Load one catalog simulation as a :class:`ColumnTimeSeries`.
 
-    If ``data_dir`` is given and the reference's ``.jld2`` file exists there
-    (layout of ``lesbrary_relative_path``), it is read with the HDF5 reader;
-    otherwise the catalog entry's physical parameters drive the synthetic
-    generator — every catalog name has an offline stand-in, the fixture
-    strategy the reference lacks (SURVEY.md section 4).
+    ``source``:
+      - ``"auto"``: the reference's ``.jld2`` file from ``data_dir`` when it
+        exists (HDF5 reader), else the fast synthetic column stand-in —
+        every catalog name works offline (the fixture strategy the
+        reference lacks, SURVEY.md section 4).
+      - ``"les3d"``: GENERATE the data by running the 3-D LES
+        (``data/les.py``) with the catalog entry's surface fluxes — the
+        reference's ``wind_mixing.jl`` data-generation path, on TPU.
     """
     import os
 
     spec = simulation_parameters(name)
+    # Catalog Qu values are stress magnitudes for the 2DaySuite; generators
+    # expect the signed kinematic flux (negative = eastward wind).
+    Qu = -abs(spec.Qu) if spec.Qu != 0.0 else 0.0
+
+    if source == "les3d":
+        import jax.numpy as jnp
+
+        from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
+
+        config = LESConfig.default(Nx=min(Nz_les, 64), Ny=min(Nz_les, 64), Nz=Nz_les, Qu=Qu, Qb=spec.Qb)
+        config = dataclasses.replace(config, f=jnp.asarray(spec.f, jnp.float32))
+        dt = stable_dt(config)
+        return run_les(config, dt=dt, n_save=n_save, save_every=max(1, int(round(dt_save / dt))))
+
     if data_dir is not None:
         path = os.path.join(data_dir, lesbrary_relative_path(name))
         if os.path.exists(path):
@@ -198,9 +216,6 @@ def load_simulation(
 
     from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
 
-    # Catalog Qu values are stress magnitudes for the 2DaySuite; the synthetic
-    # generator expects the signed kinematic flux (negative = eastward wind).
-    Qu = -abs(spec.Qu) if spec.Qu != 0.0 else 0.0
     return synthetic_wind_mixing_les(
         Qu=Qu, Qb=spec.Qb, f=spec.f, diurnal=spec.diurnal,
         Nz=Nz_les, n_save=n_save, dt_save=dt_save, **synthetic_kwargs,

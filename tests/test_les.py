@@ -152,3 +152,14 @@ class TestLESOutput:
         np.testing.assert_allclose(
             np.asarray(coarse.T.mean(axis=-1)), np.asarray(dataset.T.mean(axis=-1)), rtol=1e-6
         )
+
+
+class TestRegistryLESSource:
+    def test_catalog_entry_generates_via_les3d(self):
+        """source='les3d': a catalog name drives the 3-D LES generator."""
+        from climateparameterizations_jl_tpu.data.registry import load_simulation
+
+        ds = load_simulation("strong_wind", Nz_les=12, n_save=2, dt_save=60.0, source="les3d")
+        assert ds.T.shape == (3, 12)
+        assert np.all(np.isfinite(np.asarray(ds.T)))
+        assert float(ds.u_top) < 0.0  # signed kinematic momentum flux
