@@ -209,6 +209,44 @@ def animate_nde_loss(per_timestep_losses, t, path: str, fps: int = 10, ylabel: s
     return path
 
 
+def animate_les_slices(T_frames, w_frames, H: float, path: str, fps: int = 8):
+    """Animate vertical (x-z) slices of the 3-D LES: temperature + w.
+
+    ``T_frames``: ``(Nt, Ny, Nx, Nz)`` center temperature snapshots;
+    ``w_frames``: ``(Nt, Ny, Nx, Nz+1)`` face vertical velocity. Shows the
+    mid-basin y slice. Parity: the reference's 3-D LES rendering
+    (``wind_mixing/src/animation.jl:1300+``), as planar slices.
+    """
+    T = np.asarray(T_frames)
+    w = np.asarray(w_frames)
+    j = T.shape[1] // 2
+    Ts = np.swapaxes(T[:, j], 1, 2)  # (Nt, Nz, Nx)
+    ws = np.swapaxes(0.5 * (w[:, j, :, :-1] + w[:, j, :, 1:]), 1, 2)
+    extent = (0, Ts.shape[2], -H, 0.0)
+
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
+    ims = [
+        axes[0].imshow(Ts[0], origin="lower", cmap="RdYlBu_r", aspect="auto",
+                       vmin=Ts.min(), vmax=Ts.max(), extent=extent),
+        axes[1].imshow(ws[0], origin="lower", cmap="RdBu_r", aspect="auto",
+                       vmin=-np.abs(ws).max() - 1e-12, vmax=np.abs(ws).max() + 1e-12, extent=extent),
+    ]
+    for ax, im, label in zip(axes, ims, ("T [C]", "w [m/s]")):
+        ax.set_title(label)
+        ax.set_ylabel("z [m]")
+        fig.colorbar(im, ax=ax, shrink=0.85)
+
+    def update(k):
+        ims[0].set_data(Ts[k])
+        ims[1].set_data(ws[k])
+        return ims
+
+    anim = manimation.FuncAnimation(fig, update, frames=range(T.shape[0]), blit=False)
+    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def animate_double_gyre(traj, model, path: str, fps: int = 8):
     """Animate the basin: SST, free surface, barotropic streamfunction.
 

@@ -104,6 +104,25 @@ class TestLESPhysics:
         expected = -(float(c.theta_top) + float(c.nu * c.dTdz)) * n * dt
         assert abs((heat1 - heat0) - expected) < 5e-3 * abs(expected) + 1e-12
 
+    def test_momentum_budget(self):
+        """f=0, Cs=0: total u-momentum change == -Qu * t exactly.
+
+        Flux-form advection on the periodic MAC grid conserves momentum;
+        the projection's pressure gradient has zero horizontal mean; only
+        the imposed surface stress changes the budget.
+        """
+        c = small_config(Qu=-3e-4, Qb=0.0, f=jnp.float64(0.0), Cs=jnp.float64(0.0))
+        state = initial_state(c, jax.random.PRNGKey(5), noise=1e-3)
+        n, dt = 15, 20.0
+        out = state
+        for _ in range(n):
+            out = les_step(c, out, dt=dt)
+        dz = float(c.dz)
+        mom0 = float(jnp.mean(jnp.sum(state.u, axis=-1))) * dz
+        mom1 = float(jnp.mean(jnp.sum(out.u, axis=-1))) * dz
+        expected = -float(c.Qu) * n * dt
+        np.testing.assert_allclose(mom1 - mom0, expected, rtol=1e-10)
+
     def test_convection_mixes_surface(self):
         """Surface cooling: a mixed layer forms (unstable near-surface gradient removed)."""
         c = small_config(Nz=16, Qu=0.0, Qb=2e-7, nu=1e-4)
@@ -163,3 +182,21 @@ class TestRegistryLESSource:
         assert ds.T.shape == (3, 12)
         assert np.all(np.isfinite(np.asarray(ds.T)))
         assert float(ds.u_top) < 0.0  # signed kinematic momentum flux
+
+
+class TestLESAnimation:
+    def test_slice_animation_writes_gif(self, tmp_path):
+        import os
+
+        from climateparameterizations_jl_tpu.eval.animations import animate_les_slices
+
+        c = small_config(Nz=8)
+        state = initial_state(c, jax.random.PRNGKey(7), noise=1e-2)
+        frames_T, frames_w = [state.T], [state.w]
+        out = state
+        for _ in range(2):
+            out = les_step(c, out, dt=20.0)
+            frames_T.append(out.T)
+            frames_w.append(out.w)
+        p = animate_les_slices(jnp.stack(frames_T), jnp.stack(frames_w), float(c.H), str(tmp_path / "les.gif"))
+        assert os.path.getsize(p) > 0
