@@ -130,9 +130,10 @@ def cmd_generate_les(args) -> int:
     from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
 
     config = LESConfig.default(Nx=args.n_horizontal, Ny=args.n_horizontal, Nz=args.nz_les, Qu=args.qu, Qb=args.qb)
-    dt = args.dt if args.dt else stable_dt(config, u_max=args.u_max)
+    cfl = 0.6 if args.les_method == "rk3" else 0.2
+    dt = args.dt if args.dt else stable_dt(config, u_max=args.u_max, cfl=cfl)
     save_every = max(1, int(round(args.dt_save / dt)))
-    ds = run_les(config, dt=dt, n_save=args.n_save, save_every=save_every)
+    ds = run_les(config, dt=dt, n_save=args.n_save, save_every=save_every, method=args.les_method)
     os.makedirs(args.output, exist_ok=True)
     path = os.path.join(args.output, "les_profiles.npz")
     np.savez(path, **{f.name: np.asarray(getattr(ds, f.name)) for f in dataclasses.fields(ds)})
@@ -584,6 +585,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--u-max", type=float, default=0.2, help="velocity scale for the stability bound")
     p.add_argument("--dt-save", type=float, default=600.0)
     p.add_argument("--n-save", type=int, default=48)
+    p.add_argument("--les-method", default="rk3", choices=["euler", "rk3"])
     p.add_argument("--output", default="runs/les")
     p.set_defaults(fn=cmd_generate_les)
 

@@ -229,8 +229,8 @@ def _poisson_solve(config: LESConfig, rhs):
     return jnp.fft.irfft2(phat, s=(Ny, Nx), axes=(0, 1)).astype(dtype)
 
 
-def les_step(config: LESConfig, state: LESState, dt) -> LESState:
-    """One projection step: advect/diffuse/force -> Poisson -> correct."""
+def _tendencies(config: LESConfig, state: LESState):
+    """(du/dt, dv/dt, dw_int/dt, dT/dt) before the pressure projection."""
     c = config
     dx, dy, dz = c.dx, c.dy, c.dz
     u, v, w, T = state.u, state.v, state.w, state.T
@@ -304,19 +304,52 @@ def les_step(config: LESConfig, state: LESState, dt) -> LESState:
         + (w[..., 2:] - 2 * w_int + w[..., :-2]) / dz**2
     )
     dwdt = -adv_w + b + nu_w * lap_w
+    return dudt, dvdt, dwdt, dTdt
 
-    # --- predictor + projection --------------------------------------------
-    u_star = u + dt * dudt
-    v_star = v + dt * dvdt
-    w_star = w.at[..., 1:-1].add(dt * dwdt)
 
+def _project(config: LESConfig, u_star, v_star, w_star, dt):
+    """Pressure projection: make (u, v, w) discretely divergence-free."""
+    c = config
     div = _divergence(c, u_star, v_star, w_star)
     phi = _poisson_solve(c, div / dt)
+    u = u_star - dt * (phi - _xm(phi)) / c.dx
+    v = v_star - dt * (phi - _ym(phi)) / c.dy
+    w = w_star.at[..., 1:-1].add(-dt * (phi[..., 1:] - phi[..., :-1]) / c.dz)
+    return u, v, w
 
-    u_new = u_star - dt * (phi - _xm(phi)) / dx
-    v_new = v_star - dt * (phi - _ym(phi)) / dy
-    w_new = w_star.at[..., 1:-1].add(-dt * (phi[..., 1:] - phi[..., :-1]) / dz)
-    return LESState(u=u_new, v=v_new, w=w_new, T=T.astype(u.dtype) + dt * dTdt)
+
+def _advance(config: LESConfig, state: LESState, dt) -> LESState:
+    """Tendencies -> predictor -> projection, over a (sub)step of size dt."""
+    dudt, dvdt, dwdt, dTdt = _tendencies(config, state)
+    u_star = state.u + dt * dudt
+    v_star = state.v + dt * dvdt
+    w_star = state.w.at[..., 1:-1].add(dt * dwdt)
+    u, v, w = _project(config, u_star, v_star, w_star, dt)
+    return LESState(u=u, v=v, w=w, T=state.T + dt * dTdt)
+
+
+def les_step(config: LESConfig, state: LESState, dt, method: str = "euler") -> LESState:
+    """One LES step.
+
+    ``method``:
+      - ``"euler"``: forward Euler + projection — cheapest per step; relies
+        on SGS dissipation for advective stability (fine at CFL ~< 0.2).
+      - ``"rk3"``: 3-stage SSP Runge-Kutta (Shu-Osher), projection after
+        every stage — stable for centered advection, allowing CFL ~< 0.8
+        at 3 Poisson solves per step (the standard LES choice).
+    """
+    if method == "euler":
+        return _advance(config, state, dt)
+    if method == "rk3":
+        s1 = _advance(config, state, dt)
+        s2_raw = _advance(config, s1, dt)
+        mix = lambda a, b, wa, wb: wa * a + wb * b  # noqa: E731
+        s2 = jax.tree.map(lambda a, b: mix(a, b, 0.75, 0.25), state, s2_raw)
+        s3_raw = _advance(config, s2, dt)
+        out = jax.tree.map(lambda a, b: mix(a, b, 1.0 / 3.0, 2.0 / 3.0), state, s3_raw)
+        # Convex combinations of divergence-free fields stay divergence-free.
+        return out
+    raise ValueError(f"unknown LES method {method!r}")
 
 
 def _horizontal_profiles(config: LESConfig, state: LESState):
@@ -350,6 +383,7 @@ def run_les(
     n_save: int = 48,
     save_every: int = 60,
     key=None,
+    method: str = "euler",
 ) -> ColumnTimeSeries:
     """Integrate the LES and return horizontally-averaged training data.
 
@@ -361,7 +395,7 @@ def run_les(
     dt = jnp.asarray(dt, state.T.dtype)
 
     def substep(s, _):
-        return les_step(c, s, dt), None
+        return les_step(c, s, dt, method), None
 
     def interval(s, _):
         s, _ = jax.lax.scan(substep, s, None, length=save_every)
@@ -386,7 +420,11 @@ def run_les(
 
 
 def stable_dt(config: LESConfig, u_max: float = 0.1, cfl: float = 0.2) -> float:
-    """Advective + diffusive time-step bound (constant-nu part only)."""
+    """Advective + diffusive time-step bound (constant-nu part only).
+
+    Use ``cfl ~< 0.2`` with ``method="euler"``, up to ``~0.8`` with
+    ``method="rk3"``.
+    """
     h = float(min(config.dx, config.dy, config.dz))
     adv = cfl * h / max(u_max, 1e-6)
     # Smagorinsky nu ~ (Cs h)^2 |S| with |S| ~ u_max / h.

@@ -200,3 +200,26 @@ class TestLESAnimation:
             frames_w.append(out.w)
         p = animate_les_slices(jnp.stack(frames_T), jnp.stack(frames_w), float(c.H), str(tmp_path / "les.gif"))
         assert os.path.getsize(p) > 0
+
+
+class TestRK3:
+    def test_rk3_divergence_free_and_consistent(self):
+        """RK3 keeps the field divergence-free and converges to Euler as dt->0."""
+        c = small_config()
+        state = initial_state(c, jax.random.PRNGKey(9), noise=1e-2)
+        out3 = les_step(c, state, dt=10.0, method="rk3")
+        div = np.asarray(_divergence(c, out3.u, out3.v, out3.w))
+        assert np.max(np.abs(div)) < 1e-10
+        # Small-dt consistency: RK3 and Euler agree to O(dt^2).
+        dt = 0.5
+        e = les_step(c, state, dt=dt, method="euler")
+        r = les_step(c, state, dt=dt, method="rk3")
+        assert float(jnp.max(jnp.abs(e.T - r.T))) < 1e-6
+
+    def test_rk3_stable_at_higher_cfl(self):
+        """Convection run at CFL beyond Euler's comfort zone stays finite."""
+        c = small_config(Nz=16, Qu=-5e-4, Qb=2e-7, nu=1e-5)
+        dt = stable_dt(c, u_max=0.05, cfl=0.6)
+        ds = run_les(c, dt=dt, n_save=3, save_every=30, key=jax.random.PRNGKey(10), method="rk3")
+        assert np.all(np.isfinite(np.asarray(ds.T)))
+        assert np.all(np.isfinite(np.asarray(ds.wT)))
