@@ -338,6 +338,7 @@ def best_kernel(x_train, y_train, x_val, y_val, z, kernel_ids=(1, 2, 3, 4), log_
     best = (None, float("inf"))
     for kid in kernel_ids:
         errs = error_per_gamma(x_train, y_train, x_val, y_val, z, kid, log_gammas, metric, log_sigma)
+        errs = np.where(np.isfinite(errs), errs, np.inf)  # a NaN gamma point must not win argmin
         i = int(np.argmin(errs))
         if errs[i] < best[1]:
             best = (get_kernel(kid, float(log_gammas[i]), log_sigma, metric, dtype=jnp.asarray(x_train).dtype), errs[i])

@@ -69,6 +69,9 @@ class LESConfig:
     Nx: int = dataclasses.field(metadata=dict(static=True), default=32)
     Ny: int = dataclasses.field(metadata=dict(static=True), default=32)
     Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
+    # Diurnal surface heat flux: theta_top * sin(2 pi t / day) (parity:
+    # ``diurnal_fluxes``, ``wind_mixing/src/data_containers.jl:131-156``).
+    diurnal: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @classmethod
     def default(cls, Nx=32, Ny=32, Nz=32, Qu=-5e-4, Qb=3e-8, dtype=jnp.float32, **overrides):
@@ -229,7 +232,15 @@ def _poisson_solve(config: LESConfig, rhs):
     return jnp.fft.irfft2(phat, s=(Ny, Nx), axes=(0, 1)).astype(dtype)
 
 
-def _tendencies(config: LESConfig, state: LESState):
+def surface_theta_flux(config: LESConfig, t):
+    """Instantaneous surface heat flux (diurnal cycle when configured)."""
+    if config.diurnal:
+        day = jnp.asarray(86400.0, config.H.dtype)
+        return config.theta_top * jnp.sin(2.0 * jnp.pi * t / day)
+    return config.theta_top
+
+
+def _tendencies(config: LESConfig, state: LESState, t):
     """(du/dt, dv/dt, dw_int/dt, dT/dt) before the pressure projection."""
     c = config
     dx, dy, dz = c.dx, c.dy, c.dz
@@ -258,7 +269,7 @@ def _tendencies(config: LESConfig, state: LESState):
     # Surface heat flux into the top cell; fixed-gradient bottom BC: upward
     # flux -kappa*dTdz exits the bottom face, cancelling the zero-flux
     # Laplacian's erosion of cell 0 so the deep stratification holds.
-    dTdt = dTdt.at[..., -1].add(-c.theta_top / dz)
+    dTdt = dTdt.at[..., -1].add(-surface_theta_flux(c, t) / dz)
     dTdt = dTdt.at[..., 0].add(-kap_c[..., 0] * c.dTdz / dz)
 
     # --- u momentum (x-faces) ----------------------------------------------
@@ -318,9 +329,9 @@ def _project(config: LESConfig, u_star, v_star, w_star, dt):
     return u, v, w
 
 
-def _advance(config: LESConfig, state: LESState, dt) -> LESState:
+def _advance(config: LESConfig, state: LESState, dt, t) -> LESState:
     """Tendencies -> predictor -> projection, over a (sub)step of size dt."""
-    dudt, dvdt, dwdt, dTdt = _tendencies(config, state)
+    dudt, dvdt, dwdt, dTdt = _tendencies(config, state, t)
     u_star = state.u + dt * dudt
     v_star = state.v + dt * dvdt
     w_star = state.w.at[..., 1:-1].add(dt * dwdt)
@@ -328,8 +339,8 @@ def _advance(config: LESConfig, state: LESState, dt) -> LESState:
     return LESState(u=u, v=v, w=w, T=state.T + dt * dTdt)
 
 
-def les_step(config: LESConfig, state: LESState, dt, method: str = "euler") -> LESState:
-    """One LES step.
+def les_step(config: LESConfig, state: LESState, dt, method: str = "euler", t=0.0) -> LESState:
+    """One LES step at simulation time ``t`` (used by the diurnal forcing).
 
     ``method``:
       - ``"euler"``: forward Euler + projection — cheapest per step; relies
@@ -338,21 +349,22 @@ def les_step(config: LESConfig, state: LESState, dt, method: str = "euler") -> L
         every stage — stable for centered advection, allowing CFL ~< 0.8
         at 3 Poisson solves per step (the standard LES choice).
     """
+    t = jnp.asarray(t, state.T.dtype)
     if method == "euler":
-        return _advance(config, state, dt)
+        return _advance(config, state, dt, t)
     if method == "rk3":
-        s1 = _advance(config, state, dt)
-        s2_raw = _advance(config, s1, dt)
+        s1 = _advance(config, state, dt, t)
+        s2_raw = _advance(config, s1, dt, t + dt)
         mix = lambda a, b, wa, wb: wa * a + wb * b  # noqa: E731
         s2 = jax.tree.map(lambda a, b: mix(a, b, 0.75, 0.25), state, s2_raw)
-        s3_raw = _advance(config, s2, dt)
+        s3_raw = _advance(config, s2, dt, t + 0.5 * dt)
         out = jax.tree.map(lambda a, b: mix(a, b, 1.0 / 3.0, 2.0 / 3.0), state, s3_raw)
         # Convex combinations of divergence-free fields stay divergence-free.
         return out
     raise ValueError(f"unknown LES method {method!r}")
 
 
-def _horizontal_profiles(config: LESConfig, state: LESState):
+def _horizontal_profiles(config: LESConfig, state: LESState, t=0.0):
     """Horizontally-averaged (U, V, T) + resolved covariance fluxes on faces."""
     mean_h = lambda q: jnp.mean(q, axis=(0, 1))  # noqa: E731
     U, V, Tm = mean_h(state.u), mean_h(state.v), mean_h(state.T)
@@ -372,7 +384,7 @@ def _horizontal_profiles(config: LESConfig, state: LESState):
     )
     uw = pad(covariance(u_zf, w_xf), config.Qu)
     vw = pad(covariance(v_zf, w_yf), 0.0)
-    wT = pad(covariance(T_zf, w_in), config.theta_top)
+    wT = pad(covariance(T_zf, w_in), surface_theta_flux(config, jnp.asarray(t, state.T.dtype)))
     return U, V, Tm, uw, vw, wT
 
 
@@ -394,17 +406,18 @@ def run_les(
     state = state0 if state0 is not None else initial_state(c, key)
     dt = jnp.asarray(dt, state.T.dtype)
 
-    def substep(s, _):
-        return les_step(c, s, dt, method), None
+    def substep(carry, _):
+        s, t = carry
+        return (les_step(c, s, dt, method, t), t + dt), None
 
-    def interval(s, _):
-        s, _ = jax.lax.scan(substep, s, None, length=save_every)
-        return s, _horizontal_profiles(c, s)
+    def interval(carry, _):
+        carry, _ = jax.lax.scan(substep, carry, None, length=save_every)
+        return carry, _horizontal_profiles(c, carry[0], carry[1])
 
     @jax.jit
     def run(state):
         first = _horizontal_profiles(c, state)
-        state, frames = jax.lax.scan(interval, state, None, length=n_save)
+        carry, frames = jax.lax.scan(interval, (state, jnp.zeros((), state.T.dtype)), None, length=n_save)
         return tuple(
             jnp.concatenate([f0[None], fr], axis=0) for f0, fr in zip(first, frames)
         )

@@ -202,7 +202,10 @@ def load_simulation(
 
         from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
 
-        config = LESConfig.default(Nx=min(Nz_les, 64), Ny=min(Nz_les, 64), Nz=Nz_les, Qu=Qu, Qb=spec.Qb)
+        config = LESConfig.default(
+            Nx=min(Nz_les, 64), Ny=min(Nz_les, 64), Nz=Nz_les, Qu=Qu, Qb=spec.Qb,
+            diurnal=spec.diurnal,
+        )
         config = dataclasses.replace(config, f=jnp.asarray(spec.f, jnp.float32))
         dt = stable_dt(config)
         return run_les(config, dt=dt, n_save=n_save, save_every=max(1, int(round(dt_save / dt))))

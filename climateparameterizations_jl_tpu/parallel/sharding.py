@@ -134,6 +134,7 @@ def sharded_kernel_search(
     best = (None, float("inf"))
     for kid in kernel_ids:
         errs = np.asarray(_error_per_gamma_vmapped(*args, zz, lg, kid, metric, log_sigma))[:G]
+        errs = np.where(np.isfinite(errs), errs, np.inf)  # a NaN gamma point must not win argmin
         i = int(np.argmin(errs))
         if errs[i] < best[1]:
             best = (

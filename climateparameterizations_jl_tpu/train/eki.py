@@ -127,16 +127,23 @@ def eki_calibrate(
     span = float(jnp.max(y) - jnp.min(y)) + 1e-12
     g_lo, g_hi = float(jnp.min(y)) - 100.0 * span, float(jnp.max(y)) + 100.0 * span
 
+    def sanitized_eval(theta):
+        g = evaluate(theta)
+        return jnp.clip(jnp.where(jnp.isfinite(g), g, g_hi), g_lo, g_hi)
+
     misfits = []
     for _ in range(n_iterations):
         theta = _to_constrained(u, lo, hi)
-        g = evaluate(theta)
-        g = jnp.clip(jnp.where(jnp.isfinite(g), g, g_hi), g_lo, g_hi)
+        g = sanitized_eval(theta)
         misfits.append(float(jnp.mean((g - y[None, :]) ** 2)))
         key, k = jax.random.split(key)
         u = update(u, g, k)
 
     theta = _to_constrained(u, lo, hi)
+    # Final entry = the misfit of the ensemble actually returned (the loop
+    # records pre-update misfits, which lag the returned parameters by one
+    # Kalman step).
+    misfits.append(float(jnp.mean((sanitized_eval(theta) - y[None, :]) ** 2)))
     return EKIResult(
         names=names,
         ensemble=theta,

@@ -56,29 +56,10 @@ def make_kpp_loss_fn(
     ``values`` is a vector ordered like ``names``. The returned function is
     jit/vmap-able, so populations of parameter sets evaluate in one solve.
     """
-    import numpy as np
-
-    tsteps = np.asarray(tsteps)
-    T_truth = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
-    t_row = ds.t[0] if ds.t.ndim > 1 else ds.t
-    t_save = jnp.take(t_row, jnp.asarray(tsteps))
-    base = base_params if base_params is not None else KPPParameters.default()
-    i0 = tsteps[0]
-
-    state0 = KPPState(U=ds.u[..., i0, :], V=ds.v[..., i0, :], T=ds.T[..., i0, :])
-    forcing = KPPForcing(
-        Fu=ds.u_top,
-        Fb=ds.theta_top * ds.g * ds.alpha,
-        dTdz_bottom=ds.theta_bottom,
-    )
+    forward, y = make_kpp_forward_fn(ds, tsteps, Nz, base_params, names, n_substeps)
 
     def loss(values):
-        values = jnp.asarray(values, ds.T.dtype)
-        params = _with_overrides(base, names, [values[i] for i in range(len(names))])
-        sol = solve_kpp(state0, t_save, params, forcing, ds.H, Nz, ds.f, ds.g, ds.alpha, n_substeps=n_substeps)
-        # solve_kpp returns time-major (Nt, ..., Nz); truth is (..., Nt, Nz).
-        T_sol = jnp.moveaxis(sol.T, 0, -2)
-        return jnp.mean((T_sol - T_truth) ** 2)
+        return jnp.mean((forward(values) - y) ** 2)
 
     return loss
 
@@ -113,6 +94,7 @@ def make_kpp_forward_fn(
     def forward(values):
         values = jnp.asarray(values, ds.T.dtype)
         params = _with_overrides(base, names, [values[i] for i in range(len(names))])
+        # solve_kpp returns time-major (Nt, ..., Nz); truth is (..., Nt, Nz).
         sol = solve_kpp(state0, t_save, params, forcing, ds.H, Nz, ds.f, ds.g, ds.alpha, n_substeps=n_substeps)
         return jnp.moveaxis(sol.T, 0, -2).reshape(-1)
 

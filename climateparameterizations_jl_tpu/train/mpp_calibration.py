@@ -100,21 +100,26 @@ def calibrate_mpp_eki(
     from climateparameterizations_jl_tpu.train.eki import eki_calibrate
 
     if priors is None:
-        p0 = model.mpp
         # Uniform boxes: [p/10, 10p] around the defaults — the same x10
         # scaled-unit box the gradient path clips to.
         priors = {
-            name: (0.1 * float(v), 10.0 * float(v))
-            for name, v in zip(("nu_0", "nu_minus", "delta_Ri", "Ri_c", "Pr"), p0.as_vector())
+            name: (0.1 * float(getattr(model.mpp, name)), 10.0 * float(getattr(model.mpp, name)))
+            for name in ("nu_0", "nu_minus", "delta_Ri", "Ri_c", "Pr")
         }
     names = tuple(priors.keys())
 
+    # Name-keyed everywhere: parameter order is whatever the priors dict
+    # says, never a positional vector convention.
+    def with_values(values):
+        overrides = {n: values[i] for i, n in enumerate(names)}
+        return dataclasses.replace(model.mpp, **overrides)
+
     def forward(values):
-        m = dataclasses.replace(model, mpp=MPPParameters.from_vector(jnp.asarray(values)))
+        m = dataclasses.replace(model, mpp=with_values(values))
         return _solve(m, NO_NNS, batch, config).reshape(-1)
 
     result = eki_calibrate(
         forward, batch.targets.reshape(-1), priors, key=key,
         n_ensemble=n_ensemble, n_iterations=n_iterations,
     )
-    return MPPParameters.from_vector(result.theta_mean), result
+    return with_values(result.theta_mean), result

@@ -223,3 +223,26 @@ class TestRK3:
         ds = run_les(c, dt=dt, n_save=3, save_every=30, key=jax.random.PRNGKey(10), method="rk3")
         assert np.all(np.isfinite(np.asarray(ds.T)))
         assert np.all(np.isfinite(np.asarray(ds.wT)))
+
+
+class TestDiurnalLES:
+    def test_diurnal_flux_cycles(self):
+        from climateparameterizations_jl_tpu.data.les import surface_theta_flux
+
+        c = small_config(Qb=5e-8, diurnal=True)
+        q0 = float(surface_theta_flux(c, jnp.asarray(0.0)))
+        q_quarter = float(surface_theta_flux(c, jnp.asarray(86400.0 / 4)))
+        q_half = float(surface_theta_flux(c, jnp.asarray(86400.0 / 2)))
+        assert abs(q0) < 1e-18
+        np.testing.assert_allclose(q_quarter, float(c.theta_top), rtol=1e-6)
+        assert abs(q_half) < 1e-12 * abs(q_quarter) + 1e-18
+
+    def test_diurnal_catalog_entry_via_les3d(self):
+        from climateparameterizations_jl_tpu.data.registry import load_simulation
+
+        ds = load_simulation("wind_-5e-4_diurnal_5e-8", Nz_les=10, n_save=2, dt_save=60.0, source="les3d")
+        assert np.all(np.isfinite(np.asarray(ds.T)))
+        # The recorded surface wT follows the cycle, not a constant flux.
+        wt_top = np.asarray(ds.wT[:, -1])
+        assert abs(wt_top[0]) < 1e-12
+        assert not np.allclose(wt_top[1:], wt_top[0])
