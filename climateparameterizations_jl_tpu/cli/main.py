@@ -137,12 +137,22 @@ def cmd_generate_les(args) -> int:
     os.makedirs(args.output, exist_ok=True)
     path = os.path.join(args.output, "les_profiles.npz")
     np.savez(path, **{f.name: np.asarray(getattr(ds, f.name)) for f in dataclasses.fields(ds)})
-    T = np.asarray(ds.T)
-    print(json.dumps({
+    result = {
         "output": path, "dt": float(dt), "save_every": save_every,
-        "frames": int(ds.t.shape[-1]), "T_final_range": [float(T[-1].min()), float(T[-1].max())],
-        "finite": bool(np.isfinite(T).all()),
-    }))
+        "frames": int(ds.t.shape[-1]),
+    }
+    if args.jld2_name:
+        # Reference-compatible .jld2 under the catalog layout, so the file
+        # feeds any --data-dir pipeline under that catalog name.
+        from climateparameterizations_jl_tpu.data.lesbrary import write_les_profiles
+        from climateparameterizations_jl_tpu.data.registry import lesbrary_relative_path
+
+        jld2_path = os.path.join(args.output, lesbrary_relative_path(args.jld2_name))
+        result["jld2"] = write_les_profiles(jld2_path, ds)
+    T = np.asarray(ds.T)
+    result["T_final_range"] = [float(T[-1].min()), float(T[-1].max())]
+    result["finite"] = bool(np.isfinite(T).all())
+    print(json.dumps(result))
     return 0
 
 
@@ -586,6 +596,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt-save", type=float, default=600.0)
     p.add_argument("--n-save", type=int, default=48)
     p.add_argument("--les-method", default="rk3", choices=["euler", "rk3"])
+    p.add_argument("--jld2-name", default=None, help="also write a reference-layout .jld2 under this catalog name")
     p.add_argument("--output", default="runs/les")
     p.set_defaults(fn=cmd_generate_les)
 

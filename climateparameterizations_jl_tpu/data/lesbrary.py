@@ -100,3 +100,51 @@ def read_les_profiles(path: str, halo: int = 3, dtype=np.float32) -> ColumnTimeS
         H=a(L), f=a(f_cor), g=a(g), alpha=a(alpha), beta=a(beta),
         u_top=a(u_top), theta_top=a(theta_top), theta_bottom=a(theta_bottom),
     )
+
+
+def write_les_profiles(path: str, ds: ColumnTimeSeries, halo: int = 3):
+    """Write a :class:`ColumnTimeSeries` in the LESbrary statistics layout.
+
+    Inverse of :func:`read_les_profiles`: ``timeseries/<var>/<iteration>``
+    profile groups with ``halo`` zero cells on each side, grid/buoyancy/
+    coriolis/parameters metadata. Lets the 3-D LES generator
+    (``data/les.py``) emit reference-compatible ``.jld2`` files so a
+    generated dataset can feed any ``--data-dir`` pipeline (or the original
+    Julia code).
+    """
+    if not HAVE_H5PY:
+        raise RuntimeError("h5py is required to write .jld2 LES files")
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    t = np.asarray(ds.t, np.float64)
+    series = {
+        "t": t,
+        "u": np.asarray(ds.u), "v": np.asarray(ds.v), "T": np.asarray(ds.T),
+        "wu": np.asarray(ds.uw), "wv": np.asarray(ds.vw), "wT": np.asarray(ds.wT),
+    }
+    with h5py.File(path, "w") as f:
+        for name, arr in series.items():
+            g = f.create_group(f"timeseries/{name}")
+            for i in range(t.shape[0]):
+                if name == "t":
+                    g[str(i)] = arr[i]
+                else:
+                    row = arr[i]
+                    padded = np.concatenate([np.zeros(halo, row.dtype), row, np.zeros(halo, row.dtype)])
+                    g[str(i)] = padded.reshape(1, 1, -1)
+        H = float(ds.H)
+        Nz = ds.T.shape[-1]
+        zf = np.linspace(-H, 0.0, Nz + 1)
+        f["grid/Lz"] = H
+        f["grid/zC"] = 0.5 * (zf[:-1] + zf[1:])
+        f["grid/zF"] = zf
+        f["buoyancy/model/equation_of_state/α"] = float(ds.alpha)
+        f["buoyancy/model/equation_of_state/β"] = float(ds.beta)
+        f["buoyancy/model/gravitational_acceleration"] = float(ds.g)
+        f["coriolis/f"] = float(ds.f)
+        f["parameters/buoyancy_flux"] = float(ds.theta_top) * float(ds.alpha) * float(ds.g)
+        f["parameters/boundary_condition_u_top"] = float(ds.u_top)
+        f["parameters/boundary_condition_u_bottom"] = 0.0
+        f["parameters/boundary_condition_θ_bottom"] = float(ds.theta_bottom)
+    return path

@@ -246,3 +246,29 @@ class TestDiurnalLES:
         wt_top = np.asarray(ds.wT[:, -1])
         assert abs(wt_top[0]) < 1e-12
         assert not np.allclose(wt_top[1:], wt_top[0])
+
+
+class TestJLD2RoundTrip:
+    def test_write_then_read(self, tmp_path):
+        """write_les_profiles -> read_les_profiles round-trips the dataset."""
+        import pytest as _pytest
+
+        from climateparameterizations_jl_tpu.data.lesbrary import (
+            HAVE_H5PY,
+            read_les_profiles,
+            write_les_profiles,
+        )
+
+        if not HAVE_H5PY:
+            _pytest.skip("h5py not available")
+        c = small_config(Nz=12)
+        ds = run_les(c, dt=20.0, n_save=3, save_every=5, key=jax.random.PRNGKey(11))
+        path = str(tmp_path / "gen.jld2")
+        write_les_profiles(path, ds)
+        back = read_les_profiles(path)
+        np.testing.assert_allclose(np.asarray(back.T), np.asarray(ds.T), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(back.wT), np.asarray(ds.wT), rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(back.t), np.asarray(ds.t), rtol=1e-6)
+        np.testing.assert_allclose(float(back.theta_top), float(ds.theta_top), rtol=1e-5)
+        np.testing.assert_allclose(float(back.u_top), float(ds.u_top), rtol=1e-6)
+        np.testing.assert_allclose(float(back.H), float(ds.H), rtol=1e-12)
