@@ -156,6 +156,53 @@ def cmd_generate_les(args) -> int:
     return 0
 
 
+def cmd_ensemble(args) -> int:
+    """Perturbed-IC column ensemble, sharded over the device mesh (UQ).
+
+    The capability extension SURVEY.md section 5 mandates: thousands of
+    columns as one sharded program, ensemble mean/std saved per variable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+    from climateparameterizations_jl_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_ensemble_solver,
+    )
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    model = _wind_model(ds, args.nz)
+    nns = _load_nns(args.checkpoint)[0] if args.checkpoint else FluxNNs(uw=None, vw=None, wT=None)
+
+    tsteps = np.arange(0, min(args.n_steps, int(ds.t.shape[-1])))
+    batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
+    E = args.n_members
+    key = jax.random.PRNGKey(args.seed)
+    x0 = batch.x0.reshape(-1)[None, :] + args.perturbation * jax.random.normal(key, (E, 3 * args.nz), jnp.float32)
+    bcs = jax.tree.map(lambda b: jnp.broadcast_to(jnp.reshape(b, (-1,))[0], (E,)), batch.bcs)
+
+    mesh = make_mesh()
+    config = NDETrainConfig(n_substeps=args.n_substeps, method="split")
+    solver = make_sharded_ensemble_solver(model, config, mesh)
+    t = np.asarray(batch.t)
+    with mesh:
+        traj = solver(nns, bcs, x0, jnp.float32(t[0]), jnp.float32(t[1] - t[0]), len(t) - 1)
+        traj = np.asarray(traj)  # (Nt, E, 3Nz)
+
+    os.makedirs(args.output, exist_ok=True)
+    mean, std = traj.mean(axis=1), traj.std(axis=1)
+    np.savez(os.path.join(args.output, "ensemble.npz"), mean=mean, std=std, t=t * float(model.tau))
+    print(json.dumps({
+        "members": E, "frames": int(traj.shape[0]),
+        "final_mean_spread": float(std[-1].mean()),
+        "finite": bool(np.isfinite(traj).all()),
+    }))
+    return 0
+
+
 def cmd_extract(args) -> int:
     from climateparameterizations_jl_tpu.train.checkpoint import extract_checkpoint
 
@@ -268,14 +315,19 @@ def cmd_train_nde(args) -> int:
     batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau)  # noqa: E731
     batch = batch_fn(stages[0].tsteps)
 
-    nns, history = train_wind_mixing_nde(
-        model, nns, batch, config,
-        stages=stages if len(stages) > 1 else None,
-        full_batch_fn=batch_fn if len(stages) > 1 else None,
-        callback=_history_writer(args.output),
-        checkpoint_dir=os.path.join(args.output, "train_state"),
-        resume_from=_resolve_train_state(args.resume_from),
-    )
+    import contextlib
+
+    from climateparameterizations_jl_tpu.utils.profiling import trace
+
+    with trace(args.trace) if args.trace else contextlib.nullcontext():
+        nns, history = train_wind_mixing_nde(
+            model, nns, batch, config,
+            stages=stages if len(stages) > 1 else None,
+            full_batch_fn=batch_fn if len(stages) > 1 else None,
+            callback=_history_writer(args.output),
+            checkpoint_dir=os.path.join(args.output, "train_state"),
+            resume_from=_resolve_train_state(args.resume_from),
+        )
     _save_nns(args.output, nns, {"command": "train-nde", "sims": args.sims, "nz": args.nz})
     print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
@@ -584,7 +636,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fraction-dTdz", type=float, default=0.8)
     p.add_argument("--fraction-profile", type=float, default=0.5)
     p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
+    p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.set_defaults(fn=cmd_train_nde)
+
+    p = sub.add_parser("ensemble", help="sharded perturbed-IC column-ensemble forward run (UQ)")
+    _add_common(p)
+    p.add_argument("--checkpoint", default=None, help="trained NNs (default: physics-only)")
+    p.add_argument("--n-members", type=int, default=256)
+    p.add_argument("--perturbation", type=float, default=1e-2, help="IC noise in scaled units")
+    p.add_argument("--n-steps", type=int, default=32)
+    p.add_argument("--n-substeps", type=int, default=4)
+    p.set_defaults(fn=cmd_ensemble)
 
     p = sub.add_parser("generate-les", help="run the 3-D LES and save averaged training profiles")
     p.add_argument("--n-horizontal", type=int, default=32)
