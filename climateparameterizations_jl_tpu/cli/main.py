@@ -156,6 +156,79 @@ def cmd_generate_les(args) -> int:
     return 0
 
 
+def _load_fc_nn(directory: str):
+    """Load a free-convection NN checkpoint (MLP or ConvMLP) by its meta arch."""
+    import jax
+
+    from climateparameterizations_jl_tpu.closures.mlp import (
+        free_convection_conv_mlp,
+        mlp_init,
+    )
+    from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint
+
+    with open(os.path.join(directory, "meta.json")) as f:
+        meta = json.load(f)
+    arch = meta["arch"]
+    if "conv_width" in arch:
+        Nz = arch["sizes"][-1] + 1
+        skeleton = free_convection_conv_mlp(jax.random.PRNGKey(0), Nz, conv_width=arch["conv_width"])
+    else:
+        skeleton = mlp_init(jax.random.PRNGKey(0), arch["sizes"], arch["activation"])
+    nn, _ = load_checkpoint(directory, skeleton)
+    return nn, meta
+
+
+def cmd_evaluate_fc(args) -> int:
+    """Free-convection test harness across simulation ids.
+
+    Parity: ``free_convection/test_free_convection_nde.jl:110-165`` — truth
+    vs NDE vs conv-adj vs KPP vs TKE (vs embedded) for every id, plus the
+    loss matrix over the suite.
+    """
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+    from climateparameterizations_jl_tpu.data.free_convection import load_free_convection_simulation
+    from climateparameterizations_jl_tpu.eval.animations import plot_loss_matrix
+    from climateparameterizations_jl_tpu.eval.profile import free_convection_profile
+    from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
+
+    nn, _meta = _load_fc_nn(args.checkpoint)
+    ids = [int(s) for s in _sims(args.sim_ids)]
+    os.makedirs(args.output, exist_ok=True)
+
+    members = ("nde", "conv_adj", "kpp", "tke", "embedded", "embedded_baseline")
+    matrix: dict = {}
+    for i in ids:
+        ds = load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save)
+        T_scaling = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
+        wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
+        t_row = ds.t.reshape(-1, ds.t.shape[-1])[0] if ds.t.ndim > 1 else ds.t
+        model = FreeConvectionModel(
+            H=ds.H, tau=jnp.abs(t_row[-1] - t_row[0]), T_scaling=T_scaling, wT_scaling=wT_scaling,
+            bottom_flux=wT_scaling.scale(ds.wT.reshape(-1, ds.wT.shape[-1])[0, 0]),
+            top_flux=wT_scaling.scale(ds.theta_top.reshape(-1)[0] if hasattr(ds.theta_top, "reshape") else ds.theta_top),
+            Nz=args.nz,
+        )
+        tsteps = np.arange(0, min(args.n_eval_steps, int(ds.t.shape[-1])), args.eval_stride)
+        ev = free_convection_profile(
+            model, nn, ds, tsteps, n_substeps=args.n_substeps, include_embedded=args.embedded,
+        )
+        np.savez(os.path.join(args.output, f"sim{i}.npz"), **ev.to_dict())
+        for m in members:
+            key = f"losses_{m}_T"
+            if key in ev.keys():
+                matrix.setdefault(m, []).append(float(np.mean(ev[key])))
+
+    matrix = {m: np.asarray(v) for m, v in matrix.items()}
+    plot_loss_matrix(matrix, [f"sim{i}" for i in ids], os.path.join(args.output, "loss_matrix.png"))
+    summary = {m: float(np.mean(v)) for m, v in matrix.items()}
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_ensemble(args) -> int:
     """Perturbed-IC column ensemble, sharded over the device mesh (UQ).
 
@@ -638,6 +711,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.set_defaults(fn=cmd_train_nde)
+
+    p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")
+    p.add_argument("--checkpoint", required=True, help="train-fc-nde output dir")
+    p.add_argument("--sim-ids", default="1,2", help="comma-separated free-convection ids to evaluate")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--nz", type=int, default=32)
+    p.add_argument("--n-save", type=int, default=96)
+    p.add_argument("--dt-save", type=float, default=600.0)
+    p.add_argument("--n-eval-steps", type=int, default=96)
+    p.add_argument("--eval-stride", type=int, default=4)
+    p.add_argument("--n-substeps", type=int, default=8)
+    p.add_argument("--embedded", action="store_true")
+    p.add_argument("--output", default="runs/eval_fc")
+    p.set_defaults(fn=cmd_evaluate_fc)
 
     p = sub.add_parser("ensemble", help="sharded perturbed-IC column-ensemble forward run (UQ)")
     _add_common(p)
