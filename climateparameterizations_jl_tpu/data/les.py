@@ -222,11 +222,19 @@ def _poisson_solve(config: LESConfig, rhs):
     d = d.at[..., -1].add(inv_dz2)
 
     # The (0, 0) mode is Neumann-singular (solvable up to a constant because
-    # boundary w* = 0): pin phat(0,0,0) = 0.
-    d = d.at[0, 0, 0].set(1.0)
-    du = du.at[0, 0, 0].set(0.0)
-    dl = dl.at[0, 0, 1].set(0.0)
-    rhat = rhat.at[0, 0, 0].set(0.0)
+    # boundary w* = 0): pin phat(0,0,0) = 0. Expressed as elementwise
+    # `where` masks, NOT `.at[0,0,0].set`: a single-index scatter on an
+    # array sharded over y is mis-partitioned by GSPMD (applied per shard),
+    # while broadcasted-iota selects shard exactly (parallel/les_sharding).
+    iy = jnp.arange(Ny)[:, None, None]
+    ix = jnp.arange(Nx // 2 + 1)[None, :, None]
+    iz = jnp.arange(Nz)[None, None, :]
+    m000 = (iy == 0) & (ix == 0) & (iz == 0)
+    m001 = (iy == 0) & (ix == 0) & (iz == 1)
+    d = jnp.where(m000, 1.0, d)
+    du = jnp.where(m000, 0.0, du)
+    dl = jnp.where(m001, 0.0, dl)
+    rhat = jnp.where(m000, 0.0, rhat)
 
     phat = tridiagonal_solve(dl + 0j, d + 0j, du + 0j, rhat)
     return jnp.fft.irfft2(phat, s=(Ny, Nx), axes=(0, 1)).astype(dtype)

@@ -272,3 +272,42 @@ class TestJLD2RoundTrip:
         np.testing.assert_allclose(float(back.theta_top), float(ds.theta_top), rtol=1e-5)
         np.testing.assert_allclose(float(back.u_top), float(ds.u_top), rtol=1e-6)
         np.testing.assert_allclose(float(back.H), float(ds.H), rtol=1e-12)
+
+
+class TestShardedLES:
+    def test_matches_unsharded_step(self):
+        """y-sharded jitted step == single-device step (GSPMD halos exact)."""
+        from climateparameterizations_jl_tpu.parallel.les_sharding import (
+            make_les_mesh,
+            make_sharded_les_stepper,
+            shard_les_state,
+        )
+
+        c = LESConfig.default(Nx=8, Ny=16, Nz=12, dtype=jnp.float32)
+        state = initial_state(c, jax.random.PRNGKey(12), noise=1e-2)
+        dt = 20.0
+
+        ref = state
+        for k in range(3):
+            ref = les_step(c, ref, dt, "rk3", t=k * dt)
+
+        mesh = make_les_mesh(8)
+        step = make_sharded_les_stepper(c, mesh, dt, method="rk3", n_substeps=3)
+        with mesh:
+            out = step(shard_les_state(state, mesh), jnp.float32(0.0))
+            jax.block_until_ready(out.T)
+
+        np.testing.assert_allclose(np.asarray(out.T), np.asarray(ref.T), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u), rtol=2e-5, atol=1e-7)
+        # Output really is y-sharded across the 8 devices.
+        assert len(out.T.sharding.device_set) == 8
+
+    def test_rejects_indivisible_ny(self):
+        from climateparameterizations_jl_tpu.parallel.les_sharding import (
+            make_les_mesh,
+            make_sharded_les_stepper,
+        )
+
+        c = LESConfig.default(Nx=8, Ny=12, Nz=8)
+        with np.testing.assert_raises(ValueError):
+            make_sharded_les_stepper(c, make_les_mesh(8), 10.0)
