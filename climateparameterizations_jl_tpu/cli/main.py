@@ -556,6 +556,33 @@ def cmd_train_gp(args) -> int:
         mse = float(jnp.mean((pred - y_te) ** 2))
         report[flux] = {"kernel": kernel.family, "log_gamma": float(jnp.log10(kernel.gamma)), "mse": mse}
         print(f"train-gp[{flux}]: kernel {kernel.family}, mse {mse:.4e}")
+
+    if args.integrate:
+        # GP-closure DE on the held-out sim (run_GP_DE.jl:181-192): the three
+        # fitted GPs drive the column equation; report trajectory MSE.
+        from climateparameterizations_jl_tpu.data.containers import scaled_state_array
+        from climateparameterizations_jl_tpu.models.gp_closure import FluxGPs, solve_gp_closure
+
+        gps = {}
+        for flux in ("uw", "vw", "wT"):
+            x_tr, y_tr = direct_regression_pairs(train_ds, scalings, flux)
+            if args.subsample > 1:
+                x_tr, y_tr = x_tr[:: args.subsample], y_tr[:: args.subsample]
+            kernel, _ = best_kernel(
+                x_tr, y_tr, *direct_regression_pairs(test_ds, scalings, flux), z, metric=args.metric
+            )
+            gps[flux] = gp_fit(x_tr, y_tr, kernel, z)
+        model = _wind_model(train_ds, args.nz)
+        x_true = scaled_state_array(test_ds, scalings)
+        x_true = x_true.reshape(-1, x_true.shape[-2], x_true.shape[-1])[0]
+        n_frames = min(args.n_integrate_steps, x_true.shape[0] - 1)
+        t_row = test_ds.t.reshape(-1, test_ds.t.shape[-1])[0] if test_ds.t.ndim > 1 else test_ds.t
+        dt_hat = float((t_row[1] - t_row[0]) / model.tau)
+        traj = solve_gp_closure(model, FluxGPs(**gps), x_true[0], 0.0, dt_hat, n_frames, n_substeps=args.n_substeps)
+        de_mse = float(jnp.mean((traj - x_true[: n_frames + 1]) ** 2))
+        report["gp_de"] = {"trajectory_mse": de_mse, "frames": int(n_frames + 1)}
+        print(f"train-gp[DE]: trajectory mse {de_mse:.4e}")
+
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "gp_report.json"), "w") as f:
         json.dump(report, f, indent=2)
@@ -796,6 +823,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fluxes", default="wT")
     p.add_argument("--metric", default="euclidean", choices=["euclidean", "derivative", "antiderivative"])
     p.add_argument("--subsample", type=int, default=4)
+    p.add_argument("--integrate", action="store_true", help="also integrate the GP-closure DE on the test sim")
+    p.add_argument("--n-integrate-steps", type=int, default=32)
+    p.add_argument("--n-substeps", type=int, default=4)
     p.set_defaults(fn=cmd_train_gp)
 
     p = sub.add_parser("evaluate", help="NDE-profile comparison vs baselines")
