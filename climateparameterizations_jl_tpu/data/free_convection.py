@@ -54,15 +54,28 @@ def load_free_convection_simulation(
     Nz_les: int = 128,
     n_save: int = 96,
     dt_save: float = 600.0,
+    source: str = "auto",
 ) -> ColumnTimeSeries:
     """One free-convection simulation, coarse-grained to ``Nz`` levels.
 
-    Reads ``<data_dir>/free_convection_<id>/instantaneous_statistics_with_halos.jld2``
+    ``source="auto"``: reads
+    ``<data_dir>/free_convection_<id>/instantaneous_statistics_with_halos.jld2``
     when present (the DataDeps layout, ``data.jl:32-71``); otherwise the
-    id-specific synthetic stand-in.
+    id-specific synthetic stand-in. ``source="les3d"`` GENERATES the data by
+    running the 3-D LES with the id's surface buoyancy flux (Qu = 0).
     """
     if simulation_id not in FREE_CONVECTION_IDS:
         raise KeyError(f"free-convection simulation id must be in 1..9, got {simulation_id}")
+    Qb, strat = _SYNTHETIC_PARAMS[simulation_id]
+
+    if source == "les3d":
+        from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
+
+        config = LESConfig.default(Nx=min(Nz_les, 64), Ny=min(Nz_les, 64), Nz=Nz_les, Qu=0.0, Qb=Qb)
+        dt = stable_dt(config, cfl=0.6)
+        ds = run_les(config, dt=dt, n_save=n_save, save_every=max(1, int(round(dt_save / dt))), method="rk3")
+        return coarsen_dataset(ds, Nz)
+
     if data_dir is not None:
         path = os.path.join(data_dir, f"free_convection_{simulation_id}", "instantaneous_statistics_with_halos.jld2")
         if os.path.exists(path):
@@ -72,7 +85,6 @@ def load_free_convection_simulation(
 
     from climateparameterizations_jl_tpu.data.synthetic import synthetic_free_convection_les
 
-    Qb, strat = _SYNTHETIC_PARAMS[simulation_id]
     ds = synthetic_free_convection_les(Qb=Qb, Nz=Nz_les, n_save=n_save, dt_save=dt_save)
     return coarsen_dataset(ds, Nz)
 

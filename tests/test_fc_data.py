@@ -78,3 +78,17 @@ class TestGyreAnimation:
         traj = run_double_gyre(model, DoubleGyreState.rest(model), dt=1800.0, n_save=2, save_every=4)
         path = animate_double_gyre(traj, model, str(tmp_path / "gyre.gif"))
         assert os.path.getsize(path) > 0
+
+
+class TestFCLes3DSource:
+    def test_fc_id_generates_via_les3d(self):
+        from climateparameterizations_jl_tpu.data.free_convection import (
+            load_free_convection_simulation,
+        )
+
+        ds = load_free_convection_simulation(1, Nz=8, Nz_les=16, n_save=2, dt_save=60.0, source="les3d")
+        import numpy as np
+
+        assert ds.T.shape == (3, 8)
+        assert np.all(np.isfinite(np.asarray(ds.T)))
+        assert float(ds.theta_top) > 0.0  # surface cooling
