@@ -193,22 +193,35 @@ def cmd_evaluate_fc(args) -> int:
     from climateparameterizations_jl_tpu.eval.profile import free_convection_profile
     from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
 
-    nn, _meta = _load_fc_nn(args.checkpoint)
+    nn, meta = _load_fc_nn(args.checkpoint)
     ids = [int(s) for s in _sims(args.sim_ids)]
     os.makedirs(args.output, exist_ok=True)
+
+    # Reuse the TRAINING scalings and base closure from the checkpoint meta
+    # (the reference's override_scalings semantics): the NN is only valid
+    # under the normalization it was trained with. Old checkpoints without
+    # recorded scalings fall back to refitting, with a warning.
+    saved = meta.get("scalings")
+    base_closure = meta.get("base_closure", "convective_adjustment")
+    if saved is None:
+        print("warning: checkpoint has no recorded training scalings; refitting per sim (results not comparable to training)")
 
     members = ("nde", "conv_adj", "kpp", "tke", "embedded", "embedded_baseline")
     matrix: dict = {}
     for i in ids:
         ds = load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save)
-        T_scaling = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
-        wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
+        if saved is not None:
+            T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["T"]["mu"]), jnp.float32(saved["T"]["sigma"]))
+            wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["wT"]["mu"]), jnp.float32(saved["wT"]["sigma"]))
+        else:
+            T_scaling = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
+            wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
         t_row = ds.t.reshape(-1, ds.t.shape[-1])[0] if ds.t.ndim > 1 else ds.t
         model = FreeConvectionModel(
             H=ds.H, tau=jnp.abs(t_row[-1] - t_row[0]), T_scaling=T_scaling, wT_scaling=wT_scaling,
             bottom_flux=wT_scaling.scale(ds.wT.reshape(-1, ds.wT.shape[-1])[0, 0]),
             top_flux=wT_scaling.scale(ds.theta_top.reshape(-1)[0] if hasattr(ds.theta_top, "reshape") else ds.theta_top),
-            Nz=args.nz,
+            Nz=args.nz, base_closure=base_closure,
         )
         tsteps = np.arange(0, min(args.n_eval_steps, int(ds.t.shape[-1])), args.eval_stride)
         ev = free_convection_profile(
@@ -254,7 +267,11 @@ def cmd_ensemble(args) -> int:
     batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
     E = args.n_members
     key = jax.random.PRNGKey(args.seed)
-    x0 = batch.x0.reshape(-1)[None, :] + args.perturbation * jax.random.normal(key, (E, 3 * args.nz), jnp.float32)
+    # Ensemble members perturb the FIRST simulation's initial column (and
+    # use its BCs); with a multi-sim --sims suite the later sims only
+    # contribute to the scalings.
+    x0_base = batch.x0.reshape(-1, 3 * args.nz)[0]
+    x0 = x0_base[None, :] + args.perturbation * jax.random.normal(key, (E, 3 * args.nz), jnp.float32)
     bcs = jax.tree.map(lambda b: jnp.broadcast_to(jnp.reshape(b, (-1,))[0], (E,)), batch.bcs)
 
     mesh = make_mesh()
@@ -467,9 +484,19 @@ def cmd_train_fc_nde(args) -> int:
     if T0.ndim == 1:
         T0, targets = T0[None], targets[None]
     t = jnp.take(t_row, jnp.asarray(tsteps)) / tau
-    config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps)
+    config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method)
     nn, history = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output))
-    meta = {"command": "train-fc-nde", "sim_ids": ids, "conv": args.conv}
+    meta = {
+        "command": "train-fc-nde", "sim_ids": ids, "conv": args.conv,
+        # Everything evaluate-fc needs to rebuild the EXACT training-time
+        # model: the NN only makes sense under the scalings and base
+        # closure it was trained with.
+        "base_closure": args.base_closure,
+        "scalings": {
+            "T": {"mu": float(T_scaling.mu), "sigma": float(T_scaling.sigma)},
+            "wT": {"mu": float(wT_scaling.mu), "sigma": float(wT_scaling.sigma)},
+        },
+    }
     if hasattr(nn, "sizes"):
         meta["arch"] = {"sizes": list(nn.sizes), "activation": nn.activation}
     else:
@@ -545,17 +572,23 @@ def cmd_train_gp(args) -> int:
     scalings = fit_wind_mixing_scalings(train_ds)
     z = jnp.linspace(0.0, 1.0, 3 * args.nz)
     report = {}
-    for flux in _sims(args.fluxes):
+    fitted: dict = {}
+    # --integrate needs all three flux GPs; fit the union once.
+    fluxes = list(_sims(args.fluxes))
+    fit_fluxes = sorted(set(fluxes) | ({"uw", "vw", "wT"} if args.integrate else set()))
+    for flux in fit_fluxes:
         x_tr, y_tr = direct_regression_pairs(train_ds, scalings, flux)
         x_te, y_te = direct_regression_pairs(test_ds, scalings, flux)
         if args.subsample > 1:
             x_tr, y_tr = x_tr[:: args.subsample], y_tr[:: args.subsample]
         kernel, err = best_kernel(x_tr, y_tr, x_te, y_te, z, metric=args.metric)
         model = gp_fit(x_tr, y_tr, kernel, z)
-        pred = gp_predict(model, x_te)
-        mse = float(jnp.mean((pred - y_te) ** 2))
-        report[flux] = {"kernel": kernel.family, "log_gamma": float(jnp.log10(kernel.gamma)), "mse": mse}
-        print(f"train-gp[{flux}]: kernel {kernel.family}, mse {mse:.4e}")
+        fitted[flux] = model
+        if flux in fluxes:
+            pred = gp_predict(model, x_te)
+            mse = float(jnp.mean((pred - y_te) ** 2))
+            report[flux] = {"kernel": kernel.family, "log_gamma": float(jnp.log10(kernel.gamma)), "mse": mse}
+            print(f"train-gp[{flux}]: kernel {kernel.family}, mse {mse:.4e}")
 
     if args.integrate:
         # GP-closure DE on the held-out sim (run_GP_DE.jl:181-192): the three
@@ -563,15 +596,7 @@ def cmd_train_gp(args) -> int:
         from climateparameterizations_jl_tpu.data.containers import scaled_state_array
         from climateparameterizations_jl_tpu.models.gp_closure import FluxGPs, solve_gp_closure
 
-        gps = {}
-        for flux in ("uw", "vw", "wT"):
-            x_tr, y_tr = direct_regression_pairs(train_ds, scalings, flux)
-            if args.subsample > 1:
-                x_tr, y_tr = x_tr[:: args.subsample], y_tr[:: args.subsample]
-            kernel, _ = best_kernel(
-                x_tr, y_tr, *direct_regression_pairs(test_ds, scalings, flux), z, metric=args.metric
-            )
-            gps[flux] = gp_fit(x_tr, y_tr, kernel, z)
+        gps = {flux: fitted[flux] for flux in ("uw", "vw", "wT")}
         model = _wind_model(train_ds, args.nz)
         x_true = scaled_state_array(test_ds, scalings)
         x_true = x_true.reshape(-1, x_true.shape[-2], x_true.shape[-1])[0]
@@ -795,6 +820,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--maxiters", type=int, default=50)
     p.add_argument("--n-substeps", type=int, default=4)
+    p.add_argument("--method", default="split", choices=["split", "rk4", "heun", "euler"])
     p.add_argument("--n-train-steps", type=int, default=32)
     p.set_defaults(fn=cmd_train_fc_nde)
 

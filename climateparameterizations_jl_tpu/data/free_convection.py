@@ -69,11 +69,21 @@ def load_free_convection_simulation(
     Qb, strat = _SYNTHETIC_PARAMS[simulation_id]
 
     if source == "les3d":
+        import dataclasses
+
+        import jax
+
         from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
 
         config = LESConfig.default(Nx=min(Nz_les, 64), Ny=min(Nz_les, 64), Nz=Nz_les, Qu=0.0, Qb=Qb)
+        # Per-id initial/bottom stratification (ids sharing Qb differ only
+        # in strat) and a per-id noise seed, so every id is distinct.
+        config = dataclasses.replace(config, dTdz=jnp.asarray(strat, config.dTdz.dtype))
         dt = stable_dt(config, cfl=0.6)
-        ds = run_les(config, dt=dt, n_save=n_save, save_every=max(1, int(round(dt_save / dt))), method="rk3")
+        ds = run_les(
+            config, dt=dt, n_save=n_save, save_every=max(1, int(round(dt_save / dt))),
+            key=jax.random.PRNGKey(simulation_id), method="rk3",
+        )
         return coarsen_dataset(ds, Nz)
 
     if data_dir is not None:

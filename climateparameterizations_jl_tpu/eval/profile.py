@@ -269,6 +269,7 @@ def free_convection_profile(
     tsteps,
     *,
     n_substeps: int = 2,
+    solver: str = "split",
     kpp_params: KPPParameters | None = None,
     tke_params: TKEParameters | None = None,
     include_kpp: bool = True,
@@ -305,7 +306,7 @@ def free_convection_profile(
     mse_t = lambda a, b: np.asarray(jnp.mean((a - b) ** 2, axis=-1))  # noqa: E731
     T_truth_scaled = model.T_scaling.scale(T_truth)
     for name, run_nn in runs.items():
-        traj = solve_free_convection_nde(model, run_nn, T0_scaled, t_hat[0], dt_save, n_save, n_substeps=n_substeps)
+        traj = solve_free_convection_nde(model, run_nn, T0_scaled, t_hat[0], dt_save, n_save, n_substeps=n_substeps, method=solver)
         out[f"{name}_T"] = np.asarray(model.T_scaling.unscale(traj))
         out[f"{name}_wT"] = np.asarray(model.wT_scaling.unscale(diagnose_wT(model, run_nn, traj)))
         out[f"losses_{name}_T"] = mse_t(traj, T_truth_scaled)

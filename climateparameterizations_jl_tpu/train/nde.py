@@ -217,7 +217,7 @@ def train_free_convection_nde(
     dt_save = (t[-1] - t[0]) / n_save
 
     def loss_fn(nn):
-        traj = solve_free_convection_nde(model, nn, T0, t[0], dt_save, n_save, config.n_substeps, "rk4" if config.method == "split" else config.method)
+        traj = solve_free_convection_nde(model, nn, T0, t[0], dt_save, n_save, config.n_substeps, config.method)
         pred = jnp.moveaxis(traj, 0, -2)  # (S, Nt, Nz)
         total = jnp.mean((pred - targets) ** 2)
         zero = jnp.zeros_like(total)
