@@ -476,16 +476,32 @@ def cmd_train_fc_nde(args) -> int:
         )
         print(f"train-fc-nde[pretrain]: loss {pre_hist[0]:.4e} -> {pre_hist[-1]:.4e}")
 
-    tsteps = np.arange(0, args.n_train_steps)
-    take_t = lambda a: jnp.take(a, jnp.asarray(tsteps), axis=-2)  # noqa: E731
-    T_sel = take_t(ds.T)
-    T0 = T_scaling.scale(T_sel[..., 0, :])
-    targets = T_scaling.scale(T_sel)
-    if T0.ndim == 1:
-        T0, targets = T0[None], targets[None]
-    t = jnp.take(t_row, jnp.asarray(tsteps)) / tau
-    config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method)
-    nn, history = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output))
+    n_frames = int(ds.t.shape[-1])
+    windows = (
+        [min(int(w), n_frames) for w in args.curriculum.split(",")]
+        if args.curriculum
+        else [min(args.n_train_steps, n_frames)]
+    )
+
+    def stage_tensors(window: int):
+        tsteps = np.arange(0, window)
+        T_sel = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
+        T0 = T_scaling.scale(T_sel[..., 0, :])
+        targets = T_scaling.scale(T_sel)
+        if T0.ndim == 1:
+            T0, targets = T0[None], targets[None]
+        t = jnp.take(t_row, jnp.asarray(tsteps)) / tau
+        return T0, targets, t
+
+    # Staged curriculum over growing windows + full-span burn-in at decayed
+    # LR (train_free_convection_nde.jl:246-266).
+    history = []
+    for stage_i, window in enumerate(windows):
+        lr = args.lr * (args.burn_in_lr_decay if stage_i == len(windows) - 1 and len(windows) > 1 else 1.0)
+        config = NDETrainConfig(learning_rate=lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method)
+        T0, targets, t = stage_tensors(window)
+        nn, h = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output))
+        history.extend(h)
     meta = {
         "command": "train-fc-nde", "sim_ids": ids, "conv": args.conv,
         # Everything evaluate-fc needs to rebuild the EXACT training-time
@@ -822,6 +838,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-substeps", type=int, default=4)
     p.add_argument("--method", default="split", choices=["split", "rk4", "heun", "euler"])
     p.add_argument("--n-train-steps", type=int, default=32)
+    p.add_argument("--curriculum", default=None, help="comma-separated growing window lengths, e.g. 8,16,32")
+    p.add_argument("--burn-in-lr-decay", type=float, default=0.1, help="LR factor for the final curriculum stage")
     p.set_defaults(fn=cmd_train_fc_nde)
 
     p = sub.add_parser("optimise-mpp", help="mPP diffusivity parameter calibration")

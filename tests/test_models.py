@@ -233,3 +233,34 @@ class TestFreeConvection:
         assert leaves and all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
         # Gradients should be nonzero (NN influences the trajectory).
         assert any(float(jnp.abs(leaf).max()) > 0 for leaf in leaves)
+
+    @pytest.mark.parametrize("method", ["rk4", "split"])
+    def test_gradient_matches_finite_differences(self, method):
+        """Discrete-adjoint (grad-through-scan) == central finite differences.
+
+        The correctness evidence for replacing the reference's continuous
+        InterpolatingAdjoint with discretize-then-optimize (SURVEY.md
+        section 4's suggested check), in f64 for a tight tolerance.
+        """
+        f64 = jnp.float64
+        model = self.make()
+        model = jax.tree.map(lambda a: jnp.asarray(a, f64) if hasattr(a, "dtype") else a, model)
+        nn = free_convection_mlp(jax.random.PRNGKey(2), 32, dtype=f64)
+        T0 = jnp.linspace(-1.0, 1.0, 32).astype(f64)
+        target = jnp.zeros((6, 32), f64)
+
+        def loss(nn):
+            traj = solve_free_convection_nde(model, nn, T0, 0.0, 1e-3, 5, n_substeps=2, method=method)
+            return jnp.mean((traj - target) ** 2)
+
+        g = jax.grad(loss)(nn)
+        # Probe a handful of weight entries with central differences.
+        eps = 1e-6
+        W = nn.weights[0]
+        for (i, j) in ((0, 0), (3, 7), (10, 20)):
+            bump = jnp.zeros_like(W).at[i, j].set(eps)
+            nn_p = dataclasses.replace(nn, weights=(W + bump,) + nn.weights[1:])
+            nn_m = dataclasses.replace(nn, weights=(W - bump,) + nn.weights[1:])
+            fd = (float(loss(nn_p)) - float(loss(nn_m))) / (2 * eps)
+            ad = float(g.weights[0][i, j])
+            np.testing.assert_allclose(ad, fd, rtol=1e-5, atol=1e-10)
