@@ -134,6 +134,35 @@ class TestWindMixingMPP:
         u, _, _ = split_uvT(traj, 32)
         assert abs(float(u[-1, -1])) > abs(float(u[-1, 0]))  # top cell spun up most
 
+    @pytest.mark.parametrize("method", ["rk4", "split"])
+    def test_wind_gradient_matches_finite_differences(self, method):
+        """FD validation of the coupled triple-NN discrete adjoint (f64)."""
+        f64 = jnp.float64
+        model = make_model()
+        model = jax.tree.map(lambda a: jnp.asarray(a, f64) if hasattr(a, "dtype") else a, model)
+        nns = FluxNNs(*[wind_mixing_mlp(k, 32, scale=1e-2, dtype=f64) for k in jax.random.split(jax.random.PRNGKey(4), 3)])
+        bcs = jax.tree.map(lambda a: jnp.asarray(a, f64), zero_bcs())
+        rng = np.random.default_rng(5)
+        x0 = jnp.asarray(rng.normal(size=(96,)) * 0.1, f64)
+        target = jnp.zeros((6, 96), f64)
+
+        def loss(nns):
+            if method == "split":
+                traj = solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 2e-4, 5, n_substeps=2)
+            else:
+                traj = solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 2e-4, 5, n_substeps=2)
+            return jnp.mean((traj - target) ** 2)
+
+        g = jax.grad(loss)(nns)
+        eps = 1e-6
+        W = nns.wT.weights[0]
+        for (i, j) in ((0, 0), (5, 17)):
+            bump = jnp.zeros_like(W).at[i, j].set(eps)
+            mk = lambda Wb: nns._replace(wT=dataclasses.replace(nns.wT, weights=(Wb,) + nns.wT.weights[1:]))  # noqa: E731
+            fd = (float(loss(mk(W + bump))) - float(loss(mk(W - bump)))) / (2 * eps)
+            ad = float(g.wT.weights[0][i, j])
+            np.testing.assert_allclose(ad, fd, rtol=1e-4, atol=1e-10)
+
     def test_nn_fluxes_and_gradients_finite(self):
         model = make_model()
         bcs = zero_bcs()
