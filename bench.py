@@ -20,12 +20,39 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 BASELINE_COLUMN_TIMESTEPS_PER_SEC = 4.5e4
 
 
+def _resolve_platform(timeout_s: float = 180.0) -> str:
+    """Probe the default backend in a SUBPROCESS with a watchdog.
+
+    The axon TPU tunnel can wedge so hard that backend init blocks forever
+    (and holds jax's global backend lock, so an in-process thread probe
+    would deadlock the fallback too). A child process either prints the
+    platform in time or is killed; on timeout/failure this process forces
+    CPU before its own backend ever initializes.
+    """
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        platform = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        if out.returncode == 0 and platform:
+            return platform
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu (tpu unavailable)"
+
+
 def main():
+    platform = _resolve_platform()
+    import jax.numpy as jnp
     from __graft_entry__ import _make_setup
     from climateparameterizations_jl_tpu.models.timestepper import rk4_step
     from climateparameterizations_jl_tpu.models.wind_mixing import wind_mixing_rhs
@@ -64,6 +91,7 @@ def main():
                 "value": round(column_timesteps_per_sec, 1),
                 "unit": "column-timesteps/s",
                 "vs_baseline": round(column_timesteps_per_sec / BASELINE_COLUMN_TIMESTEPS_PER_SEC, 2),
+                "platform": platform,
             }
         )
     )
