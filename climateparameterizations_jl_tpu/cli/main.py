@@ -634,28 +634,53 @@ def cmd_evaluate(args) -> int:
     from climateparameterizations_jl_tpu.eval.animations import (
         animate_profiles_fluxes_comparison,
         plot_loss,
+        plot_loss_matrix,
     )
     from climateparameterizations_jl_tpu.eval.profile import nde_profile
 
-    ds = _load_suite(_sims(args.test_sims), args.nz, args.data_dir, args.n_save, args.dt_save)
-    train_ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save) if args.sims else ds
-    model = _wind_model(train_ds, args.nz)
+    test_sims = _sims(args.test_sims)
+    train_ds = (
+        _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+        if args.sims
+        else _load_suite(test_sims, args.nz, args.data_dir, args.n_save, args.dt_save)
+    )
+    model = _wind_model(train_ds, args.nz)  # TRAINING scalings (override semantics)
     nns, _ = _load_nns(args.checkpoint)
     tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
-    ev = nde_profile(
-        model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps,
-        include_embedded=args.embedded,
-    )
     os.makedirs(args.output, exist_ok=True)
-    np.savez(os.path.join(args.output, "evaluation.npz"), **ev.to_dict())
+
     members = ("nde", "mpp", "kpp", "embedded", "embedded_baseline")
-    plot_loss(
-        {m: ev[f"losses_{m}_T"] for m in members if f"losses_{m}_T" in ev.keys()},
-        ev["t"], os.path.join(args.output, "loss.png"),
-    )
-    if args.animate:
-        animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride)
-    summary = {m: float(np.mean(ev[f"losses_{m}_T"])) for m in members if f"losses_{m}_T" in ev.keys()}
+    matrix: dict = {}
+    summary: dict = {}
+    for sim_i, name in enumerate(test_sims):
+        ds = _load_suite([name], args.nz, args.data_dir, args.n_save, args.dt_save)
+        ev = nde_profile(
+            model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps,
+            include_embedded=args.embedded,
+        )
+        np.savez(os.path.join(args.output, f"evaluation_{name}.npz"), **ev.to_dict())
+        for m in members:
+            key = f"losses_{m}_T"
+            if key in ev.keys():
+                matrix.setdefault(m, []).append(float(np.mean(ev[key])))
+        if sim_i == 0:
+            # Detailed figures for the first test sim (the reference plots
+            # one sim at a time; the matrix covers the rest).
+            plot_loss(
+                {m: ev[f"losses_{m}_T"] for m in members if f"losses_{m}_T" in ev.keys()},
+                ev["t"], os.path.join(args.output, "loss.png"),
+            )
+            if args.animate:
+                animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride)
+
+    if len(test_sims) > 1:
+        plot_loss_matrix(
+            {m: np.asarray(v) for m, v in matrix.items()}, test_sims,
+            os.path.join(args.output, "loss_matrix.png"),
+        )
+    summary = {m: float(np.mean(v)) for m, v in matrix.items()}
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump({"per_sim": matrix, "mean": summary}, f, indent=2)
     print(json.dumps(summary))
     return 0
 
