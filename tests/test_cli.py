@@ -55,8 +55,9 @@ def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {"nde", "mpp", "kpp"} <= set(summary)
-    assert os.path.exists(os.path.join(eval_out, "evaluation.npz"))
+    assert os.path.exists(os.path.join(eval_out, "evaluation_strong_wind_weak_cooling.npz"))
     assert os.path.exists(os.path.join(eval_out, "loss.png"))
+    assert os.path.exists(os.path.join(eval_out, "summary.json"))
 
 
 def test_train_fc_nde(tmp_path):
