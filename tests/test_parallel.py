@@ -1,0 +1,120 @@
+"""Parallel-layer tests: DP train step and sharded ensembles vs single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.data.containers import TrainingBatch
+from climateparameterizations_jl_tpu.models.wind_mixing import (
+    BoundaryConditions,
+    FluxNNs,
+    WindMixingModel,
+    WindMixingScalings,
+    solve_wind_mixing_split,
+)
+from climateparameterizations_jl_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_ensemble_solver,
+    make_sharded_nde_train_step,
+    replicate,
+    shard_training_batch,
+)
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+from climateparameterizations_jl_tpu.train.loss import LossChannels
+from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, make_wind_mixing_loss_fn
+
+f32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sc = lambda m, s: ZeroMeanUnitVarianceScaling(f32(m), f32(s))  # noqa: E731
+    scalings = WindMixingScalings(
+        u=sc(0.0, 0.1), v=sc(0.0, 0.1), T=sc(19.0, 0.5),
+        uw=sc(0.0, 1e-4), vw=sc(0.0, 1e-4), wT=sc(0.0, 1e-5),
+    )
+    model = WindMixingModel(
+        H=f32(256.0), tau=f32(691200.0), f=f32(1e-4), g=f32(9.80665), alpha=f32(2e-4),
+        kappa=f32(10.0), scalings=scalings, mpp=MPPParameters.default(), Nz=32,
+    )
+    nns = FluxNNs(*[wind_mixing_mlp(k, 32, scale=1e-3) for k in jax.random.split(jax.random.PRNGKey(0), 3)])
+    S = 8
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(S, 96)) * 0.1, f32)
+    zeros = jnp.zeros((S,), f32)
+    bcs = BoundaryConditions(
+        uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros,
+        wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros,
+    )
+    batch = TrainingBatch(
+        x0=x0, targets=jnp.repeat(x0[:, None, :], 5, axis=1), bcs=bcs,
+        t=jnp.linspace(0.0, 4e-3, 5, dtype=f32), tau=f32(691200.0),
+    )
+    return model, nns, batch
+
+
+class TestDataParallelTrainStep:
+    def test_matches_single_device_step(self, setup):
+        """8-way sharded train step == unsharded step (XLA psum grads)."""
+        model, nns, batch = setup
+        config = NDETrainConfig(n_substeps=2, method="split")
+        optimizer = optax.adam(1e-3)
+        scalings = LossChannels.ones(config.gradient_scaling)
+
+        # Unsharded reference step.
+        loss_fn = make_wind_mixing_loss_fn(model, batch, scalings, config)
+
+        def ref_step(nns, opt_state):
+            (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(nns)
+            updates, opt_state = optimizer.update(grads, opt_state, nns)
+            return optax.apply_updates(nns, updates), total
+
+        opt_state = optimizer.init(nns)
+        nns_ref, total_ref = ref_step(nns, opt_state)
+
+        mesh = make_mesh(8)
+        with mesh:
+            sharded = shard_training_batch(batch, mesh)
+            nns_r = replicate(nns, mesh)
+            step = make_sharded_nde_train_step(model, sharded, config, optimizer)
+            nns_sh, _, total_sh, _ = step(nns_r, optimizer.init(nns_r))
+            jax.block_until_ready(nns_sh)
+
+        np.testing.assert_allclose(float(total_sh), float(total_ref), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(nns_sh), jax.tree.leaves(nns_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+    def test_batch_actually_sharded(self, setup):
+        model, nns, batch = setup
+        mesh = make_mesh(8)
+        sharded = shard_training_batch(batch, mesh)
+        assert len(sharded.x0.sharding.device_set) == 8
+        # Replicated scalars stay replicated.
+        assert sharded.tau.sharding.is_fully_replicated
+
+
+class TestShardedEnsemble:
+    def test_matches_unsharded_solve(self, setup):
+        model, nns, batch = setup
+        config = NDETrainConfig(n_substeps=2, method="split")
+        E = 16
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(rng.normal(size=(E, 96)) * 0.1, f32)
+        zeros = jnp.zeros((E,), f32)
+        bcs = BoundaryConditions(
+            uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros,
+            wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros,
+        )
+        ref = solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 1e-3, 3, 2)
+
+        mesh = make_mesh(8)
+        solver = make_sharded_ensemble_solver(model, config, mesh)
+        with mesh:
+            out = solver(nns, bcs, x0, jnp.float32(0.0), jnp.float32(1e-3), 3)
+            jax.block_until_ready(out)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
+        assert len(out.sharding.device_set) == 8
