@@ -209,6 +209,40 @@ def animate_nde_loss(per_timestep_losses, t, path: str, fps: int = 10, ylabel: s
     return path
 
 
+def animate_polynomial_decomposition(f_values, x, path: str, kind: str = "legendre", n_max: int = 12, fps: int = 2, domain=None):
+    """Animate the running orthogonal-basis reconstruction of a profile.
+
+    Frame ``n`` shows the function vs its first-``n``-coefficients
+    reconstruction. Parity: the animated demos of
+    ``src/polynomial_decomposition.jl:6-65``.
+    """
+    from climateparameterizations_jl_tpu.utils.polynomial import (
+        polynomial_decomposition,
+        reconstruct,
+    )
+
+    x = np.asarray(x)
+    f_values = np.asarray(f_values)
+    coeffs = np.asarray(polynomial_decomposition(f_values, x, kind=kind, n=n_max, domain=domain))
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(x, f_values, "k-", lw=2, label="f")
+    (line,) = ax.plot(x, np.zeros_like(f_values), "r--", label="reconstruction")
+    ax.legend(fontsize=8)
+    title = ax.set_title("")
+
+    def update(k):
+        rec = np.asarray(reconstruct(coeffs[: k + 1], x, kind=kind, domain=domain))
+        line.set_ydata(rec)
+        title.set_text(f"{kind}: first {k + 1} terms")
+        return [line]
+
+    anim = manimation.FuncAnimation(fig, update, frames=range(n_max), blit=False)
+    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def animate_les_slices(T_frames, w_frames, H: float, path: str, fps: int = 8):
     """Animate vertical (x-z) slices of the 3-D LES: temperature + w.
 

@@ -166,3 +166,17 @@ class TestEKI:
         assert np.all(np.isfinite(np.asarray(result.theta_mean)))
         assert 0.01 <= float(params.CSL) <= 0.99
         assert np.all(np.asarray(result.theta_std) >= 0.0)
+
+
+class TestPolynomialAnimation:
+    def test_animation_writes_gif(self, tmp_path):
+        import os
+
+        from climateparameterizations_jl_tpu.eval.animations import (
+            animate_polynomial_decomposition,
+        )
+
+        x = np.linspace(-1.0, 1.0, 64)
+        f = np.tanh(3 * x) + 0.2 * x**2
+        p = animate_polynomial_decomposition(f, x, str(tmp_path / "poly.gif"), kind="chebyshev", n_max=6)
+        assert os.path.getsize(p) > 0
