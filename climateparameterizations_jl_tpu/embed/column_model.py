@@ -103,7 +103,12 @@ def _nn_forcing(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnSt
     def flux_div(nn: MLP | None, scaling):
         if nn is None:
             return jnp.zeros_like(state.T)
-        interior = scaling.sigma * apply_closure(nn, x)  # dimensional NN contribution
+        # Dimensionalize per training convention: FC NNs (nn_input="T") are
+        # trained against AFFINE-scaled targets (sigma * y + mu); the
+        # wind-mixing triple NNs train in zero-weights mode where the
+        # NN output is the flux over sigma (linear, no offset).
+        y = apply_closure(nn, x)
+        interior = scaling.unscale(y) if model.nn_input == "T" else scaling.sigma * y
         zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
         faces = jnp.concatenate([zeros, interior, zeros], axis=-1)
         return -d_face_to_center(faces, model.dz)

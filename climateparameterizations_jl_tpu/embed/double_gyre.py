@@ -269,7 +269,10 @@ def nn_closure_forcing(model: DoubleGyreModel, nn: MLP, T, T_scaling: ZeroMeanUn
     MLP weights as one matmul.
     """
     x = T_scaling.scale(T)  # (Ny, Nx, Nz) — z last, batched over leading axes
-    interior = wT_scaling.sigma * mlp_apply(nn, x)  # dimensional (Ny, Nx, Nz-1)
+    # Affine unscale: the FC NN is trained against affine-scaled wT targets
+    # (free_convection._assemble_wT), so physical flux = sigma * NN + mu;
+    # dropping mu would bias every interior face by -mu vs the zero pads.
+    interior = wT_scaling.unscale(mlp_apply(nn, x))  # dimensional (Ny, Nx, Nz-1)
     zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
     wT = jnp.concatenate([zeros, interior, zeros], axis=-1)
     return -(wT[..., 1:] - wT[..., :-1]) / model.dz

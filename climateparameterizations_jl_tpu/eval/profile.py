@@ -122,10 +122,18 @@ def _trajectory_diagnostics(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
     uw, vw, wT, nn_uw, nn_vw, nn_wT = jax.vmap(frame)(traj, t)
     u, v, T = split_uvT(traj, model.Nz)
     Ri = richardson_profile(u, v, T, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+    # Dimensionalization matches the model's face convention: zero-weights
+    # mode assembles faces in the LINEAR F/sigma convention (BC face =
+    # bc - scale(0) = F_bc/sigma), so affine unscale would bias every face
+    # by +mu; non-zero-weights faces are affine-scaled.
+    if model.zero_weights:
+        dim = lambda sc, y: sc.sigma * y  # noqa: E731
+    else:
+        dim = lambda sc, y: sc.unscale(y)  # noqa: E731
     return {
-        "uw": s.uw.unscale(uw),
-        "vw": s.vw.unscale(vw),
-        "wT": s.wT.unscale(wT),
+        "uw": dim(s.uw, uw),
+        "vw": dim(s.vw, vw),
+        "wT": dim(s.wT, wT),
         # NN contribution in dimensional units: sigma * (scaled NN face flux)
         # — the decomposition of training_postprocessing.jl:474-496.
         "nn_uw": s.uw.sigma * nn_uw,

@@ -138,10 +138,21 @@ def _effective_bcs(model: WindMixingModel, bcs: BoundaryConditions, t):
 
 
 def _pad_faces(interior, bottom, top):
-    """Assemble ``(..., Nz+1)`` faces from ``(..., Nz-1)`` interior + scalar-ish BCs."""
-    bottom = jnp.broadcast_to(jnp.asarray(bottom, interior.dtype), interior.shape[:-1])[..., None]
-    top = jnp.broadcast_to(jnp.asarray(top, interior.dtype), interior.shape[:-1])[..., None]
-    return jnp.concatenate([bottom, interior, top], axis=-1)
+    """Assemble ``(..., Nz+1)`` faces from interior values + scalar-ish BCs.
+
+    BC arrays broadcast LEFT-aligned against the batch axes: a ``(S,)`` BC
+    with ``(S, E, Nz-1)`` interiors means "per simulation", so trailing
+    (ensemble) axes are appended — right-aligned numpy broadcasting would
+    silently attach it to the wrong axis whenever ``S == E``.
+    """
+    batch = interior.shape[:-1]
+
+    def expand(b):
+        b = jnp.asarray(b, interior.dtype)
+        b = b.reshape(b.shape + (1,) * (len(batch) - b.ndim))
+        return jnp.broadcast_to(b, batch)[..., None]
+
+    return jnp.concatenate([expand(bottom), interior, expand(top)], axis=-1)
 
 
 def _nn_fluxes(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x):
@@ -162,7 +173,7 @@ def _nn_fluxes(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x)
     return tuple(_pad_faces(i, b, t) for i, (b, t) in zip(interiors, pads))
 
 
-def _mpp_fluxes(model: WindMixingModel, bcs: BoundaryConditions, x, return_nu: bool = False):
+def _mpp_fluxes(model: WindMixingModel, bcs: BoundaryConditions, x):
     """mPP downgradient flux faces ``nu * dphi/dz`` terms; ``NDE_training.jl:114-139``."""
     s = model.scalings
     u, v, T = split_uvT(x, model.Nz)
@@ -195,8 +206,6 @@ def _mpp_fluxes(model: WindMixingModel, bcs: BoundaryConditions, x, return_nu: b
         nu_dvdz = cv * nu * dvdz
         nu_dTdz = cT * nu * dTdz
 
-    if return_nu:
-        return (nu_dudz, nu_dvdz, nu_dTdz), nu
     return nu_dudz, nu_dvdz, nu_dTdz
 
 
@@ -251,14 +260,19 @@ def _explicit_rhs_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCondi
     """Explicit part for the operator-split stepper: NN fluxes + Coriolis + BC faces."""
     bcs_t = _effective_bcs(model, bcs, t)
     uw, vw, wT = _nn_fluxes(model, nns, bcs_t, x)
-    if model.use_mpp and model.zero_weights:
-        # The boundary-face BC fluxes live on the mPP term in zero-weights
-        # mode; keep them explicit (the implicit solve is zero-flux).
-        (nu_dudz, nu_dvdz, nu_dTdz), _ = _mpp_fluxes(model, bcs_t, x, return_nu=True)
-        zero_int = jnp.zeros_like(nu_dudz[..., 1:-1])
-        uw = uw - jnp.concatenate([nu_dudz[..., :1], zero_int, nu_dudz[..., -1:]], axis=-1)
-        vw = vw - jnp.concatenate([nu_dvdz[..., :1], zero_int, nu_dvdz[..., -1:]], axis=-1)
-        wT = wT - jnp.concatenate([nu_dTdz[..., :1], zero_int, nu_dTdz[..., -1:]], axis=-1)
+    if model.zero_weights:
+        # Zero-weights mode: the boundary-face BC fluxes ride on the base
+        # physics term (mPP or conv-adj), kept explicit here because the
+        # implicit solve is zero-flux at the boundaries. The faces are pure
+        # BC expressions (bc - scale(0)); no Ri/nu work is needed for them
+        # (the interior nu is computed once in the substep's implicit solve).
+        s = model.scalings
+        zu = s.uw.scale(jnp.zeros_like(bcs_t.uw_bot))
+        zv = s.vw.scale(jnp.zeros_like(bcs_t.vw_bot))
+        zT = s.wT.scale(jnp.zeros_like(bcs_t.wT_bot))
+        uw = _pad_faces(uw[..., 1:-1], bcs_t.uw_bot - zu, bcs_t.uw_top - zu)
+        vw = _pad_faces(vw[..., 1:-1], bcs_t.vw_bot - zv, bcs_t.vw_top - zv)
+        wT = _pad_faces(wT[..., 1:-1], bcs_t.wT_bot - zT, bcs_t.wT_top - zT)
     return _tendencies(model, x, uw, vw, wT)
 
 
@@ -302,6 +316,18 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             nu3 = jnp.stack([nu, nu, nu / model.mpp.Pr], axis=0)
             phi = implicit_diffusion_step(phi, nu3, dt, model.dz_hat, backend=tridiag_backend)
             x_adv = join_uvT(phi[0], phi[1], phi[2])
+        elif model.use_conv_adj:
+            # Implicit convective adjustment on T (switch lagged at the
+            # start-of-substep state), mirroring predict_flux's explicit
+            # min(0, kappa dT/dz) term: effective non-dim diffusivity
+            # kappa * tau / H^2 where the profile is unstable.
+            _, _, T_lag = split_uvT(x, model.Nz)
+            dTdz = d_center_to_face(T_lag, model.dz_hat)
+            Kc = model.kappa * (dTdz < 0.0) * nu_scale
+            mask = jnp.ones(Kc.shape[-1], Kc.dtype).at[0].set(0.0).at[-1].set(0.0)
+            u, v, T = split_uvT(x_adv, model.Nz)
+            T = implicit_diffusion_step(T, Kc * mask, dt, model.dz_hat, backend=tridiag_backend)
+            x_adv = join_uvT(u, v, T)
         return x_adv
 
     def interval(x, t_start):

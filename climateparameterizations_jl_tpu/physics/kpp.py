@@ -81,9 +81,15 @@ class KPPParameters:
         vals.update(overrides)
         return cls(**{k: jnp.asarray(v, dtype) for k, v in vals.items()})
 
-    def Ctau_b(self, Cb, Cd, Cm):
-        """Derived wind-stress parameter for the convective regime (table lines 20-21)."""
-        return (self.Ctau / Cb) ** (1.0 / Cm) * (1.0 + self.Cunst * Cd) ** (self.Cmtau_U / Cm) - Cd
+    def Ctau_b(self, Cb, Cd, Cm_b, Cm_tau):
+        """Derived wind-stress parameter for the convective regime (table lines 20-21).
+
+        Built so the convective branch ``Cb wb (sig + Ctau_b/d3)^Cm_b`` meets
+        the wind branch EXACTLY at the regime switch ``d3 sig = Cd`` — which
+        requires the matching variable's own wind exponent ``Cm_tau``
+        (momentum and tracers differ).
+        """
+        return (self.Ctau / Cb) ** (1.0 / Cm_b) * (1.0 + self.Cunst * Cd) ** (Cm_tau / Cm_b) - Cd
 
 
 class KPPForcing(NamedTuple):
@@ -100,24 +106,39 @@ def _shape_fn(sigma):
     return s * (1.0 - s) ** 2
 
 
-def _surface_layer_average(phi, zc, h_frac, H):
-    """Average of ``phi`` over the top ``CSL * |z|`` layer, approximated by the
-    top cell(s) weighted by an exponential-free mask (static-shape).
+def _surface_layer_weights(zc, CSL):
+    """Per-candidate surface-layer averaging weights ``(Nz_cand, Nz_cell)``.
 
-    For the coarse 32-level columns here the surface layer at default CSL=0.1
-    is thinner than one cell for most candidate depths, so the top cell is
-    the natural discrete surface-layer average (OceanTurb does the same
-    integral on its grid).
+    Candidate boundary-layer bottom ``k`` (at center depth ``d_k = -zc_k``)
+    averages over the top ``CSL * d_k`` of the column; weight of cell ``j``
+    is its overlap with ``[-CSL d_k, 0]`` (OceanTurb integrates the same
+    fraction on its grid). Static shapes: one precomputed matrix, the
+    average is a single matmul for all candidates.
     """
-    return phi[..., -1]
+    dz = zc[1] - zc[0]
+    z_top = zc + 0.5 * dz
+    z_bot = zc - 0.5 * dz
+    thick = CSL * (-zc)  # (Nz_cand,)
+    overlap = jnp.maximum(
+        0.0,
+        jnp.minimum(z_top[None, :], 0.0) - jnp.maximum(z_bot[None, :], -thick[:, None]),
+    )
+    W = overlap / jnp.maximum(overlap.sum(axis=-1, keepdims=True), 1e-30)
+    return W
+
+
+def _surface_layer_average(phi, W):
+    """``(..., Nz_cell) -> (..., Nz_cand)`` surface-layer means (one matmul)."""
+    return phi @ W.T
 
 
 def bulk_richardson_number(U, V, B, zc, params: KPPParameters, Fb):
     """``Ri_b`` at each cell center (candidate boundary-layer bottoms)."""
     dz = zc[1] - zc[0]
-    U_sl = _surface_layer_average(U, zc, params.CSL, None)[..., None]
-    V_sl = _surface_layer_average(V, zc, params.CSL, None)[..., None]
-    B_sl = _surface_layer_average(B, zc, params.CSL, None)[..., None]
+    W_sl = _surface_layer_weights(zc, params.CSL)
+    U_sl = _surface_layer_average(U, W_sl)
+    V_sl = _surface_layer_average(V, W_sl)
+    B_sl = _surface_layer_average(B, W_sl)
 
     depth = -zc  # positive depth of each center
     dB = B_sl - B
@@ -175,18 +196,22 @@ def turbulent_velocity_scales(h, params: KPPParameters, Fu, Fb, sigma):
     eps = 1e-30
     d3 = (wb / (ustar + eps)) ** 3
 
-    # Depth fraction: velocity scales evaluated at min(CSL, sigma) for
-    # stability (LMD94 surface-layer matching).
+    # Depth fraction: under DESTABILIZING forcing LMD94 caps the evaluation
+    # depth at the surface-layer fraction; under stable forcing the full
+    # sigma is used (no cap).
     sig = jnp.minimum(sigma, params.CSL)
+    sig_stable = jnp.clip(sigma, 0.0, 1.0)
 
     def scale(Cm_tau, Cm_b, Cd, Cb):
-        Ctau_b = params.Ctau_b(Cb, Cd, Cm_b)
+        Ctau_b = params.Ctau_b(Cb, Cd, Cm_b, Cm_tau)
         wind = params.Ctau * ustar * (1.0 + params.Cunst * d3 * sig) ** Cm_tau
-        conv = Cb * wb * (sig * (1.0 + Ctau_b / (d3 + eps))) ** Cm_b
+        # Additive form: exactly continuous with the wind branch at
+        # d3 * sig = Cd (see Ctau_b).
+        conv = Cb * wb * (sig + Ctau_b / (d3 + eps)) ** Cm_b
         unstable = jnp.where(d3 * sig < Cd, wind, conv)
         # Stable branch: buoyancy flux < 0 (heating) damps turbulence.
         rb = jnp.abs(Fb) * h / (ustar**3 + eps)
-        stable = params.Ctau * ustar / (1.0 + params.Cstab * rb * sig) ** params.Cn
+        stable = params.Ctau * ustar / (1.0 + params.Cstab * rb * sig_stable) ** params.Cn
         return jnp.where(Fb > 0.0, unstable, stable)
 
     W_U = scale(params.Cmtau_U, params.Cmb_U, params.Cd_U, params.Cb_U)
@@ -232,8 +257,11 @@ def kpp_step(state: KPPState, dt, dz, zf, zc, params: KPPParameters, forcing: KP
     K_U, K_T, NL, _h = kpp_diffusivities(U, V, T, zf, zc, params, forcing, g, alpha, H)
 
     # Explicit: Coriolis rotation + surface fluxes + bottom gradient + nonlocal flux div.
+    # Forward-backward Coriolis (V uses the already-updated U): neutrally
+    # stable for inertial oscillations, where plain forward Euler amplifies
+    # by sqrt(1 + (f dt)^2) per step (see embed/double_gyre.py).
     U_half = U + dt * f_cor * V
-    V_half = V - dt * f_cor * U
+    V_half = V - dt * f_cor * U_half
     T_half = T
 
     # Surface fluxes enter the top cell: dphi/dt = -dF/dz => -F_top/dz.

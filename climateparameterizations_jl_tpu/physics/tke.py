@@ -121,8 +121,10 @@ def tke_step(state: TKEState, dt, dz, zc, params: TKEParameters, Fu, Fb, f_cor, 
     # Convective TKE input from destabilizing surface buoyancy flux.
     e_half = e_half.at[..., -1].add(dt * jnp.maximum(0.0, Fb))
 
+    # Forward-backward Coriolis (neutrally stable; forward Euler amplifies
+    # inertial oscillations by sqrt(1 + (f dt)^2) per step).
     U_half = state.U + dt * f_cor * state.V
-    V_half = state.V - dt * f_cor * state.U
+    V_half = state.V - dt * f_cor * U_half
     U_half = U_half.at[..., -1].add(-dt * Fu / dz)
     F_theta = Fb / (g * alpha)
     T_half = state.T.at[..., -1].add(-dt * F_theta / dz)

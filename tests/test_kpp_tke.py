@@ -113,3 +113,37 @@ class TestTKE:
         assert np.isfinite(e).all()
         # Wind work raises near-surface TKE by orders of magnitude.
         assert e[-1, -1] > 100 * e[0, -1]
+
+
+class TestVelocityScaleContinuity:
+    def test_continuous_across_regime_switch(self):
+        """W_U and W_T are continuous where the wind/convection regimes meet.
+
+        The switch is at d3 * sig = Cd; the derived Ctau_b (with the
+        variable's own wind exponent) makes the additive convective branch
+        meet the wind branch exactly there.
+        """
+        import jax.numpy as jnp
+
+        from climateparameterizations_jl_tpu.physics.kpp import (
+            KPPParameters,
+            turbulent_velocity_scales,
+        )
+
+        params = KPPParameters.default(jnp.float64)
+        h = jnp.float64(100.0)
+        Fu = jnp.float64(1e-4)
+        for Cd in (params.Cd_U, params.Cd_T):
+            for Fb in (1e-7, 2e-6):
+                Fb = jnp.float64(Fb)
+                ustar = jnp.sqrt(Fu)
+                wb = (Fb * h) ** (1.0 / 3.0)
+                d3 = (wb / ustar) ** 3
+                sig_switch = float(Cd / d3)
+                if not (0.0 < sig_switch < float(params.CSL)):
+                    continue  # switch not inside the capped range for this forcing
+                eps = 1e-9
+                lo = turbulent_velocity_scales(h, params, Fu, Fb, jnp.float64(sig_switch - eps))
+                hi = turbulent_velocity_scales(h, params, Fu, Fb, jnp.float64(sig_switch + eps))
+                for a, b in zip(lo, hi):
+                    assert abs(float(a) - float(b)) < 1e-6 * abs(float(a)), (float(a), float(b))
