@@ -97,7 +97,14 @@ def wind_mixing_mlp(key, Nz: int = 32, hidden=(50, 20), activation: str = "mish"
 
 
 def destructure(nn: MLP):
-    """Flatten parameters to one vector + rebuild fn (``Flux.destructure`` parity)."""
+    """Flatten parameters to one vector + a rebuild fn.
+
+    Functional parity with ``Flux.destructure`` (round-trips through this
+    module's own rebuild), but NOT byte-layout parity: the flat order here
+    is pytree order (all weights row-major, then biases), while Flux
+    interleaves per-layer column-major W/b — do not feed vectors exported
+    from the Julia reference through ``rebuild``.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(nn)
     shapes = [leaf.shape for leaf in leaves]
     sizes = [int(np.prod(s)) for s in shapes]
@@ -185,16 +192,20 @@ def spatial_causality_penalty(nn) -> jnp.ndarray:
 
 
 def apply_spatial_causality_mask(nn):
-    """Hard variant: zero the acausal first-layer entries in place.
+    """Hard variant: zero the acausal entries of EVERY weight matrix.
 
     Parity: the masked-weight trainer ``dense_spatial_causality_train!``
-    (``free_convection/src/training.jl:24-42``) — call after each optimizer
-    update.
+    (``free_convection/src/training.jl:24-42``) masks every weight matrix
+    (its loop strides over all W's) — lower-triangularity only survives
+    composition if all layers are masked; a first-layer-only mask leaves
+    output face ``i`` depending on every input level through the dense
+    hidden layers. Call after each optimizer update.
     """
     dense = _first_dense(nn)
-    W1 = dense.weights[0]
-    masked = jnp.where(spatial_causality_mask(W1.shape), 0.0, W1)
-    new_dense = dataclasses.replace(dense, weights=(masked,) + tuple(dense.weights[1:]))
+    masked = tuple(
+        jnp.where(spatial_causality_mask(W.shape), 0.0, W) for W in dense.weights
+    )
+    new_dense = dataclasses.replace(dense, weights=masked)
     if isinstance(nn, ConvMLP):
         return dataclasses.replace(nn, mlp=new_dense)
     return new_dense

@@ -172,11 +172,10 @@ def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps,
     non-dimensionalized by ``tau`` = full simulation span by default.
     """
     n_frames = ds.t.shape[-1]
-    import numpy as _np
-
-    if int(_np.max(_np.asarray(tsteps))) >= n_frames:
+    t_arr = np.asarray(tsteps)
+    if int(t_arr.max()) >= n_frames or int(t_arr.min()) < 0:
         raise ValueError(
-            f"tsteps max {int(_np.max(_np.asarray(tsteps)))} out of range for {n_frames} saved frames"
+            f"tsteps range [{int(t_arr.min())}, {int(t_arr.max())}] out of range for {n_frames} saved frames"
         )
     tsteps = jnp.asarray(tsteps)
     x = scaled_state_array(ds, scalings)  # (S, Nt, 3Nz)
@@ -212,6 +211,8 @@ def direct_regression_pairs(ds: ColumnTimeSeries, scalings: WindMixingScalings, 
     faces ``(S * Nt, Nz + 1)``. Parity: the ``training_data`` pairs in
     ``FluxData`` (``data_containers.jl:410-414``).
     """
+    if flux not in ("uw", "vw", "wT"):
+        raise KeyError(f"flux must be one of uw/vw/wT, got {flux!r}")
     x = scaled_state_array(ds, scalings)
-    y = {"uw": scalings.uw.scale(ds.uw), "vw": scalings.vw.scale(ds.vw), "wT": scalings.wT.scale(ds.wT)}[flux]
+    y = getattr(scalings, flux).scale(getattr(ds, flux))  # only the requested flux
     return x.reshape(-1, x.shape[-1]), y.reshape(-1, y.shape[-1])

@@ -24,7 +24,7 @@ from climateparameterizations_jl_tpu.closures.mlp import (
 from climateparameterizations_jl_tpu.core.operators import d_face_to_center
 
 
-def flux_nn_loss(nn: MLP, x, y, gradient_scaling: float = 0.0, dz_hat: float | None = None, bcs=None, causality_weight: float = 0.0):
+def flux_nn_loss(nn: MLP, x, y, gradient_scaling: float = 0.0, dz_hat: float | None = None, causality_weight: float = 0.0):
     """MSE on predicted interior fluxes (+ optional flux-gradient penalty).
 
     ``x``: ``(B, 3 Nz)`` scaled states; ``y``: ``(B, Nz + 1)`` scaled target
@@ -76,26 +76,33 @@ def train_flux_nn(
 
     @jax.jit
     def step(nn, opt_state, xb, yb):
-        loss, grads = jax.value_and_grad(flux_nn_loss)(nn, xb, yb, gradient_scaling, dz_hat, None, soft_w)
+        loss, grads = jax.value_and_grad(flux_nn_loss)(nn, xb, yb, gradient_scaling, dz_hat, soft_w)
         updates, opt_state = optimizer.update(grads, opt_state, nn)
         nn = optax.apply_updates(nn, updates)
         if causality == "hard":
             nn = apply_spatial_causality_mask(nn)
         return nn, opt_state, loss
 
+    if batch_size is not None:
+        # Oversized batch must not silently skip every step.
+        batch_size = min(batch_size, n)
+
     history = []
     key = key if key is not None else jax.random.PRNGKey(0)
     for epoch in range(epochs):
         if batch_size is None:
             nn, opt_state, loss = step(nn, opt_state, x, y)
+            epoch_loss = float(loss)
         else:
             key, sub = jax.random.split(key)
             perm = jax.random.permutation(sub, n)
-            loss = 0.0
+            losses = []
             for start in range(0, n - batch_size + 1, batch_size):
                 idx = perm[start : start + batch_size]
                 nn, opt_state, loss = step(nn, opt_state, x[idx], y[idx])
-        history.append(float(loss))
+                losses.append(float(loss))
+            epoch_loss = sum(losses) / len(losses)  # epoch mean, not last batch
+        history.append(epoch_loss)
         if callback is not None:
-            callback(epoch, float(loss), nn)
+            callback(epoch, epoch_loss, nn)
     return nn, history

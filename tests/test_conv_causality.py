@@ -95,3 +95,25 @@ class TestSpatialCausality:
         p0 = float(spatial_causality_penalty(nn))
         nn_soft, _ = train_flux_nn(nn, x, y, learning_rate=1e-2, epochs=200, causality="soft", causality_weight=10.0)
         assert float(spatial_causality_penalty(nn_soft)) < 0.2 * p0
+
+
+def test_hard_mask_enforces_causality_through_all_layers():
+    """Output face i must not depend on input level j > i after hard masking."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from climateparameterizations_jl_tpu.closures.mlp import (
+        apply_spatial_causality_mask,
+        mlp_apply,
+        mlp_init,
+    )
+
+    Nz = 8
+    nn = apply_spatial_causality_mask(mlp_init(jax.random.PRNGKey(0), (Nz, Nz, Nz - 1), "relu"))
+    # Jacobian of output wrt input: entries above the diagonal must vanish
+    # (output i only sees inputs j <= i with every layer lower-triangular).
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(Nz,)), jnp.float32)
+    J = np.asarray(jax.jacobian(lambda x: mlp_apply(nn, x))(x))  # (Nz-1, Nz)
+    for i in range(Nz - 1):
+        assert np.allclose(J[i, i + 1 :], 0.0), f"face {i} leaks from deeper levels"
