@@ -58,20 +58,31 @@ def solution_history(
     dt_save,
     n_save: int,
     n_substeps: int = 2,
+    method: str = "split",
 ):
     """Solve the free-convection NDE for every training epoch in one vmap.
 
     ``nn_history``: list of E MLP pytrees (one per checkpointed epoch).
-    Returns scaled trajectories ``(E, n_save + 1, ..., Nz)``.
+    Returns scaled trajectories ``(E, n_save + 1, ..., Nz)``. The default
+    ``method="split"`` keeps the conv-adj base closure implicit (the
+    explicit min-form is stiff at kappa=10 — see
+    ``solve_free_convection_split``); jitted so the whole replay is one
+    compiled program.
 
     Parity: ``compute_nde_solution_history`` (``testing.jl:1-32``).
     """
     stacked = stack_epochs(nn_history)
 
-    def solve_one(nn):
-        return solve_free_convection_nde(model, nn, T0_scaled, t0, dt_save, n_save, n_substeps=n_substeps)
+    @jax.jit
+    def replay(stacked):
+        def solve_one(nn):
+            return solve_free_convection_nde(
+                model, nn, T0_scaled, t0, dt_save, n_save, n_substeps=n_substeps, method=method
+            )
 
-    return jax.vmap(solve_one)(stacked)
+        return jax.vmap(solve_one)(stacked)
+
+    return replay(stacked)
 
 
 def epoch_losses(trajectories, truth_scaled):

@@ -24,10 +24,12 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.closures.mlp import MLP, apply_closure
 from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
 from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
 from climateparameterizations_jl_tpu.models.timestepper import solve_fixed_step
+from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
+from climateparameterizations_jl_tpu.physics.convective_adjustment import convective_adjustment_flux
 
 
 @jax.tree_util.register_dataclass
@@ -59,12 +61,18 @@ def _assemble_wT(model: FreeConvectionModel, nn: MLP | None, T):
     if nn is None:  # physics-only baseline (zeroed NN, convective_adjustment_nde.jl with 0 weights)
         interior = jnp.zeros(T.shape[:-1] + (model.Nz - 1,), T.dtype)
     else:
-        from climateparameterizations_jl_tpu.closures.mlp import apply_closure
-
         interior = apply_closure(nn, T)
-    bot = jnp.broadcast_to(jnp.asarray(model.bottom_flux, T.dtype), T.shape[:-1])[..., None]
-    top = jnp.broadcast_to(jnp.asarray(model.top_flux, T.dtype), T.shape[:-1])[..., None]
-    return jnp.concatenate([bot, interior, top], axis=-1)
+
+    # LEFT-aligned BC broadcasting (same pitfall as wind_mixing._pad_faces):
+    # a (S,) flux against (S, E, Nz) states means "per simulation".
+    batch = T.shape[:-1]
+
+    def expand(b):
+        b = jnp.asarray(b, T.dtype)
+        b = b.reshape(b.shape + (1,) * (len(batch) - b.ndim))
+        return jnp.broadcast_to(b, batch)[..., None]
+
+    return jnp.concatenate([expand(model.bottom_flux), interior, expand(model.top_flux)], axis=-1)
 
 
 def free_convection_rhs(model: FreeConvectionModel, nn: MLP, T, t):
@@ -73,8 +81,7 @@ def free_convection_rhs(model: FreeConvectionModel, nn: MLP, T, t):
     prefactor = model.wT_scaling.sigma / model.T_scaling.sigma * model.tau / model.H
     div_wT = d_face_to_center(wT, model.dz_hat)
     if model.base_closure == "convective_adjustment":
-        dTdz = d_center_to_face(T, model.dz_hat)
-        ca_flux = jnp.minimum(0.0, model.kappa * dTdz)
+        ca_flux = convective_adjustment_flux(T, model.dz_hat, model.kappa)
         div_ca = d_face_to_center(ca_flux, model.dz_hat)
         return prefactor * (-div_wT + div_ca)
     return -prefactor * div_wT
@@ -86,9 +93,9 @@ def solve_free_convection_nde(model: FreeConvectionModel, nn: MLP, T0, t0, dt_sa
     Replaces the reference's ROCK4/Tsit5 + InterpolatingAdjoint solve
     (``free_convection/src/solve.jl:1-6``) with RK4-in-scan + discrete adjoint.
     """
-    rhs = lambda T, t: free_convection_rhs(model, nn, T, t)  # noqa: E731
     if method == "split":
         return solve_free_convection_split(model, nn, T0, t0, dt_save, n_save, n_substeps, checkpoint=checkpoint)
+    rhs = lambda T, t: free_convection_rhs(model, nn, T, t)  # noqa: E731
     return solve_fixed_step(rhs, T0, t0, dt_save, n_save, n_substeps, method, checkpoint)
 
 
@@ -112,10 +119,6 @@ def solve_free_convection_split(
     — the scheme of the reference's Oceananigans embedding
     (``oceananigans_nn.jl:13-40``), unconditionally stable.
     """
-    import jax
-
-    from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
-
     dt = dt_save / n_substeps
     dz_hat = model.dz_hat
     prefactor = model.wT_scaling.sigma / model.T_scaling.sigma * model.tau / model.H
@@ -128,8 +131,7 @@ def solve_free_convection_split(
             # Scaled face diffusivity: the explicit term is
             # prefactor * d/dz(kappa * 1_[dTdz<0] * dTdz).
             K = prefactor * model.kappa * (dTdz < 0)
-            mask = jnp.ones(K.shape[-1], K.dtype).at[0].set(0.0).at[-1].set(0.0)
-            T_adv = implicit_diffusion_step(T_adv, K * mask, dt, dz_hat, backend=tridiag_backend)
+            T_adv = implicit_diffusion_step(T_adv, K, dt, dz_hat, backend=tridiag_backend, zero_boundary_faces=True)
         return T_adv
 
     def interval(T, t_start):
@@ -156,6 +158,5 @@ def diagnose_wT(model: FreeConvectionModel, nn: MLP, T_traj):
     """
     wT = _assemble_wT(model, nn, T_traj)
     if model.base_closure == "convective_adjustment":
-        dTdz = d_center_to_face(T_traj, model.dz_hat)
-        wT = wT - jnp.minimum(0.0, model.kappa * dTdz)
+        wT = wT - convective_adjustment_flux(T_traj, model.dz_hat, model.kappa)
     return wT

@@ -324,9 +324,8 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             _, _, T_lag = split_uvT(x, model.Nz)
             dTdz = d_center_to_face(T_lag, model.dz_hat)
             Kc = model.kappa * (dTdz < 0.0) * nu_scale
-            mask = jnp.ones(Kc.shape[-1], Kc.dtype).at[0].set(0.0).at[-1].set(0.0)
             u, v, T = split_uvT(x_adv, model.Nz)
-            T = implicit_diffusion_step(T, Kc * mask, dt, model.dz_hat, backend=tridiag_backend)
+            T = implicit_diffusion_step(T, Kc, dt, model.dz_hat, backend=tridiag_backend, zero_boundary_faces=True)
             x_adv = join_uvT(u, v, T)
         return x_adv
 

@@ -83,7 +83,17 @@ def _tridiag_kernel(dl_ref, d_ref, du_ref, b_ref, out_ref, cp_ref, dp_ref):
 
 
 def _thomas_pallas(dl, d, du, b, lane_tile: int = 256):
-    """TPU Pallas Thomas solve. Inputs (..., N); batch flattened across lanes."""
+    """TPU Pallas Thomas solve. Inputs (..., N); batch flattened across lanes.
+
+    f32 compute: half-precision inputs are upcast (and the result cast
+    back); f64 is rejected — use the scan backend (f64 recurrences are not
+    a TPU Pallas citizen and would silently truncate through f32 scratch).
+    """
+    orig_dtype = b.dtype
+    if orig_dtype in (jnp.float64, jnp.complex64, jnp.complex128):
+        raise ValueError(f"pallas tridiagonal backend is f32-only (got {orig_dtype}); use backend='scan'")
+    if orig_dtype != jnp.float32:
+        dl, d, du, b = (a.astype(jnp.float32) for a in (dl, d, du, b))
     batch_shape = b.shape[:-1]
     n = b.shape[-1]
     flat = lambda a: a.reshape(-1, n).T  # noqa: E731  -> (N, B)
@@ -109,7 +119,7 @@ def _thomas_pallas(dl, d, du, b, lane_tile: int = 256):
             pltpu.VMEM((n, lane_tile), jnp.float32),
         ],
     )(dl_t, d_t, du_t, b_t)
-    return out[:, :B].T.reshape(*batch_shape, n)
+    return out[:, :B].T.reshape(*batch_shape, n).astype(orig_dtype)
 
 
 def tridiagonal_solve(dl, d, du, b, backend: str = "scan"):
@@ -159,10 +169,20 @@ def implicit_diffusion_matrix(nu_face, dt, dz):
     return dl, d, du
 
 
-def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan"):
+def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan", zero_boundary_faces: bool = False):
     """One backward-Euler diffusion step ``(I - dt*D(nu)) phi' = phi``.
 
     ``phi`` has shape ``(..., N)`` (centers), ``nu_face`` ``(..., N+1)`` (faces).
+
+    The raw matrix replicates the reference exactly, INCLUDING its
+    asymmetric boundary handling: a nonzero ``nu_face[0]`` leaks toward a
+    zero ghost value (``diag[0]`` has no matching off-diagonal), while the
+    top face is dropped. Physical callers that want conservative zero-flux
+    boundaries should pass ``zero_boundary_faces=True`` instead of hand-
+    masking at every call site.
     """
+    if zero_boundary_faces:
+        mask = jnp.ones(nu_face.shape[-1], nu_face.dtype).at[0].set(0.0).at[-1].set(0.0)
+        nu_face = nu_face * mask
     dl, d, du = implicit_diffusion_matrix(nu_face, dt, dz)
     return tridiagonal_solve(dl, d, du, phi, backend=backend)
