@@ -38,6 +38,18 @@ def _sims(arg: str) -> list[str]:
     return [s.strip() for s in arg.split(",") if s.strip()]
 
 
+def _suite_diurnal_flags(names) -> list:
+    from climateparameterizations_jl_tpu.data.registry import simulation_parameters
+
+    flags = []
+    for n in names:
+        try:
+            flags.append(bool(simulation_parameters(n).diurnal))
+        except KeyError:
+            flags.append(False)
+    return flags
+
+
 def _load_suite(names, Nz: int, data_dir=None, n_save=288, dt_save=600.0, Nz_les=128):
     from climateparameterizations_jl_tpu.data.containers import (
         coarsen_dataset,
@@ -46,12 +58,13 @@ def _load_suite(names, Nz: int, data_dir=None, n_save=288, dt_save=600.0, Nz_les
     )
     from climateparameterizations_jl_tpu.data.registry import load_simulation
 
-    datasets = [
-        enforce_surface_fluxes(
-            coarsen_dataset(load_simulation(n, data_dir=data_dir, Nz_les=Nz_les, n_save=n_save, dt_save=dt_save), Nz)
-        )
-        for n in names
-    ]
+    diurnal = _suite_diurnal_flags(names)
+    datasets = []
+    for n, is_diurnal in zip(names, diurnal):
+        ds = coarsen_dataset(load_simulation(n, data_dir=data_dir, Nz_les=Nz_les, n_save=n_save, dt_save=dt_save), Nz)
+        # Diurnal sims carry a time-VARYING top wT face; pinning it to the
+        # constant amplitude would erase the cycle.
+        datasets.append(ds if is_diurnal else enforce_surface_fluxes(ds))
     return stack_datasets(datasets) if len(datasets) > 1 else datasets[0]
 
 
@@ -171,7 +184,10 @@ def _load_fc_nn(directory: str):
     arch = meta["arch"]
     if "conv_width" in arch:
         Nz = arch["sizes"][-1] + 1
-        skeleton = free_convection_conv_mlp(jax.random.PRNGKey(0), Nz, conv_width=arch["conv_width"])
+        skeleton = free_convection_conv_mlp(
+            jax.random.PRNGKey(0), Nz, conv_width=arch["conv_width"],
+            activation=arch.get("activation", "relu"),
+        )
     else:
         skeleton = mlp_init(jax.random.PRNGKey(0), arch["sizes"], arch["activation"])
     nn, _ = load_checkpoint(directory, skeleton)
@@ -309,7 +325,7 @@ def _history_writer(output: str):
     def callback(i, total, channels=None, *_rest):
         rec = {"iter": int(i), "loss": float(total)}
         if channels is not None:
-            for field in ("u", "v", "T", "du", "dv", "dT"):
+            for field in ("u", "v", "T", "dudz", "dvdz", "dTdz"):
                 if hasattr(channels, field):
                     rec[field] = float(getattr(channels, field))
         hist.append(rec)
@@ -379,8 +395,13 @@ def cmd_train_nde(args) -> int:
         train_wind_mixing_nde,
     )
 
-    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
-    model = _wind_model(ds, args.nz)
+    names = _sims(args.sims)
+    ds = _load_suite(names, args.nz, args.data_dir, args.n_save, args.dt_save)
+    flags = _suite_diurnal_flags(names)
+    diurnal = all(flags) and len(flags) > 0
+    if any(flags) and not diurnal:
+        print("warning: mixed diurnal/constant-flux suite — diurnal forcing disabled (train diurnal sims separately)")
+    model = _wind_model(ds, args.nz, diurnal=diurnal)
     if args.init_from:
         nns, _ = _load_nns(args.init_from)
     else:
@@ -402,7 +423,7 @@ def cmd_train_nde(args) -> int:
         print(f"warning: clamping training windows {windows} to {n_frames} available frames")
         windows = [min(w, n_frames) for w in windows]
     stages = [CurriculumStage(tsteps=np.arange(0, w), maxiters=args.maxiters, learning_rate=args.lr) for w in windows]
-    batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau)  # noqa: E731
+    batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau, diurnal=diurnal)  # noqa: E731
     batch = batch_fn(stages[0].tsteps)
 
     import contextlib
@@ -639,12 +660,10 @@ def cmd_evaluate(args) -> int:
     from climateparameterizations_jl_tpu.eval.profile import nde_profile
 
     test_sims = _sims(args.test_sims)
-    train_ds = (
-        _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
-        if args.sims
-        else _load_suite(test_sims, args.nz, args.data_dir, args.n_save, args.dt_save)
-    )
-    model = _wind_model(train_ds, args.nz)  # TRAINING scalings (override semantics)
+    train_names = _sims(args.sims) if args.sims else test_sims
+    train_ds = _load_suite(train_names, args.nz, args.data_dir, args.n_save, args.dt_save)
+    flags = _suite_diurnal_flags(train_names)
+    model = _wind_model(train_ds, args.nz, diurnal=all(flags) and len(flags) > 0)  # TRAINING scalings (override semantics)
     nns, _ = _load_nns(args.checkpoint)
     tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
     os.makedirs(args.output, exist_ok=True)
@@ -702,15 +721,17 @@ def cmd_double_gyre(args) -> int:
     if args.checkpoint:
         import jax.numpy as jnp
 
-        from climateparameterizations_jl_tpu.closures.mlp import mlp_init
-        from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint
-
-        with open(os.path.join(args.checkpoint, "meta.json")) as f:
-            arch = json.load(f)["arch"]
-        skeleton = mlp_init(jax.random.PRNGKey(0), arch["sizes"], arch["activation"])
-        nn, _ = load_checkpoint(args.checkpoint, skeleton)
-        T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(args.T_mu), jnp.float32(args.T_sigma))
-        wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(0.0), jnp.float32(args.wT_sigma))
+        # Shared loader: handles MLP and ConvMLP checkpoints alike.
+        nn, meta = _load_fc_nn(args.checkpoint)
+        saved = meta.get("scalings")
+        if saved is not None:
+            # The NN is only valid under its TRAINING normalization.
+            T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["T"]["mu"]), jnp.float32(saved["T"]["sigma"]))
+            wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["wT"]["mu"]), jnp.float32(saved["wT"]["sigma"]))
+        else:
+            print("warning: checkpoint has no recorded scalings; using --T-mu/--T-sigma/--wT-sigma flags")
+            T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(args.T_mu), jnp.float32(args.T_sigma))
+            wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(0.0), jnp.float32(args.wT_sigma))
 
     n_steps = int(args.days * 86400.0 / args.dt)
     save_every = max(1, n_steps // max(args.n_frames, 1))

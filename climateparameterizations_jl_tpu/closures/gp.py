@@ -326,6 +326,26 @@ def _error_per_gamma_vmapped(x_train, y_train, x_val, y_val, z, log_gammas, kern
     return jax.vmap(fit_and_score)(log_gammas)
 
 
+def select_best_kernel(errors_by_kid: dict, log_gammas, metric: str, log_sigma: float, dtype):
+    """Pick the (family, gamma) minimizing held-out error across a grid.
+
+    ``errors_by_kid``: ``{kernel_id: sequence of errors per log_gamma}``.
+    NaN points never win the argmin; raises if EVERY point is non-finite
+    (returning ``(None, inf)`` would crash callers far from the cause).
+    """
+    import numpy as np
+
+    best = (None, float("inf"))
+    for kid, errs in errors_by_kid.items():
+        errs = np.where(np.isfinite(errs), np.asarray(errs, float), np.inf)
+        i = int(np.argmin(errs))
+        if errs[i] < best[1]:
+            best = (get_kernel(kid, float(log_gammas[i]), log_sigma, metric, dtype=dtype), float(errs[i]))
+    if best[0] is None:
+        raise ValueError("kernel grid search failed: every (family, gamma) point had non-finite error")
+    return best
+
+
 def best_kernel(x_train, y_train, x_val, y_val, z, kernel_ids=(1, 2, 3, 4), log_gammas=None, metric: str = "euclidean", log_sigma: float = 0.0):
     """Grid search over kernel families x log gamma (``GaussianProcesses.jl:30-49``).
 
@@ -335,11 +355,8 @@ def best_kernel(x_train, y_train, x_val, y_val, z, kernel_ids=(1, 2, 3, 4), log_
 
     if log_gammas is None:
         log_gammas = np.linspace(-1.5, 1.5, 10)
-    best = (None, float("inf"))
-    for kid in kernel_ids:
-        errs = error_per_gamma(x_train, y_train, x_val, y_val, z, kid, log_gammas, metric, log_sigma)
-        errs = np.where(np.isfinite(errs), errs, np.inf)  # a NaN gamma point must not win argmin
-        i = int(np.argmin(errs))
-        if errs[i] < best[1]:
-            best = (get_kernel(kid, float(log_gammas[i]), log_sigma, metric, dtype=jnp.asarray(x_train).dtype), errs[i])
-    return best
+    errors = {
+        kid: error_per_gamma(x_train, y_train, x_val, y_val, z, kid, log_gammas, metric, log_sigma)
+        for kid in kernel_ids
+    }
+    return select_best_kernel(errors, log_gammas, metric, log_sigma, jnp.asarray(x_train).dtype)

@@ -163,13 +163,16 @@ class TrainingBatch:
     tau: jnp.ndarray
 
 
-def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps, tau=None) -> TrainingBatch:
+def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps, tau=None, diurnal: bool = False) -> TrainingBatch:
     """Build NDE training tensors from a stacked suite ``(S, Nt, ...)``.
 
     Parity: the ``uvT0s`` / ``uvT_trains`` / ``BCs`` assembly in
     ``NDE_training.jl:220-243`` (initial state at ``tsteps[0]``, targets at
     all ``tsteps``, BCs frozen at the window start), with time
     non-dimensionalized by ``tau`` = full simulation span by default.
+    ``diurnal=True`` fills ``bcs.diurnal_amplitude`` with the dataset's
+    heat-flux amplitude (``theta_top``) so a ``diurnal`` model resolves the
+    sinusoidal top BC in time (``data_containers.jl:131-156``).
     """
     n_frames = ds.t.shape[-1]
     t_arr = np.asarray(tsteps)
@@ -193,7 +196,11 @@ def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps,
         vw_top=vw_s[..., i0, -1],
         wT_bot=wT_s[..., i0, 0],
         wT_top=wT_s[..., i0, -1],
-        diurnal_amplitude=jnp.zeros_like(uw_s[..., i0, 0]),
+        diurnal_amplitude=(
+            jnp.broadcast_to(jnp.asarray(ds.theta_top), uw_s[..., i0, 0].shape)
+            if diurnal
+            else jnp.zeros_like(uw_s[..., i0, 0])
+        ),
     )
     return TrainingBatch(
         x0=x[..., i0, :],

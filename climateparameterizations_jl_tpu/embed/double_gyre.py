@@ -42,7 +42,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.closures.mlp import MLP, apply_closure
 from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
 
@@ -272,7 +272,7 @@ def nn_closure_forcing(model: DoubleGyreModel, nn: MLP, T, T_scaling: ZeroMeanUn
     # Affine unscale: the FC NN is trained against affine-scaled wT targets
     # (free_convection._assemble_wT), so physical flux = sigma * NN + mu;
     # dropping mu would bias every interior face by -mu vs the zero pads.
-    interior = wT_scaling.unscale(mlp_apply(nn, x))  # dimensional (Ny, Nx, Nz-1)
+    interior = wT_scaling.unscale(apply_closure(nn, x))  # dimensional (Ny, Nx, Nz-1)
     zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
     wT = jnp.concatenate([zeros, interior, zeros], axis=-1)
     return -(wT[..., 1:] - wT[..., :-1]) / model.dz

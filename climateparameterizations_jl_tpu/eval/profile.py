@@ -101,6 +101,14 @@ class ProfileEvaluation:
         return dict(self.data)
 
 
+def _require_uniform(t, where: str):
+    """Fixed-step solvers integrate on a uniform save grid; reject silently
+    misaligned (non-uniform) tstep selections."""
+    dt = np.diff(np.asarray(t, np.float64))
+    if dt.size and not np.allclose(dt, dt[0], rtol=1e-4, atol=0.0):
+        raise ValueError(f"{where}: tsteps must be uniformly spaced (got save intervals {dt[:4]}...)")
+
+
 def _solve_scaled(model, nns, bcs, x0, t, solver, n_substeps):
     t0 = t[0]
     dt_save = t[1] - t[0]
@@ -165,8 +173,9 @@ def nde_profile(
     Parity: ``NDE_profile`` (``training_postprocessing.jl:250-632``).
     """
     s = model.scalings
-    batch: TrainingBatch = training_tensors(ds_test, s, tsteps, tau=model.tau)
+    batch: TrainingBatch = training_tensors(ds_test, s, tsteps, tau=model.tau, diurnal=model.diurnal)
     t = batch.t
+    _require_uniform(t, "nde_profile")
     t_dim = np.asarray(t) * float(model.tau)
     Nz = model.Nz
 
@@ -295,6 +304,7 @@ def free_convection_profile(
     T_truth = jnp.take(ds_test.T, jnp.asarray(tsteps), axis=-2)
     t_row = ds_test.t[0] if ds_test.t.ndim > 1 else ds_test.t
     t_dim = np.asarray(jnp.take(t_row, jnp.asarray(tsteps)))
+    _require_uniform(t_dim, "free_convection_profile")
     t_hat = jnp.asarray(t_dim) / model.tau
     dt_save = t_hat[1] - t_hat[0]
     n_save = t_hat.shape[0] - 1

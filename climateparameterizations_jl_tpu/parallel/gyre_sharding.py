@@ -25,15 +25,13 @@ from climateparameterizations_jl_tpu.embed.double_gyre import (
     DoubleGyreModel,
     DoubleGyreState,
     double_gyre_step,
-    run_double_gyre,
 )
+from climateparameterizations_jl_tpu.parallel.sharding import make_mesh
 
 
 def make_gyre_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the meridional axis."""
-    devices = jax.devices()
-    n = n_devices if n_devices is not None else len(devices)
-    return Mesh(devices[:n], axis_names=("y",))
+    """1-D mesh over the meridional axis (delegates to ``make_mesh``)."""
+    return make_mesh(n_devices, axis_name="y")
 
 
 def state_shardings(mesh: Mesh) -> DoubleGyreState:

@@ -26,10 +26,10 @@ from climateparameterizations_jl_tpu.data.les import LESConfig, LESState, les_st
 
 
 def make_les_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the meridional (y) axis."""
-    devices = jax.devices()
-    n = n_devices if n_devices is not None else len(devices)
-    return Mesh(devices[:n], axis_names=("y",))
+    """1-D mesh over the meridional (y) axis (delegates to ``make_mesh``)."""
+    from climateparameterizations_jl_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(n_devices, axis_name="y")
 
 
 def state_shardings(mesh: Mesh) -> LESState:

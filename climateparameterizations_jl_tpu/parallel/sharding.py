@@ -114,7 +114,7 @@ def sharded_kernel_search(
     """
     from climateparameterizations_jl_tpu.closures.gp import (
         _error_per_gamma_vmapped,
-        get_kernel,
+        select_best_kernel,
     )
 
     if log_gammas is None:
@@ -131,17 +131,11 @@ def sharded_kernel_search(
     args = [jax.device_put(jnp.asarray(a), repl) for a in (x_train, y_train, x_val, y_val)]
     zz = None if z is None else jax.device_put(jnp.asarray(z), repl)
 
-    best = (None, float("inf"))
-    for kid in kernel_ids:
-        errs = np.asarray(_error_per_gamma_vmapped(*args, zz, lg, kid, metric, log_sigma))[:G]
-        errs = np.where(np.isfinite(errs), errs, np.inf)  # a NaN gamma point must not win argmin
-        i = int(np.argmin(errs))
-        if errs[i] < best[1]:
-            best = (
-                get_kernel(kid, float(log_gammas[i]), log_sigma, metric, dtype=jnp.asarray(x_train).dtype),
-                float(errs[i]),
-            )
-    return best
+    errors = {
+        kid: np.asarray(_error_per_gamma_vmapped(*args, zz, lg, kid, metric, log_sigma))[:G]
+        for kid in kernel_ids
+    }
+    return select_best_kernel(errors, log_gammas, metric, log_sigma, jnp.asarray(x_train).dtype)
 
 
 def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh, axis_name: str = "batch"):

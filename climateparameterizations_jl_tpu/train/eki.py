@@ -76,9 +76,11 @@ def eki_update(u, g, y, noise_std, key):
     B = (J - 1) * s2 * jnp.eye(J, dtype=u.dtype) + g_c @ g_c.T  # (J, J)
     GR = g_c @ R.T  # (J, J)
     W = jax.scipy.linalg.solve(B, GR, assume_a="pos")  # (J, J)
-    # C_ug Z = U'^T (G' Z) / (J-1); G' Z = (G' R^T - G' G'^T W) / s2.
-    GZ = (GR - (g_c @ g_c.T) @ W) / s2  # (J, J)
-    delta = (u_c.T @ GZ).T / (J - 1)  # (J, p)
+    # delta_j = C_ug z_j with C_ug = U'^T G'/(J-1). Using B W = GR:
+    # G' Z = (GR - G'G'^T W)/s2 = ((J-1) s2 W)/s2 = (J-1) W EXACTLY —
+    # substituting avoids the catastrophic f32 cancellation of differencing
+    # two O(|g|^2) matrices and dividing by the tiny s2.
+    delta = (u_c.T @ W).T  # (J, p)
     return u + delta
 
 
