@@ -130,3 +130,28 @@ def test_config_file_overrides(tmp_path):
         meta = json.load(f)
     assert list(meta["arch"]) == ["wT"]
     assert meta["arch"]["wT"]["sizes"][1] == 16
+
+
+def test_diurnal_suite_preserves_flux_cycle():
+    """_load_suite must not pin a diurnal sim's top wT face to a constant."""
+    import numpy as np
+
+    from climateparameterizations_jl_tpu.cli.main import _load_suite, _suite_diurnal_flags
+
+    assert _suite_diurnal_flags(["wind_-5e-4_diurnal_5e-8", "strong_wind"]) == [True, False]
+    ds = _load_suite(["wind_-5e-4_diurnal_5e-8"], 16, None, 30, 600.0)
+    top = np.asarray(ds.wT[..., -1]).reshape(-1)
+    # The sinusoidal cycle must survive loading: the face varies over time.
+    assert top.std() > 0.1 * (np.abs(top).max() + 1e-30)
+
+
+def test_diurnal_training_batch_carries_amplitude():
+    import numpy as np
+
+    from climateparameterizations_jl_tpu.cli.main import _load_suite, _wind_model
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+
+    ds = _load_suite(["wind_-5e-4_diurnal_5e-8"], 16, None, 20, 600.0)
+    model = _wind_model(ds, 16, diurnal=True)
+    batch = training_tensors(ds, model.scalings, np.arange(10), tau=model.tau, diurnal=True)
+    assert float(np.abs(np.asarray(batch.bcs.diurnal_amplitude)).max()) > 0.0
