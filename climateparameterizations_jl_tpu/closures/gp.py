@@ -169,6 +169,11 @@ class SpectralMixtureKernel:
     def gram(self, A, B, z=None):
         A = jnp.asarray(A)
         B = jnp.asarray(B)
+        if self.metric != "euclidean":
+            if z is None:
+                raise ValueError(f"metric {self.metric!r} needs the grid z")
+            tf = _DISTANCE_TRANSFORMS[self.metric]
+            A, B = tf(A, z), tf(B, z)
         D = A.shape[-1]
         w, mu, gamma = (
             (jnp.broadcast_to(p, (D,) + p.shape) if p.ndim == 1 else p)
@@ -244,7 +249,7 @@ def gp_fit(x_train, y_train, kernel: GPKernel, z, jitter_scale: float | None = N
     K = K + jnp.max(K) * jitter_scale * jnp.eye(K.shape[0], dtype=K.dtype)
     chol = jsl.cholesky(K, lower=True)
     alpha = jsl.cho_solve((chol, True), y_train)
-    return GPModel(kernel=kernel, x_train=x_train, z=jnp.asarray(z), alpha=alpha, chol=chol)
+    return GPModel(kernel=kernel, x_train=x_train, z=None if z is None else jnp.asarray(z), alpha=alpha, chol=chol)
 
 
 def gp_predict(model: GPModel, x):
@@ -265,16 +270,18 @@ def gp_uncertainty(model: GPModel, x):
 
 
 def mean_log_marginal_loss(model: GPModel, y_train, add_constant: bool = False):
-    """Mean (over output dims) negative log marginal likelihood terms.
+    """Mean (over output dims) NEGATIVE log marginal likelihood — a loss to
+    MINIMIZE (smaller = better fit).
 
-    Parity: ``mean_log_marginal_loss`` (``gaussian_process.jl:182-202``).
+    ``0.5 y' K^-1 y`` per output dim (+ the logdet and 2-pi constants when
+    ``add_constant``). Parity: ``mean_log_marginal_loss``
+    (``gaussian_process.jl:182-202``).
     """
     y = jnp.asarray(y_train)
     n, D = y.shape
-    total = -0.5 * jnp.sum(y * model.alpha) / D
+    total = 0.5 * jnp.sum(y * model.alpha) / D
     if add_constant:
-        c = jnp.sum(jnp.log(jnp.diag(model.chol))) + 0.5 * n * jnp.log(2.0 * jnp.pi)
-        total = total - c
+        total = total + jnp.sum(jnp.log(jnp.diag(model.chol))) + 0.5 * n * jnp.log(2.0 * jnp.pi)
     return total
 
 

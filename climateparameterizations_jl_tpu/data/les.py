@@ -450,5 +450,6 @@ def stable_dt(config: LESConfig, u_max: float = 0.1, cfl: float = 0.2) -> float:
     adv = cfl * h / max(u_max, 1e-6)
     # Smagorinsky nu ~ (Cs h)^2 |S| with |S| ~ u_max / h.
     nu_est = float(config.nu) + float(config.Cs * h) ** 2 * u_max / h
-    diff = 0.25 * h**2 / max(nu_est, 1e-12)
+    # 3-D forward-Euler diffusion limit: dt <= h^2 / (6 nu) for equal spacing.
+    diff = h**2 / (6.0 * max(nu_est, 1e-12))
     return min(adv, diff)

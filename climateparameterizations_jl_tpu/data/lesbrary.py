@@ -51,7 +51,10 @@ def _profile_series(f, name: str, halo: int) -> np.ndarray:
     return np.stack(frames, axis=0)
 
 
-def _first(f, paths):
+_MISSING = object()
+
+
+def _first(f, paths, default=_MISSING):
     for p in paths:
         try:
             node = f
@@ -60,6 +63,8 @@ def _first(f, paths):
             return np.asarray(node)[()]
         except KeyError:
             continue
+    if default is not _MISSING:
+        return default
     raise KeyError(f"none of {paths} found in file")
 
 
@@ -81,16 +86,35 @@ def read_les_profiles(path: str, halo: int = 3, dtype=np.float32) -> ColumnTimeS
         wu = _profile_series(f, "wu", halo).astype(dtype) if "wu" in f["timeseries"] else zeros_f
         wv = _profile_series(f, "wv", halo).astype(dtype) if "wv" in f["timeseries"] else zeros_f
 
-        alpha = _first(f, ["buoyancy/model/equation_of_state/α", "buoyancy/equation_of_state/α"])
-        beta = _first(f, ["buoyancy/model/equation_of_state/β", "buoyancy/equation_of_state/β"])
-        g = _first(f, ["buoyancy/model/gravitational_acceleration", "buoyancy/gravitational_acceleration"])
-        f_cor = _first(f, ["coriolis/f"])
+        # Free-convection FieldDataset files carry only T/wT and a surface
+        # flux; every wind-mixing-specific key gets a physical default so
+        # both layouts read (module docstring).
+        alpha = _first(f, ["buoyancy/model/equation_of_state/α", "buoyancy/equation_of_state/α"], 2e-4)
+        beta = _first(f, ["buoyancy/model/equation_of_state/β", "buoyancy/equation_of_state/β"], 0.0)
+        g = _first(f, ["buoyancy/model/gravitational_acceleration", "buoyancy/gravitational_acceleration"], 9.80665)
+        f_cor = _first(f, ["coriolis/f"], 0.0)
         L = _first(f, ["grid/Lz"])
 
-        buoyancy_flux = _first(f, ["parameters/buoyancy_flux"])
-        theta_top = buoyancy_flux / alpha / g
-        u_top = _first(f, ["parameters/boundary_condition_u_top"])
-        theta_bottom = _first(f, ["parameters/boundary_condition_θ_bottom", "parameters/boundary_condition_theta_bottom"])
+        buoyancy_flux = _first(
+            f,
+            ["parameters/buoyancy_flux", "parameters/surface_buoyancy_flux", "parameters/Qb"],
+            None,
+        )
+        if buoyancy_flux is not None:
+            theta_top = buoyancy_flux / alpha / g
+        else:
+            theta_top = _first(
+                f,
+                ["parameters/temperature_flux", "parameters/surface_temperature_flux", "parameters/Qθ"],
+                float(wT[0, -1]) if wT.size else 0.0,
+            )
+        u_top = _first(f, ["parameters/boundary_condition_u_top", "parameters/momentum_flux", "parameters/Qu"], 0.0)
+        theta_bottom = _first(
+            f,
+            ["parameters/boundary_condition_θ_bottom", "parameters/boundary_condition_theta_bottom",
+             "parameters/temperature_gradient", "parameters/dθdz_deep"],
+            0.0,
+        )
 
     import jax.numpy as jnp
 

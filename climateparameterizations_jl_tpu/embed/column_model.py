@@ -70,6 +70,10 @@ class HostColumnModel:
     # (free-convection NN, reference ``oceananigans_nn.jl:120-126`` feeds the
     # scaled temperature profile alone).
     nn_input: str = dataclasses.field(metadata=dict(static=True), default="uvT")
+    # Diurnal surface heat flux: Ftheta * sin(2 pi t / day) (parity:
+    # ``data_containers.jl:131-156``). ``t`` is the dimensional time passed
+    # to host_column_step.
+    diurnal: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def dz(self):
@@ -129,13 +133,23 @@ def _diffusivities(model: HostColumnModel, state: HostColumnState):
         Ri = sanitize_richardson(local_richardson(dudz, dvdz, dTdz + 1e-12, model.g, model.alpha))
         nu = mpp_diffusivity(Ri, model.mpp)
         kappa = nu / model.mpp.Pr
-    mask = jnp.ones(kappa.shape[-1], kappa.dtype).at[0].set(0.0).at[-1].set(0.0)
-    return nu * mask, kappa * mask
+    # Boundary faces are zeroed by the implicit solve itself
+    # (zero_boundary_faces=True in host_column_step).
+    return nu, kappa
 
 
-def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState, dt, tridiag_backend: str = "scan") -> HostColumnState:
-    """One host-model step: NN forcing + Coriolis + surface fluxes (explicit),
-    then implicit physics diffusion (backward Euler, batched Thomas solve)."""
+def surface_heat_flux(model: HostColumnModel, t):
+    """Instantaneous surface heat flux (diurnal cycle when configured)."""
+    if model.diurnal:
+        day = jnp.asarray(86400.0, model.Ftheta.dtype)
+        return model.Ftheta * jnp.sin(2.0 * jnp.pi * t / day)
+    return model.Ftheta
+
+
+def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState, dt, tridiag_backend: str = "scan", t=0.0) -> HostColumnState:
+    """One host-model step at dimensional time ``t``: NN forcing + Coriolis +
+    surface fluxes (explicit), then implicit physics diffusion (backward
+    Euler, batched Thomas solve)."""
     fu, fv, fT = _nn_forcing(model, nns, state)
 
     u = state.u + dt * (model.f * state.v + fu)
@@ -146,7 +160,7 @@ def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostCol
     # (flux BCs of NDE_oceananigans.jl:331-362 / oceananigans_nn.jl:167-210).
     dz = model.dz
     u = u.at[..., -1].add(-dt * model.Fu / dz)
-    T = T.at[..., -1].add(-dt * model.Ftheta / dz)
+    T = T.at[..., -1].add(-dt * surface_heat_flux(model, jnp.asarray(t, state.T.dtype)) / dz)
     nu, kappa = _diffusivities(model, state)
     # Fixed-gradient bottom BC: upward flux through the bottom face is
     # -kappa * dTdz (heat exits downward in stable stratification), exactly
@@ -155,9 +169,9 @@ def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostCol
     # GradientBoundaryCondition semantics, NDE_oceananigans.jl:331-362).
     T = T.at[..., 0].add(-dt * kappa[..., 1] * model.dTdz_bottom / dz)
 
-    u = implicit_diffusion_step(u, nu, dt, dz, backend=tridiag_backend)
-    v = implicit_diffusion_step(v, nu, dt, dz, backend=tridiag_backend)
-    T = implicit_diffusion_step(T, kappa, dt, dz, backend=tridiag_backend)
+    u = implicit_diffusion_step(u, nu, dt, dz, backend=tridiag_backend, zero_boundary_faces=True)
+    v = implicit_diffusion_step(v, nu, dt, dz, backend=tridiag_backend, zero_boundary_faces=True)
+    T = implicit_diffusion_step(T, kappa, dt, dz, backend=tridiag_backend, zero_boundary_faces=True)
     return HostColumnState(u=u, v=v, T=T)
 
 
@@ -169,33 +183,36 @@ def run_embedded_column(
     n_save: int,
     save_every: int = 1,
     tridiag_backend: str = "scan",
+    t0=0.0,
 ) -> HostColumnState:
-    """Run the host column, saving every ``save_every`` steps.
+    """Run the host column from time ``t0``, saving every ``save_every`` steps.
 
     Returns trajectories with time on the leading axis
     ``(n_save + 1, ..., Nz)``; batches over leading axes of ``state0`` /
     batched model fields (ensembles, gyre columns).
     """
 
-    def substep(state, _):
-        return host_column_step(model, nns, state, dt, tridiag_backend), None
+    def substep(carry, _):
+        state, t = carry
+        return (host_column_step(model, nns, state, dt, tridiag_backend, t), t + dt), None
 
-    def interval(state, _):
-        state, _ = jax.lax.scan(substep, state, None, length=save_every)
-        return state, state
+    def interval(carry, _):
+        carry, _ = jax.lax.scan(substep, carry, None, length=save_every)
+        return carry, carry[0]
 
-    _, frames = jax.lax.scan(interval, state0, None, length=n_save)
+    t_init = jnp.asarray(t0, state0.T.dtype)
+    (_, _), frames = jax.lax.scan(interval, (state0, t_init), None, length=n_save)
     cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)  # noqa: E731
     return HostColumnState(u=cat(state0.u, frames.u), v=cat(state0.v, frames.v), T=cat(state0.T, frames.T))
 
 
-def run_paired_columns(model: HostColumnModel, nns: FluxNNs, state0: HostColumnState, dt, n_save: int, save_every: int = 1, tridiag_backend: str = "scan"):
+def run_paired_columns(model: HostColumnModel, nns: FluxNNs, state0: HostColumnState, dt, n_save: int, save_every: int = 1, tridiag_backend: str = "scan", t0=0.0):
     """Run the physics-only baseline and the baseline+NN simulation.
 
     Parity: the paired runs of ``oceananigans_nn.jl:167-210`` ("convective
     adjustment" vs "oceananigans" solutions) and
     ``NDE_oceananigans.jl:457-464``. Returns ``(baseline, with_nn)``.
     """
-    baseline = run_embedded_column(model, None, state0, dt, n_save, save_every, tridiag_backend)
-    with_nn = run_embedded_column(model, nns, state0, dt, n_save, save_every, tridiag_backend)
+    baseline = run_embedded_column(model, None, state0, dt, n_save, save_every, tridiag_backend, t0)
+    with_nn = run_embedded_column(model, nns, state0, dt, n_save, save_every, tridiag_backend, t0)
     return baseline, with_nn

@@ -41,10 +41,15 @@ def animate_profiles(profiles: dict, z, t, path: str, xlabel: str = "", fps: int
         prof = np.asarray(prof)
         zi = np.asarray(z[label] if isinstance(z, dict) else z)
         (lines[label],) = ax.plot(prof[0], zi, label=label)
-    lo = min(float(np.min(np.asarray(p))) for p in profiles.values())
-    hi = max(float(np.max(np.asarray(p))) for p in profiles.values())
-    pad = 0.05 * (hi - lo + 1e-12)
-    ax.set_xlim(lo - pad, hi + pad)
+    # NaN-safe limits: a diverged trajectory is exactly when you want to
+    # look at the animation, so plot the finite portion.
+    finite = [np.asarray(p)[np.isfinite(np.asarray(p))] for p in profiles.values()]
+    finite = [f for f in finite if f.size]
+    if finite:
+        lo = min(float(f.min()) for f in finite)
+        hi = max(float(f.max()) for f in finite)
+        pad = 0.05 * (hi - lo + 1e-12)
+        ax.set_xlim(lo - pad, hi + pad)
     ax.set_xlabel(xlabel)
     ax.set_ylabel("z [m]")
     ax.legend(loc="lower right", fontsize=8)
@@ -88,6 +93,8 @@ def animate_profiles_fluxes_comparison(ev, path: str, fps: int = 15, stride: int
             arr = np.asarray(data[key])
             (lines[key],) = ax.plot(arr[0], zaxis, label=m)
         vals = [np.asarray(data[f"{m}_{var}"]) for m in models if f"{m}_{var}" in data]
+        vals = [v[np.isfinite(v)] for v in vals]
+        vals = [v for v in vals if v.size]
         if vals:
             lo = min(float(v.min()) for v in vals)
             hi = max(float(v.max()) for v in vals)

@@ -257,6 +257,7 @@ def nde_profile(
             Fu=ds_test.u_top, Ftheta=ds_test.theta_top,
             dTdz_bottom=ds_test.theta_bottom,
             scalings=s, mpp=model.mpp, Nz=Nz, closure="mpp",
+            diurnal=model.diurnal,
         )
         i0 = int(np.asarray(tsteps)[0])
         state0 = HostColumnState(
@@ -265,7 +266,8 @@ def nde_profile(
         n_frames = len(t_dim) - 1
         dt_emb = (t_dim[-1] - t_dim[0]) / (n_frames * embedded_substeps)
         baseline, with_nn = run_paired_columns(
-            host, nns, state0, jnp.asarray(dt_emb, state0.T.dtype), n_frames, embedded_substeps
+            host, nns, state0, jnp.asarray(dt_emb, state0.T.dtype), n_frames, embedded_substeps,
+            t0=float(t_dim[0]),
         )
         for name, sol in (("embedded_baseline", baseline), ("embedded", with_nn)):
             u, v, T = (jnp.moveaxis(a, 0, -2) for a in (sol.u, sol.v, sol.T))

@@ -101,12 +101,16 @@ def extract_checkpoint(run_dir: str, out_dir: str):
     """
     os.makedirs(out_dir, exist_ok=True)
     records = TrainingHistory(os.path.join(run_dir, "history.jsonl")).read()
-    channels: dict[str, list] = {}
-    for rec in records:
-        for key, val in rec.items():
-            if isinstance(val, (int, float)):
-                channels.setdefault(key, []).append(val)
-    np.savez(os.path.join(out_dir, "losses.npz"), **{k: np.asarray(v) for k, v in channels.items()})
+    # Dense channels stay ALIGNED across heterogeneous records: index k of
+    # every array is iteration k (missing values become NaN); bools are not
+    # loss channels.
+    numeric = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)  # noqa: E731
+    keys = sorted({k for rec in records for k, v in rec.items() if numeric(v)})
+    channels = {
+        k: np.asarray([rec[k] if numeric(rec.get(k)) else np.nan for rec in records], np.float64)
+        for k in keys
+    }
+    np.savez(os.path.join(out_dir, "losses.npz"), **channels)
 
     state_path = os.path.join(run_dir, "state.npz")
     if os.path.exists(state_path):

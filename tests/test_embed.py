@@ -188,3 +188,24 @@ class TestDoubleGyre:
         traj_base = run_double_gyre(model, state0, dt=1800.0, n_save=1, save_every=12)
         assert np.all(np.isfinite(np.asarray(traj_nn.T)))
         assert float(jnp.max(jnp.abs(traj_nn.T[-1] - traj_base.T[-1]))) > 1e-8
+
+
+class TestDiurnalHostColumn:
+    def test_surface_flux_follows_cycle(self):
+        from climateparameterizations_jl_tpu.embed.column_model import surface_heat_flux
+
+        model = make_host_model(diurnal=True)
+        assert abs(float(surface_heat_flux(model, jnp.float32(0.0)))) < 1e-12
+        np.testing.assert_allclose(
+            float(surface_heat_flux(model, jnp.float32(86400.0 / 4))), float(model.Ftheta), rtol=1e-5
+        )
+
+    def test_diurnal_run_differs_from_constant(self):
+        base = make_host_model(Fu=f32(0.0))
+        diurnal = make_host_model(Fu=f32(0.0), diurnal=True)
+        state0 = stratified_state()
+        run = lambda m: run_embedded_column(m, None, state0, 600.0, n_save=4, save_every=12)  # noqa: E731
+        T_const, T_diur = run(base).T, run(diurnal).T
+        assert np.all(np.isfinite(np.asarray(T_diur)))
+        # Constant peak cooling removes more heat than the sinusoidal cycle.
+        assert float(T_diur[-1].sum()) > float(T_const[-1].sum())
