@@ -258,6 +258,28 @@ def bench_les(n_horizontal: int = 64, Nz: int = 64, n_steps: int = 100):
     return stats
 
 
+def bench_tridiagonal(n_systems: int = 16384, N: int = 32):
+    """Batched Thomas solve: XLA scan vs Pallas lanes (systems/s)."""
+    from climateparameterizations_jl_tpu.ops.tridiagonal import tridiagonal_solve
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    f32 = jnp.float32
+    dl = jax.random.normal(ks[0], (n_systems, N), f32) * 0.1
+    du = jax.random.normal(ks[1], (n_systems, N), f32) * 0.1
+    d = 1.0 + jnp.abs(jax.random.normal(ks[2], (n_systems, N), f32))
+    b = jax.random.normal(ks[3], (n_systems, N), f32)
+
+    out = {}
+    backends = ["scan"] + (["pallas"] if jax.default_backend() == "tpu" else [])
+    for backend in backends:
+        fn = jax.jit(lambda dl, d, du, b, bk=backend: tridiagonal_solve(dl, d, du, b, backend=bk))
+        stats = time_fn(fn, dl, d, du, b, iters=5)
+        stats["systems_per_sec"] = n_systems / stats["median_s"]
+        out[backend] = stats
+    return out
+
+
 def run_suite(quick: bool = False) -> dict:
     """Run every benchmark; returns ``{name: stats}``."""
     scale = 0.25 if quick else 1.0
@@ -284,6 +306,7 @@ def run_suite(quick: bool = False) -> dict:
             n_horizontal=max(16, int(64 * scale)), Nz=max(16, int(64 * scale)),
             n_steps=max(10, int(100 * scale)),
         ),
+        "tridiagonal": bench_tridiagonal(n_systems=max(1024, int(16384 * scale))),
     }
     return suite
 
