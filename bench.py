@@ -55,11 +55,14 @@ def main():
     import jax.numpy as jnp
     from __graft_entry__ import _make_setup
     from climateparameterizations_jl_tpu.models.timestepper import rk4_step
-    from climateparameterizations_jl_tpu.models.wind_mixing import wind_mixing_rhs
+    from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns, wind_mixing_rhs
 
     n_columns = 1024
     n_steps = 1024
-    model, nns, bcs, x0 = _make_setup(Nz=32, n_columns=n_columns)
+    model, raw_nns, bcs, x0 = _make_setup(Nz=32, n_columns=n_columns)
+    # The three flux MLPs fused into one block matmul chain (+16% on the
+    # latency-bound RK4 chain; see models.wind_mixing.PackedFluxNNs).
+    nns = pack_flux_nns(raw_nns)
     dt = jnp.float32(1e-5)
 
     @jax.jit
@@ -69,7 +72,7 @@ def main():
         def body(x, i):
             return rk4_step(rhs, x, i * dt, dt), None
 
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=4)
         return x
 
     # Warmup/compile.

@@ -104,14 +104,20 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
     return stats
 
 
-def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024):
-    """The headline forward benchmark (same path as bench.py)."""
+def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True):
+    """The headline forward benchmark (same path as bench.py).
+
+    ``packed=True`` fuses the three flux MLPs into one block matmul chain
+    (``models.wind_mixing.PackedFluxNNs``) — the default headline path.
+    """
     from __graft_entry__ import _make_setup
 
     from climateparameterizations_jl_tpu.models.timestepper import rk4_step
-    from climateparameterizations_jl_tpu.models.wind_mixing import wind_mixing_rhs
+    from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns, wind_mixing_rhs
 
     model, nns, bcs, x0 = _make_setup(Nz=Nz, n_columns=n_columns)
+    if packed:
+        nns = pack_flux_nns(nns)
     dt = jnp.float32(1e-5)
 
     @jax.jit
@@ -121,7 +127,7 @@ def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024):
         def body(x, i):
             return rk4_step(rhs, x, i * dt, dt), None
 
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=4 if packed else 1)
         return x
 
     stats = time_fn(run, nns, x0, iters=5)

@@ -4,6 +4,8 @@ from climateparameterizations_jl_tpu.models.wind_mixing import (
     WindMixingScalings,
     BoundaryConditions,
     FluxNNs,
+    PackedFluxNNs,
+    pack_flux_nns,
     wind_mixing_rhs,
     predict_flux,
     solve_wind_mixing_nde,
@@ -24,6 +26,8 @@ __all__ = [
     "WindMixingScalings",
     "BoundaryConditions",
     "FluxNNs",
+    "PackedFluxNNs",
+    "pack_flux_nns",
     "wind_mixing_rhs",
     "predict_flux",
     "solve_wind_mixing_nde",

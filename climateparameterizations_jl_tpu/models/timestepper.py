@@ -41,7 +41,7 @@ def rk4_step(rhs, x, t, dt):
 _STEPPERS = {"euler": euler_step, "heun": heun_step, "rk4": rk4_step}
 
 
-def solve_fixed_step(rhs, x0, t0, dt_save, n_save: int, n_substeps: int = 1, method: str = "rk4", checkpoint: bool = True):
+def solve_fixed_step(rhs, x0, t0, dt_save, n_save: int, n_substeps: int = 1, method: str = "rk4", checkpoint: bool = True, unroll: int = 1):
     """Integrate and save ``n_save + 1`` states (including ``x0``) at uniform intervals.
 
     Args:
@@ -54,6 +54,9 @@ def solve_fixed_step(rhs, x0, t0, dt_save, n_save: int, n_substeps: int = 1, met
       method: one of ``euler | heun | rk4``.
       checkpoint: rematerialize each save interval in the backward pass —
         memory O(n_save) instead of O(n_save * n_substeps).
+      unroll: scan unroll factor for the substep loop. The RK4 chain is
+        op-issue latency-bound on TPU for small columns; ``unroll=4`` lets
+        XLA schedule across steps (~+3% measured, forward-only runs).
 
     Returns:
       Array of shape ``(n_save + 1, *x0.shape)``.
@@ -65,7 +68,7 @@ def solve_fixed_step(rhs, x0, t0, dt_save, n_save: int, n_substeps: int = 1, met
         def substep(x, i):
             return step(rhs, x, t_start + i * dt, dt), None
 
-        x, _ = jax.lax.scan(substep, x, jnp.arange(n_substeps))
+        x, _ = jax.lax.scan(substep, x, jnp.arange(n_substeps), unroll=unroll)
         return x
 
     if checkpoint:

@@ -34,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from climateparameterizations_jl_tpu.closures.mlp import MLP, mlp_apply
+from climateparameterizations_jl_tpu.closures.mlp import _ACTIVATIONS, MLP, mlp_apply
 from climateparameterizations_jl_tpu.core.filters import smoothing_filter
 from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
 from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
@@ -52,6 +52,65 @@ class FluxNNs(NamedTuple):
     uw: MLP | None
     vw: MLP | None
     wT: MLP | None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedFluxNNs:
+    """The three flux MLPs fused into ONE block matmul chain.
+
+    The forward hot loop is latency-bound on the TPU (a chain of ~25 small
+    dependent ops per RHS, see ``ops/fused_rhs.py`` notes), so issuing 9
+    tiny matmuls (3 MLPs x 3 layers) costs 3x the op-issue latency of 3.
+    Packing the first layers side by side (all three read the same ``x``)
+    and the deeper layers block-diagonally turns each RHS's NN work into a
+    single ``96 -> 3h1 -> 3h2 -> 3(Nz-1)`` chain — the same layout the
+    Pallas kernel uses (``ops/fused_rhs.py::_pack_block_weights``) but on
+    the XLA path, so it composes with jit/scan/vmap/grad everywhere.
+
+    Build with :func:`pack_flux_nns`; every solver in this module accepts a
+    ``PackedFluxNNs`` wherever it accepts a ``FluxNNs``. Packing is itself
+    differentiable (concatenate + block placement), so gradients w.r.t. the
+    original per-flux MLPs flow through a pack done inside a loss.
+    """
+
+    matrices: tuple  # right-multiply: (in, out) per layer
+    biases: tuple  # (out,) per layer
+    activation: str = dataclasses.field(metadata=dict(static=True), default="mish")
+
+    def __call__(self, x):
+        """Concatenated interior fluxes ``(..., 3 (Nz-1))`` in uw|vw|wT order."""
+        act = _ACTIVATIONS[self.activation]
+        n = len(self.matrices)
+        for i, (A, b) in enumerate(zip(self.matrices, self.biases)):
+            x = jnp.einsum("...i,io->...o", x, A, preferred_element_type=x.dtype) + b
+            if i < n - 1:
+                x = act(x)
+        return x
+
+
+def pack_flux_nns(nns: FluxNNs) -> PackedFluxNNs | None:
+    """Fuse three same-depth, same-activation ``MLP`` closures; else ``None``."""
+    mlps = [nns.uw, nns.vw, nns.wT]
+    if any(not isinstance(m, MLP) for m in mlps):
+        return None
+    depth = len(mlps[0].weights)
+    if any(len(m.weights) != depth for m in mlps[1:]):
+        return None
+    if len({m.activation for m in mlps}) != 1:
+        return None
+    if len({m.weights[0].shape[1] for m in mlps}) != 1:  # all read the same x
+        return None
+    matrices, biases = [], []
+    for layer in range(depth):
+        Ws = [m.weights[layer].T for m in mlps]  # (in_i, out_i)
+        if layer == 0:
+            A = jnp.concatenate(Ws, axis=1)
+        else:
+            A = jax.scipy.linalg.block_diag(*Ws)
+        matrices.append(A)
+        biases.append(jnp.concatenate([m.biases[layer] for m in mlps]))
+    return PackedFluxNNs(matrices=tuple(matrices), biases=tuple(biases), activation=mlps[0].activation)
 
 
 @jax.tree_util.register_dataclass
@@ -155,15 +214,26 @@ def _pad_faces(interior, bottom, top):
     return jnp.concatenate([expand(bottom), interior, expand(top)], axis=-1)
 
 
-def _nn_fluxes(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x):
-    """Scaled NN flux faces for (uw, vw, wT); reference ``NDE_training.jl:94-112``."""
-    zeros_interior = jnp.zeros(x.shape[:-1] + (model.Nz - 1,), x.dtype)
-    interiors = []
-    for nn in (nns.uw, nns.vw, nns.wT):
-        out = mlp_apply(nn, x) if nn is not None else zeros_interior
+def _nn_fluxes(model: WindMixingModel, nns, bcs: BoundaryConditions, x):
+    """Scaled NN flux faces for (uw, vw, wT); reference ``NDE_training.jl:94-112``.
+
+    ``nns`` is a :class:`FluxNNs` (per-flux closures) or a
+    :class:`PackedFluxNNs` (one fused matmul chain for all three).
+    """
+    if isinstance(nns, PackedFluxNNs):
+        packed = nns(x)
+        ni = packed.shape[-1] // 3
+        interiors = [packed[..., :ni], packed[..., ni : 2 * ni], packed[..., 2 * ni :]]
         if model.smooth_NN:
-            out = smoothing_filter(out, 3)
-        interiors.append(out)
+            interiors = [smoothing_filter(o, 3) for o in interiors]
+    else:
+        zeros_interior = jnp.zeros(x.shape[:-1] + (model.Nz - 1,), x.dtype)
+        interiors = []
+        for nn in (nns.uw, nns.vw, nns.wT):
+            out = mlp_apply(nn, x) if nn is not None else zeros_interior
+            if model.smooth_NN:
+                out = smoothing_filter(out, 3)
+            interiors.append(out)
 
     if model.zero_weights:
         z = jnp.zeros_like(bcs.uw_bot)

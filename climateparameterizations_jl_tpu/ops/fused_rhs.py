@@ -24,7 +24,10 @@ Performance note (measured, TPU via axon): the sequential RK4 chain is
 op-issue *latency*-bound (~25 dependent small ops per RHS), where XLA's
 scan scheduler currently beats this kernel (5.9e7 vs 3.5e7 col-ts/s at 1k
 columns; 1.4e8 vs 4.3e7 at 16k) — so the framework's default forward path
-stays on XLA (``bench.py``). The kernel remains as (a) the zero-HBM-traffic
+stays on XLA (``bench.py``). The block-packing trick below also pays on
+the XLA path: ``models.wind_mixing.PackedFluxNNs`` applies the same
+3-matmul chain under jit/scan (7.5e7 col-ts/s at 1k columns with
+``unroll=4``, +24% over per-flux MLPs) and is the headline configuration. The kernel remains as (a) the zero-HBM-traffic
 template for fusing column physics (valuable when interleaved with
 HBM-pressured work), and (b) a correctness-validated Pallas reference.
 Raw Pallas matmul on this backend reaches ~100 TFLOP/s (f32) vs ~16 for

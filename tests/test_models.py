@@ -182,6 +182,57 @@ class TestWindMixingMPP:
         leaves = jax.tree_util.tree_leaves(g)
         assert leaves and all(bool(jnp.isfinite(leaf).all()) for leaf in leaves)
 
+    def test_packed_flux_nns_match_unpacked(self):
+        """PackedFluxNNs (one fused matmul chain) == per-flux MLPs: values + grads."""
+        from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns, wind_mixing_rhs
+
+        model = make_model()
+        bcs = dataclasses.replace(zero_bcs(), uw_top=f32(-0.5), wT_top=f32(0.3))
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        nns = FluxNNs(
+            uw=wind_mixing_mlp(keys[0], 32, scale=1e-2),
+            vw=wind_mixing_mlp(keys[1], 32, scale=1e-2),
+            wT=wind_mixing_mlp(keys[2], 32, scale=1e-2),
+        )
+        packed = pack_flux_nns(nns)
+        assert packed is not None
+        x0 = jnp.asarray(np.random.default_rng(5).normal(size=(4, 96)) * 0.1, jnp.float32)
+
+        r_ref = wind_mixing_rhs(model, nns, bcs, x0, 0.0)
+        r_pkd = wind_mixing_rhs(model, packed, bcs, x0, 0.0)
+        np.testing.assert_allclose(np.asarray(r_pkd), np.asarray(r_ref), rtol=1e-5, atol=1e-6)
+
+        s_ref = solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 4)
+        s_pkd = solve_wind_mixing_nde(model, packed, bcs, x0, 0.0, 1e-4, 4)
+        np.testing.assert_allclose(np.asarray(s_pkd), np.asarray(s_ref), rtol=1e-5, atol=1e-6)
+
+        # Gradients w.r.t. the ORIGINAL per-flux pytree flow through the pack.
+        def loss_packed(nns):
+            return jnp.mean(wind_mixing_rhs(model, pack_flux_nns(nns), bcs, x0, 0.0) ** 2)
+
+        def loss_ref(nns):
+            return jnp.mean(wind_mixing_rhs(model, nns, bcs, x0, 0.0) ** 2)
+
+        g_pkd = jax.grad(loss_packed)(nns)
+        g_ref = jax.grad(loss_ref)(nns)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8),
+            g_pkd, g_ref,
+        )
+
+    def test_pack_flux_nns_rejects_mixed(self):
+        from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        nns = FluxNNs(uw=None, vw=wind_mixing_mlp(keys[1], 32), wT=wind_mixing_mlp(keys[2], 32))
+        assert pack_flux_nns(nns) is None
+        nns2 = FluxNNs(
+            uw=wind_mixing_mlp(keys[0], 32, activation="relu"),
+            vw=wind_mixing_mlp(keys[1], 32),
+            wT=wind_mixing_mlp(keys[2], 32),
+        )
+        assert pack_flux_nns(nns2) is None
+
     def test_predict_flux_boundary_values_zero_weights(self):
         """zero_weights mode: total boundary-face flux == BC - scaled zero."""
         model = make_model()
