@@ -130,7 +130,7 @@ def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, 
         x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=4 if packed else 1)
         return x
 
-    stats = time_fn(run, nns, x0, iters=5)
+    stats = time_fn(run, nns, x0, iters=5, pipelined=True)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     return stats
 
@@ -171,7 +171,7 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
         updates, opt_state = optimizer.update(grads, opt_state, nns)
         return optax.apply_updates(nns, updates), opt_state, total
 
-    stats = time_fn(step, nns, opt_state, iters=5)
+    stats = time_fn(step, nns, opt_state, iters=5, pipelined=True)
     stats["train_steps_per_sec"] = 1.0 / stats["median_s"]
     return stats
 

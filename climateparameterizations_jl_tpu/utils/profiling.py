@@ -20,11 +20,19 @@ def _block(x):
     return jax.block_until_ready(x)
 
 
-def time_fn(fn, *args, iters: int = 10, warmup: int = 2, **kwargs) -> dict:
+def time_fn(fn, *args, iters: int = 10, warmup: int = 2, pipelined: bool = False, **kwargs) -> dict:
     """Wall-clock a (jitted) function: returns compile + per-iteration stats.
 
     The first call is timed separately as ``compile_s``; then ``warmup``
     untimed calls, then ``iters`` timed calls (median / min / mean seconds).
+
+    ``pipelined=True`` issues all ``iters`` calls back-to-back and blocks
+    once at the end, reporting total/iters as every stat. Blocking per call
+    adds a host->device dispatch round-trip to each measurement — through
+    the remote-TPU tunnel that is ~10 ms, dwarfing millisecond-scale steps.
+    Real training/forward loops issue steps without per-step blocking, so
+    pipelined timing is the representative steady-state number; the device
+    runs one program at a time, so total/iters is true throughput.
     """
     t0 = time.perf_counter()
     _block(fn(*args, **kwargs))
@@ -32,6 +40,22 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 2, **kwargs) -> dict:
 
     for _ in range(warmup):
         _block(fn(*args, **kwargs))
+
+    if pipelined:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args, **kwargs)
+        _block(out)
+        per_iter = (time.perf_counter() - t0) / iters
+        return {
+            "compile_s": compile_s,
+            "median_s": per_iter,
+            "min_s": per_iter,
+            "mean_s": per_iter,
+            "iters": iters,
+            "pipelined": True,
+        }
 
     times = []
     for _ in range(iters):
