@@ -244,6 +244,20 @@ def cmd_evaluate_fc(args) -> int:
             model, nn, ds, tsteps, n_substeps=args.n_substeps, include_embedded=args.embedded,
         )
         np.savez(os.path.join(args.output, f"sim{i}.npz"), **ev.to_dict())
+        if getattr(args, "netcdf", False):
+            # Reference-layout NetCDF pair (oceananigans_nn.jl:174-192):
+            # baseline T and +NN T/wT, one directory per simulation.
+            if not args.embedded:
+                raise SystemExit("--netcdf requires --embedded (it writes the embedded pair)")
+            from climateparameterizations_jl_tpu.data.netcdf import write_paired_column_netcdf
+
+            sim_dir = os.path.join(args.output, f"sim{i}")
+            os.makedirs(sim_dir, exist_ok=True)
+            write_paired_column_netcdf(
+                sim_dir, ev["zc"], ev["zf"], ev["t"],
+                ev["embedded_baseline_T"], ev["embedded_T"], ev["embedded_wT"],
+                attrs={"simulation_id": i},
+            )
         for m in members:
             key = f"losses_{m}_T"
             if key in ev.keys():
@@ -837,6 +851,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-stride", type=int, default=4)
     p.add_argument("--n-substeps", type=int, default=8)
     p.add_argument("--embedded", action="store_true")
+    p.add_argument("--netcdf", action="store_true", help="also write the reference-layout oceananigans_*.nc pair per sim (requires --embedded)")
     p.add_argument("--output", default="runs/eval_fc")
     p.set_defaults(fn=cmd_evaluate_fc)
 

@@ -120,6 +120,29 @@ def _nn_forcing(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnSt
     return flux_div(nns.uw, s.uw), flux_div(nns.vw, s.vw), flux_div(nns.wT, s.wT)
 
 
+def diagnose_nn_heat_flux(model: HostColumnModel, nns: FluxNNs | None, T):
+    """Dimensional NN heat flux on faces ``(..., Nz+1)`` for a T profile.
+
+    The embedded NN's ``w'T'`` as actually applied by :func:`_nn_forcing`
+    (interior faces from the closure, zero boundary faces — the host model
+    owns the boundary fluxes). Parity: the ``wT`` diagnostic the reference
+    writes next to the embedded solution (``oceananigans_nn.jl:184-192``,
+    ``diagnose_wT_NN``). Batches over leading axes, including a saved
+    trajectory's time axis.
+    """
+    if nns is None or nns.wT is None:
+        return jnp.zeros(T.shape[:-1] + (T.shape[-1] + 1,), T.dtype)
+    s = model.scalings
+    if model.nn_input == "T":
+        x = s.T.scale(T)
+    else:
+        raise ValueError("diagnose_nn_heat_flux needs nn_input='T' (heat-flux-only embedding)")
+    y = apply_closure(nns.wT, x)
+    interior = s.wT.unscale(y)
+    zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
+    return jnp.concatenate([zeros, interior, zeros], axis=-1)
+
+
 def _diffusivities(model: HostColumnModel, state: HostColumnState):
     """Face (nu, kappa_T) profiles for the implicit solve, boundary faces zeroed."""
     if model.closure == "conv_adj":

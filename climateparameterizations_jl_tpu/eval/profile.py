@@ -397,5 +397,11 @@ def free_convection_profile(
             T_emb = jnp.moveaxis(sol.T, 0, -2)
             out[f"{name}_T"] = np.asarray(T_emb)
             out[f"losses_{name}_T"] = mse_t(model.T_scaling.scale(T_emb), T_truth_scaled)
+        # The NN heat-flux diagnostic the reference stores next to the
+        # embedded solution (oceananigans_nn.jl:184-192, diagnose_wT_NN).
+        from climateparameterizations_jl_tpu.embed.column_model import diagnose_nn_heat_flux
+
+        wT_emb = diagnose_nn_heat_flux(host, FluxNNs(uw=None, vw=None, wT=nn), jnp.asarray(out["embedded_T"]))
+        out["embedded_wT"] = np.asarray(wT_emb)
 
     return ProfileEvaluation(out)

@@ -69,6 +69,28 @@ def test_train_fc_nde(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "state.npz"))
 
+    # evaluate-fc --embedded --netcdf writes the reference-layout .nc pair.
+    eval_out = str(tmp_path / "fc_eval")
+    rc = main([
+        "evaluate-fc", "--checkpoint", out, "--sim-ids", "1", "--nz", "16",
+        "--n-save", "12", "--dt-save", "600", "--n-eval-steps", "12",
+        "--eval-stride", "4", "--n-substeps", "4",
+        "--embedded", "--netcdf", "--output", eval_out,
+    ])
+    assert rc == 0
+    from climateparameterizations_jl_tpu.data.netcdf import read_netcdf
+
+    variables, coords, attrs = read_netcdf(os.path.join(eval_out, "sim1", "oceananigans_neural_network.nc"))
+    assert set(variables) == {"T", "wT"}
+    dims_T, T = variables["T"]
+    dims_wT, wT = variables["wT"]
+    assert dims_T == ("time", "zC") and dims_wT == ("time", "zF")
+    assert T.shape == (len(coords["time"]), len(coords["zC"]))
+    assert wT.shape == (len(coords["time"]), len(coords["zF"]))
+    assert len(coords["zF"]) == len(coords["zC"]) + 1
+    base_vars, _, _ = read_netcdf(os.path.join(eval_out, "sim1", "oceananigans_convective_adjustment.nc"))
+    assert set(base_vars) == {"T"}
+
 
 def test_optimise_mpp(tmp_path, capsys):
     out = str(tmp_path / "mpp")

@@ -129,6 +129,48 @@ class TestFluxReconstruction:
         np.testing.assert_allclose(np.array(uw_r), 0.0, atol=1e-12)
 
 
+class TestNetCDF:
+    """data/netcdf.py: netCDF-4 (HDF5 dimension-scale) files via h5py."""
+
+    def test_round_trip_and_dimension_scales(self, tmp_path):
+        import h5py
+
+        from climateparameterizations_jl_tpu.data.netcdf import read_netcdf, write_netcdf
+
+        path = str(tmp_path / "col.nc")
+        t = np.linspace(0.0, 600.0, 5)
+        zc = np.linspace(-120.0, -8.0, 8)
+        T = np.random.default_rng(0).normal(size=(5, 8))
+        write_netcdf(path, {"T": (("time", "zC"), T)}, {"time": t, "zC": zc}, attrs={"H": 128.0})
+
+        variables, coords, attrs = read_netcdf(path)
+        np.testing.assert_array_equal(variables["T"][1], T)
+        assert variables["T"][0] == ("time", "zC")
+        np.testing.assert_array_equal(coords["time"], t)
+        np.testing.assert_array_equal(coords["zC"], zc)
+        assert float(attrs["H"]) == 128.0
+
+        # The on-disk layout follows the netCDF-4 dimension-scale convention
+        # (what netcdf-c / xarray walk): scales marked CLASS=DIMENSION_SCALE,
+        # variables carrying DIMENSION_LIST, root _NCProperties present.
+        with h5py.File(path, "r") as f:
+            assert f["time"].attrs["CLASS"] == b"DIMENSION_SCALE"
+            assert f["zC"].attrs["CLASS"] == b"DIMENSION_SCALE"
+            assert "DIMENSION_LIST" in f["T"].attrs
+            assert "_NCProperties" in f.attrs
+
+    def test_shape_validation(self, tmp_path):
+        from climateparameterizations_jl_tpu.data.netcdf import write_netcdf
+
+        path = str(tmp_path / "bad.nc")
+        with pytest.raises(ValueError):
+            write_netcdf(path, {"T": (("time",), np.zeros((3, 2)))}, {"time": np.arange(3)})
+        with pytest.raises(ValueError):
+            write_netcdf(path, {"T": (("time", "z"), np.zeros((3, 2)))}, {"time": np.arange(3)})
+        with pytest.raises(ValueError):
+            write_netcdf(path, {"T": (("time", "z"), np.zeros((3, 2)))}, {"time": np.arange(3), "z": np.arange(5)})
+
+
 class TestRegistry:
     def test_catalog_size_and_parse(self):
         assert len(WIND_MIXING_CATALOG) >= 100
