@@ -7,8 +7,14 @@ training-window sizes ``:34-47``) — but as a first-class, runnable module
 that reports JSON instead of numbers pasted into comments.
 
 Every timing uses ``utils.profiling.time_fn`` (compile time separated,
-``block_until_ready``). The reference's recorded CPU numbers are attached
-as ``reference_*`` fields where they exist, so speedups are self-describing.
+``block_until_ready``) in PIPELINED mode: iterations are issued
+back-to-back and blocked once, so the numbers measure device throughput
+rather than the host->device dispatch round-trip (which through this
+container's remote-TPU tunnel is ~10-30 ms — larger than most of the
+workloads measured here; a bare no-op costs the same 27 ms as a full GP
+build under blocked-per-call timing). The reference's recorded CPU numbers
+are attached as ``reference_*`` fields where they exist, so speedups are
+self-describing.
 """
 
 from __future__ import annotations
@@ -53,7 +59,7 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     fn = jax.jit(
         lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4).T
     )
-    stats = time_fn(fn, state0, iters=5)
+    stats = time_fn(fn, state0, iters=5, pipelined=True)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["kpp_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -76,7 +82,7 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     Fb = jnp.full((n_columns,), 3e-8, f32)
 
     fn = jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
-    stats = time_fn(fn, state0, iters=5)
+    stats = time_fn(fn, state0, iters=5, pipelined=True)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["tke_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -87,19 +93,26 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
 
     ``backend="pallas"`` uses the fused MXU Gram kernel (``ops/gram.py``).
     """
-    from climateparameterizations_jl_tpu.closures.gp import get_kernel, gp_fit
+    from climateparameterizations_jl_tpu.closures.gp import get_kernel, gp_fit, gp_fit_multi
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (n_train, n_features), jnp.float32)
-    y = jax.random.normal(jax.random.PRNGKey(1), (n_train, 33), jnp.float32)
+    ys = [jax.random.normal(jax.random.PRNGKey(i), (n_train, 33), jnp.float32) for i in (1, 2, 3)]
     z = jnp.linspace(0.0, 1.0, n_features)
+    # The reference's exact configuration (Benchmarking.jl:40-52): three
+    # identical SE kernels on shared predictors, three flux target sets.
     kernel = get_kernel(1, 0.0, 0.0, "euclidean", dtype=jnp.float32, backend=backend)
 
-    def build_three(x, y):
-        models = [gp_fit(x, y, kernel, z) for _ in range(3)]
-        return models[0].alpha
+    if backend == "xla":
+        # Fused multi-fit: one Gram + one Cholesky + stacked RHS.
+        def build_three(x, y1, y2, y3):
+            models = gp_fit_multi(x, [y1, y2, y3], [kernel] * 3, z)
+            return models[0].alpha
+    else:
+        def build_three(x, y1, y2, y3):
+            return [gp_fit(x, y, kernel, z) for y in (y1, y2, y3)][0].alpha
 
-    stats = time_fn(jax.jit(build_three), x, y, iters=3)
+    stats = time_fn(jax.jit(build_three), x, *ys, iters=3, pipelined=True)
     stats["vs_reference"] = REFERENCE_SECONDS["gp_build_3_models"] / stats["median_s"]
     return stats
 
@@ -200,7 +213,7 @@ def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 3
     fn = jax.jit(
         lambda s: run_double_gyre(model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn, T_scaling=Ts, wT_scaling=ws).T
     )
-    stats = time_fn(fn, state0, iters=3)
+    stats = time_fn(fn, state0, iters=3, pipelined=True)
     stats["column_timesteps_per_sec"] = Nx * Ny * n_steps / stats["median_s"]
     return stats
 
@@ -233,7 +246,7 @@ def bench_column_ensemble(n_members: int = 1024, Nz: int = 32, n_steps: int = 25
     solver = make_sharded_ensemble_solver(model, config, mesh)
     with mesh:
         fn = lambda x: solver(nns, bcs, x, jnp.float32(0.0), jnp.float32(1e-5 * n_steps), 1)  # noqa: E731
-        stats = time_fn(fn, x0, iters=3)
+        stats = time_fn(fn, x0, iters=3, pipelined=True)
     stats["column_timesteps_per_sec"] = n_members * n_steps / stats["median_s"]
     return stats
 
@@ -258,7 +271,7 @@ def bench_les(n_horizontal: int = 64, Nz: int = 64, n_steps: int = 100):
         s, _ = jax.lax.scan(body, state, None, length=n_steps)
         return s
 
-    stats = time_fn(run, state0, iters=3)
+    stats = time_fn(run, state0, iters=3, pipelined=True)
     stats["cell_steps_per_sec"] = n_horizontal * n_horizontal * Nz * n_steps / stats["median_s"]
     stats["dt_s"] = float(dt)
     return stats
@@ -280,7 +293,7 @@ def bench_tridiagonal(n_systems: int = 16384, N: int = 32):
     backends = ["scan"] + (["pallas"] if jax.default_backend() == "tpu" else [])
     for backend in backends:
         fn = jax.jit(lambda dl, d, du, b, bk=backend: tridiagonal_solve(dl, d, du, b, backend=bk))
-        stats = time_fn(fn, dl, d, du, b, iters=5)
+        stats = time_fn(fn, dl, d, du, b, iters=5, pipelined=True)
         stats["systems_per_sec"] = n_systems / stats["median_s"]
         out[backend] = stats
     return out

@@ -612,7 +612,7 @@ def cmd_calibrate_kpp(args) -> int:
 def cmd_train_gp(args) -> int:
     import jax.numpy as jnp
 
-    from climateparameterizations_jl_tpu.closures.gp import best_kernel, gp_fit, gp_predict
+    from climateparameterizations_jl_tpu.closures.gp import best_kernel, gp_fit_multi, gp_predict
     from climateparameterizations_jl_tpu.data.containers import (
         direct_regression_pairs,
         fit_wind_mixing_scalings,
@@ -627,15 +627,27 @@ def cmd_train_gp(args) -> int:
     # --integrate needs all three flux GPs; fit the union once.
     fluxes = list(_sims(args.fluxes))
     fit_fluxes = sorted(set(fluxes) | ({"uw", "vw", "wT"} if args.integrate else set()))
+    # Per-flux kernel selection first; the final fits share predictors, so
+    # they run as ONE fused multi-fit (shared distance matrix + batched
+    # Cholesky, gp_fit_multi) instead of three sequential builds.
+    selected, x_by_flux, y_by_flux = {}, {}, {}
     for flux in fit_fluxes:
         x_tr, y_tr = direct_regression_pairs(train_ds, scalings, flux)
         x_te, y_te = direct_regression_pairs(test_ds, scalings, flux)
         if args.subsample > 1:
             x_tr, y_tr = x_tr[:: args.subsample], y_tr[:: args.subsample]
         kernel, err = best_kernel(x_tr, y_tr, x_te, y_te, z, metric=args.metric)
-        model = gp_fit(x_tr, y_tr, kernel, z)
+        selected[flux] = kernel
+        x_by_flux[flux], y_by_flux[flux] = x_tr, y_tr
+    models = gp_fit_multi(
+        x_by_flux[fit_fluxes[0]], [y_by_flux[f] for f in fit_fluxes],
+        [selected[f] for f in fit_fluxes], z,
+    )
+    for flux, model in zip(fit_fluxes, models):
         fitted[flux] = model
         if flux in fluxes:
+            kernel = selected[flux]
+            x_te, y_te = direct_regression_pairs(test_ds, scalings, flux)
             pred = gp_predict(model, x_te)
             mse = float(jnp.mean((pred - y_te) ** 2))
             report[flux] = {"kernel": kernel.family, "log_gamma": float(jnp.log10(kernel.gamma)), "mse": mse}

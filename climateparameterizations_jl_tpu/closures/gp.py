@@ -252,6 +252,84 @@ def gp_fit(x_train, y_train, kernel: GPKernel, z, jitter_scale: float | None = N
     return GPModel(kernel=kernel, x_train=x_train, z=None if z is None else jnp.asarray(z), alpha=alpha, chol=chol)
 
 
+def gp_fit_multi(x_train, y_trains, kernels, z, jitter_scale: float | None = None) -> list:
+    """Fit several exact GPs sharing the SAME predictors as few programs as possible.
+
+    The reference builds its three flux GPs sequentially on identical
+    predictors (``run_GP_DE.jl:132-134``, ``Benchmarking.jl:40-52``). Here:
+
+    - kernels that are equal (family, metric, and hyperparameters) share ONE
+      Gram build and ONE Cholesky with their targets stacked as multi-RHS;
+    - kernels of the same family/metric but different hyperparameters share
+      the pairwise-distance matrix (the O(n^2 D) matmul) and factorize as
+      one BATCHED Cholesky (native on TPU);
+    - anything else falls back to an individual :func:`gp_fit`.
+
+    Returns a list of :class:`GPModel`, index-aligned with ``y_trains``.
+    """
+    x_train = jnp.asarray(x_train)
+    ys = [jnp.asarray(y) for y in y_trains]
+    if len(ys) != len(kernels):
+        raise ValueError(f"{len(ys)} target sets for {len(kernels)} kernels")
+    out: list = [None] * len(ys)
+
+    # Group GPKernels by (family, metric); exact-duplicate hyperparameters
+    # inside a group collapse further to a single multi-RHS solve.
+    groups: dict = {}
+    for i, k in enumerate(kernels):
+        if isinstance(k, GPKernel) and k.backend == "xla":
+            groups.setdefault((k.family, k.metric), []).append(i)
+        else:  # SpectralMixture / pallas backend: individual fits
+            out[i] = gp_fit(x_train, ys[i], k, z, jitter_scale)
+
+    for (family, metric), idxs in groups.items():
+        d = distance_matrix(x_train, x_train, z, metric)
+        if jitter_scale is None:
+            import numpy as np
+
+            js = float(np.sqrt(np.finfo(np.dtype(d.dtype)).eps))
+        else:
+            js = jitter_scale
+        eye = jnp.eye(x_train.shape[0], dtype=d.dtype)
+
+        # Collapse identical hyperparameters to one factorization (skipped
+        # under jit, where hyperparameters are tracers: every kernel then
+        # gets its own slot in the single batched Cholesky, same complexity).
+        unique: dict = {}
+        for i in idxs:
+            k = kernels[i]
+            try:
+                key = (float(k.gamma), float(k.sigma), float(k.alpha))
+            except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+                key = i
+            unique.setdefault(key, []).append(i)
+        members = list(unique.values())
+        gammas = jnp.stack([kernels[m[0]].gamma for m in members])
+        sigmas = jnp.stack([kernels[m[0]].sigma for m in members])
+        alphas = jnp.stack([kernels[m[0]].alpha for m in members])
+
+        def build_chol(g, s, a):
+            k = GPKernel(gamma=g, sigma=s, alpha=a, family=family, metric=metric)
+            K = k(d)
+            K = K + jnp.max(K) * js * eye
+            return jsl.cholesky(K, lower=True)
+
+        chols = jax.vmap(build_chol)(gammas, sigmas, alphas)
+        for j, member_idxs in enumerate(members):
+            y_cat = jnp.concatenate([ys[i] for i in member_idxs], axis=-1)
+            alpha_cat = jsl.cho_solve((chols[j], True), y_cat)
+            offset = 0
+            for i in member_idxs:
+                D_out = ys[i].shape[-1]
+                out[i] = GPModel(
+                    kernel=kernels[i], x_train=x_train,
+                    z=None if z is None else jnp.asarray(z),
+                    alpha=alpha_cat[:, offset : offset + D_out], chol=chols[j],
+                )
+                offset += D_out
+    return out
+
+
 def gp_predict(model: GPModel, x):
     """Mean prediction for a batch ``(m, D_in) -> (m, D_out)`` (one matmul).
 

@@ -123,6 +123,52 @@ class TestExactGP:
         assert np.isfinite(lml)
 
 
+class TestMultiFit:
+    """gp_fit_multi: fused shared-predictor fits == sequential gp_fit."""
+
+    def _problem(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(30, 6)))
+        ys = [jnp.asarray(rng.normal(size=(30, d))) for d in (5, 7, 5)]
+        z = jnp.linspace(0.0, 1.0, 6)
+        return x, ys, z
+
+    def test_identical_kernels_share_factorization(self):
+        from climateparameterizations_jl_tpu.closures.gp import gp_fit_multi
+
+        x, ys, z = self._problem()
+        k = _kernel(gamma=0.8)
+        models = gp_fit_multi(x, ys, [k, k, k], z)
+        for y, m in zip(ys, models):
+            ref = gp_fit(x, y, k, z)
+            np.testing.assert_allclose(np.asarray(m.alpha), np.asarray(ref.alpha), rtol=1e-9)
+            np.testing.assert_allclose(np.asarray(m.chol), np.asarray(ref.chol), rtol=1e-9)
+
+    def test_mixed_families_and_hyperparameters(self):
+        from climateparameterizations_jl_tpu.closures.gp import gp_fit_multi
+
+        x, ys, z = self._problem()
+        kernels = [
+            _kernel("squared_exponential", gamma=0.5),
+            _kernel("matern32", gamma=1.2),
+            _kernel("squared_exponential", gamma=1.5, metric="derivative"),
+        ]
+        models = gp_fit_multi(x, ys, kernels, z)
+        for y, k, m in zip(ys, kernels, models):
+            ref = gp_fit(x, y, k, z)
+            np.testing.assert_allclose(np.asarray(m.alpha), np.asarray(ref.alpha), rtol=1e-7, atol=1e-10)
+            pred_m = gp_predict(m, x[:4])
+            pred_r = gp_predict(ref, x[:4])
+            np.testing.assert_allclose(np.asarray(pred_m), np.asarray(pred_r), rtol=1e-7, atol=1e-10)
+
+    def test_length_mismatch_raises(self):
+        from climateparameterizations_jl_tpu.closures.gp import gp_fit_multi
+
+        x, ys, z = self._problem()
+        with pytest.raises(ValueError):
+            gp_fit_multi(x, ys, [_kernel()], z)
+
+
 class TestModelSelection:
     def test_best_kernel_prefers_good_gamma(self):
         rng = np.random.default_rng(3)
