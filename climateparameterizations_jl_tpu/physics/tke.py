@@ -129,11 +129,13 @@ def tke_step(state: TKEState, dt, dz, zc, params: TKEParameters, Fu, Fb, f_cor, 
     F_theta = Fb / (g * alpha)
     T_half = state.T.at[..., -1].add(-dt * F_theta / dz)
 
-    U_new = implicit_diffusion_step(U_half, K_U, dt, dz, backend=tridiag_backend)
-    V_new = implicit_diffusion_step(V_half, K_U, dt, dz, backend=tridiag_backend)
-    T_new = implicit_diffusion_step(T_half, K_T, dt, dz, backend=tridiag_backend)
-    e_new = implicit_diffusion_step(e_half, K_e, dt, dz, backend=tridiag_backend)
-    return TKEState(U=U_new, V=V_new, T=T_new, e=jnp.maximum(e_new, params.e_min))
+    # One batched Thomas solve for all four variables: the solve is a
+    # sequential scan over levels, so four separate solves cost 4x the
+    # latency-bound chain (same trick as kpp_step / the split NDE solver).
+    phi = jnp.stack([U_half, V_half, T_half, e_half], axis=0)
+    K4 = jnp.stack([K_U, K_U, K_T, K_e], axis=0)
+    phi = implicit_diffusion_step(phi, K4, dt, dz, backend=tridiag_backend)
+    return TKEState(U=phi[0], V=phi[1], T=phi[2], e=jnp.maximum(phi[3], params.e_min))
 
 
 def solve_tke(state0: TKEState, t_save, params: TKEParameters, Fu, Fb, H, Nz: int, f_cor, g, alpha, n_substeps: int = 1, tridiag_backend: str = "scan") -> TKEState:
