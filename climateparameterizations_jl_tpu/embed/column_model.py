@@ -192,10 +192,14 @@ def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostCol
     # GradientBoundaryCondition semantics, NDE_oceananigans.jl:331-362).
     T = T.at[..., 0].add(-dt * kappa[..., 1] * model.dTdz_bottom / dz)
 
-    u = implicit_diffusion_step(u, nu, dt, dz, backend=tridiag_backend, zero_boundary_faces=True)
-    v = implicit_diffusion_step(v, nu, dt, dz, backend=tridiag_backend, zero_boundary_faces=True)
-    T = implicit_diffusion_step(T, kappa, dt, dz, backend=tridiag_backend, zero_boundary_faces=True)
-    return HostColumnState(u=u, v=v, T=T)
+    # One batched Thomas solve for (u, v, T): the solve's scan over levels
+    # is the latency-bound chain (same trick as kpp_step / the split solver).
+    # jnp.stack promotes mixed dtypes; cast each result back to preserve the
+    # caller's per-variable dtype through scan carries.
+    phi = jnp.stack(jnp.broadcast_arrays(u, v, T), axis=0)
+    K3 = jnp.stack(jnp.broadcast_arrays(nu, nu, kappa), axis=0)
+    phi = implicit_diffusion_step(phi, K3, dt, dz, backend=tridiag_backend, zero_boundary_faces=True)
+    return HostColumnState(u=phi[0].astype(u.dtype), v=phi[1].astype(v.dtype), T=phi[2].astype(T.dtype))
 
 
 def run_embedded_column(
