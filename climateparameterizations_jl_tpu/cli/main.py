@@ -292,6 +292,11 @@ def cmd_ensemble(args) -> int:
     ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
     model = _wind_model(ds, args.nz)
     nns = _load_nns(args.checkpoint)[0] if args.checkpoint else FluxNNs(uw=None, vw=None, wT=None)
+    from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns
+
+    packed = pack_flux_nns(nns)
+    if packed is not None:  # one fused matmul chain per RHS (PackedFluxNNs)
+        nns = packed
 
     tsteps = np.arange(0, min(args.n_steps, int(ds.t.shape[-1])))
     batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)

@@ -11,9 +11,16 @@ Format: a directory per run with
                         scalings) under deterministic keys
 - ``history.jsonl``   — one JSON line per iteration (the 6 loss channels)
 
-Pure numpy + json: no orbax dependency, deterministic, diff-able, and
-readable without JAX. ``load_checkpoint`` restores into a provided pytree
-skeleton (same treedef), mirroring the "extract_NN" replay capability.
+Pure numpy + json: deterministic, diff-able, and readable without JAX.
+``load_checkpoint`` restores into a provided pytree skeleton (same treedef),
+mirroring the "extract_NN" replay capability.
+
+For multi-host / sharded production runs there is an optional **orbax**
+backend (:func:`save_checkpoint_orbax` / :func:`load_checkpoint_orbax`):
+orbax writes each shard from its owning host and restores with the arrays'
+shardings, which the flat-npz format (host-gathered, single file) cannot do.
+The npz format stays the default — single-chip runs don't need a
+checkpoint *server*, and its files open anywhere.
 """
 
 from __future__ import annotations
@@ -76,6 +83,45 @@ def load_checkpoint(directory: str, skeleton):
         arr = data[key]
         leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype).reshape(np.shape(leaf)))
     state = jax.tree_util.tree_unflatten(treedef, leaves)
+    meta_path = os.path.join(directory, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def save_checkpoint_orbax(directory: str, state, meta: dict | None = None):
+    """Sharded/multi-host checkpoint via orbax (``PyTreeCheckpointer``).
+
+    Each host writes only the shards it owns, so this scales to pod-size
+    meshes where gathering to one ``state.npz`` would not. ``meta.json``
+    sits next to the orbax tree, same as the npz format.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    ocp.PyTreeCheckpointer().save(os.path.join(directory, "orbax"), state, force=True)
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2, default=str)
+
+
+def load_checkpoint_orbax(directory: str, skeleton=None):
+    """Restore an orbax checkpoint; returns ``(state, meta)``.
+
+    With a ``skeleton``, leaves restore with the skeleton's shardings/dtypes
+    (pass the abstract train state on a mesh to resume a sharded run);
+    without one, arrays restore with the shardings recorded at save time.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    path = os.path.join(directory, "orbax")
+    if skeleton is None:
+        state = ocp.PyTreeCheckpointer().restore(path)
+    else:
+        state = ocp.PyTreeCheckpointer().restore(path, item=skeleton)
     meta_path = os.path.join(directory, "meta.json")
     meta = {}
     if os.path.exists(meta_path):

@@ -92,6 +92,19 @@ def test_train_fc_nde(tmp_path):
     assert set(base_vars) == {"T"}
 
 
+def test_ensemble(tmp_path, nn_ckpt, capsys):
+    out = str(tmp_path / "ens")
+    rc = main([
+        "ensemble", "--sims", "strong_wind", *TINY,
+        "--checkpoint", nn_ckpt, "--n-members", "16", "--n-steps", "8",
+        "--n-substeps", "2", "--output", out,
+    ])
+    assert rc == 0
+    data = np.load(os.path.join(out, "ensemble.npz"))
+    assert data["mean"].shape[-1] == 3 * 16  # (u, v, T) x Nz levels
+    assert np.isfinite(data["std"]).all()
+
+
 def test_optimise_mpp(tmp_path, capsys):
     out = str(tmp_path / "mpp")
     rc = main([

@@ -198,6 +198,32 @@ class TestCheckpoint:
         )
         np.testing.assert_allclose(float(restored["scalings"].T.mu), float(scalings.T.mu))
 
+    def test_orbax_roundtrip(self, tmp_path, wm_setup):
+        """Orbax backend: pytree round-trip, including a mesh-sharded array."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from climateparameterizations_jl_tpu.train.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        model, suite, scalings, batch = wm_setup
+        nns = FluxNNs(uw=None, vw=None, wT=wind_mixing_mlp(jax.random.PRNGKey(3), 32))
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        sharded = jax.device_put(
+            jnp.arange(float(8 * 4)).reshape(8, 4),
+            NamedSharding(mesh, P("data", None)),
+        )
+        state = {"nns": nns, "ensemble_state": sharded}
+        save_checkpoint_orbax(str(tmp_path / "orun"), state, meta={"stage": "orbax"})
+        restored, meta = load_checkpoint_orbax(str(tmp_path / "orun"))
+        assert meta["stage"] == "orbax"
+        np.testing.assert_allclose(
+            np.array(restored["nns"]["wT"]["weights"][0] if isinstance(restored["nns"], dict) else restored["nns"].wT.weights[0]),
+            np.array(nns.wT.weights[0]),
+        )
+        np.testing.assert_allclose(np.array(restored["ensemble_state"]), np.array(sharded))
+
     def test_resume_matches_uninterrupted(self, tmp_path, wm_setup):
         """Checkpoint after 3 iters + resume for 3 == one 6-iter run exactly.
 
