@@ -93,6 +93,7 @@ def eki_calibrate(
     n_iterations: int = 10,
     noise_std: float | None = None,
     batch_size: int | None = None,
+    mesh=None,
 ) -> EKIResult:
     """Calibrate ``forward_fn``'s parameters to ``y_obs`` with EKI.
 
@@ -100,6 +101,13 @@ def eki_calibrate(
     ``make_kpp_forward_fn``); ``priors`` maps parameter names to uniform
     ``(lo, hi)`` bounds. ``noise_std`` defaults to 1% of the observation
     standard deviation.
+
+    With a ``mesh`` (``jax.sharding.Mesh``), the ensemble axis of every
+    forward evaluation is sharded over the mesh's first axis — EKI forward
+    solves are embarrassingly parallel, so the whole population rides the
+    device mesh with no collectives until the (tiny) Kalman update.
+    Requires ``n_ensemble`` divisible by the mesh size; ``batch_size`` is
+    then ignored (the mesh IS the batching).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     names = tuple(priors.keys())
@@ -113,7 +121,18 @@ def eki_calibrate(
     theta0 = lo + (hi - lo) * jax.random.uniform(k0, (n_ensemble, len(names)), y.dtype)
     u = _to_unconstrained(theta0, lo, hi)
 
-    vforward = jax.jit(jax.vmap(forward_fn))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.devices.size
+        if n_ensemble % n_dev:
+            raise ValueError(f"n_ensemble={n_ensemble} must divide over the {n_dev}-device mesh")
+        shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        _vf = jax.jit(jax.vmap(forward_fn), out_shardings=shard)
+        vforward = lambda theta: _vf(jax.device_put(theta, shard))  # noqa: E731
+        batch_size = None
+    else:
+        vforward = jax.jit(jax.vmap(forward_fn))
     update = jax.jit(lambda u, g, k: eki_update(u, g, y, jnp.asarray(noise_std, y.dtype), k))
 
     def evaluate(theta):
@@ -165,6 +184,7 @@ def calibrate_kpp_eki(
     n_iterations: int = 10,
     base_params=None,
     n_substeps: int = 1,
+    mesh=None,
 ):
     """KPP calibration via EKI (the reference's unfinished ``train_kpp.jl:78-99``).
 
@@ -183,7 +203,7 @@ def calibrate_kpp_eki(
     base = base_params if base_params is not None else KPPParameters.default()
     forward, y = make_kpp_forward_fn(ds, tsteps, Nz, base, names, n_substeps)
     result = eki_calibrate(
-        forward, y, priors, key=key, n_ensemble=n_ensemble, n_iterations=n_iterations
+        forward, y, priors, key=key, n_ensemble=n_ensemble, n_iterations=n_iterations, mesh=mesh
     )
     calibrated = _with_overrides(base, names, [result.theta_mean[i] for i in range(len(names))])
     return calibrated, result

@@ -89,6 +89,7 @@ def calibrate_mpp_eki(
     priors: dict | None = None,
     n_ensemble: int = 64,
     n_iterations: int = 8,
+    mesh=None,
 ):
     """mPP calibration via Ensemble Kalman Inversion (gradient-free + UQ).
 
@@ -120,6 +121,6 @@ def calibrate_mpp_eki(
 
     result = eki_calibrate(
         forward, batch.targets.reshape(-1), priors, key=key,
-        n_ensemble=n_ensemble, n_iterations=n_iterations,
+        n_ensemble=n_ensemble, n_iterations=n_iterations, mesh=mesh,
     )
     return with_values(result.theta_mean), result

@@ -154,6 +154,27 @@ class TestEKI:
         assert np.all(ens[:, 1] >= 0.0) and np.all(ens[:, 1] <= 5.0)
         assert np.all(np.asarray(result.theta_std) >= 0.0)
 
+    def test_mesh_sharded_matches_single_device(self):
+        """EKI with the ensemble axis sharded over the mesh == unsharded."""
+        from jax.sharding import Mesh
+
+        from climateparameterizations_jl_tpu.train.eki import eki_calibrate
+
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.normal(size=(12, 2)))
+        y = A @ jnp.asarray([0.7, 2.5])
+        forward = lambda v: A @ v  # noqa: E731
+        priors = {"a": (0.0, 1.0), "b": (0.0, 5.0)}
+        kw = dict(key=jax.random.PRNGKey(1), n_ensemble=32, n_iterations=4, noise_std=1e-3)
+        ref = eki_calibrate(forward, y, priors, **kw)
+        mesh = Mesh(np.array(jax.devices()), ("ens",))
+        sharded = eki_calibrate(forward, y, priors, mesh=mesh, **kw)
+        np.testing.assert_allclose(
+            np.asarray(sharded.ensemble), np.asarray(ref.ensemble), rtol=1e-5, atol=1e-6
+        )
+        with pytest.raises(ValueError):
+            eki_calibrate(forward, y, priors, mesh=mesh, key=jax.random.PRNGKey(1), n_ensemble=30)
+
     def test_kpp_eki_smoke(self, fc_dataset):
         """EKI drives the vmapped KPP ensemble; misfit decreases, params stay bounded."""
         from climateparameterizations_jl_tpu.train.eki import calibrate_kpp_eki
