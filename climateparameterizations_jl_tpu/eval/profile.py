@@ -56,6 +56,7 @@ from climateparameterizations_jl_tpu.physics.kpp import (
     KPPForcing,
     KPPParameters,
     KPPState,
+    kpp_diagnostic_fluxes,
     solve_kpp,
 )
 from climateparameterizations_jl_tpu.physics.richardson import richardson_profile
@@ -240,6 +241,20 @@ def nde_profile(
         kpp_scaled = join_uvT(s.u.scale(kpp.U), s.v.scale(kpp.V), s.T.scale(kpp.T))
         for k, v in _per_timestep_channels(kpp_scaled, truth, Nz, model.dz_hat).items():
             out[f"losses_kpp_{k}"] = np.asarray(v)
+        # KPP flux + Ri diagnostics along the trajectory (the reference's
+        # test_uw_kpp/test_Ri_kpp channels, training_postprocessing.jl:368-388).
+        dz_dim = model.H / Nz
+        zc_dim = (jnp.arange(Nz, dtype=kpp.T.dtype) + 0.5) * dz_dim - model.H
+        zf_dim = jnp.arange(Nz + 1, dtype=kpp.T.dtype) * dz_dim - model.H
+        kpp_uw, kpp_vw, kpp_wT = kpp_diagnostic_fluxes(
+            kpp.U, kpp.V, kpp.T, zf_dim, zc_dim, kpp_params, forcing,
+            ds_test.g, ds_test.alpha, model.H, Nz,
+        )
+        out["kpp_uw"], out["kpp_vw"], out["kpp_wT"] = (np.asarray(kpp_uw), np.asarray(kpp_vw), np.asarray(kpp_wT))
+        u_k, v_k, T_k = split_uvT(kpp_scaled, Nz)
+        out["kpp_Ri"] = np.asarray(
+            richardson_profile(u_k, v_k, T_k, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+        )
 
     # --- embedded host-model run (dimensional column, implicit mPP) ------
     # Parity: solve_oceananigans_modified_pacanowski_philander_nn +

@@ -251,6 +251,32 @@ class KPPState:
     T: jnp.ndarray
 
 
+def kpp_diagnostic_fluxes(U, V, T, zf, zc, params: KPPParameters, forcing: KPPForcing, g, alpha, H, Nz: int):
+    """Diagnostic face fluxes ``(uw, vw, wT)`` for saved KPP profiles.
+
+    Downgradient ``-K dphi/dz`` plus the nonlocal heat flux, with the
+    prescribed surface fluxes on the top faces — the ``UW, VW, WT`` outputs
+    of the reference's KPP column (``wind_mixing/src/k_profile_parameterization.jl:1-78``,
+    OceanTurb flux diagnostics). Batches over leading axes (e.g. a whole
+    saved trajectory at once).
+    """
+    dz = H / Nz
+    K_U, K_T, NL, _h = kpp_diffusivities(U, V, T, zf, zc, params, forcing, g, alpha, H)
+
+    def ddz(phi):
+        interior = (phi[..., 1:] - phi[..., :-1]) / dz
+        zeros = jnp.zeros(interior.shape[:-1] + (1,), phi.dtype)
+        return jnp.concatenate([zeros, interior, zeros], axis=-1)
+
+    uw = -K_U * ddz(U)
+    vw = -K_U * ddz(V)
+    wT = -K_T * ddz(T) + NL
+    F_theta = forcing.Fb / (g * alpha)
+    uw = uw.at[..., -1].set(jnp.broadcast_to(forcing.Fu, uw[..., -1].shape))
+    wT = wT.at[..., -1].set(jnp.broadcast_to(F_theta, wT[..., -1].shape))
+    return uw, vw, wT
+
+
 def kpp_step(state: KPPState, dt, dz, zf, zc, params: KPPParameters, forcing: KPPForcing, f_cor, g, alpha, H, tridiag_backend: str = "scan") -> KPPState:
     """One backward-Euler KPP step (diagnose -> explicit forcings -> implicit diffusion)."""
     U, V, T = state.U, state.V, state.T
