@@ -293,6 +293,13 @@ def nde_profile(
             for k, val in _per_timestep_channels(scaled, truth, Nz, model.dz_hat).items():
                 out[f"losses_{name}_{k}"] = np.asarray(val)
 
+    # --- scalar aggregates per member (the reference's "loss" /
+    # "loss_gradient" entries, training_postprocessing.jl:534-631) ---------
+    members = sorted({k[len("losses_") : -2] for k in out if k.startswith("losses_") and k.endswith("_u")})
+    for m in members:
+        out[f"loss_{m}"] = float(np.mean([out[f"losses_{m}_{c}"] for c in ("u", "v", "T")]))
+        out[f"loss_{m}_gradient"] = float(np.mean([out[f"losses_{m}_{c}"] for c in ("du", "dv", "dT")]))
+
     return ProfileEvaluation(out)
 
 
