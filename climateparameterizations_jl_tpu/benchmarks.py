@@ -104,13 +104,14 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
     kernel = get_kernel(1, 0.0, 0.0, "euclidean", dtype=jnp.float32, backend=backend)
 
     if backend == "xla":
-        # Fused multi-fit: one Gram + one Cholesky + stacked RHS.
+        # Fused multi-fit: one Gram + one Cholesky + stacked RHS. Returning
+        # every alpha keeps all three solves live under jit (no DCE).
         def build_three(x, y1, y2, y3):
             models = gp_fit_multi(x, [y1, y2, y3], [kernel] * 3, z)
-            return models[0].alpha
+            return tuple(m.alpha for m in models)
     else:
         def build_three(x, y1, y2, y3):
-            return [gp_fit(x, y, kernel, z) for y in (y1, y2, y3)][0].alpha
+            return tuple(gp_fit(x, y, kernel, z).alpha for y in (y1, y2, y3))
 
     stats = time_fn(jax.jit(build_three), x, *ys, iters=3, pipelined=True)
     stats["vs_reference"] = REFERENCE_SECONDS["gp_build_3_models"] / stats["median_s"]

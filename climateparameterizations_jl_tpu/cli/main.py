@@ -211,6 +211,8 @@ def cmd_evaluate_fc(args) -> int:
 
     nn, meta = _load_fc_nn(args.checkpoint)
     ids = [int(s) for s in _sims(args.sim_ids)]
+    if getattr(args, "netcdf", False) and not args.embedded:
+        raise SystemExit("--netcdf requires --embedded (it writes the embedded pair)")
     os.makedirs(args.output, exist_ok=True)
 
     # Reuse the TRAINING scalings and base closure from the checkpoint meta
@@ -247,8 +249,6 @@ def cmd_evaluate_fc(args) -> int:
         if getattr(args, "netcdf", False):
             # Reference-layout NetCDF pair (oceananigans_nn.jl:174-192):
             # baseline T and +NN T/wT, one directory per simulation.
-            if not args.embedded:
-                raise SystemExit("--netcdf requires --embedded (it writes the embedded pair)")
             from climateparameterizations_jl_tpu.data.netcdf import write_paired_column_netcdf
 
             sim_dir = os.path.join(args.output, f"sim{i}")
@@ -635,24 +635,24 @@ def cmd_train_gp(args) -> int:
     # Per-flux kernel selection first; the final fits share predictors, so
     # they run as ONE fused multi-fit (shared distance matrix + batched
     # Cholesky, gp_fit_multi) instead of three sequential builds.
-    selected, x_by_flux, y_by_flux = {}, {}, {}
+    selected, x_by_flux, y_by_flux, test_pairs = {}, {}, {}, {}
     for flux in fit_fluxes:
         x_tr, y_tr = direct_regression_pairs(train_ds, scalings, flux)
-        x_te, y_te = direct_regression_pairs(test_ds, scalings, flux)
+        test_pairs[flux] = direct_regression_pairs(test_ds, scalings, flux)
         if args.subsample > 1:
             x_tr, y_tr = x_tr[:: args.subsample], y_tr[:: args.subsample]
-        kernel, err = best_kernel(x_tr, y_tr, x_te, y_te, z, metric=args.metric)
+        kernel, err = best_kernel(x_tr, y_tr, *test_pairs[flux], z, metric=args.metric)
         selected[flux] = kernel
         x_by_flux[flux], y_by_flux[flux] = x_tr, y_tr
     models = gp_fit_multi(
         x_by_flux[fit_fluxes[0]], [y_by_flux[f] for f in fit_fluxes],
         [selected[f] for f in fit_fluxes], z,
-    )
+    ) if fit_fluxes else []
     for flux, model in zip(fit_fluxes, models):
         fitted[flux] = model
         if flux in fluxes:
             kernel = selected[flux]
-            x_te, y_te = direct_regression_pairs(test_ds, scalings, flux)
+            x_te, y_te = test_pairs[flux]
             pred = gp_predict(model, x_te)
             mse = float(jnp.mean((pred - y_te) ** 2))
             report[flux] = {"kernel": kernel.family, "log_gamma": float(jnp.log10(kernel.gamma)), "mse": mse}

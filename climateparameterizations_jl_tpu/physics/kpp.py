@@ -274,6 +274,10 @@ def kpp_diagnostic_fluxes(U, V, T, zf, zc, params: KPPParameters, forcing: KPPFo
     F_theta = forcing.Fb / (g * alpha)
     uw = uw.at[..., -1].set(jnp.broadcast_to(forcing.Fu, uw[..., -1].shape))
     wT = wT.at[..., -1].set(jnp.broadcast_to(F_theta, wT[..., -1].shape))
+    # Fixed-gradient bottom BC: the upward flux -KT0 * dTdz that kpp_step
+    # applies to cell 0 (heat exits through the bottom face).
+    wT_bot = -params.KT0 * forcing.dTdz_bottom
+    wT = wT.at[..., 0].set(jnp.broadcast_to(wT_bot, wT[..., 0].shape))
     return uw, vw, wT
 
 
@@ -307,10 +311,12 @@ def kpp_step(state: KPPState, dt, dz, zf, zc, params: KPPParameters, forcing: KP
     # batched Thomas solve for all three variables (the solve is a
     # sequential scan over levels, so 3 separate solves cost 3x the
     # latency-bound chain; stacking them is ~1.6x faster per KPP step).
-    phi = jnp.stack([U_half, V_half, T_half], axis=0)
-    K3 = jnp.stack([K_U, K_U, K_T], axis=0)
+    phi = jnp.stack(jnp.broadcast_arrays(U_half, V_half, T_half), axis=0)
+    K3 = jnp.stack(jnp.broadcast_arrays(K_U, K_U, K_T), axis=0)
     phi = implicit_diffusion_step(phi, K3, dt, dz, backend=tridiag_backend)
-    return KPPState(U=phi[0], V=phi[1], T=phi[2])
+    # Cast back: jnp.stack promotes mixed per-variable dtypes, which would
+    # otherwise change the lax.scan carry structure in solve_kpp.
+    return KPPState(U=phi[0].astype(U.dtype), V=phi[1].astype(V.dtype), T=phi[2].astype(T.dtype))
 
 
 def solve_kpp(

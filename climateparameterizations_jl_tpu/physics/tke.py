@@ -132,10 +132,15 @@ def tke_step(state: TKEState, dt, dz, zc, params: TKEParameters, Fu, Fb, f_cor, 
     # One batched Thomas solve for all four variables: the solve is a
     # sequential scan over levels, so four separate solves cost 4x the
     # latency-bound chain (same trick as kpp_step / the split NDE solver).
-    phi = jnp.stack([U_half, V_half, T_half, e_half], axis=0)
-    K4 = jnp.stack([K_U, K_U, K_T, K_e], axis=0)
+    phi = jnp.stack(jnp.broadcast_arrays(U_half, V_half, T_half, e_half), axis=0)
+    K4 = jnp.stack(jnp.broadcast_arrays(K_U, K_U, K_T, K_e), axis=0)
     phi = implicit_diffusion_step(phi, K4, dt, dz, backend=tridiag_backend)
-    return TKEState(U=phi[0], V=phi[1], T=phi[2], e=jnp.maximum(phi[3], params.e_min))
+    # Cast back: jnp.stack promotes mixed per-variable dtypes, which would
+    # otherwise change the lax.scan carry structure in solve_tke.
+    return TKEState(
+        U=phi[0].astype(state.U.dtype), V=phi[1].astype(state.V.dtype),
+        T=phi[2].astype(state.T.dtype), e=jnp.maximum(phi[3], params.e_min).astype(state.e.dtype),
+    )
 
 
 def solve_tke(state0: TKEState, t_save, params: TKEParameters, Fu, Fb, H, Nz: int, f_cor, g, alpha, n_substeps: int = 1, tridiag_backend: str = "scan") -> TKEState:

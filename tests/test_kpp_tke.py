@@ -79,7 +79,7 @@ class TestKPP:
 
         U0, V0, T0 = initial_state()
         params = KPPParameters.default()
-        forcing = KPPForcing(Fu=f32(0.0), Fb=f32(1e-7), dTdz_bottom=f32(0.0))
+        forcing = KPPForcing(Fu=f32(0.0), Fb=f32(1e-7), dTdz_bottom=f32(0.01))
         dt = 60.0
         t = jnp.linspace(0.0, 40 * dt, 41)
         traj = solve_kpp(KPPState(U=U0, V=V0, T=T0), t, params, forcing, f32(H), Nz, f32(f_cor), f32(g), f32(alpha), n_substeps=1)
@@ -87,14 +87,17 @@ class TestKPP:
         zf = jnp.asarray(np.arange(Nz + 1) * dz - H, f32)
         uw, vw, wT = kpp_diagnostic_fluxes(traj.U, traj.V, traj.T, zf, zc, params, forcing, f32(g), f32(alpha), f32(H), Nz)
         assert wT.shape == (41, Nz + 1)
-        # Top faces carry the prescribed surface fluxes.
+        # Boundary faces carry the prescribed fluxes: surface at the top,
+        # the fixed-gradient -KT0 * dTdz_bottom at the bottom (heat exits).
         np.testing.assert_allclose(np.asarray(uw[:, -1]), 0.0, atol=1e-12)
         np.testing.assert_allclose(np.asarray(wT[:, -1]), 1e-7 / (g * alpha), rtol=1e-5)
-        # Heat budget: the column-integrated dT/dt equals the net surface flux
-        # (integral of -d(wT)/dz = wT_bottom - wT_top = -F_theta).
+        wT_bot = -float(KPPParameters.default().KT0) * 0.01
+        np.testing.assert_allclose(np.asarray(wT[:, 0]), wT_bot, rtol=1e-5)
+        # Heat budget: the column-integrated dT/dt equals the net boundary
+        # flux (integral of -d(wT)/dz = wT_bottom - wT_top).
         dT_int = np.asarray(jnp.sum(traj.T[1:] - traj.T[:-1], axis=-1) * dz / dt)
         # 5%: differencing O(19) f32 temperatures leaves ~1e-6 absolute noise.
-        np.testing.assert_allclose(dT_int, -1e-7 / (g * alpha), rtol=5e-2)
+        np.testing.assert_allclose(dT_int, wT_bot - 1e-7 / (g * alpha), rtol=5e-2)
         # Level-by-level: backward-Euler tendency ~ divergence of the flux
         # diagnosed at the END-of-step state (the implicit solve's state).
         k = 20

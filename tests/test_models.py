@@ -232,6 +232,15 @@ class TestWindMixingMPP:
             wT=wind_mixing_mlp(keys[2], 32),
         )
         assert pack_flux_nns(nns2) is None
+        # Unequal output widths would make the equal-thirds split lie.
+        from climateparameterizations_jl_tpu.closures.mlp import mlp_init
+
+        nns3 = FluxNNs(
+            uw=mlp_init(keys[0], (96, 50, 20, 31), "mish"),
+            vw=mlp_init(keys[1], (96, 50, 20, 30), "mish"),
+            wT=mlp_init(keys[2], (96, 50, 20, 31), "mish"),
+        )
+        assert pack_flux_nns(nns3) is None
 
     def test_predict_flux_boundary_values_zero_weights(self):
         """zero_weights mode: total boundary-face flux == BC - scaled zero."""
