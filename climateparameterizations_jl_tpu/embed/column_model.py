@@ -74,6 +74,12 @@ class HostColumnModel:
     # ``data_containers.jl:131-156``). ``t`` is the dimensional time passed
     # to host_column_step.
     diurnal: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # mPP + convective adjustment on the TRACER diffusivity: where the
+    # column is convectively unstable (Ri <= 0), kappa_T jumps to
+    # ``kappa_conv`` instead of nu/Pr — the reference's
+    # ``convective_adjustment=true`` embedding branch
+    # (``NDE_oceananigans.jl:49-54``, nu_T[i] = Ri > 0 ? nu/Pr : 1).
+    mpp_conv_adjust: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def dz(self):
@@ -156,6 +162,8 @@ def _diffusivities(model: HostColumnModel, state: HostColumnState):
         Ri = sanitize_richardson(local_richardson(dudz, dvdz, dTdz + 1e-12, model.g, model.alpha))
         nu = mpp_diffusivity(Ri, model.mpp)
         kappa = nu / model.mpp.Pr
+        if model.mpp_conv_adjust:
+            kappa = jnp.where(Ri > 0.0, kappa, model.kappa_conv)
     # Boundary faces are zeroed by the implicit solve itself
     # (zero_boundary_faces=True in host_column_step).
     return nu, kappa

@@ -67,6 +67,26 @@ class TestHostColumn:
         # Wind stress (Fu < 0) accelerates the surface eastward.
         assert float(traj.u[-1, -1]) > 0.0
 
+    def test_mpp_conv_adjust_mixes_unstable_column_faster(self):
+        """The convective_adjustment=true embedding branch
+        (NDE_oceananigans.jl:49-54): kappa_T jumps to kappa_conv where
+        Ri <= 0, so an unstable profile homogenizes much faster."""
+        import dataclasses as dc
+
+        Nz, H = 32, 256.0
+        zc = (jnp.arange(Nz, dtype=jnp.float32) + 0.5) * (H / Nz) - H
+        T_unstable = 19.0 - 0.01 * (zc + H)  # warm water below cold: Ri < 0
+        state0 = HostColumnState(u=jnp.zeros(Nz, jnp.float32), v=jnp.zeros(Nz, jnp.float32), T=T_unstable.astype(jnp.float32))
+
+        base = make_host_model(Fu=jnp.float32(0.0), Ftheta=jnp.float32(0.0), dTdz_bottom=jnp.float32(0.0))
+        with_ca = dc.replace(base, mpp_conv_adjust=True)
+        spread = lambda traj: float(jnp.max(traj.T[-1]) - jnp.min(traj.T[-1]))  # noqa: E731
+        traj_plain = run_embedded_column(base, None, state0, 600.0, n_save=10, save_every=6)
+        traj_ca = run_embedded_column(with_ca, None, state0, 600.0, n_save=10, save_every=6)
+        assert np.isfinite(spread(traj_ca))
+        # Conv-adj branch homogenizes the unstable stratification much faster.
+        assert spread(traj_ca) < 0.3 * spread(traj_plain)
+
     def test_heat_budget_closes(self):
         # With zero bottom-gradient flux, total heat change = -integral of
         # surface flux: d/dt sum(T) dz = -Ftheta. Exact in f64 (the implicit
