@@ -94,25 +94,25 @@ class HostColumnState:
     T: jnp.ndarray
 
 
-def _nn_forcing(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState):
-    """Per-cell forcing ``-d/dz(w'phi'_NN)`` for (u, v, T), dimensional.
+def _nn_flux_faces(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState):
+    """Dimensional NN flux faces ``(uw, vw, wT)`` each ``(..., Nz+1)``.
 
-    The scale -> NN -> unscale -> d/dz chain of ``oceananigans_nn.jl:120-126``
-    / ``NDE_oceananigans.jl:380-405``, with zero interior->boundary padding
+    The scale -> NN -> unscale chain of ``oceananigans_nn.jl:120-126`` /
+    ``NDE_oceananigans.jl:380-405``, with zero interior->boundary padding
     (the host model owns the boundary fluxes). One batched MLP call per flux.
     """
+    zeros_faces = jnp.zeros(state.T.shape[:-1] + (state.T.shape[-1] + 1,), state.T.dtype)
     if nns is None:
-        zero = jnp.zeros_like(state.T)
-        return zero, zero, zero
+        return zeros_faces, zeros_faces, zeros_faces
     s = model.scalings
     if model.nn_input == "T":
         x = s.T.scale(state.T)
     else:
         x = jnp.concatenate([s.u.scale(state.u), s.v.scale(state.v), s.T.scale(state.T)], axis=-1)
 
-    def flux_div(nn: MLP | None, scaling):
+    def faces(nn: MLP | None, scaling):
         if nn is None:
-            return jnp.zeros_like(state.T)
+            return zeros_faces
         # Dimensionalize per training convention: FC NNs (nn_input="T") are
         # trained against AFFINE-scaled targets (sigma * y + mu); the
         # wind-mixing triple NNs train in zero-weights mode where the
@@ -120,10 +120,43 @@ def _nn_forcing(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnSt
         y = apply_closure(nn, x)
         interior = scaling.unscale(y) if model.nn_input == "T" else scaling.sigma * y
         zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
-        faces = jnp.concatenate([zeros, interior, zeros], axis=-1)
-        return -d_face_to_center(faces, model.dz)
+        return jnp.concatenate([zeros, interior, zeros], axis=-1)
 
-    return flux_div(nns.uw, s.uw), flux_div(nns.vw, s.vw), flux_div(nns.wT, s.wT)
+    return faces(nns.uw, s.uw), faces(nns.vw, s.vw), faces(nns.wT, s.wT)
+
+
+def _nn_forcing(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState):
+    """Per-cell forcing ``-d/dz(w'phi'_NN)`` for (u, v, T), dimensional."""
+    uw, vw, wT = _nn_flux_faces(model, nns, state)
+    div = lambda f: -d_face_to_center(f, model.dz)  # noqa: E731
+    return div(uw), div(vw), div(wT)
+
+
+def diagnose_host_fluxes(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState, t=0.0):
+    """Total dimensional face fluxes ``(uw, vw, wT)`` of the host column.
+
+    NN faces + downgradient diffusive flux ``-K dphi/dz`` (zero boundary
+    faces, matching the implicit solve) + the prescribed boundary fluxes —
+    the flux diagnostics the reference's embedded eval stores
+    (``NDE_oceananigans.jl:157-286``). Batches over leading axes, including
+    a saved trajectory's time axis.
+    """
+    uw, vw, wT = _nn_flux_faces(model, nns, state)
+    nu, kappa = _diffusivities(model, state)
+    mask = jnp.ones(nu.shape[-1], nu.dtype).at[0].set(0.0).at[-1].set(0.0)
+    dudz = d_center_to_face(state.u, model.dz)
+    dvdz = d_center_to_face(state.v, model.dz)
+    dTdz = d_center_to_face(state.T, model.dz)
+    uw = uw - mask * nu * dudz
+    vw = vw - mask * nu * dvdz
+    wT = wT - mask * kappa * dTdz
+    uw = uw.at[..., -1].set(jnp.broadcast_to(model.Fu, uw[..., -1].shape))
+    Ft = surface_heat_flux(model, jnp.asarray(t, state.T.dtype))
+    wT = wT.at[..., -1].set(jnp.broadcast_to(Ft, wT[..., -1].shape))
+    # Fixed-gradient bottom BC: heat exits through the bottom face.
+    wT_bot = -kappa[..., 1] * model.dTdz_bottom
+    wT = wT.at[..., 0].set(wT_bot)
+    return uw, vw, wT
 
 
 def diagnose_nn_heat_flux(model: HostColumnModel, nns: FluxNNs | None, T):

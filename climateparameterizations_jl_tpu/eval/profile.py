@@ -283,7 +283,10 @@ def nde_profile(
             host, nns, state0, jnp.asarray(dt_emb, state0.T.dtype), n_frames, embedded_substeps,
             t0=float(t_dim[0]),
         )
-        for name, sol in (("embedded_baseline", baseline), ("embedded", with_nn)):
+        from climateparameterizations_jl_tpu.embed.column_model import diagnose_host_fluxes
+
+        t_frames = jnp.asarray(t_dim, state0.T.dtype)
+        for name, sol, run_nns in (("embedded_baseline", baseline, None), ("embedded", with_nn, nns)):
             u, v, T = (jnp.moveaxis(a, 0, -2) for a in (sol.u, sol.v, sol.T))
             out[f"{name}_u"], out[f"{name}_v"], out[f"{name}_T"] = (
                 np.asarray(u), np.asarray(v), np.asarray(T),
@@ -291,6 +294,16 @@ def nde_profile(
             scaled = join_uvT(s.u.scale(u), s.v.scale(v), s.T.scale(T))
             for k, val in _per_timestep_channels(scaled, truth, Nz, model.dz_hat).items():
                 out[f"losses_{name}_{k}"] = np.asarray(val)
+            # Embedded flux + Ri diagnostics (NDE_oceananigans.jl:157-286).
+            frame = lambda st, ti: diagnose_host_fluxes(host, run_nns, st, ti)  # noqa: E731
+            uw_e, vw_e, wT_e = jax.vmap(frame)(sol, t_frames)
+            out[f"{name}_uw"] = np.asarray(jnp.moveaxis(uw_e, 0, -2))
+            out[f"{name}_vw"] = np.asarray(jnp.moveaxis(vw_e, 0, -2))
+            out[f"{name}_wT"] = np.asarray(jnp.moveaxis(wT_e, 0, -2))
+            u_e, v_e, T_e = split_uvT(scaled, Nz)
+            out[f"{name}_Ri"] = np.asarray(
+                richardson_profile(u_e, v_e, T_e, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+            )
 
     # --- scalar aggregates per member (the reference's "loss" /
     # "loss_gradient" entries, training_postprocessing.jl:534-631) ---------
