@@ -379,6 +379,14 @@ def free_convection_profile(
         )
         out["kpp_T"] = np.asarray(kpp.T)
         out["losses_kpp_T"] = mse_t(model.T_scaling.scale(kpp.T), T_truth_scaled)
+        # Heat-flux diagnostic incl. the nonlocal term — the wT output of
+        # free_convection_kpp (k_profile_parameterization.jl:3-47).
+        _, _, kpp_wT = kpp_diagnostic_fluxes(
+            kpp.U, kpp.V, kpp.T,
+            jnp.asarray(out["zf"], kpp.T.dtype), jnp.asarray(out["zc"], kpp.T.dtype),
+            kpp_params, forcing, ds_test.g, ds_test.alpha, model.H, Nz,
+        )
+        out["kpp_wT"] = np.asarray(kpp_wT)
 
     if include_tke:
         tke_params = tke_params if tke_params is not None else TKEParameters.default()
@@ -390,6 +398,17 @@ def free_convection_profile(
         )
         out["tke_T"] = np.asarray(tke.T)
         out["losses_tke_T"] = mse_t(model.T_scaling.scale(tke.T), T_truth_scaled)
+        # Heat-flux diagnostic (the wT output of free_convection_tke_mass_flux).
+        from climateparameterizations_jl_tpu.physics.tke import tke_diagnostic_heat_flux
+
+        zc_dim = jnp.asarray(out["zc"], tke.T.dtype)
+        out["tke_wT"] = np.asarray(
+            tke_diagnostic_heat_flux(
+                tke, model.H / Nz, zc_dim, tke_params,
+                jnp.zeros_like(ds_test.u_top), ds_test.theta_top * ds_test.g * ds_test.alpha,
+                ds_test.g, ds_test.alpha,
+            )
+        )
 
     # --- embedded host column: conv-adj baseline vs conv-adj + NN --------
     # Parity: ``oceananigans_convective_adjustment_nn``

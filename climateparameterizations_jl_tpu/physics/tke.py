@@ -103,6 +103,18 @@ def tke_diffusivities(state: TKEState, dz, zc, params: TKEParameters, g, alpha):
     return K_U * mask, K_T * mask, K_e * mask, (S2, N2, ell, sqrt_e)
 
 
+def tke_diagnostic_heat_flux(state: TKEState, dz, zc, params: TKEParameters, Fu, Fb, g, alpha):
+    """Diagnostic face heat flux ``wT = -K_T dT/dz`` with the surface flux on
+    the top face — the ``wT`` output of the reference's TKE baseline
+    (``free_convection/src/tke_mass_flux.jl:3-52``). Batches over leading
+    axes (e.g. a saved trajectory)."""
+    K_U, K_T, K_e, _ = tke_diffusivities(state, dz, zc, params, g, alpha)
+    dTdz = d_center_to_face(state.T, dz)
+    wT = -K_T * dTdz
+    F_theta = Fb / (g * alpha)
+    return wT.at[..., -1].set(jnp.broadcast_to(F_theta, wT[..., -1].shape))
+
+
 def tke_step(state: TKEState, dt, dz, zc, params: TKEParameters, Fu, Fb, f_cor, g, alpha, tridiag_backend: str = "scan") -> TKEState:
     """One operator-split TKE step."""
     K_U, K_T, K_e, (S2, N2, ell, sqrt_e) = tke_diffusivities(state, dz, zc, params, g, alpha)
