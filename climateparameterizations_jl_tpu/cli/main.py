@@ -564,13 +564,31 @@ def cmd_train_fc_nde(args) -> int:
 
 def cmd_optimise_mpp(args) -> int:
     from climateparameterizations_jl_tpu.data.containers import training_tensors
-    from climateparameterizations_jl_tpu.train.mpp_calibration import optimise_mpp_parameters
+    from climateparameterizations_jl_tpu.train.mpp_calibration import (
+        calibrate_mpp_eki,
+        optimise_mpp_parameters,
+    )
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
 
     ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
     model = _wind_model(ds, args.nz)
     batch = training_tensors(ds, model.scalings, np.arange(0, args.n_train_steps), tau=model.tau)
     config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method)
+    if args.calibration_method == "eki":
+        params, eki = calibrate_mpp_eki(
+            model, batch, config, n_ensemble=args.n_ensemble, n_iterations=args.n_eki_iters,
+        )
+        result = {
+            name: {"mean": float(m), "std": float(s)}
+            for name, m, s in zip(eki.names, np.asarray(eki.theta_mean), np.asarray(eki.theta_std))
+        }
+        result["misfit_initial"] = eki.misfit_history[0]
+        result["misfit_final"] = eki.misfit_history[-1]
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "mpp_parameters.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return 0
     params, history = optimise_mpp_parameters(model, batch, config)
     result = {
         "nu_0": float(params.nu_0), "nu_minus": float(params.nu_minus),
@@ -927,6 +945,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-substeps", type=int, default=4)
     p.add_argument("--method", default="split")
     p.add_argument("--n-train-steps", type=int, default=32)
+    p.add_argument("--calibration-method", default="gradient", choices=["gradient", "eki"])
+    p.add_argument("--n-ensemble", type=int, default=64)
+    p.add_argument("--n-eki-iters", type=int, default=8)
     p.set_defaults(fn=cmd_optimise_mpp)
 
     p = sub.add_parser("calibrate-kpp", help="KPP parameter search (random or ensemble-Kalman)")

@@ -115,6 +115,18 @@ def test_optimise_mpp(tmp_path, capsys):
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["nu_0"] > 0 and np.isfinite(result["loss_final"])
 
+    # EKI mode: per-parameter posterior mean/std + decreasing misfit.
+    rc = main([
+        "optimise-mpp", "--sims", "strong_wind", *TINY,
+        "--n-train-steps", "6", "--n-substeps", "2",
+        "--calibration-method", "eki", "--n-ensemble", "8", "--n-eki-iters", "2",
+        "--output", str(tmp_path / "mpp_eki"),
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["nu_0"]["std"] >= 0.0
+    assert result["misfit_final"] < result["misfit_initial"]
+
 
 def test_calibrate_kpp(tmp_path, capsys):
     out = str(tmp_path / "kpp")
