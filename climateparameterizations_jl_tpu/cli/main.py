@@ -715,6 +715,8 @@ def cmd_evaluate(args) -> int:
     model = _wind_model(train_ds, args.nz, diurnal=all(flags) and len(flags) > 0)  # TRAINING scalings (override semantics)
     nns, _ = _load_nns(args.checkpoint)
     tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
+    if getattr(args, "write_jld2", False) and not args.embedded:
+        raise SystemExit("--write-jld2 requires --embedded (it writes the embedded pair)")
     os.makedirs(args.output, exist_ok=True)
 
     members = ("nde", "mpp", "kpp", "embedded", "embedded_baseline")
@@ -727,6 +729,32 @@ def cmd_evaluate(args) -> int:
             include_embedded=args.embedded,
         )
         np.savez(os.path.join(args.output, f"evaluation_{name}.npz"), **ev.to_dict())
+        if getattr(args, "write_jld2", False):
+            # Reference behavior: the embedded pair goes to disk as
+            # LESbrary-layout .jld2 sims (JLD2OutputWriter in
+            # NDE_oceananigans.jl:421-454; read back by NDE_profile_oceananigans).
+            # Our reader round-trips these files.
+            from climateparameterizations_jl_tpu.data.containers import ColumnTimeSeries
+            from climateparameterizations_jl_tpu.data.lesbrary import write_les_profiles
+
+            sim_dir = os.path.join(args.output, name)
+            os.makedirs(sim_dir, exist_ok=True)
+            Nt = ev["t"].shape[0]
+            first = lambda a: float(np.reshape(np.asarray(a), (-1,))[0])  # noqa: E731
+            for tag, m in (("baseline", "embedded_baseline"), ("neural_network", "embedded")):
+                cts = ColumnTimeSeries(
+                    u=np.reshape(ev[f"{m}_u"], (Nt, args.nz)),
+                    v=np.reshape(ev[f"{m}_v"], (Nt, args.nz)),
+                    T=np.reshape(ev[f"{m}_T"], (Nt, args.nz)),
+                    uw=np.reshape(ev[f"{m}_uw"], (Nt, args.nz + 1)),
+                    vw=np.reshape(ev[f"{m}_vw"], (Nt, args.nz + 1)),
+                    wT=np.reshape(ev[f"{m}_wT"], (Nt, args.nz + 1)),
+                    t=np.asarray(ev["t"]),
+                    H=first(ds.H), f=first(ds.f), g=first(ds.g), alpha=first(ds.alpha),
+                    beta=first(ds.beta), u_top=first(ds.u_top),
+                    theta_top=first(ds.theta_top), theta_bottom=first(ds.theta_bottom),
+                )
+                write_les_profiles(os.path.join(sim_dir, f"{tag}.jld2"), cts)
         for m in members:
             key = f"losses_{m}_T"
             if key in ev.keys():
@@ -982,6 +1010,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--animate", action="store_true")
     p.add_argument("--gif-stride", type=int, default=4)
     p.add_argument("--embedded", action="store_true", help="also run the host column model (baseline + NN)")
+    p.add_argument("--write-jld2", action="store_true", help="write the embedded pair as LESbrary-layout .jld2 sims (requires --embedded)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("double-gyre", help="3-D basin run with optional NN closure")

@@ -59,6 +59,24 @@ def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     assert os.path.exists(os.path.join(eval_out, "loss.png"))
     assert os.path.exists(os.path.join(eval_out, "summary.json"))
 
+    # --embedded --write-jld2: the embedded pair lands on disk in the
+    # LESbrary layout and round-trips through our reader.
+    eval_out2 = str(tmp_path / "eval_jld2")
+    rc = main([
+        "evaluate", "--sims", "strong_wind", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--checkpoint", out, "--n-train-steps", "8", "--n-substeps", "2",
+        "--eval-stride", "2", "--embedded", "--write-jld2", "--output", eval_out2,
+    ])
+    assert rc == 0
+    from climateparameterizations_jl_tpu.data.lesbrary import read_les_profiles
+
+    back = read_les_profiles(os.path.join(eval_out2, "strong_wind_weak_cooling", "neural_network.jld2"))
+    ev = np.load(os.path.join(eval_out2, "evaluation_strong_wind_weak_cooling.npz"))
+    np.testing.assert_allclose(
+        np.asarray(back.T), ev["embedded_T"].reshape(back.T.shape), rtol=1e-5
+    )
+    assert os.path.exists(os.path.join(eval_out2, "strong_wind_weak_cooling", "baseline.jld2"))
+
 
 def test_train_fc_nde(tmp_path):
     out = str(tmp_path / "fc")
