@@ -138,6 +138,43 @@ def sharded_kernel_search(
     return select_best_kernel(errors, log_gammas, metric, log_sigma, jnp.asarray(x_train).dtype)
 
 
+def make_mesh_2d(n_sim: int, n_ens: int, axis_names: tuple = ("sim", "ens")) -> Mesh:
+    """2-D mesh: simulations on one axis, ensemble members on the other.
+
+    The two embarrassing batch axes of this workload (which simulation,
+    which perturbed member) map to the two mesh axes — e.g. on a 4x2 slice,
+    4-way over sims x 2-way over members, all collectives staying on ICI.
+    """
+    devices = np.array(jax.devices()[: n_sim * n_ens]).reshape(n_sim, n_ens)
+    return Mesh(devices, axis_names)
+
+
+def make_sharded_suite_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh):
+    """Forward solver for a ``(S, E, 3 Nz)`` suite-of-ensembles block on a 2-D mesh.
+
+    ``x0`` shards sims over the first mesh axis and members over the second;
+    per-simulation BCs ``(S,)`` shard over the sim axis only (replicated
+    across members). The solvers batch over both leading axes natively, so
+    this is pure sharding annotation — XLA partitions one program over the
+    whole 2-D mesh.
+    """
+    ax_sim, ax_ens = mesh.axis_names
+    x_shard = NamedSharding(mesh, P(ax_sim, ax_ens, None))
+    bc_shard = NamedSharding(mesh, P(ax_sim))
+    out_shard = NamedSharding(mesh, P(None, ax_sim, ax_ens, None))
+
+    def solve(nns, bcs, x0, t0, dt_save, n_save):
+        x0 = jax.lax.with_sharding_constraint(x0, x_shard)
+        bcs = jax.tree.map(lambda b: jax.lax.with_sharding_constraint(b, bc_shard) if getattr(b, "ndim", 0) == 1 else b, bcs)
+        if config.method == "split":
+            traj = solve_wind_mixing_split(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps)
+        else:
+            traj = solve_wind_mixing_nde(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps, config.method)
+        return jax.lax.with_sharding_constraint(traj, out_shard)
+
+    return jax.jit(solve, static_argnums=(5,))
+
+
 def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh, axis_name: str = "batch"):
     """Forward ensemble solver with columns sharded across the mesh.
 
