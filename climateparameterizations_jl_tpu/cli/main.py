@@ -767,7 +767,8 @@ def cmd_evaluate(args) -> int:
                 ev["t"], os.path.join(args.output, "loss.png"),
             )
             if args.animate:
-                animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride)
+                anim_models = ("truth", "nde", "mpp", "kpp") + (("embedded",) if args.embedded else ())
+                animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride, models=anim_models)
 
     if len(test_sims) > 1:
         plot_loss_matrix(
