@@ -16,6 +16,7 @@ TPU-native re-design of the reference's evaluation layer:
 from climateparameterizations_jl_tpu.eval.profile import (
     ProfileEvaluation,
     nde_profile,
+    nde_profile_from_saved,
     free_convection_profile,
 )
 from climateparameterizations_jl_tpu.eval.loss_matrix import (
@@ -35,6 +36,7 @@ def __getattr__(name):
 __all__ = [
     "ProfileEvaluation",
     "nde_profile",
+    "nde_profile_from_saved",
     "free_convection_profile",
     "loss_matrix",
     "solution_history",

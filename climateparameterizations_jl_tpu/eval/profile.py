@@ -315,6 +315,62 @@ def nde_profile(
     return ProfileEvaluation(out)
 
 
+def nde_profile_from_saved(sim_dir: str, model: WindMixingModel, ds_truth: ColumnTimeSeries, tsteps) -> ProfileEvaluation:
+    """Assemble the embedded comparison from SAVED ``.jld2`` simulation files.
+
+    Parity: ``NDE_profile_oceananigans`` (``training_postprocessing.jl:808-1156``)
+    — the reference's eval path that reads the baseline / +NN Oceananigans
+    outputs back off disk instead of re-running them. ``sim_dir`` must hold
+    ``baseline.jld2`` and ``neural_network.jld2`` as written by
+    ``evaluate --embedded --write-jld2`` (or the original Julia code's
+    JLD2OutputWriter — the reader handles the LESbrary layout either way).
+    Profiles are compared against ``ds_truth`` at the saved times; returns
+    the same ``embedded_* / embedded_baseline_*`` channels as
+    :func:`nde_profile`'s in-memory path plus per-timestep loss channels.
+    """
+    import os
+
+    from climateparameterizations_jl_tpu.data.lesbrary import read_les_profiles
+
+    s = model.scalings
+    Nz = model.Nz
+    batch: TrainingBatch = training_tensors(ds_truth, s, tsteps, tau=model.tau)
+    truth = batch.targets
+    out: dict = {
+        "t": np.asarray(batch.t) * float(model.tau),
+        "zc": np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H),
+        "zf": np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H),
+    }
+
+    def unpack_truth(name, traj):
+        u, v, T = split_uvT(traj, Nz)
+        out[f"{name}_u"] = np.asarray(s.u.unscale(u))
+        out[f"{name}_v"] = np.asarray(s.v.unscale(v))
+        out[f"{name}_T"] = np.asarray(s.T.unscale(T))
+
+    unpack_truth("truth", truth)
+
+    n_frames = len(np.asarray(tsteps))
+    for tag, name in (("baseline", "embedded_baseline"), ("neural_network", "embedded")):
+        saved = read_les_profiles(os.path.join(sim_dir, f"{tag}.jld2"))
+        if saved.T.shape[-2] < n_frames:
+            raise ValueError(
+                f"{tag}.jld2 holds {saved.T.shape[-2]} frames, need {n_frames} for the requested tsteps"
+            )
+        u, v, T = (np.asarray(a)[..., :n_frames, :] for a in (saved.u, saved.v, saved.T))
+        out[f"{name}_u"], out[f"{name}_v"], out[f"{name}_T"] = u, v, T
+        for flux in ("uw", "vw", "wT"):
+            out[f"{name}_{flux}"] = np.asarray(getattr(saved, flux))[..., :n_frames, :]
+        scaled = join_uvT(s.u.scale(jnp.asarray(u)), s.v.scale(jnp.asarray(v)), s.T.scale(jnp.asarray(T)))
+        for k, val in _per_timestep_channels(scaled, truth, Nz, model.dz_hat).items():
+            out[f"losses_{name}_{k}"] = np.asarray(val)
+        u_e, v_e, T_e = split_uvT(scaled, Nz)
+        out[f"{name}_Ri"] = np.asarray(
+            richardson_profile(u_e, v_e, T_e, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+        )
+    return ProfileEvaluation(out)
+
+
 def free_convection_profile(
     model: FreeConvectionModel,
     nn,

@@ -77,6 +77,22 @@ def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     )
     assert os.path.exists(os.path.join(eval_out2, "strong_wind_weak_cooling", "baseline.jld2"))
 
+    # The saved-sims evaluation path (parity: NDE_profile_oceananigans)
+    # reproduces the in-memory embedded channels from the files alone.
+    from climateparameterizations_jl_tpu.cli.main import _load_suite, _wind_model
+    from climateparameterizations_jl_tpu.eval.profile import nde_profile_from_saved
+
+    train_ds = _load_suite(["strong_wind"], 16, None, 12, 600.0)
+    model = _wind_model(train_ds, 16)
+    truth_ds = _load_suite(["strong_wind_weak_cooling"], 16, None, 12, 600.0)
+    ev2 = nde_profile_from_saved(
+        os.path.join(eval_out2, "strong_wind_weak_cooling"), model, truth_ds, np.arange(0, 8, 2),
+    )
+    np.testing.assert_allclose(
+        ev2["embedded_T"].reshape(-1, 16), ev["embedded_T"].reshape(-1, 16), rtol=1e-5
+    )
+    assert np.all(np.isfinite(ev2["losses_embedded_T"]))
+
 
 def test_train_fc_nde(tmp_path):
     out = str(tmp_path / "fc")
