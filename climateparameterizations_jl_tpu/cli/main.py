@@ -578,9 +578,11 @@ def cmd_optimise_mpp(args) -> int:
         params, eki = calibrate_mpp_eki(
             model, batch, config, n_ensemble=args.n_ensemble, n_iterations=args.n_eki_iters,
         )
-        result = {
-            name: {"mean": float(m), "std": float(s)}
-            for name, m, s in zip(eki.names, np.asarray(eki.theta_mean), np.asarray(eki.theta_std))
+        # Same flat-parameter schema as the gradient path (consumers read
+        # result["nu_0"] as a float either way) + the EKI posterior spread.
+        result = {name: float(getattr(params, name)) for name in eki.names}
+        result["posterior_std"] = {
+            name: float(s) for name, s in zip(eki.names, np.asarray(eki.theta_std))
         }
         result["misfit_initial"] = eki.misfit_history[0]
         result["misfit_final"] = eki.misfit_history[-1]

@@ -305,14 +305,17 @@ def nde_profile(
                 richardson_profile(u_e, v_e, T_e, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
             )
 
-    # --- scalar aggregates per member (the reference's "loss" /
-    # "loss_gradient" entries, training_postprocessing.jl:534-631) ---------
+    _add_scalar_aggregates(out)
+    return ProfileEvaluation(out)
+
+
+def _add_scalar_aggregates(out: dict) -> None:
+    """Scalar ``loss_{m}`` / ``loss_{m}_gradient`` per comparison member
+    (the reference's summary entries, ``training_postprocessing.jl:534-631``)."""
     members = sorted({k[len("losses_") : -2] for k in out if k.startswith("losses_") and k.endswith("_u")})
     for m in members:
         out[f"loss_{m}"] = float(np.mean([out[f"losses_{m}_{c}"] for c in ("u", "v", "T")]))
         out[f"loss_{m}_gradient"] = float(np.mean([out[f"losses_{m}_{c}"] for c in ("du", "dv", "dT")]))
-
-    return ProfileEvaluation(out)
 
 
 def nde_profile_from_saved(sim_dir: str, model: WindMixingModel, ds_truth: ColumnTimeSeries, tsteps) -> ProfileEvaluation:
@@ -336,8 +339,16 @@ def nde_profile_from_saved(sim_dir: str, model: WindMixingModel, ds_truth: Colum
     Nz = model.Nz
     batch: TrainingBatch = training_tensors(ds_truth, s, tsteps, tau=model.tau)
     truth = batch.targets
+    if truth.ndim == 3 and truth.shape[0] == 1:
+        truth = truth[0]
+    if truth.ndim != 2:
+        raise ValueError(
+            f"nde_profile_from_saved compares one saved run against ONE truth simulation; "
+            f"got a stacked suite of {truth.shape[0]} (pass a single-sim ds_truth)"
+        )
+    t_truth = np.asarray(batch.t, np.float64) * float(model.tau)
     out: dict = {
-        "t": np.asarray(batch.t) * float(model.tau),
+        "t": t_truth,
         "zc": np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H),
         "zf": np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H),
     }
@@ -350,17 +361,24 @@ def nde_profile_from_saved(sim_dir: str, model: WindMixingModel, ds_truth: Colum
 
     unpack_truth("truth", truth)
 
-    n_frames = len(np.asarray(tsteps))
     for tag, name in (("baseline", "embedded_baseline"), ("neural_network", "embedded")):
         saved = read_les_profiles(os.path.join(sim_dir, f"{tag}.jld2"))
-        if saved.T.shape[-2] < n_frames:
+        # Align by TIME, not by index: the saved file may use any save
+        # interval (ours or the Julia JLD2OutputWriter's).
+        t_saved = np.asarray(saved.t, np.float64).reshape(-1)
+        tol = 1e-3 * max(float(np.max(t_truth) - np.min(t_truth)), 1.0) / max(len(t_truth) - 1, 1)
+        idx = np.abs(t_saved[None, :] - t_truth[:, None]).argmin(axis=1)
+        err = np.abs(t_saved[idx] - t_truth)
+        if np.any(err > tol):
             raise ValueError(
-                f"{tag}.jld2 holds {saved.T.shape[-2]} frames, need {n_frames} for the requested tsteps"
+                f"{tag}.jld2 save times do not cover the requested evaluation times "
+                f"(worst mismatch {err.max():.3g} s); saved t in [{t_saved.min():.3g}, {t_saved.max():.3g}]"
             )
-        u, v, T = (np.asarray(a)[..., :n_frames, :] for a in (saved.u, saved.v, saved.T))
+        u, v, T = (np.asarray(a).reshape(-1, *a.shape[-1:])[idx] for a in (saved.u, saved.v, saved.T))
         out[f"{name}_u"], out[f"{name}_v"], out[f"{name}_T"] = u, v, T
         for flux in ("uw", "vw", "wT"):
-            out[f"{name}_{flux}"] = np.asarray(getattr(saved, flux))[..., :n_frames, :]
+            arr = np.asarray(getattr(saved, flux))
+            out[f"{name}_{flux}"] = arr.reshape(-1, arr.shape[-1])[idx]
         scaled = join_uvT(s.u.scale(jnp.asarray(u)), s.v.scale(jnp.asarray(v)), s.T.scale(jnp.asarray(T)))
         for k, val in _per_timestep_channels(scaled, truth, Nz, model.dz_hat).items():
             out[f"losses_{name}_{k}"] = np.asarray(val)
@@ -368,6 +386,7 @@ def nde_profile_from_saved(sim_dir: str, model: WindMixingModel, ds_truth: Colum
         out[f"{name}_Ri"] = np.asarray(
             richardson_profile(u_e, v_e, T_e, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
         )
+    _add_scalar_aggregates(out)
     return ProfileEvaluation(out)
 
 
@@ -461,8 +480,7 @@ def free_convection_profile(
         out["tke_wT"] = np.asarray(
             tke_diagnostic_heat_flux(
                 tke, model.H / Nz, zc_dim, tke_params,
-                jnp.zeros_like(ds_test.u_top), ds_test.theta_top * ds_test.g * ds_test.alpha,
-                ds_test.g, ds_test.alpha,
+                ds_test.theta_top * ds_test.g * ds_test.alpha, ds_test.g, ds_test.alpha,
             )
         )
 

@@ -103,7 +103,7 @@ def tke_diffusivities(state: TKEState, dz, zc, params: TKEParameters, g, alpha):
     return K_U * mask, K_T * mask, K_e * mask, (S2, N2, ell, sqrt_e)
 
 
-def tke_diagnostic_heat_flux(state: TKEState, dz, zc, params: TKEParameters, Fu, Fb, g, alpha):
+def tke_diagnostic_heat_flux(state: TKEState, dz, zc, params: TKEParameters, Fb, g, alpha):
     """Diagnostic face heat flux ``wT = -K_T dT/dz`` with the surface flux on
     the top face — the ``wT`` output of the reference's TKE baseline
     (``free_convection/src/tke_mass_flux.jl:3-52``). Batches over leading

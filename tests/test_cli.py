@@ -158,7 +158,8 @@ def test_optimise_mpp(tmp_path, capsys):
     ])
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert result["nu_0"]["std"] >= 0.0
+    assert result["nu_0"] > 0.0  # same flat schema as the gradient path
+    assert result["posterior_std"]["nu_0"] >= 0.0
     assert result["misfit_final"] < result["misfit_initial"]
 
 
