@@ -98,3 +98,31 @@ class TestImplicitDiffusion:
         nu = jnp.full((33,), 1e-2)
         out = implicit_diffusion_step(phi, nu, 600.0, 8.0)
         assert float(jnp.var(out)) < float(jnp.var(phi))
+
+
+class TestPallasCholesky:
+    """Single-kernel VMEM Cholesky (interpret mode off-TPU; see module notes —
+    XLA wins on the real chip, the kernel is a validated template)."""
+
+    def test_matches_xla_cholesky(self):
+        import jax.scipy.linalg as jsl
+
+        from climateparameterizations_jl_tpu.ops.cholesky import cholesky_pallas
+
+        rng = np.random.default_rng(0)
+        for n, block in ((256, 128), (256, 256)):
+            A = rng.normal(size=(n, n)).astype(np.float32)
+            K = jnp.asarray(A @ A.T + n * np.eye(n, dtype=np.float32))
+            L = cholesky_pallas(K, block=block, interpret=jax.default_backend() != "tpu")
+            L_ref = jsl.cholesky(K, lower=True)
+            np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref), rtol=5e-4, atol=5e-4)
+            # strictly lower triangular output
+            assert float(np.abs(np.triu(np.asarray(L), 1)).max()) == 0.0
+
+    def test_rejects_bad_inputs(self):
+        from climateparameterizations_jl_tpu.ops.cholesky import cholesky_pallas
+
+        with pytest.raises(ValueError):
+            cholesky_pallas(jnp.zeros((100, 100), jnp.float32), block=128)
+        with pytest.raises(ValueError):
+            cholesky_pallas(jnp.zeros((256, 256), jnp.float64), block=128)
