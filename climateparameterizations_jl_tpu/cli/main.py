@@ -707,6 +707,7 @@ def cmd_evaluate(args) -> int:
         animate_profiles_fluxes_comparison,
         plot_loss,
         plot_loss_matrix,
+        plot_training_regions,
     )
     from climateparameterizations_jl_tpu.eval.profile import nde_profile
 
@@ -720,6 +721,12 @@ def cmd_evaluate(args) -> int:
     if getattr(args, "write_jld2", False) and not args.embedded:
         raise SystemExit("--write-jld2 requires --embedded (it writes the embedded pair)")
     os.makedirs(args.output, exist_ok=True)
+
+    try:
+        # Forcing-space coverage figure (plot_training_regions.jl parity).
+        plot_training_regions(train_names, test_sims, os.path.join(args.output, "training_regions.png"))
+    except KeyError:
+        pass  # non-catalog names (e.g. bespoke --data-dir files) have no parsed forcing
 
     members = ("nde", "mpp", "kpp", "embedded", "embedded_baseline")
     matrix: dict = {}

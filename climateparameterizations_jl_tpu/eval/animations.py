@@ -323,3 +323,32 @@ def animate_double_gyre(traj, model, path: str, fps: int = 8):
     anim.save(path, writer=manimation.PillowWriter(fps=fps))
     plt.close(fig)
     return path
+
+
+def plot_training_regions(train_names, test_names, path: str):
+    """Scatter of the (momentum flux, buoyancy flux) suite coverage.
+
+    Parity: ``wind_mixing/plot_training_regions.jl`` /
+    ``plot_training_regions_diurnal.jl`` — which corner of forcing space the
+    training suite covers vs the held-out sims. Diurnal sims are marked
+    (their Qb is the cycle amplitude).
+    """
+    from climateparameterizations_jl_tpu.data.registry import simulation_parameters
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for names, color, label in ((train_names, "tab:blue", "train"), (test_names, "tab:red", "test")):
+        pts = [simulation_parameters(n) for n in names]
+        steady = [(p.Qu, p.Qb) for p in pts if not p.diurnal]
+        diurnal = [(p.Qu, p.Qb) for p in pts if p.diurnal]
+        if steady:
+            ax.scatter(*zip(*steady), c=color, marker="o", s=60, label=label)
+        if diurnal:
+            ax.scatter(*zip(*diurnal), c=color, marker="^", s=60, label=f"{label} (diurnal)")
+    ax.set_xlabel("momentum flux magnitude |Qu| [m$^2$/s$^2$]")
+    ax.set_ylabel("buoyancy flux Qb [m$^2$/s$^3$] (negative = heating)")
+    ax.axhline(0.0, color="0.7", lw=0.8)
+    ax.legend(fontsize=8)
+    ax.set_title("training / test forcing coverage")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
