@@ -705,6 +705,7 @@ def cmd_train_gp(args) -> int:
 def cmd_evaluate(args) -> int:
     from climateparameterizations_jl_tpu.eval.animations import (
         animate_profiles_fluxes_comparison,
+        plot_final_profiles,
         plot_loss,
         plot_loss_matrix,
         plot_training_regions,
@@ -731,12 +732,14 @@ def cmd_evaluate(args) -> int:
     members = ("nde", "mpp", "kpp", "embedded", "embedded_baseline")
     matrix: dict = {}
     summary: dict = {}
+    all_evs: dict = {}
     for sim_i, name in enumerate(test_sims):
         ds = _load_suite([name], args.nz, args.data_dir, args.n_save, args.dt_save)
         ev = nde_profile(
             model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps,
             include_embedded=args.embedded,
         )
+        all_evs[name] = ev
         np.savez(os.path.join(args.output, f"evaluation_{name}.npz"), **ev.to_dict())
         if getattr(args, "write_jld2", False):
             # Reference behavior: the embedded pair goes to disk as
@@ -779,6 +782,7 @@ def cmd_evaluate(args) -> int:
                 anim_models = ("truth", "nde", "mpp", "kpp") + (("embedded",) if args.embedded else ())
                 animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride, models=anim_models)
 
+    plot_final_profiles(all_evs, os.path.join(args.output, "final_profiles.png"))
     if len(test_sims) > 1:
         plot_loss_matrix(
             {m: np.asarray(v) for m, v in matrix.items()}, test_sims,

@@ -352,3 +352,33 @@ def plot_training_regions(train_names, test_names, path: str):
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_final_profiles(evaluations: dict, path: str, members=("truth", "nde", "mpp", "kpp"), var: str = "T"):
+    """Final-time profile comparison, one panel per simulation.
+
+    Parity: the ``plot_T_final_results*.jl`` publication figures (final
+    temperature profiles of every member across the evaluation suite).
+    ``evaluations``: ``{sim_name: ProfileEvaluation-or-dict}``.
+    """
+    n = len(evaluations)
+    ncols = min(n, 4)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 4.5 * nrows), sharey=True, squeeze=False)
+    for ax, (name, ev) in zip(axes.ravel(), evaluations.items()):
+        data = ev.to_dict() if hasattr(ev, "to_dict") else dict(ev)
+        zaxis = np.asarray(data["zc"] if var in ("u", "v", "T") else data["zf"])
+        for m in members:
+            key = f"{m}_{var}"
+            if key in data:
+                ax.plot(np.asarray(data[key])[-1], zaxis, label=m)
+        ax.set_title(name, fontsize=9)
+        ax.set_xlabel(var)
+    for ax in axes.ravel()[n:]:
+        ax.axis("off")
+    axes[0, 0].set_ylabel("z [m]")
+    axes[0, 0].legend(fontsize=8)
+    fig.suptitle(f"final {var} profiles ({np.asarray(next(iter(evaluations.values()))['t'])[-1] / 86400:.1f} days)")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -58,6 +58,8 @@ def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     assert os.path.exists(os.path.join(eval_out, "evaluation_strong_wind_weak_cooling.npz"))
     assert os.path.exists(os.path.join(eval_out, "loss.png"))
     assert os.path.exists(os.path.join(eval_out, "summary.json"))
+    assert os.path.exists(os.path.join(eval_out, "final_profiles.png"))
+    assert os.path.exists(os.path.join(eval_out, "training_regions.png"))
 
     # --embedded --write-jld2: the embedded pair lands on disk in the
     # LESbrary layout and round-trips through our reader.
