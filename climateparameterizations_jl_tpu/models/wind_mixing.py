@@ -301,13 +301,20 @@ def predict_flux(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, 
     return uw, vw, wT
 
 
-def _tendencies(model: WindMixingModel, x, uw, vw, wT):
-    """Flux divergence + Coriolis; parity ``predict_NDE`` (``NDE_training.jl:149-165``)."""
+def _tendencies(model: WindMixingModel, x, uw, vw, wT, coriolis: bool = True):
+    """Flux divergence + Coriolis; parity ``predict_NDE`` (``NDE_training.jl:149-165``).
+
+    ``coriolis=False`` returns the flux-divergence part alone (the split
+    stepper applies rotation separately, forward-backward).
+    """
     s = model.scalings
     u, v, _ = split_uvT(x, model.Nz)
     r = model.tau / model.H
-    dudt = -r * s.uw.sigma / s.u.sigma * d_face_to_center(uw, model.dz_hat) + model.f * model.tau / s.u.sigma * (s.v.sigma * v + s.v.mu)
-    dvdt = -r * s.vw.sigma / s.v.sigma * d_face_to_center(vw, model.dz_hat) - model.f * model.tau / s.v.sigma * (s.u.sigma * u + s.u.mu)
+    dudt = -r * s.uw.sigma / s.u.sigma * d_face_to_center(uw, model.dz_hat)
+    dvdt = -r * s.vw.sigma / s.v.sigma * d_face_to_center(vw, model.dz_hat)
+    if coriolis:
+        dudt = dudt + model.f * model.tau / s.u.sigma * (s.v.sigma * v + s.v.mu)
+        dvdt = dvdt - model.f * model.tau / s.v.sigma * (s.u.sigma * u + s.u.mu)
     dTdt = -r * s.wT.sigma / s.T.sigma * d_face_to_center(wT, model.dz_hat)
     return join_uvT(dudt, dvdt, dTdt)
 
@@ -331,7 +338,14 @@ def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCon
 
 
 def _explicit_rhs_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x, t):
-    """Explicit part for the operator-split stepper: NN fluxes + Coriolis + BC faces."""
+    """Explicit flux part for the operator-split stepper: NN fluxes + BC faces.
+
+    No Coriolis here — the split stepper rotates forward-backward after the
+    flux update (plain forward Euler rotation amplifies inertial
+    oscillations by sqrt(1 + (f dt)^2) per substep, which over multi-day
+    dimensional runs grows the depth-integrated transport without bound;
+    caught by the Ekman-transport golden test).
+    """
     bcs_t = _effective_bcs(model, bcs, t)
     uw, vw, wT = _nn_fluxes(model, nns, bcs_t, x)
     if model.zero_weights:
@@ -347,7 +361,7 @@ def _explicit_rhs_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCondi
         uw = _pad_faces(uw[..., 1:-1], bcs_t.uw_bot - zu, bcs_t.uw_top - zu)
         vw = _pad_faces(vw[..., 1:-1], bcs_t.vw_bot - zv, bcs_t.vw_top - zv)
         wT = _pad_faces(wT[..., 1:-1], bcs_t.wT_bot - zT, bcs_t.wT_top - zT)
-    return _tendencies(model, x, uw, vw, wT)
+    return _tendencies(model, x, uw, vw, wT, coriolis=False)
 
 
 def _interior_nu(model: WindMixingModel, x):
@@ -382,6 +396,15 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
 
     def substep(x, t):
         x_adv = x + dt * _explicit_rhs_split(model, nns, bcs, x, t)
+        # Forward-backward Coriolis (v uses the already-rotated u):
+        # neutrally stable for inertial oscillations where forward Euler
+        # amplifies by sqrt(1 + (f dt)^2) per substep (see kpp_step /
+        # embed/double_gyre.py; validated by the Ekman-transport test).
+        s = model.scalings
+        u, v, T = split_uvT(x_adv, model.Nz)
+        u = u + dt * model.f * model.tau / s.u.sigma * (s.v.sigma * v + s.v.mu)
+        v = v - dt * model.f * model.tau / s.v.sigma * (s.u.sigma * u + s.u.mu)
+        x_adv = join_uvT(u, v, T)
         if model.use_mpp:
             nu = _interior_nu(model, x) * nu_scale
             u, v, T = split_uvT(x_adv, model.Nz)

@@ -353,3 +353,40 @@ class TestFreeConvection:
             fd = (float(loss(nn_p)) - float(loss(nn_m))) / (2 * eps)
             ad = float(g.weights[0][i, j])
             np.testing.assert_allclose(ad, fd, rtol=1e-5, atol=1e-10)
+
+
+class TestEkmanTransport:
+    def test_steady_transport_matches_theory(self):
+        """Golden physics: depth-integrated steady Ekman transport is
+        ``int v dz = Fu / f`` (and ``int u dz = 0``) for constant-viscosity
+        wind-driven flow. Forward-Euler Coriolis in the split stepper grew
+        this without bound (~150x after 40 days); the forward-backward
+        rotation keeps the transport on the inertial circle."""
+        import dataclasses as dc
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_split
+
+        model = make_model()
+        mpp = MPPParameters(
+            nu_0=f32(1e-2), nu_minus=f32(0.0), Ri_c=f32(0.25), delta_Ri=f32(0.1), Pr=f32(1.0)
+        )
+        model = dc.replace(model, mpp=mpp)
+        s = model.scalings
+        Fu = -5e-4
+        bcs = dataclasses.replace(zero_bcs(), uw_top=f32(Fu / float(s.uw.sigma)))
+        Nz, H = model.Nz, float(model.H)
+        zc = (np.arange(Nz) + 0.5) * (H / Nz) - H
+        T0 = 19.0 + 0.02 * (zc + H)
+        x0 = jnp.concatenate([jnp.zeros(Nz), jnp.zeros(Nz), s.T.scale(jnp.asarray(T0, f32))])
+        n_save, substeps = 400, 20  # 5 tau = 40 days, dt_dim = 432 s
+        traj = solve_wind_mixing_split(model, NO_NNS, bcs, x0, 0.0, 5.0 / n_save, n_save, substeps)
+        u, v, _ = split_uvT(traj, Nz)
+        dz = H / Nz
+        U = np.asarray(s.u.unscale(u)).sum(axis=-1) * dz
+        V = np.asarray(s.v.unscale(v)).sum(axis=-1) * dz
+        # Average over ~one inertial period at the end (frames are 8640 s,
+        # 2 pi / f = 62.8 ks ~ 7 frames).
+        U_ss, V_ss = U[-8:].mean(), V[-8:].mean()
+        theory = Fu / float(model.f)
+        np.testing.assert_allclose(V_ss, theory, rtol=0.15)
+        assert abs(U_ss) < 0.15 * abs(theory)
