@@ -229,3 +229,25 @@ class TestDiurnalHostColumn:
         assert np.all(np.isfinite(np.asarray(T_diur)))
         # Constant peak cooling removes more heat than the sinusoidal cycle.
         assert float(T_diur[-1].sum()) > float(T_const[-1].sum())
+
+
+class TestSverdrupBalance:
+    def test_linear_gyre_transport_matches_sverdrup(self):
+        """Golden physics: after barotropic spin-up the linear double gyre
+        carries ~the Sverdrup transport ``psi_max = curl(tau)_max Lx / beta``
+        (exceeding it somewhat in the western boundary current), with two
+        counter-rotating cells."""
+        from climateparameterizations_jl_tpu.embed.double_gyre import (
+            DoubleGyreModel,
+            DoubleGyreState,
+            barotropic_streamfunction,
+            run_double_gyre,
+        )
+
+        model = DoubleGyreModel.default(Nx=24, Ny=24, Nz=4, linear_momentum=True)
+        traj = run_double_gyre(model, DoubleGyreState.rest(model), 3600.0, n_save=2, save_every=480)
+        psi = np.asarray(barotropic_streamfunction(model, traj.u[-1]))
+        sverdrup = float(model.tau0) * 2 * np.pi / float(model.Ly) * float(model.Lx) / float(model.beta)
+        # Measured: +44 / -48 Sv vs 42 Sv Sverdrup at this resolution.
+        assert 0.7 < psi.max() / sverdrup < 1.5, (psi.max(), sverdrup)
+        assert 0.7 < -psi.min() / sverdrup < 1.5, (psi.min(), sverdrup)
