@@ -253,6 +253,21 @@ class TestFreeConvectionNDETraining:
         # wide margin for extrapolation + seed drift: 10x better, full span.
         assert err_nde < 0.1 * err_physics, (err_nde, err_physics)
 
+        # The same NN EMBEDDED in the dimensional host column (implicit
+        # conv-adj + NN forcing) must also beat the physics-only host —
+        # the reference's oceananigans_nn.jl claim. Measured: embedded
+        # matches the NDE (7.3e-8 vs 7.1e-8) and beats the baseline ~90x.
+        from climateparameterizations_jl_tpu.eval.profile import free_convection_profile
+
+        ev = free_convection_profile(
+            model, nn_trained, coarse, np.arange(0, 40, 2), n_substeps=8,
+            include_kpp=False, include_tke=False,
+            include_embedded=True, embedded_substeps=10,
+        )
+        emb = float(np.mean(ev["losses_embedded_T"]))
+        emb_base = float(np.mean(ev["losses_embedded_baseline_T"]))
+        assert emb < 0.1 * emb_base, (emb, emb_base)
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, wm_setup):
