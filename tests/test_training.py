@@ -134,6 +134,19 @@ class TestWindMixingNDETraining:
         # Prototype reaches ~7% of the mPP-only error; assert 3x margin.
         assert err_nde < 0.3 * err_mpp, (err_nde, err_mpp)
 
+        # Embedded in the dimensional host column (implicit mPP + 3 NN
+        # forcings), the trained closure must improve on physics-only too
+        # (the reference's NDE_oceananigans claim).
+        from climateparameterizations_jl_tpu.eval.profile import nde_profile
+
+        ev = nde_profile(
+            model, nns, coarse[0], np.arange(0, 24), include_kpp=False,
+            include_embedded=True, embedded_substeps=10,
+        )
+        emb = float(np.mean(ev["losses_embedded_T"]))
+        emb_base = float(np.mean(ev["losses_embedded_baseline_T"]))
+        assert emb < emb_base, (emb, emb_base)
+
 
 class TestMPPCalibration:
     def test_recovers_lower_loss(self, wm_setup):
