@@ -30,7 +30,7 @@ from climateparameterizations_jl_tpu.models.wind_mixing import (
     solve_wind_mixing_nde,
     solve_wind_mixing_split,
 )
-from climateparameterizations_jl_tpu.train.loss import LossChannels, apply_loss_scalings, nde_loss_channels
+from climateparameterizations_jl_tpu.train.loss import LossChannels
 from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, make_wind_mixing_loss_fn
 
 

@@ -41,7 +41,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from climateparameterizations_jl_tpu.core.operators import d_center_to_face
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
 
 
