@@ -237,7 +237,10 @@ def nde_profile(
             Fb=ds_test.theta_top * ds_test.g * ds_test.alpha,
             dTdz_bottom=ds_test.theta_bottom,
         )
-        kpp = solve_kpp(state0, t_dim, kpp_params, forcing, model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha)
+        kpp = solve_kpp(
+            state0, t_dim, kpp_params, forcing, model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha,
+            diurnal=model.diurnal,  # Fb becomes the daily-cycle amplitude
+        )
         out["kpp_u"], out["kpp_v"], out["kpp_T"] = (np.asarray(kpp.U), np.asarray(kpp.V), np.asarray(kpp.T))
         kpp_scaled = join_uvT(s.u.scale(kpp.U), s.v.scale(kpp.V), s.T.scale(kpp.T))
         for k, v in _per_timestep_channels(kpp_scaled, truth, Nz, model.dz_hat).items():

@@ -330,12 +330,18 @@ def solve_kpp(
     alpha,
     n_substeps: int = 1,
     tridiag_backend: str = "scan",
+    diurnal: bool = False,
 ):
     """Evolve a (batch of) KPP column(s), saving at ``t_save`` (uniform).
 
     Parity: ``closure_kpp_full_evolution`` (``k_profile_parameterization.jl:61-119``)
     and ``free_convection_kpp`` (``free_convection/src/k_profile_parameterization.jl:3-47``),
     returning (U, V, T) trajectories of shape ``(Nt, ..., Nz)``.
+
+    ``diurnal=True``: ``forcing.Fb`` is the AMPLITUDE of a sinusoidal daily
+    surface buoyancy-flux cycle ``Fb(t) = Fb sin(2 pi t / day)`` — the
+    reference's time-varying top wT BC for diurnal simulations
+    (``wind_mixing/src/k_profile_parameterization.jl:55-57``).
     """
     dtype = state0.T.dtype
     t_save = jnp.asarray(t_save, dtype)
@@ -344,14 +350,24 @@ def solve_kpp(
     dz = jnp.asarray(H / Nz, dtype)
     zc = (jnp.arange(Nz, dtype=dtype) + 0.5) * dz - H
     zf = jnp.arange(Nz + 1, dtype=dtype) * dz - H
+    t0 = t_save[0]
 
-    def substep(state, _):
-        return kpp_step(state, dt, dz, zf, zc, params, forcing, f_cor, g, alpha, H, tridiag_backend), None
+    def substep(state, i):
+        if diurnal:
+            t = t0 + i.astype(dtype) * dt
+            day = jnp.asarray(86400.0, dtype)
+            forcing_t = KPPForcing(
+                Fu=forcing.Fu, Fb=forcing.Fb * jnp.sin(2.0 * jnp.pi * t / day),
+                dTdz_bottom=forcing.dTdz_bottom,
+            )
+        else:
+            forcing_t = forcing
+        return kpp_step(state, dt, dz, zf, zc, params, forcing_t, f_cor, g, alpha, H, tridiag_backend), None
 
-    def interval(state, _):
-        state, _ = jax.lax.scan(substep, state, None, length=n_substeps)
+    def interval(state, k):
+        state, _ = jax.lax.scan(substep, state, k * n_substeps + jnp.arange(n_substeps))
         return state, state
 
-    _, frames = jax.lax.scan(interval, state0, None, length=n_save)
+    _, frames = jax.lax.scan(interval, state0, jnp.arange(n_save))
     stack = lambda s0, fr: jnp.concatenate([s0[None], fr], axis=0)  # noqa: E731
     return KPPState(U=stack(state0.U, frames.U), V=stack(state0.V, frames.V), T=stack(state0.T, frames.T))

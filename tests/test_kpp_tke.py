@@ -106,6 +106,30 @@ class TestKPP:
         scale = np.abs(dTdt).max()
         np.testing.assert_allclose(dTdt, div, atol=0.15 * scale)
 
+    def test_diurnal_forcing_cycles_surface_heat(self):
+        """diurnal=True: Fb is the amplitude of a sin(2 pi t / day) cycle
+        (the reference's time-varying top wT BC,
+        wind_mixing/src/k_profile_parameterization.jl:55-57). The surface
+        warms over the heating half-day and cools over the cooling half-day;
+        a constant-Fb run instead cools monotonically."""
+        U0, V0, T0 = initial_state()
+        params = KPPParameters.default()
+        amp = 2e-7
+        forcing = KPPForcing(Fu=f32(0.0), Fb=f32(amp), dTdz_bottom=f32(0.0))
+        t = jnp.linspace(0.0, 86400.0, 25)  # one day, hourly frames
+        run = lambda diurnal: solve_kpp(  # noqa: E731
+            KPPState(U=U0, V=V0, T=T0), t, params, forcing, f32(H), Nz,
+            f32(f_cor), f32(g), f32(alpha), n_substeps=6, diurnal=diurnal,
+        )
+        T_diurnal = np.asarray(run(True).T)[:, -1]  # surface cell
+        T_const = np.asarray(run(False).T)[:, -1]
+        # Cooling phase (first half day, sin > 0 = cooling): surface cools...
+        assert T_diurnal[12] < T_diurnal[0]
+        # ...then the heating phase warms it back above the midday minimum.
+        assert T_diurnal[24] > T_diurnal[12]
+        # Constant cooling keeps cooling.
+        assert T_const[24] < T_const[12] < T_const[0]
+
     def test_batched_columns(self):
         U, V, T0 = initial_state()
         B = 8
