@@ -723,11 +723,9 @@ def cmd_evaluate(args) -> int:
         raise SystemExit("--write-jld2 requires --embedded (it writes the embedded pair)")
     os.makedirs(args.output, exist_ok=True)
 
-    try:
-        # Forcing-space coverage figure (plot_training_regions.jl parity).
-        plot_training_regions(train_names, test_sims, os.path.join(args.output, "training_regions.png"))
-    except KeyError:
-        pass  # non-catalog names (e.g. bespoke --data-dir files) have no parsed forcing
+    # Forcing-space coverage figure (plot_training_regions.jl parity);
+    # returns None (no file) if no name parses as a catalog entry.
+    plot_training_regions(train_names, test_sims, os.path.join(args.output, "training_regions.png"))
 
     members = ("nde", "mpp", "kpp", "embedded", "embedded_baseline")
     matrix: dict = {}
@@ -739,7 +737,15 @@ def cmd_evaluate(args) -> int:
             model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps,
             include_embedded=args.embedded,
         )
-        all_evs[name] = ev
+        # Keep only what the final-profiles figure needs (last frame per
+        # member + coordinates) — retaining full ProfileEvaluations for a
+        # large suite would hold O(10 MB) x n_sims until the loop ends.
+        all_evs[name] = {
+            k: (v[-1:] if k.endswith(("_u", "_v", "_T", "_uw", "_vw", "_wT", "_Ri")) and getattr(v, "ndim", 0) >= 1 else v)
+            for k, v in ev.to_dict().items()
+            if k in ("t", "zc", "zf") or k.endswith(("_u", "_v", "_T"))
+        }
+        all_evs[name]["t"] = np.asarray(ev["t"])[-1:]
         np.savez(os.path.join(args.output, f"evaluation_{name}.npz"), **ev.to_dict())
         if getattr(args, "write_jld2", False):
             # Reference behavior: the embedded pair goes to disk as

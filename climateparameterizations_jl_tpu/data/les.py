@@ -243,8 +243,9 @@ def _poisson_solve(config: LESConfig, rhs):
 def surface_theta_flux(config: LESConfig, t):
     """Instantaneous surface heat flux (diurnal cycle when configured)."""
     if config.diurnal:
-        day = jnp.asarray(86400.0, config.H.dtype)
-        return config.theta_top * jnp.sin(2.0 * jnp.pi * t / day)
+        from climateparameterizations_jl_tpu.core.constants import diurnal_cycle
+
+        return config.theta_top * diurnal_cycle(t)
     return config.theta_top
 
 

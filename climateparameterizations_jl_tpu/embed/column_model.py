@@ -205,8 +205,9 @@ def _diffusivities(model: HostColumnModel, state: HostColumnState):
 def surface_heat_flux(model: HostColumnModel, t):
     """Instantaneous surface heat flux (diurnal cycle when configured)."""
     if model.diurnal:
-        day = jnp.asarray(86400.0, model.Ftheta.dtype)
-        return model.Ftheta * jnp.sin(2.0 * jnp.pi * t / day)
+        from climateparameterizations_jl_tpu.core.constants import diurnal_cycle
+
+        return model.Ftheta * diurnal_cycle(t)
     return model.Ftheta
 
 
@@ -216,8 +217,11 @@ def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostCol
     Euler, batched Thomas solve)."""
     fu, fv, fT = _nn_forcing(model, nns, state)
 
+    # Forward-backward Coriolis: v uses the already-rotated u (plain forward
+    # Euler amplifies inertial oscillations by sqrt(1 + (f dt)^2) per step —
+    # see the Ekman-transport golden test and CLAUDE.md).
     u = state.u + dt * (model.f * state.v + fu)
-    v = state.v + dt * (-model.f * state.u + fv)
+    v = state.v + dt * (-model.f * u + fv)
     T = state.T + dt * fT
 
     # Surface fluxes into the top cell, bottom gradient on T

@@ -335,9 +335,23 @@ def plot_training_regions(train_names, test_names, path: str):
     """
     from climateparameterizations_jl_tpu.data.registry import simulation_parameters
 
+    def parse(names):
+        out = []
+        for n in names:
+            try:
+                out.append(simulation_parameters(n))
+            except KeyError:
+                pass  # bespoke --data-dir names carry no parseable forcing
+        return out
+
+    # Parse BEFORE creating the figure so unparseable names can't leak an
+    # open figure; skip-and-plot-the-rest instead of all-or-nothing.
+    parsed = {label: parse(names) for label, names in (("train", train_names), ("test", test_names))}
+    if not any(parsed.values()):
+        return None
+
     fig, ax = plt.subplots(figsize=(7, 5))
-    for names, color, label in ((train_names, "tab:blue", "train"), (test_names, "tab:red", "test")):
-        pts = [simulation_parameters(n) for n in names]
+    for (label, pts), color in zip(parsed.items(), ("tab:blue", "tab:red")):
         steady = [(p.Qu, p.Qb) for p in pts if not p.diurnal]
         diurnal = [(p.Qu, p.Qb) for p in pts if p.diurnal]
         if steady:

@@ -247,10 +247,22 @@ def nde_profile(
             out[f"losses_kpp_{k}"] = np.asarray(v)
         # KPP flux + Ri diagnostics along the trajectory (the reference's
         # test_uw_kpp/test_Ri_kpp channels, training_postprocessing.jl:368-388).
+        # For diurnal sims the diagnostics use the SAME time-varying flux as
+        # the solve (Fb per saved frame), not the constant amplitude.
+        forcing_diag = forcing
+        if model.diurnal:
+            from climateparameterizations_jl_tpu.core.constants import diurnal_cycle
+
+            cyc = diurnal_cycle(jnp.asarray(t_dim, kpp.T.dtype))
+            # Left-align the time axis against (Nt, ..., Nz) trajectories.
+            cyc = cyc.reshape(cyc.shape + (1,) * (kpp.T.ndim - 2))
+            forcing_diag = KPPForcing(
+                Fu=forcing.Fu, Fb=forcing.Fb * cyc, dTdz_bottom=forcing.dTdz_bottom,
+            )
         kpp_uw, kpp_vw, kpp_wT = kpp_diagnostic_fluxes(
             kpp.U, kpp.V, kpp.T,
             jnp.asarray(out["zf"], kpp.T.dtype), jnp.asarray(out["zc"], kpp.T.dtype),
-            kpp_params, forcing, ds_test.g, ds_test.alpha, model.H, Nz,
+            kpp_params, forcing_diag, ds_test.g, ds_test.alpha, model.H, Nz,
         )
         out["kpp_uw"], out["kpp_vw"], out["kpp_wT"] = (np.asarray(kpp_uw), np.asarray(kpp_vw), np.asarray(kpp_wT))
         u_k, v_k, T_k = split_uvT(kpp_scaled, Nz)

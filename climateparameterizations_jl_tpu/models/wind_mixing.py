@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from climateparameterizations_jl_tpu.closures.mlp import _ACTIVATIONS, MLP, mlp_apply
+from climateparameterizations_jl_tpu.core.constants import SECONDS_PER_DAY, diurnal_cycle
 from climateparameterizations_jl_tpu.core.filters import smoothing_filter
 from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
 from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
@@ -42,8 +43,6 @@ from climateparameterizations_jl_tpu.models.timestepper import solve_fixed_step
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
 from climateparameterizations_jl_tpu.physics.mpp import MPPParameters, mpp_diffusivity
 from climateparameterizations_jl_tpu.physics.richardson import local_richardson_scaled
-
-SECONDS_PER_DAY = 86400.0
 
 
 class FluxNNs(NamedTuple):
@@ -194,7 +193,7 @@ def _effective_bcs(model: WindMixingModel, bcs: BoundaryConditions, t):
     if not model.diurnal:
         return bcs
     t_dim = t * model.tau
-    wT_top_dim = bcs.diurnal_amplitude * jnp.sin(2.0 * jnp.pi * t_dim / SECONDS_PER_DAY)
+    wT_top_dim = bcs.diurnal_amplitude * diurnal_cycle(t_dim)
     return dataclasses.replace(bcs, wT_top=model.scalings.wT.scale(wT_top_dim))
 
 
@@ -384,7 +383,8 @@ def _interior_nu(model: WindMixingModel, x):
 def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True):
     """Operator-split semi-implicit integration (unconditionally stable in nu).
 
-    Per substep: explicit Euler on NN fluxes + Coriolis + BC faces, then a
+    Per substep: explicit Euler on the NN fluxes + BC faces, then a
+    forward-backward Coriolis rotation (neutrally stable), then a
     backward-Euler solve of the interior mPP diffusion with the diffusivity
     lagged at the start-of-step state — the scheme the reference uses inside
     its Oceananigans embedding (``NDE_oceananigans.jl:61-101``), here as one

@@ -48,7 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _chol_unblocked(M, B: int):
     """Outer-product Cholesky of a ``(B, B)`` SPD tile via masked updates."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
     rowv = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 

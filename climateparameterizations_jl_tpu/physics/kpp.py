@@ -355,9 +355,10 @@ def solve_kpp(
     def substep(state, i):
         if diurnal:
             t = t0 + i.astype(dtype) * dt
-            day = jnp.asarray(86400.0, dtype)
+            from climateparameterizations_jl_tpu.core.constants import diurnal_cycle
+
             forcing_t = KPPForcing(
-                Fu=forcing.Fu, Fb=forcing.Fb * jnp.sin(2.0 * jnp.pi * t / day),
+                Fu=forcing.Fu, Fb=forcing.Fb * diurnal_cycle(t),
                 dTdz_bottom=forcing.dTdz_bottom,
             )
         else:
