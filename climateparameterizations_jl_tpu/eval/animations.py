@@ -396,3 +396,52 @@ def plot_final_profiles(evaluations: dict, path: str, members=("truth", "nde", "
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def animate_les_3d(T_frames, H: float, path: str, iso: float | None = None, fps: int = 6, stride: int = 1):
+    """3-D animation of the LES: the depth surface of a temperature isotherm.
+
+    Parity: ``animate_LES_3D`` (``wind_mixing/src/animation.jl:1300+``) —
+    the reference renders a Makie 3-D volume; here the equivalent view is
+    the isotherm-depth surface ``z_iso(x, y)`` (the convecting/mixing
+    interface), animated with matplotlib's 3-D surface. ``T_frames``:
+    ``(Nt, Ny, Nx, Nz)`` center temperatures, z bottom -> top; ``iso``
+    defaults to the midpoint of the first frame's range.
+    """
+    from mpl_toolkits.mplot3d import Axes3D  # noqa: F401 — registers the 3-D projection
+
+    T = np.asarray(T_frames)
+    Nt, Ny, Nx, Nz = T.shape
+    zc = (np.arange(Nz) + 0.5) * (H / Nz) - H
+    if iso is None:
+        iso = 0.5 * (float(T[0].min()) + float(T[0].max()))
+
+    def iso_depth(T3):
+        # Deepest z where T crosses `iso` walking top-down: T is monotone-ish
+        # in z for these columns; use interpolation on the sorted profile.
+        below = T3 <= iso  # (Ny, Nx, Nz) True where colder than the isotherm
+        # index of the last True (highest cold cell); columns entirely above
+        # or below the isotherm clamp to the boundary.
+        k = np.clip(below.sum(axis=-1) - 1, 0, Nz - 1)
+        return zc[k]
+
+    X, Y = np.meshgrid(np.arange(Nx), np.arange(Ny))
+    frames = range(0, Nt, stride)
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(111, projection="3d")
+
+    def draw(i):
+        ax.clear()
+        Z = iso_depth(T[i])
+        ax.plot_surface(X, Y, Z, cmap="viridis", vmin=float(zc[0]), vmax=0.0, linewidth=0)
+        ax.set_zlim(float(zc[0]), 0.0)
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_zlabel("z [m]")
+        ax.set_title(f"T = {iso:.2f} C isotherm depth, frame {i}")
+        return []
+
+    anim = manimation.FuncAnimation(fig, draw, frames=frames, blit=False)
+    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path

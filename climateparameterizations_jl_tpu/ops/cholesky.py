@@ -1,9 +1,10 @@
 """Single-kernel Pallas Cholesky: the whole factorization in VMEM.
 
-XLA's ``cholesky`` on this TPU runs the n=1024 factorization in ~2.9 ms —
-0.12 TFLOP/s, pure sequential-panel latency (each blocked panel step is a
-separate HLO with HBM round-trips). Exact-GP builds are bottlenecked on it
-(``closures/gp.py``: one factorization per kernel-grid point / flux model).
+XLA's ``cholesky`` on this TPU runs the n=1024 factorization in ~1.7-2.9 ms
+(tunnel-condition dependent) — well under 1 TFLOP/s, pure sequential-panel
+latency. Exact-GP builds are bottlenecked on it (``closures/gp.py``: one
+factorization per kernel-grid point / flux model); this kernel was the
+attempt to beat it.
 
 This kernel keeps the ENTIRE matrix in VMEM (~16 MB/core => n <= ~1536 in
 f32) and runs the classic right-looking blocked algorithm in one

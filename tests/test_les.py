@@ -201,6 +201,17 @@ class TestLESAnimation:
         p = animate_les_slices(jnp.stack(frames_T), jnp.stack(frames_w), float(c.H), str(tmp_path / "les.gif"))
         assert os.path.getsize(p) > 0
 
+    def test_3d_isotherm_animation_writes_gif(self, tmp_path):
+        import os
+
+        from climateparameterizations_jl_tpu.eval.animations import animate_les_3d
+
+        c = small_config(Nz=8)
+        state = initial_state(c, jax.random.PRNGKey(7), noise=1e-2)
+        frames_T = [state.T, les_step(c, state, dt=20.0).T]
+        p = animate_les_3d(jnp.stack(frames_T), float(c.H), str(tmp_path / "les3d.gif"))
+        assert os.path.getsize(p) > 0
+
 
 class TestRK3:
     def test_rk3_divergence_free_and_consistent(self):
