@@ -420,7 +420,10 @@ def cmd_train_nde(args) -> int:
     diurnal = all(flags) and len(flags) > 0
     if any(flags) and not diurnal:
         print("warning: mixed diurnal/constant-flux suite — diurnal forcing disabled (train diurnal sims separately)")
-    model = _wind_model(ds, args.nz, diurnal=diurnal)
+    model = _wind_model(
+        ds, args.nz, diurnal=diurnal,
+        smooth_NN=args.smooth_nn, smooth_Ri=args.smooth_ri,
+    )
     if args.init_from:
         nns, _ = _load_nns(args.init_from)
     else:
@@ -915,6 +918,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-train-steps", type=int, default=32)
     p.add_argument("--curriculum", default=None, help="comma-separated window lengths, e.g. 8,16,32")
     p.add_argument("--gradient-scaling", type=float, default=5e-3)
+    p.add_argument("--smooth-nn", action="store_true", help="tri-band running-mean filter on the NN flux outputs (smooth_NN)")
+    p.add_argument("--smooth-ri", action="store_true", help="same filter on the Ri profile before the mPP diffusivity (smooth_Ri)")
     p.add_argument("--auto-balance", action="store_true")
     p.add_argument("--fraction-T", type=float, default=0.8)
     p.add_argument("--fraction-dTdz", type=float, default=0.8)
