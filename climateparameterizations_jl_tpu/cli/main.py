@@ -580,6 +580,7 @@ def cmd_optimise_mpp(args) -> int:
     if args.calibration_method == "eki":
         params, eki = calibrate_mpp_eki(
             model, batch, config, n_ensemble=args.n_ensemble, n_iterations=args.n_eki_iters,
+            inflation=args.eki_inflation,
         )
         # Same flat-parameter schema as the gradient path (consumers read
         # result["nu_0"] as a float either way) + the EKI posterior spread.
@@ -615,6 +616,7 @@ def cmd_calibrate_kpp(args) -> int:
 
         params, eki = calibrate_kpp_eki(
             ds, tsteps, args.nz, n_ensemble=args.n_ensemble, n_iterations=args.n_eki_iters,
+            inflation=args.eki_inflation,
         )
         result = {
             name: {"mean": float(m), "std": float(s)}
@@ -1001,6 +1003,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibration-method", default="gradient", choices=["gradient", "eki"])
     p.add_argument("--n-ensemble", type=int, default=64)
     p.add_argument("--n-eki-iters", type=int, default=8)
+    p.add_argument("--eki-inflation", type=float, default=1.05, help="multiplicative covariance inflation per EKI iteration")
     p.set_defaults(fn=cmd_optimise_mpp)
 
     p = sub.add_parser("calibrate-kpp", help="KPP parameter search (random or ensemble-Kalman)")
@@ -1010,6 +1013,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-line-search", type=int, default=20)
     p.add_argument("--n-ensemble", type=int, default=64, help="EKI ensemble size")
     p.add_argument("--n-eki-iters", type=int, default=8)
+    p.add_argument("--eki-inflation", type=float, default=1.05, help="multiplicative covariance inflation per EKI iteration")
     p.add_argument("--n-train-steps", type=int, default=32)
     p.set_defaults(fn=cmd_calibrate_kpp)
 

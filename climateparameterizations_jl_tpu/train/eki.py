@@ -94,6 +94,8 @@ def eki_calibrate(
     noise_std: float | None = None,
     batch_size: int | None = None,
     mesh=None,
+    inflation: float = 1.0,
+    tempered: bool = True,
 ) -> EKIResult:
     """Calibrate ``forward_fn``'s parameters to ``y_obs`` with EKI.
 
@@ -108,6 +110,21 @@ def eki_calibrate(
     device mesh with no collectives until the (tiny) Kalman update.
     Requires ``n_ensemble`` divisible by the mesh size; ``batch_size`` is
     then ignored (the mesh IS the batching).
+
+    ``tempered=True`` (default) anneals the updates: each of the
+    ``n_iterations`` Kalman steps uses noise variance ``n_iterations * s^2``
+    (the SMC/tempering view — N partial-likelihood updates compose to one
+    full update). Without it, when the model error dwarfs ``noise_std``
+    (always true for a physics closure against LES data) the first update is
+    wildly overconfident: the ensemble collapses EXACTLY onto a point in the
+    sigmoid's saturated tails at a prior-box corner and freezes there with a
+    WORSE misfit (observed on LES-generated data; no amount of
+    post-collapse inflation recovers a zero-spread ensemble).
+
+    ``inflation`` > 1 additionally applies multiplicative covariance
+    inflation after each update (``u <- mean + inflation (u - mean)``) —
+    useful to slow late-stage spread decay when the posterior std is the
+    quantity of interest.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     names = tuple(priors.keys())
@@ -133,7 +150,10 @@ def eki_calibrate(
         batch_size = None
     else:
         vforward = jax.jit(jax.vmap(forward_fn))
-    update = jax.jit(lambda u, g, k: eki_update(u, g, y, jnp.asarray(noise_std, y.dtype), k))
+    # Tempering: each of the N steps assimilates likelihood^(1/N), i.e.
+    # noise variance N * s^2 <=> noise std sqrt(N) * s per step.
+    step_noise = noise_std * (float(n_iterations) ** 0.5 if tempered else 1.0)
+    update = jax.jit(lambda u, g, k: eki_update(u, g, y, jnp.asarray(step_noise, y.dtype), k))
 
     def evaluate(theta):
         if batch_size is None:
@@ -159,6 +179,9 @@ def eki_calibrate(
         misfits.append(float(jnp.mean((g - y[None, :]) ** 2)))
         key, k = jax.random.split(key)
         u = update(u, g, k)
+        if inflation != 1.0:
+            u_mean = jnp.mean(u, axis=0, keepdims=True)
+            u = u_mean + inflation * (u - u_mean)
 
     theta = _to_constrained(u, lo, hi)
     # Final entry = the misfit of the ensemble actually returned (the loop
@@ -185,6 +208,7 @@ def calibrate_kpp_eki(
     base_params=None,
     n_substeps: int = 1,
     mesh=None,
+    inflation: float = 1.0,
 ):
     """KPP calibration via EKI (the reference's unfinished ``train_kpp.jl:78-99``).
 
@@ -203,7 +227,8 @@ def calibrate_kpp_eki(
     base = base_params if base_params is not None else KPPParameters.default()
     forward, y = make_kpp_forward_fn(ds, tsteps, Nz, base, names, n_substeps)
     result = eki_calibrate(
-        forward, y, priors, key=key, n_ensemble=n_ensemble, n_iterations=n_iterations, mesh=mesh
+        forward, y, priors, key=key, n_ensemble=n_ensemble, n_iterations=n_iterations,
+        mesh=mesh, inflation=inflation,
     )
     calibrated = _with_overrides(base, names, [result.theta_mean[i] for i in range(len(names))])
     return calibrated, result

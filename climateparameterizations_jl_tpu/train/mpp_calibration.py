@@ -90,6 +90,7 @@ def calibrate_mpp_eki(
     n_ensemble: int = 64,
     n_iterations: int = 8,
     mesh=None,
+    inflation: float = 1.0,
 ):
     """mPP calibration via Ensemble Kalman Inversion (gradient-free + UQ).
 
@@ -121,6 +122,6 @@ def calibrate_mpp_eki(
 
     result = eki_calibrate(
         forward, batch.targets.reshape(-1), priors, key=key,
-        n_ensemble=n_ensemble, n_iterations=n_iterations, mesh=mesh,
+        n_ensemble=n_ensemble, n_iterations=n_iterations, mesh=mesh, inflation=inflation,
     )
     return with_values(result.theta_mean), result

@@ -154,6 +154,30 @@ class TestEKI:
         assert np.all(ens[:, 1] >= 0.0) and np.all(ens[:, 1] <= 5.0)
         assert np.all(np.asarray(result.theta_std) >= 0.0)
 
+    def test_tempering_prevents_saturation_collapse(self):
+        """When the best fit sits at a prior-box corner (sigmoid saturation)
+        and noise_std is overconfident, the untempered update overshoots and
+        freezes at the WRONG corner with a rising misfit; tempering (N
+        annealed partial updates) converges to the right one. This is the
+        failure mode observed calibrating mPP against LES-generated data."""
+        from climateparameterizations_jl_tpu.train.eki import eki_calibrate
+
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.normal(size=(20, 2)), jnp.float32)
+        # f32 throughout: the exact collapse is an f32 phenomenon (members
+        # become bitwise identical in the saturated tails).
+        y = (A @ jnp.asarray([2.0, 8.0], jnp.float32)).astype(jnp.float32)
+        forward = lambda v: (A @ v.astype(jnp.float32)).astype(jnp.float32)  # noqa: E731
+        priors = {"a": (0.0, 1.0), "b": (0.0, 5.0)}
+        kw = dict(key=jax.random.PRNGKey(1), n_ensemble=32, n_iterations=10, noise_std=1e-3)
+        bad = eki_calibrate(forward, y, priors, tempered=False, **kw)
+        good = eki_calibrate(forward, y, priors, tempered=True, **kw)
+        # Untempered: misfit rises (collapsed at the wrong corner).
+        assert bad.misfit_history[-1] > bad.misfit_history[0]
+        # Tempered (the default): converges to the correct corner (1, 5).
+        assert good.misfit_history[-1] < 0.5 * good.misfit_history[0]
+        np.testing.assert_allclose(np.asarray(good.theta_mean), [1.0, 5.0], atol=0.05)
+
     def test_mesh_sharded_matches_single_device(self):
         """EKI with the ensemble axis sharded over the mesh == unsharded."""
         from jax.sharding import Mesh
