@@ -227,7 +227,7 @@ def cmd_evaluate_fc(args) -> int:
     members = ("nde", "conv_adj", "kpp", "tke", "embedded", "embedded_baseline")
     matrix: dict = {}
     for i in ids:
-        ds = load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save)
+        ds = load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save, source=args.source)
         if saved is not None:
             T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["T"]["mu"]), jnp.float32(saved["T"]["sigma"]))
             wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["wT"]["mu"]), jnp.float32(saved["wT"]["sigma"]))
@@ -489,7 +489,7 @@ def cmd_train_fc_nde(args) -> int:
     ids = [int(s) for s in _sims(args.sim_ids)]
     validate_simulation_ids(ids, [i for i in range(1, 10) if i not in ids])
     datasets = [
-        load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save)
+        load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save, source=args.source)
         for i in ids
     ]
     ds = stack_datasets(datasets) if len(datasets) > 1 else datasets[0]
@@ -934,6 +934,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", required=True, help="train-fc-nde output dir")
     p.add_argument("--sim-ids", default="1,2", help="comma-separated free-convection ids to evaluate")
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--source", default="auto", choices=["auto", "synthetic", "les3d"], help="les3d GENERATES the data with the 3-D LES")
     p.add_argument("--nz", type=int, default=32)
     p.add_argument("--n-save", type=int, default=96)
     p.add_argument("--dt-save", type=float, default=600.0)
@@ -977,6 +978,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p, with_sims=False)
     p.add_argument("--sim-ids", default="1", help="comma-separated LESbrary free-convection ids (1..9)")
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--source", default="auto", choices=["auto", "synthetic", "les3d"], help="les3d GENERATES the data with the 3-D LES")
     p.add_argument("--nz", type=int, default=32)
     p.add_argument("--n-save", type=int, default=96)
     p.add_argument("--dt-save", type=float, default=600.0)

@@ -153,9 +153,13 @@ def diagnose_host_fluxes(model: HostColumnModel, nns: FluxNNs | None, state: Hos
     uw = uw.at[..., -1].set(jnp.broadcast_to(model.Fu, uw[..., -1].shape))
     Ft = surface_heat_flux(model, jnp.asarray(t, state.T.dtype))
     wT = wT.at[..., -1].set(jnp.broadcast_to(Ft, wT[..., -1].shape))
-    # Fixed-gradient bottom BC: heat exits through the bottom face.
-    wT_bot = -kappa[..., 1] * model.dTdz_bottom
-    wT = wT.at[..., 0].set(wT_bot)
+    # Fixed-gradient bottom BC: heat exits through the bottom face
+    # (kappa_bc on the PRESCRIBED gradient for conv-adj — see host_column_step).
+    if model.closure == "conv_adj":
+        kappa_bc = jnp.where(model.dTdz_bottom < 0.0, model.kappa_conv, 0.0)
+    else:
+        kappa_bc = kappa[..., 1]
+    wT = wT.at[..., 0].set(jnp.broadcast_to(-kappa_bc * model.dTdz_bottom, wT[..., 0].shape))
     return uw, vw, wT
 
 
@@ -231,11 +235,22 @@ def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostCol
     T = T.at[..., -1].add(-dt * surface_heat_flux(model, jnp.asarray(t, state.T.dtype)) / dz)
     nu, kappa = _diffusivities(model, state)
     # Fixed-gradient bottom BC: upward flux through the bottom face is
-    # -kappa * dTdz (heat exits downward in stable stratification), exactly
-    # cancelling the zero-flux Laplacian's +kappa*dTdz/dz erosion of cell 0,
-    # so the deep linear profile stays steady (Oceananigans
-    # GradientBoundaryCondition semantics, NDE_oceananigans.jl:331-362).
-    T = T.at[..., 0].add(-dt * kappa[..., 1] * model.dTdz_bottom / dz)
+    # -kappa_bc * dTdz (heat exits downward in stable stratification),
+    # cancelling the zero-flux Laplacian's erosion of cell 0 so the deep
+    # linear profile stays steady (Oceananigans GradientBoundaryCondition
+    # semantics, NDE_oceananigans.jl:331-362). kappa_bc is evaluated ON THE
+    # PRESCRIBED gradient for the discontinuous conv-adj closure: using the
+    # face-1 switch instead lets a transient NN-induced instability at face
+    # 1 pair kappa_conv with the (stable, positive) prescribed gradient and
+    # dump -kappa_conv*dTdz_bottom of spurious cooling into the bottom cell
+    # (~0.15 K instantly on LES-generated data; caught by the in-sample
+    # embedded-vs-NDE check). The smooth mPP diffusivity keeps the face-1
+    # proxy.
+    if model.closure == "conv_adj":
+        kappa_bc = jnp.where(model.dTdz_bottom < 0.0, model.kappa_conv, 0.0)
+    else:
+        kappa_bc = kappa[..., 1]
+    T = T.at[..., 0].add(-dt * kappa_bc * model.dTdz_bottom / dz)
 
     # One batched Thomas solve for (u, v, T): the solve's scan over levels
     # is the latency-bound chain (same trick as kpp_step / the split solver).

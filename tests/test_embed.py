@@ -87,6 +87,31 @@ class TestHostColumn:
         # Conv-adj branch homogenizes the unstable stratification much faster.
         assert spread(traj_ca) < 0.3 * spread(traj_plain)
 
+    def test_bottom_bc_kappa_uses_prescribed_gradient(self):
+        """A transient instability at face 1 must NOT pair the conv-adj
+        kappa with the (stable) prescribed bottom gradient: the old face-1
+        switch dumped -kappa_conv*dTdz_bottom of spurious cooling into the
+        bottom cell the moment an NN wiggle flipped the local gradient
+        (~0.15 K instantly on LES-generated data)."""
+        from climateparameterizations_jl_tpu.embed.column_model import host_column_step
+
+        Nz, H = 32, 256.0
+        dz = H / Nz
+        model = make_host_model(
+            closure="conv_adj", kappa_conv=f32(10.0),
+            Fu=f32(0.0), Ftheta=f32(0.0), dTdz_bottom=f32(0.01),
+        )
+        zc = (jnp.arange(Nz, dtype=jnp.float32) + 0.5) * dz - H
+        T = 19.0 + 0.01 * (zc + H)
+        T = T.at[1].set(T[0] - 1e-4)  # face 1 momentarily unstable
+        state = HostColumnState(u=jnp.zeros(Nz), v=jnp.zeros(Nz), T=T.astype(jnp.float32))
+        dt = 150.0
+        out = host_column_step(model, None, state, dt)
+        dT0 = float(out.T[0] - state.T[0])
+        # Spurious flux would cool cell 0 by kappa_conv*dTdz_bottom*dt/dz = 1.875 K.
+        spurious = float(model.kappa_conv) * 0.01 * dt / dz
+        assert abs(dT0) < 0.05 * spurious, (dT0, spurious)
+
     def test_heat_budget_closes(self):
         # With zero bottom-gradient flux, total heat change = -integral of
         # surface flux: d/dt sum(T) dz = -Ftheta. Exact in f64 (the implicit
