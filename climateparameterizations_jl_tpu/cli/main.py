@@ -142,7 +142,18 @@ def cmd_generate_les(args) -> int:
 
     from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
 
-    config = LESConfig.default(Nx=args.n_horizontal, Ny=args.n_horizontal, Nz=args.nz_les, Qu=args.qu, Qb=args.qb)
+    # Diurnal forcing: explicit flag, or inferred from the catalog name so a
+    # "--jld2-name wind_*_diurnal_*" file actually carries the cycle the
+    # downstream loader will assume from that name.
+    diurnal = getattr(args, "diurnal", False)
+    if args.jld2_name and not diurnal:
+        from climateparameterizations_jl_tpu.data.registry import simulation_parameters
+
+        try:
+            diurnal = bool(simulation_parameters(args.jld2_name).diurnal)
+        except KeyError:
+            pass
+    config = LESConfig.default(Nx=args.n_horizontal, Ny=args.n_horizontal, Nz=args.nz_les, Qu=args.qu, Qb=args.qb, diurnal=diurnal)
     cfl = 0.6 if args.les_method == "rk3" else 0.2
     dt = args.dt if args.dt else stable_dt(config, u_max=args.u_max, cfl=cfl)
     save_every = max(1, int(round(args.dt_save / dt)))
@@ -965,6 +976,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt-save", type=float, default=600.0)
     p.add_argument("--n-save", type=int, default=48)
     p.add_argument("--les-method", default="rk3", choices=["euler", "rk3"])
+    p.add_argument("--diurnal", action="store_true", help="sinusoidal daily surface-flux cycle (Qb = amplitude); inferred from a diurnal --jld2-name")
     p.add_argument("--jld2-name", default=None, help="also write a reference-layout .jld2 under this catalog name")
     p.add_argument("--output", default="runs/les")
     p.set_defaults(fn=cmd_generate_les)

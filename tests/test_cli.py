@@ -128,6 +128,30 @@ def test_train_fc_nde(tmp_path):
     assert set(base_vars) == {"T"}
 
 
+def test_generate_les_diurnal_name_carries_cycle(tmp_path, capsys):
+    """A diurnal --jld2-name must produce data with the daily flux cycle
+    (generate-les infers the flag from the catalog name)."""
+    out = str(tmp_path / "les")
+    rc = main([
+        "generate-les", "--jld2-name", "wind_-3.5e-4_diurnal_2e-8",
+        "--n-horizontal", "8", "--nz-les", "8",
+        "--qu=-3.5e-4", "--qb=2e-8", "--n-save", "6", "--dt-save", "7200",
+        "--output", out,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    import glob
+
+    from climateparameterizations_jl_tpu.data.lesbrary import read_les_profiles
+
+    (path,) = glob.glob(os.path.join(out, "**", "*.jld2"), recursive=True)
+    ds = read_les_profiles(path)
+    top = np.asarray(ds.wT)[..., -1]
+    # The surface heat flux must VARY over the half-day (sin ramps 0 -> 1 -> 0),
+    # not sit at the constant amplitude.
+    assert np.std(top) > 0.1 * np.max(np.abs(top)), top
+
+
 def test_ensemble(tmp_path, nn_ckpt, capsys):
     out = str(tmp_path / "ens")
     rc = main([
