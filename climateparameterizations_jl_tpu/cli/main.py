@@ -144,15 +144,23 @@ def cmd_generate_les(args) -> int:
 
     # Diurnal forcing: explicit flag, or inferred from the catalog name so a
     # "--jld2-name wind_*_diurnal_*" file actually carries the cycle the
-    # downstream loader will assume from that name.
+    # downstream loader will assume from that name. Validate the name and
+    # the flag/name agreement BEFORE the (long) LES run.
     diurnal = getattr(args, "diurnal", False)
-    if args.jld2_name and not diurnal:
-        from climateparameterizations_jl_tpu.data.registry import simulation_parameters
+    if args.jld2_name:
+        from climateparameterizations_jl_tpu.data.registry import (
+            lesbrary_relative_path,
+            simulation_parameters,
+        )
 
-        try:
-            diurnal = bool(simulation_parameters(args.jld2_name).diurnal)
-        except KeyError:
-            pass
+        spec = simulation_parameters(args.jld2_name)  # raises on a bad name NOW
+        lesbrary_relative_path(args.jld2_name)
+        if diurnal and not spec.diurnal:
+            raise SystemExit(
+                f"--diurnal with constant-flux catalog name {args.jld2_name!r}: downstream "
+                "loaders would pin the cyclic data to a constant amplitude; use a *_diurnal_* name"
+            )
+        diurnal = diurnal or bool(spec.diurnal)
     config = LESConfig.default(Nx=args.n_horizontal, Ny=args.n_horizontal, Nz=args.nz_les, Qu=args.qu, Qb=args.qb, diurnal=diurnal)
     cfl = 0.6 if args.les_method == "rk3" else 0.2
     dt = args.dt if args.dt else stable_dt(config, u_max=args.u_max, cfl=cfl)
@@ -301,8 +309,15 @@ def cmd_ensemble(args) -> int:
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
 
     ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
-    model = _wind_model(ds, args.nz)
-    nns = _load_nns(args.checkpoint)[0] if args.checkpoint else FluxNNs(uw=None, vw=None, wT=None)
+    if args.checkpoint:
+        nns, ckpt_meta = _load_nns(args.checkpoint)
+    else:
+        nns, ckpt_meta = FluxNNs(uw=None, vw=None, wT=None), {}
+    model = _wind_model(
+        ds, args.nz,
+        smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
+        smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
+    )
     from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns
 
     packed = pack_flux_nns(nns)
@@ -472,7 +487,11 @@ def cmd_train_nde(args) -> int:
             checkpoint_dir=os.path.join(args.output, "train_state"),
             resume_from=_resolve_train_state(args.resume_from),
         )
-    _save_nns(args.output, nns, {"command": "train-nde", "sims": args.sims, "nz": args.nz})
+    _save_nns(args.output, nns, {
+        "command": "train-nde", "sims": args.sims, "nz": args.nz,
+        # evaluate/ensemble must rebuild the EXACT training-time dynamics.
+        "smooth_NN": bool(args.smooth_nn), "smooth_Ri": bool(args.smooth_ri),
+    })
     print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
 
@@ -732,8 +751,12 @@ def cmd_evaluate(args) -> int:
     train_names = _sims(args.sims) if args.sims else test_sims
     train_ds = _load_suite(train_names, args.nz, args.data_dir, args.n_save, args.dt_save)
     flags = _suite_diurnal_flags(train_names)
-    model = _wind_model(train_ds, args.nz, diurnal=all(flags) and len(flags) > 0)  # TRAINING scalings (override semantics)
-    nns, _ = _load_nns(args.checkpoint)
+    nns, ckpt_meta = _load_nns(args.checkpoint)
+    model = _wind_model(
+        train_ds, args.nz, diurnal=all(flags) and len(flags) > 0,  # TRAINING scalings (override semantics)
+        smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
+        smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
+    )
     tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
     if getattr(args, "write_jld2", False) and not args.embedded:
         raise SystemExit("--write-jld2 requires --embedded (it writes the embedded pair)")
@@ -1017,7 +1040,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibration-method", default="gradient", choices=["gradient", "eki"])
     p.add_argument("--n-ensemble", type=int, default=64)
     p.add_argument("--n-eki-iters", type=int, default=8)
-    p.add_argument("--eki-inflation", type=float, default=1.05, help="multiplicative covariance inflation per EKI iteration")
+    p.add_argument("--eki-inflation", type=float, default=1.0, help="multiplicative covariance inflation per EKI iteration (1.0 = off, the library default; the tempered updates already prevent collapse)")
     p.set_defaults(fn=cmd_optimise_mpp)
 
     p = sub.add_parser("calibrate-kpp", help="KPP parameter search (random or ensemble-Kalman)")
@@ -1027,7 +1050,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-line-search", type=int, default=20)
     p.add_argument("--n-ensemble", type=int, default=64, help="EKI ensemble size")
     p.add_argument("--n-eki-iters", type=int, default=8)
-    p.add_argument("--eki-inflation", type=float, default=1.05, help="multiplicative covariance inflation per EKI iteration")
+    p.add_argument("--eki-inflation", type=float, default=1.0, help="multiplicative covariance inflation per EKI iteration (1.0 = off, the library default; the tempered updates already prevent collapse)")
     p.add_argument("--n-train-steps", type=int, default=32)
     p.set_defaults(fn=cmd_calibrate_kpp)
 

@@ -154,11 +154,8 @@ def diagnose_host_fluxes(model: HostColumnModel, nns: FluxNNs | None, state: Hos
     Ft = surface_heat_flux(model, jnp.asarray(t, state.T.dtype))
     wT = wT.at[..., -1].set(jnp.broadcast_to(Ft, wT[..., -1].shape))
     # Fixed-gradient bottom BC: heat exits through the bottom face
-    # (kappa_bc on the PRESCRIBED gradient for conv-adj — see host_column_step).
-    if model.closure == "conv_adj":
-        kappa_bc = jnp.where(model.dTdz_bottom < 0.0, model.kappa_conv, 0.0)
-    else:
-        kappa_bc = kappa[..., 1]
+    # (same diffusivity rule as the stepper — see _bottom_bc_kappa).
+    kappa_bc = _bottom_bc_kappa(model, nu, kappa)
     wT = wT.at[..., 0].set(jnp.broadcast_to(-kappa_bc * model.dTdz_bottom, wT[..., 0].shape))
     return uw, vw, wT
 
@@ -206,6 +203,26 @@ def _diffusivities(model: HostColumnModel, state: HostColumnState):
     return nu, kappa
 
 
+def _bottom_bc_kappa(model: HostColumnModel, nu, kappa):
+    """Diffusivity for the fixed-gradient bottom BC flux.
+
+    Any DISCONTINUOUS convective-adjustment switch must key on the
+    PRESCRIBED bottom gradient, never the face-1 state: a transient
+    NN-induced instability at face 1 would otherwise pair ``kappa_conv``
+    with the (stable, positive) prescribed gradient and dump
+    ``-kappa_conv * dTdz_bottom`` of spurious cooling into the bottom cell
+    (~0.15 K instantly on LES-generated data). This applies to
+    ``closure="conv_adj"`` AND to ``closure="mpp"`` with
+    ``mpp_conv_adjust=True``; the smooth mPP part keeps the face-1 proxy.
+    """
+    if model.closure == "conv_adj":
+        return jnp.where(model.dTdz_bottom < 0.0, model.kappa_conv, 0.0)
+    if model.mpp_conv_adjust:
+        smooth = nu[..., 1] / model.mpp.Pr  # face-1 mPP kappa WITHOUT the jump
+        return jnp.where(model.dTdz_bottom < 0.0, model.kappa_conv, smooth)
+    return kappa[..., 1]
+
+
 def surface_heat_flux(model: HostColumnModel, t):
     """Instantaneous surface heat flux (diurnal cycle when configured)."""
     if model.diurnal:
@@ -238,18 +255,10 @@ def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostCol
     # -kappa_bc * dTdz (heat exits downward in stable stratification),
     # cancelling the zero-flux Laplacian's erosion of cell 0 so the deep
     # linear profile stays steady (Oceananigans GradientBoundaryCondition
-    # semantics, NDE_oceananigans.jl:331-362). kappa_bc is evaluated ON THE
-    # PRESCRIBED gradient for the discontinuous conv-adj closure: using the
-    # face-1 switch instead lets a transient NN-induced instability at face
-    # 1 pair kappa_conv with the (stable, positive) prescribed gradient and
-    # dump -kappa_conv*dTdz_bottom of spurious cooling into the bottom cell
-    # (~0.15 K instantly on LES-generated data; caught by the in-sample
-    # embedded-vs-NDE check). The smooth mPP diffusivity keeps the face-1
-    # proxy.
-    if model.closure == "conv_adj":
-        kappa_bc = jnp.where(model.dTdz_bottom < 0.0, model.kappa_conv, 0.0)
-    else:
-        kappa_bc = kappa[..., 1]
+    # semantics, NDE_oceananigans.jl:331-362). The BC diffusivity rule lives
+    # in _bottom_bc_kappa (discontinuous switches key on the PRESCRIBED
+    # gradient, never the face-1 state).
+    kappa_bc = _bottom_bc_kappa(model, nu, kappa)
     T = T.at[..., 0].add(-dt * kappa_bc * model.dTdz_bottom / dz)
 
     # One batched Thomas solve for (u, v, T): the solve's scan over levels
