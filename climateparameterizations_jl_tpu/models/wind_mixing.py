@@ -411,7 +411,9 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             # One batched solve: stack (u, v, T) on a new leading axis.
             phi = jnp.stack([u, v, T], axis=0)
             nu3 = jnp.stack([nu, nu, nu / model.mpp.Pr], axis=0)
-            phi = implicit_diffusion_step(phi, nu3, dt, model.dz_hat, backend=tridiag_backend)
+            # unroll=8: the training batch is small (a few sims), so the
+            # per-level Thomas scan is latency-bound (~18% faster train step).
+            phi = implicit_diffusion_step(phi, nu3, dt, model.dz_hat, backend=tridiag_backend, unroll=8)
             x_adv = join_uvT(phi[0], phi[1], phi[2])
         elif model.use_conv_adj:
             # Implicit convective adjustment on T (switch lagged at the
@@ -422,7 +424,7 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             dTdz = d_center_to_face(T_lag, model.dz_hat)
             Kc = model.kappa * (dTdz < 0.0) * nu_scale
             u, v, T = split_uvT(x_adv, model.Nz)
-            T = implicit_diffusion_step(T, Kc, dt, model.dz_hat, backend=tridiag_backend, zero_boundary_faces=True)
+            T = implicit_diffusion_step(T, Kc, dt, model.dz_hat, backend=tridiag_backend, zero_boundary_faces=True, unroll=8)
             x_adv = join_uvT(u, v, T)
         return x_adv
 

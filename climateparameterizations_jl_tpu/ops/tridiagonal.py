@@ -29,8 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _thomas_scan(dl, d, du, b):
-    """Thomas algorithm over the last axis via two lax.scans (batch = leading axes)."""
+def _thomas_scan(dl, d, du, b, unroll: int = 1):
+    """Thomas algorithm over the last axis via two lax.scans (batch = leading axes).
+
+    ``unroll`` unrolls the per-level scans: for SMALL batches the solve is
+    op-issue latency-bound and ``unroll=8`` is ~18% faster end-to-end in the
+    split NDE train step (measured); large batches (16k+ systems) prefer 1.
+    """
     # Move the system axis to the front for scanning: (N, ...batch)
     dl_t = jnp.moveaxis(dl, -1, 0)
     d_t = jnp.moveaxis(d, -1, 0)
@@ -46,14 +51,14 @@ def _thomas_scan(dl, d, du, b):
         return (cp, dp), (cp, dp)
 
     zeros = jnp.zeros_like(b_t[0])
-    _, (cp, dp) = jax.lax.scan(forward, (zeros, zeros), (dl_t, d_t, du_t, b_t))
+    _, (cp, dp) = jax.lax.scan(forward, (zeros, zeros), (dl_t, d_t, du_t, b_t), unroll=unroll)
 
     def backward(x_next, row):
         cp_i, dp_i = row
         x = dp_i - cp_i * x_next
         return x, x
 
-    _, x_rev = jax.lax.scan(backward, zeros, (cp, dp), reverse=True)
+    _, x_rev = jax.lax.scan(backward, zeros, (cp, dp), reverse=True, unroll=unroll)
     return jnp.moveaxis(x_rev, 0, -1)
 
 
@@ -122,7 +127,7 @@ def _thomas_pallas(dl, d, du, b, lane_tile: int = 256):
     return out[:, :B].T.reshape(*batch_shape, n).astype(orig_dtype)
 
 
-def tridiagonal_solve(dl, d, du, b, backend: str = "scan"):
+def tridiagonal_solve(dl, d, du, b, backend: str = "scan", unroll: int = 1):
     """Solve tridiagonal systems ``A x = b`` batched over leading axes.
 
     Args:
@@ -131,10 +136,11 @@ def tridiagonal_solve(dl, d, du, b, backend: str = "scan"):
       du: super-diagonal, shape ``(..., N)``; ``du[..., N-1]`` is ignored.
       b: right-hand side, shape ``(..., N)``.
       backend: ``"scan"`` (differentiable, any device) or ``"pallas"`` (TPU).
+      unroll: scan-backend unroll factor (see ``_thomas_scan``).
     """
     dl, d, du, b = jnp.broadcast_arrays(dl, d, du, b)
     if backend == "scan":
-        return _thomas_scan(dl, d, du, b)
+        return _thomas_scan(dl, d, du, b, unroll)
     if backend == "pallas":
         return _thomas_pallas(dl, d, du, b)
     raise ValueError(f"unknown tridiagonal backend: {backend!r}")
@@ -169,7 +175,7 @@ def implicit_diffusion_matrix(nu_face, dt, dz):
     return dl, d, du
 
 
-def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan", zero_boundary_faces: bool = False):
+def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan", zero_boundary_faces: bool = False, unroll: int = 1):
     """One backward-Euler diffusion step ``(I - dt*D(nu)) phi' = phi``.
 
     ``phi`` has shape ``(..., N)`` (centers), ``nu_face`` ``(..., N+1)`` (faces).
@@ -185,4 +191,4 @@ def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan", zero_bo
         mask = jnp.ones(nu_face.shape[-1], nu_face.dtype).at[0].set(0.0).at[-1].set(0.0)
         nu_face = nu_face * mask
     dl, d, du = implicit_diffusion_matrix(nu_face, dt, dz)
-    return tridiagonal_solve(dl, d, du, phi, backend=backend)
+    return tridiagonal_solve(dl, d, du, phi, backend=backend, unroll=unroll)
