@@ -362,7 +362,7 @@ def cmd_extract(args) -> int:
     return 0
 
 
-def _history_writer(output: str):
+def _history_writer(output: str, print_every: int = 10):
     from climateparameterizations_jl_tpu.train.checkpoint import history_path
 
     hist = history_path(output)
@@ -374,6 +374,14 @@ def _history_writer(output: str):
                 if hasattr(channels, field):
                     rec[field] = float(getattr(channels, field))
         hist.append(rec)
+        # Per-iteration channel percentages, the reference's training
+        # callback observability (NDE_training.jl:343-369).
+        if print_every and i % print_every == 0 and channels is not None:
+            parts = {k: v for k, v in rec.items() if k not in ("iter", "loss")}
+            s = sum(parts.values())
+            if s > 0:
+                pct = " ".join(f"{k} {100.0 * v / s:.1f}%" for k, v in parts.items())
+                print(f"  iter {i}: loss {total:.4e} | {pct}", flush=True)
 
     return callback
 
@@ -459,6 +467,7 @@ def cmd_train_nde(args) -> int:
     config = NDETrainConfig(
         learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps,
         method=args.method, gradient_scaling=args.gradient_scaling,
+        optimizer=args.optimizer,
         training_fractions=(
             {"T": args.fraction_T, "dTdz": args.fraction_dTdz, "profile": args.fraction_profile}
             if args.auto_balance
@@ -606,7 +615,7 @@ def cmd_optimise_mpp(args) -> int:
     ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
     model = _wind_model(ds, args.nz)
     batch = training_tensors(ds, model.scalings, np.arange(0, args.n_train_steps), tau=model.tau)
-    config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method)
+    config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method, optimizer=args.optimizer)
     if args.calibration_method == "eki":
         params, eki = calibrate_mpp_eki(
             model, batch, config, n_ensemble=args.n_ensemble, n_iterations=args.n_eki_iters,
@@ -672,33 +681,77 @@ def cmd_calibrate_kpp(args) -> int:
 def cmd_train_gp(args) -> int:
     import jax.numpy as jnp
 
-    from climateparameterizations_jl_tpu.closures.gp import best_kernel, gp_fit_multi, gp_predict
+    from climateparameterizations_jl_tpu.closures.gp import (
+        GPKernel,
+        error_per_gamma,
+        gp_fit_multi,
+        gp_predict,
+        gp_uncertainty,
+        select_best_kernel,
+    )
     from climateparameterizations_jl_tpu.data.containers import (
         direct_regression_pairs,
         fit_wind_mixing_scalings,
     )
 
-    train_ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    train_names = _sims(args.sims)
+    train_ds = _load_suite(train_names, args.nz, args.data_dir, args.n_save, args.dt_save)
     test_ds = _load_suite(_sims(args.test_sims), args.nz, args.data_dir, args.n_save, args.dt_save)
     scalings = fit_wind_mixing_scalings(train_ds)
     z = jnp.linspace(0.0, 1.0, 3 * args.nz)
+    kernel_ids = tuple(int(k) for k in _sims(args.kernel_ids))
+    log_gammas = np.linspace(-1.5, 1.5, 10)
+    os.makedirs(args.output, exist_ok=True)
     report = {}
     fitted: dict = {}
     # --integrate needs all three flux GPs; fit the union once.
     fluxes = list(_sims(args.fluxes))
     fit_fluxes = sorted(set(fluxes) | ({"uw", "vw", "wT"} if args.integrate else set()))
-    # Per-flux kernel selection first; the final fits share predictors, so
-    # they run as ONE fused multi-fit (shared distance matrix + batched
-    # Cholesky, gp_fit_multi) instead of three sequential builds.
+
+    def _sub(x, y):
+        return (x[:: args.subsample], y[:: args.subsample]) if args.subsample > 1 else (x, y)
+
+    # Kernel selection must never see the reporting test set. The reference
+    # sweeps kernels against held-out *training* files before final
+    # evaluation (optimize_GP_kernels.jl:41-62, leave-one-out with errors
+    # accumulated across splits); here: explicit --val-sims if given, else
+    # leave-one-out over the training sims, else (single sim) a tail time
+    # split of the training pairs.
+    if args.val_sims:
+        val_ds = _load_suite(_sims(args.val_sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+        splits = [(train_ds, scalings, val_ds)]
+    elif len(train_names) > 1:
+        splits = []
+        for i in range(len(train_names)):
+            sub_ds = _load_suite([n for j, n in enumerate(train_names) if j != i], args.nz, args.data_dir, args.n_save, args.dt_save)
+            sub_scl = fit_wind_mixing_scalings(sub_ds)
+            held_ds = _load_suite([train_names[i]], args.nz, args.data_dir, args.n_save, args.dt_save)
+            splits.append((sub_ds, sub_scl, held_ds))
+    else:
+        splits = None
+
     selected, x_by_flux, y_by_flux, test_pairs = {}, {}, {}, {}
     for flux in fit_fluxes:
-        x_tr, y_tr = direct_regression_pairs(train_ds, scalings, flux)
+        x_tr, y_tr = _sub(*direct_regression_pairs(train_ds, scalings, flux))
         test_pairs[flux] = direct_regression_pairs(test_ds, scalings, flux)
-        if args.subsample > 1:
-            x_tr, y_tr = x_tr[:: args.subsample], y_tr[:: args.subsample]
-        kernel, err = best_kernel(x_tr, y_tr, *test_pairs[flux], z, metric=args.metric)
+        errors = {kid: np.zeros(len(log_gammas)) for kid in kernel_ids}
+        if splits is None:
+            n_val = max(1, int(0.2 * x_tr.shape[0]))
+            sel_sets = [(x_tr[:-n_val], y_tr[:-n_val], x_tr[-n_val:], y_tr[-n_val:])]
+        else:
+            sel_sets = [
+                (*_sub(*direct_regression_pairs(sub_ds, sub_scl, flux)), *direct_regression_pairs(held_ds, sub_scl, flux))
+                for sub_ds, sub_scl, held_ds in splits
+            ]
+        for xs, ys, xv, yv in sel_sets:
+            for kid in kernel_ids:
+                errors[kid] += np.asarray(error_per_gamma(xs, ys, xv, yv, z, kid, log_gammas, args.metric))
+        kernel, _ = select_best_kernel(errors, log_gammas, args.metric, 0.0, jnp.asarray(x_tr).dtype)
         selected[flux] = kernel
         x_by_flux[flux], y_by_flux[flux] = x_tr, y_tr
+    # The final fits share predictors, so they run as ONE fused multi-fit
+    # (shared distance matrix + batched Cholesky, gp_fit_multi) instead of
+    # three sequential builds.
     models = gp_fit_multi(
         x_by_flux[fit_fluxes[0]], [y_by_flux[f] for f in fit_fluxes],
         [selected[f] for f in fit_fluxes], z,
@@ -710,8 +763,22 @@ def cmd_train_gp(args) -> int:
             x_te, y_te = test_pairs[flux]
             pred = gp_predict(model, x_te)
             mse = float(jnp.mean((pred - y_te) ** 2))
-            report[flux] = {"kernel": kernel.family, "log_gamma": float(jnp.log10(kernel.gamma)), "mse": mse}
-            print(f"train-gp[{flux}]: kernel {kernel.family}, mse {mse:.4e}")
+            # Posterior variance (reference plots `uncertainty`,
+            # gaussian_process.jl:130-139) — reported and drawn as bands.
+            unc = gp_uncertainty(model, x_te)
+            name = kernel.family if isinstance(kernel, GPKernel) else "spectral_mixture"
+            report[flux] = {"kernel": name, "mse": mse,
+                            "mean_posterior_variance": float(jnp.mean(unc)),
+                            "max_posterior_variance": float(jnp.max(unc))}
+            if isinstance(kernel, GPKernel):
+                report[flux]["log_gamma"] = float(jnp.log10(kernel.gamma))
+            from climateparameterizations_jl_tpu.eval.animations import plot_gp_uncertainty
+
+            plot_gp_uncertainty(
+                np.asarray(pred), np.asarray(y_te), np.asarray(unc),
+                os.path.join(args.output, f"gp_uncertainty_{flux}.png"), flux=flux,
+            )
+            print(f"train-gp[{flux}]: kernel {name}, mse {mse:.4e}, mean posterior var {report[flux]['mean_posterior_variance']:.3e}")
 
     if args.integrate:
         # GP-closure DE on the held-out sim (run_GP_DE.jl:181-192): the three
@@ -962,6 +1029,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fraction-profile", type=float, default=0.5)
     p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
     p.set_defaults(fn=cmd_train_nde)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")
@@ -1032,6 +1100,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("optimise-mpp", help="mPP diffusivity parameter calibration")
     _add_common(p)
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"], help="reference uses BFGS/LBFGS (optimise_modified_pacanowski_philander_args.jl:66-72)")
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--maxiters", type=int, default=100)
     p.add_argument("--n-substeps", type=int, default=4)
@@ -1057,6 +1126,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("train-gp", help="GP kernel grid search + fit + test MSE")
     _add_common(p)
     p.add_argument("--test-sims", default="strong_wind_weak_cooling")
+    p.add_argument("--val-sims", default=None, help="sims for kernel selection; default: leave-one-out over --sims (never the test set)")
+    p.add_argument("--kernel-ids", default="1,2,3,4", help="kernel families to sweep (1-5 stationary, 6 spectral-mixture)")
     p.add_argument("--fluxes", default="wT")
     p.add_argument("--metric", default="euclidean", choices=["euclidean", "derivative", "antiderivative"])
     p.add_argument("--subsample", type=int, default=4)

@@ -200,9 +200,46 @@ class SpectralMixtureKernel:
 
 _FAMILY_IDS = {1: "squared_exponential", 2: "matern12", 3: "matern32", 4: "matern52", 5: "rational_quadratic"}
 
+#: Components used when the grid search parameterizes a spectral-mixture
+#: kernel by a single length scale (see :func:`default_spectral_mixture`).
+SM_DEFAULT_Q = 3
 
-def get_kernel(kernel_id: int, log_gamma: float, log_sigma: float, metric: str = "euclidean", alpha: float = 1.0, dtype=jnp.float64, backend: str = "xla") -> GPKernel:
-    """Factory with the reference's ``10^x`` hyperparameter transform."""
+
+def default_spectral_mixture(length_scale, Q: int = SM_DEFAULT_Q, metric: str = "euclidean", dtype=jnp.float64) -> SpectralMixtureKernel:
+    """Isotropic Q-component SM kernel parameterized by ONE length scale.
+
+    The q=0 component reproduces a squared-exponential of that length scale
+    (an SE kernel's spectral density is a zero-mean Gaussian with std
+    ``1/(2 pi l)``); higher components add harmonics at multiples of that
+    spectral std. This gives the grid search (``best_kernel``) a 1-D axis
+    for kernel id 6 commensurate with the log-gamma axis of ids 1-5 — the
+    reference never grid-searched its SM kernel at all
+    (``GaussianProcesses.jl:30-49`` sweeps ids 1-4 only).
+    """
+    ls = jnp.asarray(length_scale, dtype)
+    sd = 1.0 / (2.0 * jnp.pi * ls)
+    w = jnp.full((Q,), 1.0 / jnp.sqrt(Q), dtype)
+    mu = jnp.arange(Q, dtype=dtype) * sd
+    gamma = jnp.full((Q,), sd**2, dtype)
+    return SpectralMixtureKernel(w=w, mu=mu, gamma=gamma, metric=metric)
+
+
+def get_kernel(kernel_id: int, log_gamma, log_sigma: float = 0.0, metric: str = "euclidean", alpha: float = 1.0, dtype=jnp.float64, backend: str = "xla"):
+    """Factory with the reference's ``10^x`` hyperparameter transform.
+
+    Ids 1-5 build a :class:`GPKernel`. Id 6 (``GaussianProcesses.jl:137``,
+    SpectralMixtureProductI) builds a :class:`SpectralMixtureKernel`: pass a
+    length-``3Q`` hyperparameter vector as ``log_gamma`` (arrays pass
+    through untransformed, mirroring the reference's ``g(x)`` which only
+    applies ``10^x`` to scalars) — or a scalar, interpreted as the log10
+    length scale of :func:`default_spectral_mixture`.
+    """
+    if kernel_id == 6:
+        hyp = jnp.asarray(log_gamma, dtype)
+        if hyp.ndim == 0:
+            return default_spectral_mixture(10.0**hyp, metric=metric, dtype=dtype)
+        sm = SpectralMixtureKernel.from_hyperparameters(hyp, dtype=dtype)
+        return dataclasses.replace(sm, metric=metric)
     return GPKernel(
         gamma=jnp.asarray(10.0**log_gamma, dtype),
         sigma=jnp.asarray(10.0**log_sigma, dtype),
@@ -397,13 +434,16 @@ def _error_per_gamma_vmapped(x_train, y_train, x_val, y_val, z, log_gammas, kern
     dtype = x_train.dtype
 
     def fit_and_score(log_gamma):
-        kernel = GPKernel(
-            gamma=10.0**log_gamma,
-            sigma=jnp.asarray(10.0**log_sigma, dtype),
-            alpha=jnp.asarray(1.0, dtype),
-            family=_FAMILY_IDS[kernel_id],
-            metric=metric,
-        )
+        if kernel_id == 6:
+            kernel = default_spectral_mixture(10.0**log_gamma, metric=metric, dtype=dtype)
+        else:
+            kernel = GPKernel(
+                gamma=10.0**log_gamma,
+                sigma=jnp.asarray(10.0**log_sigma, dtype),
+                alpha=jnp.asarray(1.0, dtype),
+                family=_FAMILY_IDS[kernel_id],
+                metric=metric,
+            )
         model = gp_fit(x_train, y_train, kernel, z)
         pred = gp_predict(model, x_val)
         return jnp.mean((pred - y_val) ** 2)

@@ -37,7 +37,11 @@ class ZeroMeanUnitVarianceScaling:
     def fit(cls, data) -> "ZeroMeanUnitVarianceScaling":
         data = jnp.asarray(data)
         # ddof=1 matches Julia's Statistics.std (reference feature_scaling.jl:18).
-        return cls(mu=jnp.mean(data), sigma=jnp.std(data, ddof=1))
+        sigma = jnp.std(data, ddof=1)
+        # Constant fields (u = v = 0 in a free-convection-only suite) must
+        # scale to 0, not NaN-poison every consumer (the reference divides
+        # by zero here; deliberate robustness deviation).
+        return cls(mu=jnp.mean(data), sigma=jnp.where(sigma > 0, sigma, jnp.ones_like(sigma)))
 
 
 @jax.tree_util.register_dataclass
@@ -62,11 +66,15 @@ class MinMaxScaling:
     @classmethod
     def fit(cls, data, a=0.0, b=1.0) -> "MinMaxScaling":
         data = jnp.asarray(data)
+        lo, hi = jnp.min(data), jnp.max(data)
+        # Same constant-field guard as ZeroMeanUnitVarianceScaling.fit:
+        # widen a degenerate range to 1 instead of dividing by zero.
+        hi = jnp.where(hi > lo, hi, lo + jnp.ones_like(hi))
         return cls(
             a=jnp.asarray(a, data.dtype),
             b=jnp.asarray(b, data.dtype),
-            data_min=jnp.min(data),
-            data_max=jnp.max(data),
+            data_min=lo,
+            data_max=hi,
         )
 
 

@@ -138,6 +138,32 @@ def plot_loss(losses: dict, t, path: str, ylabel: str = "MSE", logy: bool = True
     return path
 
 
+def plot_gp_uncertainty(pred, truth, variance, path: str, flux: str = "wT", frame: int = -1):
+    """GP flux prediction with a +/-2 sigma posterior band vs truth.
+
+    Parity: the reference plots ``uncertainty`` alongside ``model_output``
+    (``gaussian_process.jl:130-139``). ``pred``/``truth``: ``(N, F)`` scaled
+    flux profiles; ``variance``: ``(N,)`` posterior variance per query point
+    (one scalar per input state — the band is constant across levels).
+    """
+    pred = np.asarray(pred)
+    truth = np.asarray(truth)
+    sd = np.sqrt(np.maximum(np.asarray(variance), 0.0))
+    levels = np.arange(pred.shape[-1])
+    fig, ax = plt.subplots(figsize=(5, 6))
+    p, t = pred[frame], truth[frame]
+    ax.fill_betweenx(levels, p - 2 * sd[frame], p + 2 * sd[frame], alpha=0.25, label="+/-2 sigma")
+    ax.plot(p, levels, label="GP mean")
+    ax.plot(t, levels, "k--", label="truth")
+    ax.set_xlabel(f"{flux} (scaled)")
+    ax.set_ylabel("face index")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 def plot_epoch_loss(epoch_losses, path: str, label: str = "training loss"):
     """Loss vs training epoch (``testing.jl:34-62``)."""
     fig, ax = plt.subplots(figsize=(6, 4))

@@ -26,7 +26,12 @@ from climateparameterizations_jl_tpu.train.loss import (
     apply_loss_scalings,
     nde_loss_channels,
 )
-from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, _solve, determine_loss_scalings
+from climateparameterizations_jl_tpu.train.nde import (
+    NDETrainConfig,
+    _make_optimizer,
+    _solve,
+    determine_loss_scalings,
+)
 
 NO_NNS = FluxNNs(uw=None, vw=None, wT=None)
 
@@ -61,15 +66,23 @@ def optimise_mpp_parameters(
         scaled = apply_loss_scalings(channels, loss_scalings)
         return scaled.total(), scaled
 
-    optimizer = optax.adam(config.learning_rate)
+    # config.optimizer selects adam (default) or lbfgs — the reference
+    # calibrates mPP with BFGS/LBFGS (optimise_modified_pacanowski_
+    # philander_args.jl:66-72); the projection below supplies the box.
+    optimizer = _make_optimizer(config)
     theta = jnp.ones_like(init_vec)
     opt_state = optimizer.init(theta)
+    # astype: the zoom linesearch probes f64-promoted candidates under x64.
+    total_fn = lambda th: loss_fn(th.astype(init_vec.dtype))[0]  # noqa: E731
 
     @jax.jit
     def step(theta, opt_state):
         (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta)
-        updates, opt_state = optimizer.update(grads, opt_state, theta)
-        theta = jnp.clip(optax.apply_updates(theta, updates), lb, ub)
+        updates, opt_state = optimizer.update(
+            grads, opt_state, theta, value=total, grad=grads, value_fn=total_fn
+        )
+        # astype: lbfgs's linesearch scalar can promote to f64 under x64.
+        theta = jnp.clip(optax.apply_updates(theta, updates), lb, ub).astype(init_vec.dtype)
         return theta, opt_state, total, channels
 
     history = []

@@ -65,14 +65,22 @@ class CurriculumStage:
 
 
 def _make_optimizer(config: NDETrainConfig, lr=None):
+    # All optimizers are wrapped for extra-args support so the train loops
+    # can uniformly pass (value, grad, value_fn): adam/sgd ignore them,
+    # lbfgs's zoom linesearch REQUIRES them (optax >= 0.2).
     lr = config.learning_rate if lr is None else lr
     if config.optimizer == "adam":
-        return optax.adam(lr)
-    if config.optimizer == "sgd":
-        return optax.sgd(lr)
-    if config.optimizer == "lbfgs":
-        return optax.lbfgs(lr)
-    raise ValueError(f"unknown optimizer {config.optimizer!r}")
+        opt = optax.adam(lr)
+    elif config.optimizer == "sgd":
+        opt = optax.sgd(lr)
+    elif config.optimizer == "lbfgs":
+        # learning_rate=None -> step size from the zoom linesearch, the
+        # reference's (L-)BFGS behavior (optimise_modified_pacanowski_
+        # philander_args.jl:66-72 via Optim.jl's HagerZhang).
+        opt = optax.lbfgs()
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer!r}")
+    return optax.with_extra_args_support(opt)
 
 
 def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: NDETrainConfig):
@@ -122,11 +130,22 @@ def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_st
     if opt_state is None:
         opt_state = optimizer.init(params)
 
+    # Linesearch objective: the zoom linesearch probes `params + c*updates`
+    # with an f64 scalar c under x64, so candidates must be cast back to the
+    # declared param dtypes before hitting the (dtype-strict) scanned solve.
+    ref = params
+    total_fn = lambda p: loss_fn(jax.tree.map(lambda x, r: jnp.asarray(x).astype(r.dtype), p, ref))[0]  # noqa: E731
+
     @jax.jit
     def step(params, opt_state):
         (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, opt_state = optimizer.update(
+            grads, opt_state, params, value=total, grad=grads, value_fn=total_fn
+        )
+        # lbfgs's linesearch scalar can promote updates to f64 under x64;
+        # keep the params at their declared precision.
+        new = optax.apply_updates(params, updates)
+        params = jax.tree.map(lambda n, o: n.astype(o.dtype), new, params)
         return params, opt_state, total, channels
 
     history = []

