@@ -404,6 +404,25 @@ def cmd_catalog(args) -> int:
     return 0
 
 
+def cmd_fetch(args) -> int:
+    """Download the 9 MIT-hosted free-convection datasets (DataDeps parity,
+    ``free_convection/src/data.jl:3-12``). Graceful offline failure."""
+    from climateparameterizations_jl_tpu.data.registry import fetch_free_convection
+
+    ids = [int(s) for s in _sims(args.sim_ids)]
+    failures = 0
+    for i in ids:
+        try:
+            path = fetch_free_convection(i, args.data_dir, timeout=args.timeout, force=args.force)
+            print(f"fetch[{i}]: {path}")
+        except ConnectionError as e:
+            failures += 1
+            print(f"fetch[{i}]: FAILED — {e}")
+    if failures:
+        print(f"fetch: {failures}/{len(ids)} downloads failed (offline stand-ins remain available)")
+    return 1 if failures == len(ids) else 0
+
+
 def cmd_train_nn(args) -> int:
     import jax
 
@@ -998,6 +1017,13 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("catalog", help="list dataset catalog names").set_defaults(fn=cmd_catalog)
+
+    p = sub.add_parser("fetch", help="download the free-convection LESbrary datasets (DataDeps parity)")
+    p.add_argument("--sim-ids", default="1,2,3,4,5,6,7,8,9")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--timeout", type=float, default=60.0)
+    p.add_argument("--force", action="store_true", help="re-download even if the file exists")
+    p.set_defaults(fn=cmd_fetch)
 
     p = sub.add_parser("train-nn", help="direct flux regression")
     _add_common(p)

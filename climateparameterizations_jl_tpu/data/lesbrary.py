@@ -35,19 +35,42 @@ except ImportError:  # pragma: no cover
 
 
 def _iterations(group) -> list[str]:
-    return sorted(group.keys(), key=lambda k: int(k))
+    """Numeric iteration keys in time order.
+
+    Oceananigans FieldTimeSeries groups also hold a ``serialized/`` subgroup
+    (locations, BCs) next to the iteration datasets — skip anything that
+    isn't an iteration number, and sort NUMERICALLY (real files use
+    simulation iteration numbers like ``"9000" < "10800"``, which
+    lexicographic order would reverse).
+    """
+    return sorted((k for k in group.keys() if k.lstrip("-").isdigit()), key=int)
 
 
-def _profile_series(f, name: str, halo: int) -> np.ndarray:
-    """Stack ``timeseries/<name>/<iter>`` into ``(Nt, Nz)``, stripping halos."""
+def _strip_halo(arr: np.ndarray, Nz: int, halo: int) -> np.ndarray:
+    """Strip halos from one profile by its observed length.
+
+    Real wind-mixing statistics files store profiles UNPADDED (``Nz``
+    centers / ``Nz + 1`` faces; ``lesbrary_data.jl:98-107`` broadcasts them
+    straight into ``Nz``-sized arrays) while free-convection
+    ``instantaneous_statistics_with_halos.jld2`` files pad both by ``Hz``
+    cells each side. Handle each variable by what it actually is.
+    """
+    n = arr.size
+    if n in (Nz, Nz + 1):
+        return arr
+    if halo > 0 and n in (Nz + 2 * halo, Nz + 1 + 2 * halo):
+        return arr[halo:-halo]
+    raise ValueError(f"profile of length {n} does not match Nz={Nz} (halo {halo})")
+
+
+def _profile_series(f, name: str, Nz: int, halo: int) -> np.ndarray:
+    """Stack ``timeseries/<name>/<iter>`` into ``(Nt, Nz[+1])``, halos stripped."""
     g = f["timeseries"][name]
     frames = []
     for it in _iterations(g):
-        arr = np.asarray(g[it])
-        arr = arr.reshape(-1)  # stored as (1, 1, N) or (N,)
-        if halo > 0:
-            arr = arr[halo:-halo]
-        frames.append(arr)
+        # Julia writes (1, 1, N); h5py sees the dims reversed as (N, 1, 1).
+        arr = np.asarray(g[it]).reshape(-1)
+        frames.append(_strip_halo(arr, Nz, halo))
     return np.stack(frames, axis=0)
 
 
@@ -69,22 +92,48 @@ def _first(f, paths, default=_MISSING):
 
 
 def read_les_profiles(path: str, halo: int = 3, dtype=np.float32) -> ColumnTimeSeries:
-    """Read a wind-mixing LESbrary statistics file into a :class:`ColumnTimeSeries`."""
+    """Read a LESbrary ``.jld2`` file into a :class:`ColumnTimeSeries`.
+
+    Handles BOTH real layouts (see module docstring): ``Nz`` is derived
+    from the halo-padded grid, ``Nz = len(grid/zC) - 2*halo``
+    (``lesbrary_data.jl:65``, the grid arrays carry 3 ghost cells each
+    side), with the halo width taken from ``grid/Hz`` when the file stores
+    it (Oceananigans FieldDataset files do). Profiles are stripped per
+    variable by observed length, since statistics files store them
+    unpadded while ``*_with_halos`` files pad them.
+    """
     if not HAVE_H5PY:
         raise RuntimeError("h5py is required to read .jld2 LES files")
     with h5py.File(path, "r") as f:
+        if "grid" in f and "Hz" in f["grid"]:
+            halo = int(np.asarray(f["grid"]["Hz"])[()])
+        zc = np.asarray(f["grid"]["zC"]).reshape(-1) if "grid" in f and "zC" in f["grid"] else None
+
         tgroup = f["timeseries"]["t"]
         t = np.asarray([np.asarray(tgroup[it])[()] for it in _iterations(tgroup)], dtype)
 
-        T = _profile_series(f, "T", halo).astype(dtype)
-        u = _profile_series(f, "u", halo).astype(dtype) if "u" in f["timeseries"] else np.zeros_like(T)
-        v = _profile_series(f, "v", halo).astype(dtype) if "v" in f["timeseries"] else np.zeros_like(T)
+        # Probe the first T frame against the grid to fix Nz for this file.
+        tg = f["timeseries"]["T"]
+        n_probe = int(np.asarray(tg[_iterations(tg)[0]]).size)
+        if zc is None:
+            Nz = n_probe
+        elif n_probe == zc.size - 2 * halo:  # statistics layout: profiles unpadded
+            Nz = n_probe
+        elif n_probe == zc.size:  # *_with_halos layout: both padded
+            Nz = zc.size - 2 * halo
+        elif n_probe == zc.size + 2 * halo:  # legacy round-trip files (grid unpadded)
+            Nz = zc.size
+        else:
+            raise ValueError(f"cannot reconcile T profile length {n_probe} with grid zC length {zc.size} (halo {halo})")
 
-        Nz = T.shape[1]
+        T = _profile_series(f, "T", Nz, halo).astype(dtype)
+        u = _profile_series(f, "u", Nz, halo).astype(dtype) if "u" in f["timeseries"] else np.zeros_like(T)
+        v = _profile_series(f, "v", Nz, halo).astype(dtype) if "v" in f["timeseries"] else np.zeros_like(T)
+
         zeros_f = np.zeros((T.shape[0], Nz + 1), dtype)
-        wT = _profile_series(f, "wT", halo).astype(dtype) if "wT" in f["timeseries"] else zeros_f
-        wu = _profile_series(f, "wu", halo).astype(dtype) if "wu" in f["timeseries"] else zeros_f
-        wv = _profile_series(f, "wv", halo).astype(dtype) if "wv" in f["timeseries"] else zeros_f
+        wT = _profile_series(f, "wT", Nz, halo).astype(dtype) if "wT" in f["timeseries"] else zeros_f
+        wu = _profile_series(f, "wu", Nz, halo).astype(dtype) if "wu" in f["timeseries"] else zeros_f
+        wv = _profile_series(f, "wv", Nz, halo).astype(dtype) if "wv" in f["timeseries"] else zeros_f
 
         # Free-convection FieldDataset files carry only T/wT and a surface
         # flux; every wind-mixing-specific key gets a physical default so
@@ -95,19 +144,25 @@ def read_les_profiles(path: str, halo: int = 3, dtype=np.float32) -> ColumnTimeS
         f_cor = _first(f, ["coriolis/f"], 0.0)
         L = _first(f, ["grid/Lz"])
 
-        buoyancy_flux = _first(
+        # Free-convection FieldDataset files record the temperature flux
+        # directly (``add_surface_fluxes!`` reads parameters/temperature_flux,
+        # add_surface_fluxes.jl:2) — prefer it; wind-mixing statistics files
+        # record a buoyancy flux to divide by alpha*g (lesbrary_data.jl:164-165).
+        theta_top = _first(
             f,
-            ["parameters/buoyancy_flux", "parameters/surface_buoyancy_flux", "parameters/Qb"],
+            ["parameters/temperature_flux", "parameters/surface_temperature_flux", "parameters/Qθ"],
             None,
         )
-        if buoyancy_flux is not None:
-            theta_top = buoyancy_flux / alpha / g
-        else:
-            theta_top = _first(
+        if theta_top is None:
+            buoyancy_flux = _first(
                 f,
-                ["parameters/temperature_flux", "parameters/surface_temperature_flux", "parameters/Qθ"],
-                float(wT[0, -1]) if wT.size else 0.0,
+                ["parameters/buoyancy_flux", "parameters/surface_buoyancy_flux", "parameters/Qb"],
+                None,
             )
+            if buoyancy_flux is not None:
+                theta_top = buoyancy_flux / alpha / g
+            else:
+                theta_top = float(wT[0, -1]) if wT.size else 0.0
         u_top = _first(f, ["parameters/boundary_condition_u_top", "parameters/momentum_flux", "parameters/Qu"], 0.0)
         theta_bottom = _first(
             f,
@@ -126,15 +181,37 @@ def read_les_profiles(path: str, halo: int = 3, dtype=np.float32) -> ColumnTimeS
     )
 
 
-def write_les_profiles(path: str, ds: ColumnTimeSeries, halo: int = 3):
-    """Write a :class:`ColumnTimeSeries` in the LESbrary statistics layout.
+def _halo_grid(H: float, Nz: int, halo: int):
+    """Face/center coordinates WITH ``halo`` ghost cells each side, the way
+    Oceananigans stores ``grid/zC`` / ``grid/zF`` (``lesbrary_data.jl:156-157``
+    strips ``[4:end-3]``)."""
+    dz = H / Nz
+    zf = -H + dz * np.arange(-halo, Nz + halo + 1)  # Nz + 1 + 2*halo faces
+    zc = 0.5 * (zf[:-1] + zf[1:])  # Nz + 2*halo centers
+    return zc, zf
 
-    Inverse of :func:`read_les_profiles`: ``timeseries/<var>/<iteration>``
-    profile groups with ``halo`` zero cells on each side, grid/buoyancy/
-    coriolis/parameters metadata. Lets the 3-D LES generator
-    (``data/les.py``) emit reference-compatible ``.jld2`` files so a
-    generated dataset can feed any ``--data-dir`` pipeline (or the original
-    Julia code).
+
+def write_les_profiles(path: str, ds: ColumnTimeSeries, halo: int = 3, iteration_stride: int = 1):
+    """Write a :class:`ColumnTimeSeries` in the real LESbrary statistics layout.
+
+    Byte-layout parity with the files ``ReadJLD2_LESbraryData`` consumes
+    (``lesbrary_data.jl:56-190``):
+
+    - ``timeseries/<var>/<iteration>`` datasets are UNPADDED profiles
+      (``Nz`` centers / ``Nz + 1`` faces) stored with Julia's ``(1, 1, N)``
+      axis order — h5py sees ``(N, 1, 1)``;
+    - ``timeseries/t/<iteration>`` scalars keyed by simulation iteration
+      number (stride-able, exercising numeric key order);
+    - ``grid/{zC, zF}`` carry ``halo`` ghost cells on EACH side
+      (``Nz = len(zC) - 6``); ``grid/Lz`` is the depth;
+    - ``buoyancy/model/...``, ``coriolis/f``, and the four
+      ``parameters/*`` BC entries, with the surface temperature flux
+      recorded as a BUOYANCY flux (``theta_top = buoyancy_flux / (alpha g)``,
+      ``lesbrary_data.jl:164-165``).
+
+    Lets the 3-D LES generator (``data/les.py``) emit reference-compatible
+    ``.jld2`` files so a generated dataset can feed any ``--data-dir``
+    pipeline (or the original Julia code).
     """
     if not HAVE_H5PY:
         raise RuntimeError("h5py is required to write .jld2 LES files")
@@ -151,17 +228,16 @@ def write_les_profiles(path: str, ds: ColumnTimeSeries, halo: int = 3):
         for name, arr in series.items():
             g = f.create_group(f"timeseries/{name}")
             for i in range(t.shape[0]):
+                key = str(i * iteration_stride)
                 if name == "t":
-                    g[str(i)] = arr[i]
+                    g[key] = arr[i]
                 else:
-                    row = arr[i]
-                    padded = np.concatenate([np.zeros(halo, row.dtype), row, np.zeros(halo, row.dtype)])
-                    g[str(i)] = padded.reshape(1, 1, -1)
+                    g[key] = series[name][i].reshape(-1, 1, 1)
         H = float(ds.H)
         Nz = ds.T.shape[-1]
-        zf = np.linspace(-H, 0.0, Nz + 1)
+        zc, zf = _halo_grid(H, Nz, halo)
         f["grid/Lz"] = H
-        f["grid/zC"] = 0.5 * (zf[:-1] + zf[1:])
+        f["grid/zC"] = zc
         f["grid/zF"] = zf
         f["buoyancy/model/equation_of_state/α"] = float(ds.alpha)
         f["buoyancy/model/equation_of_state/β"] = float(ds.beta)
@@ -170,5 +246,58 @@ def write_les_profiles(path: str, ds: ColumnTimeSeries, halo: int = 3):
         f["parameters/buoyancy_flux"] = float(ds.theta_top) * float(ds.alpha) * float(ds.g)
         f["parameters/boundary_condition_u_top"] = float(ds.u_top)
         f["parameters/boundary_condition_u_bottom"] = 0.0
+        f["parameters/boundary_condition_θ_bottom"] = float(ds.theta_bottom)
+    return path
+
+
+def write_fc_fieldset(path: str, ds: ColumnTimeSeries, halo: int = 3, iteration_stride: int = 1):
+    """Write the free-convection ``instantaneous_statistics_with_halos.jld2``
+    FieldDataset layout (``free_convection/src/data.jl:32-71``).
+
+    Differences from the statistics layout that :func:`read_les_profiles`
+    must survive:
+
+    - profiles are stored WITH ``Hz`` halo cells each side (the file name
+      says so); faces get ``Nz + 1 + 2*Hz`` entries;
+    - each ``timeseries/<var>/`` group carries a ``serialized/`` subgroup
+      (field locations / boundary conditions) that is NOT an iteration;
+    - the grid group stores the struct fields ``Nz``/``Hz``/``Lz`` plus the
+      halo-padded coordinates;
+    - the surface flux lives at ``parameters/temperature_flux`` (read by
+      ``add_surface_fluxes!``, ``free_convection/src/add_surface_fluxes.jl:2``).
+    """
+    if not HAVE_H5PY:
+        raise RuntimeError("h5py is required to write .jld2 LES files")
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    t = np.asarray(ds.t, np.float64)
+    Nz = ds.T.shape[-1]
+
+    def pad(row):
+        return np.concatenate([np.zeros(halo, row.dtype), row, np.zeros(halo, row.dtype)])
+
+    with h5py.File(path, "w") as f:
+        for name in ("t", "T", "wT"):
+            g = f.create_group(f"timeseries/{name}")
+            if name != "t":
+                s = g.create_group("serialized")
+                s["location"] = np.bytes_(b"(Center, Center, " + (b"Face)" if name == "wT" else b"Center)"))
+            for i in range(t.shape[0]):
+                key = str(i * iteration_stride)
+                if name == "t":
+                    g[key] = t[i]
+                else:
+                    arr = np.asarray(getattr(ds, name))[i]
+                    g[key] = pad(arr).reshape(-1, 1, 1)
+        H = float(ds.H)
+        zc, zf = _halo_grid(H, Nz, halo)
+        f["grid/Nz"] = Nz
+        f["grid/Hz"] = halo
+        f["grid/Lz"] = H
+        f["grid/zC"] = zc
+        f["grid/zF"] = zf
+        f["parameters/temperature_flux"] = float(ds.theta_top)
+        f["parameters/buoyancy_flux"] = float(ds.theta_top) * float(ds.alpha) * float(ds.g)
         f["parameters/boundary_condition_θ_bottom"] = float(ds.theta_bottom)
     return path

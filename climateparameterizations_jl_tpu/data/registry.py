@@ -128,6 +128,45 @@ def free_convection_url(simulation_id: int) -> str:
     return f"{ENGAGING_LESBRARY_DIR}/free_convection_{simulation_id}/instantaneous_statistics_with_halos.jld2"
 
 
+def fetch_free_convection(simulation_id: int, data_dir: str, timeout: float = 60.0, force: bool = False) -> str:
+    """Download one MIT-hosted free-convection dataset into the DataDeps
+    layout ``<data_dir>/free_convection_<id>/instantaneous_statistics_with_halos.jld2``.
+
+    Parity: the reference registers these as DataDeps and auto-fetches on
+    first use (``free_convection/src/data.jl:3-12``). Offline failure is
+    graceful: raises ``ConnectionError`` with the URL so callers can fall
+    back to synthetic stand-ins. Downloads stream to a ``.part`` file and
+    rename atomically, so an interrupted fetch never leaves a half-written
+    file that :func:`load_free_convection_simulation` would trust.
+    """
+    import os
+    import urllib.error
+    import urllib.request
+
+    url = free_convection_url(simulation_id)
+    dest = os.path.join(data_dir, f"free_convection_{simulation_id}", "instantaneous_statistics_with_halos.jld2")
+    if os.path.exists(dest) and not force:
+        return dest
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    part = dest + ".part"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(part, "wb") as out:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(part, dest)
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        if os.path.exists(part):
+            os.remove(part)
+        raise ConnectionError(
+            f"could not fetch {url}: {e}. Offline? Pre-place the file at {dest} "
+            f"or use the synthetic/les3d stand-ins (source='auto' falls back automatically)."
+        ) from e
+    return dest
+
+
 def _build_catalog() -> tuple:
     """All canonical 8-day names, reconstructed from the parameter grids."""
     names = list(TWO_DAY_SUITE)
