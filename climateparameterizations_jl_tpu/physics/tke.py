@@ -1,22 +1,40 @@
 """TKE-based mass-flux column closure, batched and jitted.
 
-Reimplementation of the role OceanTurb.jl's ``TKEMassFlux.Model`` plays as
-the reference's second classical baseline
-(``src/PhysicalParameterizations/turbulent_kinetic_energy_closure.jl:1-60``,
-``free_convection/src/tke_mass_flux.jl:3-52`` with
-``RiDependentDiffusivities``). One prognostic turbulent kinetic energy
-equation closes the eddy diffusivities:
+Reimplementation of OceanTurb.jl's ``TKEMassFlux.Model`` in the exact
+configuration the reference instantiates
+(``src/PhysicalParameterizations/turbulent_kinetic_energy_closure.jl:1-60``;
+``free_convection/src/tke_mass_flux.jl:21-27``: ``stepper=:BackwardEuler``,
+``eddy_diffusivities=RiDependentDiffusivities()``). One prognostic
+turbulent-kinetic-energy equation closes the eddy diffusivities:
 
-    de/dt = d/dz(K_e de/dz) + K_U S^2 - K_T N^2 - Cd e^(3/2) / ell + surface production
+    de/dt = d/dz(K_e de/dz) + K_U S^2 - K_C N^2 - Cd e^(3/2) / ell
     ell   = min(kappa_vk * d, Cb * sqrt(e) / N)    (wall- and stratification-limited)
-    K_Phi = C_Phi * ell * sqrt(e) + K0_Phi
+    K_phi = CK_phi(Ri) * ell * sqrt(e) + K0_phi
 
-with Richardson-number-dependent stability coefficients ``C_Phi(Ri)``
-(the ``RiDependentDiffusivities`` choice in ``tke_mass_flux.jl:21-27``):
-``C_Phi = C_Phi_shear + (C_Phi_conv - C_Phi_shear) * step(-Ri)``.
+**RiDependentDiffusivities**: each field's stability coefficient blends
+between a low-Ri (convective/neutral) and a high-Ri (stably stratified)
+branch through a smooth step in the local gradient Richardson number,
+
+    CK_phi(Ri) = CK_phi_minus + (CK_phi_plus - CK_phi_minus) * step(Ri)
+    step(x)    = (1 + tanh((x - CK_Ric) / CK_Riw)) / 2
+
+for phi in {U (momentum), C (tracers), e (TKE)} — the TKE diffusivity is
+Ri-dependent too, like OceanTurb's.
+
+**TKE wall model**: the surface injects TKE as a flux through the top face,
+``Cw_ustar * ustar^3`` from wind work plus a convective seed
+``Cw_b * max(Fb, 0) * dz`` from a destabilizing surface buoyancy flux (the
+finite-volume form of OceanTurb's prescribed surface TKE flux).
 
 Stepping: explicit sources, implicit vertical diffusion (batched Thomas),
 same operator split as the KPP model. Everything batches over leading axes.
+
+Fidelity note: OceanTurb.jl itself is an external dependency of the
+reference (not vendored), so the coefficient DEFAULTS here are pinned by
+golden physics tests instead of line-by-line transcription — free-convection
+mixed-layer deepening must track the encroachment law the rest of the suite
+trusts (``tests/test_kpp_tke.py::TestTKE``), heat/momentum budgets must
+close, and wind mixing must generate near-surface TKE.
 """
 
 from __future__ import annotations
@@ -28,35 +46,54 @@ import jax.numpy as jnp
 
 from climateparameterizations_jl_tpu.core.operators import d_center_to_face
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
-from climateparameterizations_jl_tpu.physics.mpp import tanh_step
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TKEParameters:
+    """TKEMassFlux parameter set: dissipation (``TKEParameters.Cᴰ``),
+    mixing length, ``RiDependentDiffusivities`` coefficients, and the
+    surface TKE wall model."""
+
     kappa_vk: jnp.ndarray  # von Karman constant (wall mixing length)
     Cb: jnp.ndarray  # stratified mixing-length coefficient
-    Cd: jnp.ndarray  # dissipation coefficient
-    CK_U_shear: jnp.ndarray  # velocity diffusivity coefficient, shear regime
-    CK_U_conv: jnp.ndarray  # velocity diffusivity coefficient, convective regime
-    CK_T_shear: jnp.ndarray
-    CK_T_conv: jnp.ndarray
-    CK_e: jnp.ndarray  # TKE diffusivity coefficient
-    C_surf: jnp.ndarray  # surface TKE production coefficient (~ ustar^3 input)
+    Cd: jnp.ndarray  # dissipation coefficient (OceanTurb TKEParameters.Cᴰ)
+    # RiDependentDiffusivities: minus = low-Ri branch, plus = high-Ri branch
+    CKu_minus: jnp.ndarray  # momentum diffusivity, convective/neutral
+    CKu_plus: jnp.ndarray  # momentum diffusivity, stratified
+    CKc_minus: jnp.ndarray  # tracer diffusivity, convective/neutral
+    CKc_plus: jnp.ndarray  # tracer diffusivity, stratified
+    CKe_minus: jnp.ndarray  # TKE diffusivity, convective/neutral
+    CKe_plus: jnp.ndarray  # TKE diffusivity, stratified
+    CK_Ric: jnp.ndarray  # step center (critical Ri)
+    CK_Riw: jnp.ndarray  # step width
+    # Surface TKE wall model (flux through the top face)
+    Cw_ustar: jnp.ndarray  # wind-work TKE flux coefficient (* ustar^3)
+    Cw_b: jnp.ndarray  # convective TKE seed coefficient (* max(Fb,0) * dz)
     e_min: jnp.ndarray
     ell_min: jnp.ndarray
-    KU0: jnp.ndarray
-    KT0: jnp.ndarray
+    KU0: jnp.ndarray  # background momentum/TKE diffusivity
+    KT0: jnp.ndarray  # background tracer diffusivity
 
     @classmethod
     def default(cls, dtype=jnp.float32, **overrides) -> "TKEParameters":
         vals = dict(
-            kappa_vk=0.4, Cb=0.7, Cd=2.91, CK_U_shear=0.1, CK_U_conv=0.4,
-            CK_T_shear=0.16, CK_T_conv=1.3, CK_e=0.1, C_surf=3.75,
+            kappa_vk=0.4, Cb=0.7, Cd=2.91,
+            CKu_minus=0.4, CKu_plus=0.1,
+            CKc_minus=1.3, CKc_plus=0.16,
+            CKe_minus=0.4, CKe_plus=0.1,
+            CK_Ric=0.3, CK_Riw=0.1,
+            Cw_ustar=3.75, Cw_b=1.0,
             e_min=1e-9, ell_min=0.01, KU0=1e-6, KT0=1e-7,
         )
         vals.update(overrides)
         return cls(**{k: jnp.asarray(v, dtype) for k, v in vals.items()})
+
+    def sigma(self, Ri, minus, plus):
+        """``RiDependentDiffusivities`` blend: smooth step from the low-Ri
+        to the high-Ri coefficient across ``CK_Ric`` with width ``CK_Riw``."""
+        step = 0.5 * (1.0 + jnp.tanh((Ri - self.CK_Ric) / self.CK_Riw))
+        return minus + (plus - minus) * step
 
 
 @jax.tree_util.register_dataclass
@@ -90,14 +127,16 @@ def tke_diffusivities(state: TKEState, dz, zc, params: TKEParameters, g, alpha):
     ell = jnp.minimum(d_wall, ell_strat)
     ell = jnp.maximum(ell, params.ell_min)
 
-    # Ri-dependent stability coefficients: blend shear <-> convective regimes.
-    conv_weight = tanh_step(Ri)  # ~1 for Ri << 0 (convective), ~0 for stratified
-    CK_U = params.CK_U_shear + (params.CK_U_conv - params.CK_U_shear) * conv_weight
-    CK_T = params.CK_T_shear + (params.CK_T_conv - params.CK_T_shear) * conv_weight
+    # RiDependentDiffusivities: per-field smooth step between the
+    # convective/neutral and stratified branches — including the TKE
+    # diffusivity (tke_mass_flux.jl:26).
+    CK_U = params.sigma(Ri, params.CKu_minus, params.CKu_plus)
+    CK_T = params.sigma(Ri, params.CKc_minus, params.CKc_plus)
+    CK_e = params.sigma(Ri, params.CKe_minus, params.CKe_plus)
 
     K_U = CK_U * ell * sqrt_e + params.KU0
     K_T = CK_T * ell * sqrt_e + params.KT0
-    K_e = params.CK_e * ell * sqrt_e + params.KU0
+    K_e = CK_e * ell * sqrt_e + params.KU0
 
     mask = jnp.ones_like(K_U).at[..., 0].set(0.0).at[..., -1].set(0.0)
     return K_U * mask, K_T * mask, K_e * mask, (S2, N2, ell, sqrt_e)
@@ -127,11 +166,12 @@ def tke_step(state: TKEState, dt, dz, zc, params: TKEParameters, Fu, Fb, f_cor, 
     dissipation = params.Cd * e_center**1.5 / ell_c
 
     e_half = jnp.maximum(state.e + dt * (production - dissipation), params.e_min)
-    # Surface TKE production from wind work: flux C_surf * ustar^3 into top cell.
+    # Surface TKE wall model: one flux through the top face — wind work
+    # (Cw_ustar * ustar^3) plus the convective seed from a destabilizing
+    # surface buoyancy flux (Cw_b * max(Fb, 0) * dz).
     ustar3 = jnp.abs(Fu) ** 1.5
-    e_half = e_half.at[..., -1].add(dt * params.C_surf * ustar3 / dz)
-    # Convective TKE input from destabilizing surface buoyancy flux.
-    e_half = e_half.at[..., -1].add(dt * jnp.maximum(0.0, Fb))
+    e_flux_surf = params.Cw_ustar * ustar3 + params.Cw_b * jnp.maximum(0.0, Fb) * dz
+    e_half = e_half.at[..., -1].add(dt * e_flux_surf / dz)
 
     # Forward-backward Coriolis (neutrally stable; forward Euler amplifies
     # inertial oscillations by sqrt(1 + (f dt)^2) per step).
