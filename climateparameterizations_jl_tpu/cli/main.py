@@ -493,12 +493,19 @@ def cmd_train_nde(args) -> int:
             else None
         ),
     )
-    windows = [int(x) for x in args.curriculum.split(",")] if args.curriculum else [args.n_train_steps]
+    # Curriculum entries are "window" or "window:stride" — the reference's
+    # tranges are strided saveat ranges over the full span (the flagship is
+    # 1:9:1153, train_NDE_args.jl:197: every 9th frame of the 8-day run).
+    def parse_stage(x: str):
+        w, _, s = x.partition(":")
+        return int(w), int(s) if s else 1
+
+    windows = [parse_stage(x) for x in args.curriculum.split(",")] if args.curriculum else [(args.n_train_steps, 1)]
     n_frames = ds.t.reshape(-1, ds.t.shape[-1]).shape[-1] if ds.t.ndim > 1 else ds.t.shape[-1]
-    if any(w > n_frames for w in windows):
+    if any(w > n_frames for w, _ in windows):
         print(f"warning: clamping training windows {windows} to {n_frames} available frames")
-        windows = [min(w, n_frames) for w in windows]
-    stages = [CurriculumStage(tsteps=np.arange(0, w), maxiters=args.maxiters, learning_rate=args.lr) for w in windows]
+        windows = [(min(w, n_frames), s) for w, s in windows]
+    stages = [CurriculumStage(tsteps=np.arange(0, w, s), maxiters=args.maxiters, learning_rate=args.lr) for w, s in windows]
     batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau, diurnal=diurnal)  # noqa: E731
     batch = batch_fn(stages[0].tsteps)
 

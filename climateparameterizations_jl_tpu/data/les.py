@@ -72,6 +72,9 @@ class LESConfig:
     # Diurnal surface heat flux: theta_top * sin(2 pi t / day) (parity:
     # ``diurnal_fluxes``, ``wind_mixing/src/data_containers.jl:131-156``).
     diurnal: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Tracer advection: "weno5" (the reference LES uses WENO5,
+    # wind_mixing/wind_mixing.jl:1-143) or "centered" (2nd-order A/B).
+    advection: str = dataclasses.field(metadata=dict(static=True), default="weno5")
 
     @classmethod
     def default(cls, Nx=32, Ny=32, Nz=32, Qu=-5e-4, Qb=3e-8, dtype=jnp.float32, **overrides):
@@ -268,9 +271,16 @@ def _tendencies(config: LESConfig, state: LESState, t):
         return 0.5 * (q[..., :-1] + q[..., 1:])
 
     # --- temperature ------------------------------------------------------
-    FTx = u * 0.5 * (T + _xm(T))
-    FTy = v * 0.5 * (T + _ym(T))
-    FTz_int = w[..., 1:-1] * zface_of_center(T)
+    if c.advection == "weno5":
+        from climateparameterizations_jl_tpu.core.advection import weno5_advective_flux
+
+        FTx = weno5_advective_flux(u, T, axis=1, boundary="periodic")
+        FTy = weno5_advective_flux(v, T, axis=0, boundary="periodic")
+        FTz_int = weno5_advective_flux(w[..., 1:-1], T, axis=2, boundary="edge")
+    else:
+        FTx = u * 0.5 * (T + _xm(T))
+        FTy = v * 0.5 * (T + _ym(T))
+        FTz_int = w[..., 1:-1] * zface_of_center(T)
     zeros_f = jnp.zeros_like(w[..., :1])
     FTz = jnp.concatenate([zeros_f, FTz_int, zeros_f], axis=-1)
     adv_T = (_xp(FTx) - FTx) / dx + (_yp(FTy) - FTy) / dy + (FTz[..., 1:] - FTz[..., :-1]) / dz

@@ -74,6 +74,9 @@ class DoubleGyreModel:
     Ny: int = dataclasses.field(metadata=dict(static=True), default=96)
     Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
     linear_momentum: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Tracer advection scheme: "weno5" (default; the reference uses WENO5,
+    # double_gyre.jl:60-196) or "centered" (2nd-order, kept for A/B).
+    advection: str = dataclasses.field(metadata=dict(static=True), default="weno5")
 
     @classmethod
     def default(cls, Nx: int = 96, Ny: int = 96, Nz: int = 32, dtype=jnp.float32, **overrides) -> "DoubleGyreModel":
@@ -84,9 +87,10 @@ class DoubleGyreModel:
             kappa_h=1e3, kappa_v=1e-5, kappa_conv=1.0,
             T_north=2.0, T_south=22.0, t_restore=30.0 * 86400.0,
         )
+        static = {k: overrides.pop(k) for k in ("linear_momentum", "advection") if k in overrides}
         vals.update(overrides)
         leaves = {k: jnp.asarray(v, dtype) for k, v in vals.items()}
-        return cls(Nx=Nx, Ny=Ny, Nz=Nz, **leaves)
+        return cls(Nx=Nx, Ny=Ny, Nz=Nz, **static, **leaves)
 
     @property
     def dx(self):
@@ -381,14 +385,28 @@ def double_gyre_step(
     v_new = v_star.at[1:-1, :, :].add(corr_y)
 
     # ---- temperature: flux-form advection + diffusion + forcings ---------
-    T_at_u = 0.5 * (T[:, 1:, :] + T[:, :-1, :])
-    Fx = u[:, 1:-1, :] * T_at_u
-    Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
-    T_at_v = 0.5 * (T[1:, :, :] + T[:-1, :, :])
-    Fy = v[1:-1, :, :] * T_at_v
-    Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
-    Tz = jnp.concatenate([T[..., :1], 0.5 * (T[..., 1:] + T[..., :-1]), T[..., -1:]], axis=-1)
-    Fz = w * Tz
+    # WENO5 upwind faces by default (the reference's scheme); "centered"
+    # keeps the 2nd-order faces for A/B. Wall faces carry zero flux either
+    # way; z boundary faces keep the first-order edge value (no 5-point
+    # stencil exists there).
+    if model.advection == "weno5":
+        from climateparameterizations_jl_tpu.core.advection import weno5_advective_flux
+
+        Fx = weno5_advective_flux(u[:, 1:-1, :], T, axis=1, boundary="edge")
+        Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
+        Fy = weno5_advective_flux(v[1:-1, :, :], T, axis=0, boundary="edge")
+        Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
+        Fz_int = weno5_advective_flux(w[..., 1:-1], T, axis=2, boundary="edge")
+        Fz = jnp.concatenate([w[..., :1] * T[..., :1], Fz_int, w[..., -1:] * T[..., -1:]], axis=-1)
+    else:
+        T_at_u = 0.5 * (T[:, 1:, :] + T[:, :-1, :])
+        Fx = u[:, 1:-1, :] * T_at_u
+        Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
+        T_at_v = 0.5 * (T[1:, :, :] + T[:-1, :, :])
+        Fy = v[1:-1, :, :] * T_at_v
+        Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
+        Tz = jnp.concatenate([T[..., :1], 0.5 * (T[..., 1:] + T[..., :-1]), T[..., -1:]], axis=-1)
+        Fz = w * Tz
     GT = (
         -(Fx[:, 1:, :] - Fx[:, :-1, :]) / dx
         - (Fy[1:, :, :] - Fy[:-1, :, :]) / dy

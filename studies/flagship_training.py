@@ -1,0 +1,234 @@
+"""Reference-scale flagship NDE training (VERDICT r1 item 3).
+
+Reproduces the reference's flagship wind-mixing run at full problem scale
+(``wind_mixing/train_NDE_args.jl``): the 18-simulation wind+cooling /
+wind+heating suite, 8-day simulations saved every 600 s (1153 frames),
+trained through the coupled triple-NN NDE with the mPP base closure,
+auto-balanced 6-channel loss (T = 0.8, dT/dz = 0.8, profile = 0.5,
+``train_NDE_args.jl:174``), zero-weights BC mode, and curriculum staging to
+the full ``1:9:1153`` trange (``train_NDE_args.jl:197``; the fresh-run
+staging pattern follows ``train_NDE.jl:138`` / the free-convection
+``1:20 -> 1:40:801`` progression).
+
+Each NDE stage keeps the inner step at dt = 600 s (the LES save spacing):
+stride-s saveat with n_substeps = s. The final stage therefore integrates
+all 1,152 inner steps of the 8 days per iteration, per simulation — the
+trajectory length that stresses remat, curriculum, and stability.
+
+Modes:
+  ``--mode train``      full flagship run (TPU; ~minutes)
+  ``--mode step-bench`` measure ONE final-stage train step (compile +
+                         steady-state), for the TPU-vs-single-thread-CPU
+                         speedup methodology (BASELINE.json's >= 50x NDE
+                         training target; the reference trained
+                         single-threaded, BLAS.set_num_threads(1),
+                         ``train_NDE.jl:11``). Run it once on TPU and once
+                         under ``taskset -c 0`` with CPU platform.
+
+Results are written to ``--out`` (JSON) and summarized in docs/RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+TRAIN_FILES = [  # train_NDE_args.jl:39-59
+    "wind_-5e-4_cooling_3e-8_new", "wind_-5e-4_cooling_1e-8_new",
+    "wind_-2e-4_cooling_3e-8_new", "wind_-2e-4_cooling_1e-8_new",
+    "wind_-5e-4_heating_-3e-8_new", "wind_-2e-4_heating_-1e-8_new",
+    "wind_-2e-4_heating_-3e-8_new", "wind_-5e-4_heating_-1e-8_new",
+    "wind_-3.5e-4_cooling_2e-8_new", "wind_-3.5e-4_heating_-2e-8_new",
+    "wind_-5e-4_cooling_2e-8_new", "wind_-3.5e-4_cooling_3e-8_new",
+    "wind_-3.5e-4_cooling_1e-8_new", "wind_-2e-4_cooling_2e-8_new",
+    "wind_-3.5e-4_heating_-3e-8_new", "wind_-3.5e-4_heating_-1e-8_new",
+    "wind_-2e-4_heating_-2e-8_new", "wind_-5e-4_heating_-2e-8_new",
+]
+# Held-out: interpolation members of the same forcing grids (the reference's
+# test lists draw from these axes, train_NDE_args.jl:230+).
+TEST_FILES = ["wind_-4.5e-4_cooling_2.5e-8", "wind_-2.5e-4_cooling_1.5e-8", "wind_-4.5e-4_heating_-2.5e-8"]
+
+N_FRAMES = 1153  # 8 days at 600 s saves
+# (window, stride, maxiters, lr): keep dt = stride * 600 / n_substeps = 600 s
+STAGES = [(200, 20, 150, 1e-2), (577, 12, 100, 3e-3), (1153, 9, 130, 1e-3)]
+
+
+def load_suite(names, Nz=32):
+    from climateparameterizations_jl_tpu.cli.main import _load_suite
+
+    return _load_suite(names, Nz, None, N_FRAMES - 1, 600.0)
+
+
+def build(Nz=32, seed=0):
+    import jax
+
+    from climateparameterizations_jl_tpu.cli.main import _wind_model
+    from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+
+    ds = load_suite(TRAIN_FILES, Nz)
+    model = _wind_model(ds, Nz)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    nns = FluxNNs(*[wind_mixing_mlp(k, Nz, scale=1e-5) for k in ks])
+    return ds, model, nns
+
+
+def pretrain(ds, model, nns, epochs=150, lr=1e-3):
+    """Flux pre-training on direct (state -> flux) pairs, per flux NN
+    (the reference warm-starts its NDE from direct NN training)."""
+    from climateparameterizations_jl_tpu.data.containers import direct_regression_pairs
+    from climateparameterizations_jl_tpu.train.nn import train_flux_nn
+
+    out = {}
+    t0 = time.perf_counter()
+    for flux in ("uw", "vw", "wT"):
+        x, y = direct_regression_pairs(ds, model.scalings, flux)
+        nn, hist = train_flux_nn(getattr(nns, flux), x, y, learning_rate=lr, epochs=epochs)
+        nns = nns._replace(**{flux: nn})
+        out[flux] = (float(hist[0]), float(hist[-1]))
+    return nns, out, time.perf_counter() - t0
+
+
+def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5}):
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.train.nde import (
+        CurriculumStage,
+        NDETrainConfig,
+        train_wind_mixing_nde,
+    )
+
+    report = []
+    for window, stride, maxiters, lr in stages:
+        config = NDETrainConfig(
+            learning_rate=lr, maxiters=maxiters, n_substeps=stride, method="split",
+            training_fractions=fractions,
+        )
+        tsteps = np.arange(0, window, stride)
+        batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
+        t0 = time.perf_counter()
+        nns, hist = train_wind_mixing_nde(model, nns, batch, config)
+        wall = time.perf_counter() - t0
+        report.append(dict(
+            window=window, stride=stride, maxiters=maxiters, lr=lr,
+            n_saveat=len(tsteps), inner_steps=int((len(tsteps) - 1) * stride),
+            loss_initial=float(hist[0].total()), loss_final=float(hist[-1].total()),
+            wall_s=wall, s_per_iter=wall / maxiters,
+            loss_curve=[float(h.total()) for h in hist[:: max(1, maxiters // 25)]],
+        ))
+        print(f"stage window={window} stride={stride}: {report[-1]['loss_initial']:.4e} -> "
+              f"{report[-1]['loss_final']:.4e} in {wall:.1f} s ({wall / maxiters * 1e3:.0f} ms/iter)", flush=True)
+    return nns, report
+
+
+def evaluate(model, nns, Nz=32):
+    """Held-out NDE vs mPP-only trajectory losses over the full 8 days."""
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, _solve
+
+    config = NDETrainConfig(method="split", n_substeps=9, train_gradient=False)
+    tsteps = np.arange(0, N_FRAMES, 9)
+    out = {}
+    for name in TEST_FILES:
+        ds = load_suite([name], Nz)
+        batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
+        mse = lambda n: float(jnp.mean((_solve(model, n, batch, config) - batch.targets) ** 2))  # noqa: E731
+        nde, mpp = mse(nns), mse(FluxNNs(uw=None, vw=None, wT=None))
+        out[name] = dict(nde=nde, mpp_only=mpp, win=mpp / nde)
+        print(f"eval[{name}]: NDE {nde:.4e} vs mPP {mpp:.4e} ({mpp / nde:.1f}x)", flush=True)
+    return out
+
+
+def step_bench(n_timed=10):
+    """Compile + steady-state time of ONE final-stage train step."""
+    import jax
+
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.train.loss import apply_loss_scalings, nde_loss_channels
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, _solve, determine_loss_scalings
+    import optax
+
+    ds, model, nns = build()
+    window, stride, _, lr = STAGES[-1]
+    config = NDETrainConfig(learning_rate=lr, n_substeps=stride, method="split",
+                            training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5})
+    batch = training_tensors(ds, model.scalings, np.arange(0, window, stride), tau=model.tau)
+    scalings = determine_loss_scalings(model, nns, batch, config)
+
+    def loss_fn(nns):
+        pred = _solve(model, nns, batch, config)
+        ch = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
+        return apply_loss_scalings(ch, scalings).total()
+
+    opt = optax.adam(lr)
+    state = opt.init(nns)
+
+    @jax.jit
+    def step(nns, state):
+        loss, g = jax.value_and_grad(loss_fn)(nns)
+        up, state = opt.update(g, state, nns)
+        return optax.apply_updates(nns, up), state, loss
+
+    t0 = time.perf_counter()
+    nns, state, loss = step(nns, state)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        nns, state, loss = step(nns, state)
+    jax.block_until_ready(loss)
+    per_iter = (time.perf_counter() - t0) / n_timed
+    sims, inner = len(TRAIN_FILES), (len(np.arange(0, window, stride)) - 1) * stride
+    return dict(
+        backend=jax.default_backend(), compile_s=compile_s, s_per_iter=per_iter,
+        sims=sims, inner_steps=inner,
+        column_timesteps_per_s=sims * inner / per_iter,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="train", choices=["train", "step-bench"])
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
+    args = ap.parse_args(argv)
+    if args.smoke:
+        global STAGES
+        STAGES = [(w, s, 3, lr) for w, s, _, lr in STAGES]
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.mode == "step-bench":
+        result = step_bench()
+        print(json.dumps(result))
+    else:
+        wall0 = time.perf_counter()
+        t0 = time.perf_counter()
+        ds, model, nns = build()
+        data_s = time.perf_counter() - t0
+        nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else 150)
+        print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
+        nns, stages = nde_train(ds, model, nns)
+        held_out = evaluate(model, nns)
+        result = dict(
+            sims=len(TRAIN_FILES), frames=N_FRAMES, data_s=data_s,
+            pretrain=pre, pretrain_s=pre_s, stages=stages, held_out=held_out,
+            total_wall_s=time.perf_counter() - wall0,
+        )
+        print(f"TOTAL wall: {result['total_wall_s']:.1f} s")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()
