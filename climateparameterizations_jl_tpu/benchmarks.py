@@ -24,7 +24,7 @@ import json
 import jax
 import jax.numpy as jnp
 
-from climateparameterizations_jl_tpu.utils.profiling import time_fn
+from climateparameterizations_jl_tpu.utils.profiling import attach_roofline, time_fn
 
 # Reference wall-clock numbers recorded in wind_mixing/Benchmarking.jl:22-55
 # (single column, single-threaded CPU, circa 2021).
@@ -60,6 +60,7 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
         lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4).T
     )
     stats = time_fn(fn, state0, iters=5, pipelined=True)
+    attach_roofline(stats, fn, state0, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["kpp_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -83,6 +84,7 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
 
     fn = jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
     stats = time_fn(fn, state0, iters=5, pipelined=True)
+    attach_roofline(stats, fn, state0, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["tke_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -113,7 +115,9 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
         def build_three(x, y1, y2, y3):
             return tuple(gp_fit(x, y, kernel, z).alpha for y in (y1, y2, y3))
 
-    stats = time_fn(jax.jit(build_three), x, *ys, iters=3, pipelined=True)
+    built = jax.jit(build_three)
+    stats = time_fn(built, x, *ys, iters=3, pipelined=True)
+    attach_roofline(stats, built, x, *ys)
     stats["vs_reference"] = REFERENCE_SECONDS["gp_build_3_models"] / stats["median_s"]
     return stats
 
@@ -145,6 +149,7 @@ def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, 
         return x
 
     stats = time_fn(run, nns, x0, iters=5, pipelined=True)
+    attach_roofline(stats, run, nns, x0, loop_steps=n_steps // (4 if packed else 1))
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     return stats
 
@@ -186,6 +191,7 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
         return optax.apply_updates(nns, updates), opt_state, total
 
     stats = time_fn(step, nns, opt_state, iters=5, pipelined=True)
+    attach_roofline(stats, step, nns, opt_state, loop_steps=n_window * 4)
     stats["train_steps_per_sec"] = 1.0 / stats["median_s"]
     return stats
 
@@ -215,6 +221,7 @@ def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 3
         lambda s: run_double_gyre(model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn, T_scaling=Ts, wT_scaling=ws).T
     )
     stats = time_fn(fn, state0, iters=3, pipelined=True)
+    attach_roofline(stats, fn, state0, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = Nx * Ny * n_steps / stats["median_s"]
     return stats
 

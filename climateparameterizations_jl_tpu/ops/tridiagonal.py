@@ -62,6 +62,49 @@ def _thomas_scan(dl, d, du, b, unroll: int = 1):
     return jnp.moveaxis(x_rev, 0, -1)
 
 
+def _thomas_pcr(dl, d, du, b):
+    """Parallel cyclic reduction over the last axis.
+
+    ceil(log2 N) elimination rounds, each a handful of ELEMENTWISE ops on
+    shifted copies of the diagonals — ~2 log2(N) fused XLA kernels instead
+    of the Thomas scan's 2N sequential steps. At Nz = 32 that is 5 rounds
+    vs 64 scan iterations: the direct attack on the op-issue-latency-bound
+    chain that dominates the split/KPP/TKE steppers (VERDICT r1 item 7).
+    Differentiable (pure jnp), any backend. Numerically safe for the
+    diagonally-dominant ``I + dt*D`` systems this repo solves.
+    """
+    import math
+
+    n = b.shape[-1]
+    # API contract: dl[..., 0] and du[..., -1] are ignored.
+    a = dl.at[..., 0].set(0.0)
+    c = du.at[..., -1].set(0.0)
+    m, r = d, b
+
+    def shift(x, s, fill):
+        """x[..., i - s] (s > 0) or x[..., i + |s|] (s < 0), filled outside."""
+        pads = [(0, 0)] * (x.ndim - 1)
+        if s > 0:
+            xp = jnp.pad(x, pads + [(s, 0)], constant_values=fill)
+            return xp[..., :n]
+        xp = jnp.pad(x, pads + [(0, -s)], constant_values=fill)
+        return xp[..., -n:]
+
+    for k in range(max(1, math.ceil(math.log2(n)))):
+        s = 1 << k
+        m_m, m_p = shift(m, s, 1.0), shift(m, -s, 1.0)
+        a_m, a_p = shift(a, s, 0.0), shift(a, -s, 0.0)
+        c_m, c_p = shift(c, s, 0.0), shift(c, -s, 0.0)
+        r_m, r_p = shift(r, s, 0.0), shift(r, -s, 0.0)
+        alpha = -a / m_m  # rows with i - s out of range have a == 0 already
+        gamma = -c / m_p
+        m = m + alpha * c_m + gamma * a_p
+        r = r + alpha * r_m + gamma * r_p
+        a = alpha * a_m
+        c = gamma * c_p
+    return r / m
+
+
 def _tridiag_kernel(dl_ref, d_ref, du_ref, b_ref, out_ref, cp_ref, dp_ref):
     """Pallas kernel: systems along sublanes (axis 0), batch along lanes (axis 1)."""
     n = dl_ref.shape[0]
@@ -135,12 +178,16 @@ def tridiagonal_solve(dl, d, du, b, backend: str = "scan", unroll: int = 1):
       d: main diagonal, shape ``(..., N)``.
       du: super-diagonal, shape ``(..., N)``; ``du[..., N-1]`` is ignored.
       b: right-hand side, shape ``(..., N)``.
-      backend: ``"scan"`` (differentiable, any device) or ``"pallas"`` (TPU).
+      backend: ``"scan"`` (differentiable, any device), ``"pcr"`` (parallel
+        cyclic reduction — differentiable, log-depth, any device), or
+        ``"pallas"`` (TPU kernel).
       unroll: scan-backend unroll factor (see ``_thomas_scan``).
     """
     dl, d, du, b = jnp.broadcast_arrays(dl, d, du, b)
     if backend == "scan":
         return _thomas_scan(dl, d, du, b, unroll)
+    if backend == "pcr":
+        return _thomas_pcr(dl, d, du, b)
     if backend == "pallas":
         return _thomas_pallas(dl, d, du, b)
     raise ValueError(f"unknown tridiagonal backend: {backend!r}")

@@ -56,6 +56,33 @@ class TestThomas:
                 rtol=1e-8,
             )
 
+    @pytest.mark.parametrize("n", [3, 8, 32, 33, 100])
+    def test_pcr_matches_scan(self, n):
+        """Parallel cyclic reduction backend == Thomas scan on the same
+        systems (log-depth alternative for the latency-bound chain)."""
+        rng = np.random.default_rng(7)
+        dl, d, du, b = random_system(rng, n)
+        args = tuple(jnp.asarray(a) for a in (dl, d, du, b))
+        x_pcr = tridiagonal_solve(*args, backend="pcr")
+        expected = np.linalg.solve(dense_from_diags(dl, d, du), b)
+        np.testing.assert_allclose(np.asarray(x_pcr), expected, rtol=1e-8)
+
+    def test_pcr_batched_and_differentiable(self):
+        rng = np.random.default_rng(8)
+        systems = [random_system(rng, 32) for _ in range(4)]
+        stack = lambda i: jnp.asarray(np.stack([s[i] for s in systems]))  # noqa: E731
+        dl, d, du, b = (stack(i) for i in range(4))
+        x = tridiagonal_solve(dl, d, du, b, backend="pcr")
+        x_ref = tridiagonal_solve(dl, d, du, b, backend="scan")
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-9)
+
+        def loss(bb, backend):
+            return jnp.sum(tridiagonal_solve(dl, d, du, bb, backend=backend) ** 2)
+
+        g_pcr = jax.grad(lambda bb: loss(bb, "pcr"))(b)
+        g_scan = jax.grad(lambda bb: loss(bb, "scan"))(b)
+        np.testing.assert_allclose(np.asarray(g_pcr), np.asarray(g_scan), rtol=1e-7)
+
     def test_differentiable(self):
         rng = np.random.default_rng(2)
         dl, d, du, b = (jnp.asarray(a) for a in random_system(rng, 8))
