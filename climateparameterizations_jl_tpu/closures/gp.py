@@ -400,6 +400,67 @@ def mean_log_marginal_loss(model: GPModel, y_train, add_constant: bool = False):
     return total
 
 
+def optimize_kernel_hyperparameters(
+    x_train,
+    y_train,
+    kernel,
+    z,
+    iters: int = 100,
+    learning_rate: float = 0.05,
+):
+    """Type-II maximum likelihood: gradient-descend the (mean) negative log
+    marginal likelihood over the kernel hyperparameters.
+
+    Goes beyond the reference's grid search (``GaussianProcesses.jl:30-49``
+    sweeps log gamma only): every hyperparameter — ``(gamma, sigma, alpha)``
+    of a :class:`GPKernel`, or the full ``(w, mu, gamma)`` mixture of a
+    :class:`SpectralMixtureKernel` — moves under gradients THROUGH the
+    Cholesky factorization (the differentiable XLA path; the forward-only
+    Pallas Gram backend is deliberately not used here, see ``ops/gram.py``).
+    Positive parameters are optimized in log space. Whole optimization is
+    one jitted optax loop.
+
+    Returns ``(kernel, losses)`` with the fitted hyperparameters.
+    """
+    import optax
+
+    x_train = jnp.asarray(x_train)
+    y_train = jnp.asarray(y_train)
+
+    positive = {"gamma", "sigma", "alpha"} if isinstance(kernel, GPKernel) else {"gamma"}
+    fields = [f.name for f in dataclasses.fields(kernel) if isinstance(getattr(kernel, f.name), jnp.ndarray)]
+
+    def to_raw(k):
+        return {n: (jnp.log(getattr(k, n)) if n in positive else getattr(k, n)) for n in fields}
+
+    def from_raw(raw):
+        return dataclasses.replace(
+            kernel, **{n: (jnp.exp(v) if n in positive else v) for n, v in raw.items()}
+        )
+
+    def loss_fn(raw):
+        model = gp_fit(x_train, y_train, from_raw(raw), z)
+        # add_constant=True: the logdet term is what penalizes overfit
+        # length scales — without it the MLE degenerates.
+        return mean_log_marginal_loss(model, y_train, add_constant=True)
+
+    opt = optax.adam(learning_rate)
+    raw = to_raw(kernel)
+    state = opt.init(raw)
+
+    @jax.jit
+    def step(raw, state):
+        loss, g = jax.value_and_grad(loss_fn)(raw)
+        updates, state = opt.update(g, state, raw)
+        return optax.apply_updates(raw, updates), state, loss
+
+    losses = []
+    for _ in range(iters):
+        raw, state, loss = step(raw, state)
+        losses.append(float(loss))
+    return from_raw(raw), losses
+
+
 # ---------------------------------------------------------------------------
 # Model selection (grid search)
 # ---------------------------------------------------------------------------

@@ -380,7 +380,7 @@ def _interior_nu(model: WindMixingModel, x):
     return nu * mask
 
 
-def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True):
+def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True, unroll: int = 1):
     """Operator-split semi-implicit integration (unconditionally stable in nu).
 
     Per substep: explicit Euler on the NN fluxes + BC faces, then a
@@ -432,7 +432,9 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
         def body(x, i):
             return substep(x, t_start + i * dt), None
 
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_substeps))
+        # unroll: inline several substeps per scan iteration — the training
+        # batch is small, so the substep chain is op-issue-latency-bound.
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_substeps), unroll=min(unroll, n_substeps))
         return x
 
     if checkpoint:

@@ -144,7 +144,7 @@ def evaluate(model, nns, Nz=32):
     return out
 
 
-def step_bench(n_timed=10):
+def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1):
     """Compile + steady-state time of ONE final-stage train step."""
     import jax
 
@@ -156,7 +156,8 @@ def step_bench(n_timed=10):
     ds, model, nns = build()
     window, stride, _, lr = STAGES[-1]
     config = NDETrainConfig(learning_rate=lr, n_substeps=stride, method="split",
-                            training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5})
+                            training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
+                            tridiag_backend=tridiag_backend, split_unroll=split_unroll)
     batch = training_tensors(ds, model.scalings, np.arange(0, window, stride), tau=model.tau)
     scalings = determine_loss_scalings(model, nns, batch, config)
 
@@ -197,6 +198,8 @@ def main(argv=None):
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
+    ap.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"])
+    ap.add_argument("--split-unroll", type=int, default=1)
     args = ap.parse_args(argv)
     if args.smoke:
         global STAGES
@@ -207,7 +210,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     if args.mode == "step-bench":
-        result = step_bench()
+        result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll)
+        result["tridiag_backend"] = args.tridiag_backend
+        result["split_unroll"] = args.split_unroll
         print(json.dumps(result))
     else:
         wall0 = time.perf_counter()

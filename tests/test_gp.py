@@ -225,6 +225,44 @@ class TestModelSelection:
         assert err == pytest.approx(min(errs))
 
 
+class TestHyperparameterOptimization:
+    def test_mle_recovers_length_scale(self):
+        """Type-II MLE moves a badly-initialized length scale to one that
+        generalizes: held-out MSE after optimization beats the init by 10x."""
+        from climateparameterizations_jl_tpu.closures.gp import optimize_kernel_hyperparameters
+
+        rng = np.random.default_rng(11)
+        X = jnp.asarray(np.sort(rng.uniform(-3, 3, size=60))[:, None])
+        Y = jnp.sin(X)
+        Xv = jnp.asarray(np.linspace(-2.7, 2.7, 40)[:, None])
+        Yv = jnp.sin(Xv)
+        z = jnp.asarray([0.0])
+        bad = _kernel(gamma=0.03)  # far too short: interpolates noise-free but can't generalize
+
+        def val_mse(k):
+            return float(jnp.mean((gp_predict(gp_fit(X, Y, k, z), Xv) - Yv) ** 2))
+
+        fitted, losses = optimize_kernel_hyperparameters(X, Y, bad, z, iters=120, learning_rate=0.05)
+        assert losses[-1] < losses[0]
+        assert float(fitted.gamma) > 0.2  # moved toward a physical scale
+        assert val_mse(fitted) < 0.1 * val_mse(bad), (val_mse(fitted), val_mse(bad))
+
+    def test_spectral_mixture_hyperparameters_optimize(self):
+        from climateparameterizations_jl_tpu.closures.gp import (
+            default_spectral_mixture,
+            optimize_kernel_hyperparameters,
+        )
+
+        rng = np.random.default_rng(12)
+        X = jnp.asarray(np.sort(rng.uniform(-3, 3, size=50))[:, None])
+        Y = jnp.sin(2.0 * X)
+        z = jnp.asarray([0.0])
+        k0 = default_spectral_mixture(0.2, Q=2)
+        fitted, losses = optimize_kernel_hyperparameters(X, Y, k0, z, iters=60, learning_rate=0.03)
+        assert losses[-1] < losses[0]
+        assert np.isfinite(np.asarray(fitted.gamma)).all()
+
+
 class TestGPClosureDE:
     def test_gp_closure_integrates(self):
         """Fit GPs on synthetic flux data and integrate the GP-closure column."""
