@@ -102,7 +102,10 @@ def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, **kwargs) -> di
     """Add MFU + roofline columns to a ``time_fn`` stats dict, in place.
 
     ``mfu_pct`` = achieved FLOP rate / f32 MXU peak; ``hbm_util_pct`` =
-    achieved HBM bandwidth / peak; ``arithmetic_intensity`` (flops/byte)
+    OPERAND-byte rate / HBM peak — XLA's "bytes accessed" counts logical
+    operand bytes, so values over 100% mean the working set stays
+    VMEM-resident across fusion (an upper bound on real HBM traffic, and a
+    latency-bound tell); ``arithmetic_intensity`` (flops/byte)
     against the machine balance (~120 flops/byte at f32) says WHICH wall a
     kernel is near — most of this framework's workloads sit far below the
     balance point (latency/bandwidth regime), which these columns quantify
