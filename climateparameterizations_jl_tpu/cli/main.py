@@ -585,14 +585,22 @@ def cmd_train_fc_nde(args) -> int:
         print(f"train-fc-nde[pretrain]: loss {pre_hist[0]:.4e} -> {pre_hist[-1]:.4e}")
 
     n_frames = int(ds.t.shape[-1])
+
+    # Curriculum entries are "window" or "window:stride" — the reference's
+    # tranges are strided saveat ranges (1:20, 1:5:101, ..., burn-in
+    # 1:9:1153; train_free_convection_nde.jl:244,258).
+    def parse_stage(x: str):
+        w, _, s = x.partition(":")
+        return min(int(w), n_frames), int(s) if s else 1
+
     windows = (
-        [min(int(w), n_frames) for w in args.curriculum.split(",")]
+        [parse_stage(w) for w in args.curriculum.split(",")]
         if args.curriculum
-        else [min(args.n_train_steps, n_frames)]
+        else [(min(args.n_train_steps, n_frames), 1)]
     )
 
-    def stage_tensors(window: int):
-        tsteps = np.arange(0, window)
+    def stage_tensors(window: int, stride: int):
+        tsteps = np.arange(0, window, stride)
         T_sel = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
         T0 = T_scaling.scale(T_sel[..., 0, :])
         targets = T_scaling.scale(T_sel)
@@ -604,10 +612,12 @@ def cmd_train_fc_nde(args) -> int:
     # Staged curriculum over growing windows + full-span burn-in at decayed
     # LR (train_free_convection_nde.jl:246-266).
     history = []
-    for stage_i, window in enumerate(windows):
+    for stage_i, (window, stride) in enumerate(windows):
         lr = args.lr * (args.burn_in_lr_decay if stage_i == len(windows) - 1 and len(windows) > 1 else 1.0)
-        config = NDETrainConfig(learning_rate=lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method)
-        T0, targets, t = stage_tensors(window)
+        # Keep the inner step at the save spacing: stride-s saveat with
+        # n_substeps scaled by s integrates the same physical dt.
+        config = NDETrainConfig(learning_rate=lr, maxiters=args.maxiters, n_substeps=args.n_substeps * stride, method=args.method)
+        T0, targets, t = stage_tensors(window, stride)
         nn, h = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output))
         history.extend(h)
     meta = {

@@ -52,8 +52,12 @@ TRAIN_FILES = [  # train_NDE_args.jl:39-59
 TEST_FILES = ["wind_-4.5e-4_cooling_2.5e-8", "wind_-2.5e-4_cooling_1.5e-8", "wind_-4.5e-4_heating_-2.5e-8"]
 
 N_FRAMES = 1153  # 8 days at 600 s saves
-# (window, stride, maxiters, lr): keep dt = stride * 600 / n_substeps = 600 s
-STAGES = [(200, 20, 150, 1e-2), (577, 12, 100, 3e-3), (1153, 9, 130, 1e-3)]
+# (window, stride, maxiters, lr): keep dt = stride * 600 / n_substeps = 600 s.
+# Final stage = the reference's flagship 1:9:1153 x 130 iters
+# (train_NDE_args.jl:196-198) followed by a decayed-lr burn-in on the same
+# window (the free-convection recipe's final stage,
+# train_free_convection_nde.jl:259-266).
+STAGES = [(200, 20, 150, 1e-2), (577, 12, 100, 3e-3), (1153, 9, 130, 1e-3), (1153, 9, 200, 2e-4)]
 
 
 def load_suite(names, Nz=32):
@@ -90,6 +94,35 @@ def pretrain(ds, model, nns, epochs=150, lr=1e-3):
         nns = nns._replace(**{flux: nn})
         out[flux] = (float(hist[0]), float(hist[-1]))
     return nns, out, time.perf_counter() - t0
+
+
+def calibrate_mpp(ds, model, optimizer="lbfgs", maxiters=60, window=200, stride=20):
+    """Pre-calibrate the 5 mPP parameters on the training suite.
+
+    The reference's flagship run does NOT use default mPP parameters: it
+    loads them from a prior 5-parameter optimisation
+    (``train_NDE_args.jl:64-108`` reads ``parameter_optimisation_18sim_...``)
+    produced by BFGS/LBFGS (``optimise_modified_pacanowski_philander_args.jl:66-72``).
+    """
+    import dataclasses
+
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.train.mpp_calibration import optimise_mpp_parameters
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    t0 = time.perf_counter()
+    config = NDETrainConfig(
+        learning_rate=0.05, maxiters=maxiters, n_substeps=stride, method="split",
+        train_gradient=False, optimizer=optimizer,
+    )
+    batch = training_tensors(ds, model.scalings, np.arange(0, window, stride), tau=model.tau)
+    fitted, history = optimise_mpp_parameters(model, batch, config)
+    info = dict(
+        optimizer=optimizer, loss_initial=history[0][0], loss_final=min(h[0] for h in history),
+        wall_s=time.perf_counter() - t0,
+        params={k: float(getattr(fitted, k)) for k in ("nu_0", "nu_minus", "delta_Ri", "Ri_c", "Pr")},
+    )
+    return dataclasses.replace(model, mpp=fitted), info
 
 
 def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5}):
@@ -200,6 +233,7 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
     ap.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"])
     ap.add_argument("--split-unroll", type=int, default=1)
+    ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
     args = ap.parse_args(argv)
     if args.smoke:
         global STAGES
@@ -219,12 +253,17 @@ def main(argv=None):
         t0 = time.perf_counter()
         ds, model, nns = build()
         data_s = time.perf_counter() - t0
+        mpp_info = None
+        if args.calibrate_mpp:
+            model, mpp_info = calibrate_mpp(ds, model, maxiters=5 if args.smoke else 60)
+            print(f"mPP calibration ({mpp_info['wall_s']:.1f} s, {mpp_info['optimizer']}): "
+                  f"{mpp_info['loss_initial']:.4e} -> {mpp_info['loss_final']:.4e}; {mpp_info['params']}", flush=True)
         nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else 150)
         print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
         nns, stages = nde_train(ds, model, nns)
         held_out = evaluate(model, nns)
         result = dict(
-            sims=len(TRAIN_FILES), frames=N_FRAMES, data_s=data_s,
+            sims=len(TRAIN_FILES), frames=N_FRAMES, data_s=data_s, mpp_calibration=mpp_info,
             pretrain=pre, pretrain_s=pre_s, stages=stages, held_out=held_out,
             total_wall_s=time.perf_counter() - wall0,
         )
