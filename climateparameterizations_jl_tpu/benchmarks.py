@@ -307,6 +307,38 @@ def bench_tridiagonal(n_systems: int = 16384, N: int = 32):
     return out
 
 
+def bench_fc_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1152):
+    """Free-convection conv-adj column forward run (BASELINE config #1:
+    ``free_convection/convective_adjustment.jl``'s operator-split path at
+    the 8-day, 600 s-step scale)."""
+    from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+    from climateparameterizations_jl_tpu.models.free_convection import (
+        FreeConvectionModel,
+        solve_free_convection_split,
+    )
+
+    f32 = jnp.float32
+    H, t_end = 256.0, n_steps * 600.0
+    zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (H / Nz) - H
+    Ts = ZeroMeanUnitVarianceScaling(f32(19.0), f32(1.0))
+    ws = ZeroMeanUnitVarianceScaling(f32(0.0), f32(1e-4))
+    model = FreeConvectionModel(
+        H=f32(H), tau=f32(t_end), T_scaling=Ts, wT_scaling=ws,
+        bottom_flux=ws.scale(f32(0.0)), top_flux=ws.scale(f32(3e-5)),
+        Nz=Nz, base_closure="convective_adjustment",
+    )
+    T0 = jnp.broadcast_to(Ts.scale(19.0 + 0.01 * (zc + H)), (n_columns, Nz)).astype(f32)
+
+    # One save interval spanning the whole run: pure forward throughput.
+    fn = jax.jit(
+        lambda T: solve_free_convection_split(model, None, T, 0.0, 1.0, 1, n_substeps=n_steps)
+    )
+    stats = time_fn(fn, T0, iters=5, pipelined=True)
+    attach_roofline(stats, fn, T0, loop_steps=n_steps)
+    stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
+    return stats
+
+
 def run_suite(quick: bool = False) -> dict:
     """Run every benchmark; returns ``{name: stats}``."""
     scale = 0.25 if quick else 1.0
@@ -320,6 +352,7 @@ def run_suite(quick: bool = False) -> dict:
             if jax.default_backend() == "tpu"
             else {"skipped": "pallas Gram benchmark needs a real TPU"}
         ),
+        "fc_conv_adj_forward": bench_fc_forward(n_columns=n_cols, n_steps=max(64, int(1152 * scale))),
         "nde_forward": bench_nde_forward(n_columns=n_cols, n_steps=max(64, int(1024 * scale))),
         "nde_train_step": bench_nde_train_step(n_sims=max(2, int(8 * scale)), n_window=max(8, int(32 * scale))),
         "double_gyre_nn": bench_double_gyre(
