@@ -196,11 +196,13 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
     return stats
 
 
-def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 32):
+def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 32, advection: str = "weno5"):
     """3-D double gyre with the embedded NN closure (BASELINE.md config).
 
     Every (i, j) column of the basin runs the learned closure as one batched
     MXU matmul per step; reports basin column-timesteps/s (Nx * Ny columns).
+    ``advection`` A/Bs the WENO5 default against 2nd-order centered (the
+    measured-cost half of the WENO upgrade, VERDICT r1 item 8).
     """
     from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
     from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
@@ -210,7 +212,7 @@ def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 3
         run_double_gyre,
     )
 
-    model = DoubleGyreModel.default(Nx=Nx, Ny=Ny, Nz=Nz)
+    model = DoubleGyreModel.default(Nx=Nx, Ny=Ny, Nz=Nz, advection=advection)
     state0 = DoubleGyreState.rest(model)
     nn = free_convection_mlp(jax.random.PRNGKey(0), Nz)
     f32 = jnp.float32

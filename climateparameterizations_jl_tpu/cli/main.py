@@ -783,6 +783,16 @@ def cmd_train_gp(args) -> int:
             for kid in kernel_ids:
                 errors[kid] += np.asarray(error_per_gamma(xs, ys, xv, yv, z, kid, log_gammas, args.metric))
         kernel, _ = select_best_kernel(errors, log_gammas, args.metric, 0.0, jnp.asarray(x_tr).dtype)
+        if args.optimize_hyperparams:
+            # ML-II refinement beyond the reference's gamma-only grid
+            # (GaussianProcesses.jl:30-49): gradient-descend the marginal
+            # likelihood through the Cholesky from the grid winner.
+            from climateparameterizations_jl_tpu.closures.gp import optimize_kernel_hyperparameters
+
+            kernel, ml_losses = optimize_kernel_hyperparameters(
+                x_tr, y_tr, kernel, z, iters=args.hyperopt_iters
+            )
+            print(f"train-gp[{flux}]: ML-II {ml_losses[0]:.4e} -> {ml_losses[-1]:.4e} ({args.hyperopt_iters} iters)")
         selected[flux] = kernel
         x_by_flux[flux], y_by_flux[flux] = x_tr, y_tr
     # The final fits share predictors, so they run as ONE fused multi-fit
@@ -1176,6 +1186,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metric", default="euclidean", choices=["euclidean", "derivative", "antiderivative"])
     p.add_argument("--subsample", type=int, default=4)
     p.add_argument("--integrate", action="store_true", help="also integrate the GP-closure DE on the test sim")
+    p.add_argument("--optimize-hyperparams", action="store_true",
+                   help="ML-II refine the grid-selected kernel (gradient through the Cholesky)")
+    p.add_argument("--hyperopt-iters", type=int, default=80)
     p.add_argument("--n-integrate-steps", type=int, default=32)
     p.add_argument("--n-substeps", type=int, default=4)
     p.set_defaults(fn=cmd_train_gp)

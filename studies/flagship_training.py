@@ -156,25 +156,38 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
     return nns, report
 
 
-def evaluate(model, nns, Nz=32):
-    """Held-out NDE vs mPP-only trajectory losses over the full 8 days."""
-    import jax.numpy as jnp
+def evaluate(model, nns, Nz=32, include_kpp=True):
+    """Held-out NDE vs mPP-only vs KPP over the full 8 days (NDE_profile)."""
+    from climateparameterizations_jl_tpu.eval.profile import nde_profile
 
-    from climateparameterizations_jl_tpu.data.containers import training_tensors
-    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
-    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, _solve
-
-    config = NDETrainConfig(method="split", n_substeps=9, train_gradient=False)
     tsteps = np.arange(0, N_FRAMES, 9)
     out = {}
     for name in TEST_FILES:
         ds = load_suite([name], Nz)
-        batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
-        mse = lambda n: float(jnp.mean((_solve(model, n, batch, config) - batch.targets) ** 2))  # noqa: E731
-        nde, mpp = mse(nns), mse(FluxNNs(uw=None, vw=None, wT=None))
-        out[name] = dict(nde=nde, mpp_only=mpp, win=mpp / nde)
-        print(f"eval[{name}]: NDE {nde:.4e} vs mPP {mpp:.4e} ({mpp / nde:.1f}x)", flush=True)
+        ev = nde_profile(model, nns, ds, tsteps, solver="split", n_substeps=9,
+                         include_kpp=include_kpp, include_embedded=False)
+        row = {}
+        for member in ("nde", "mpp") + (("kpp",) if include_kpp else ()):
+            # Mean over time of the T-channel per-timestep loss (the
+            # headline channel; u/v available in the same dict).
+            row[member] = float(np.mean(ev[f"losses_{member}_T"]))
+        row["win_vs_mpp"] = row["mpp"] / row["nde"]
+        if include_kpp:
+            row["win_vs_kpp"] = row["kpp"] / row["nde"]
+        out[name] = row
+        msg = f"eval[{name}]: NDE {row['nde']:.4e} vs mPP {row['mpp']:.4e} ({row['win_vs_mpp']:.1f}x)"
+        if include_kpp:
+            msg += f" vs KPP {row['kpp']:.4e} ({row['win_vs_kpp']:.1f}x)"
+        print(msg, flush=True)
     return out
+
+
+def save_nns(nns, out_dir):
+    """CLI-compatible checkpoint so `evaluate`/`ensemble` can reuse it."""
+    from climateparameterizations_jl_tpu.cli.main import _save_nns
+
+    _save_nns(out_dir, nns, {"command": "studies/flagship_training.py", "sims": ",".join(TRAIN_FILES), "nz": 32})
+    return out_dir
 
 
 def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1):
@@ -234,6 +247,7 @@ def main(argv=None):
     ap.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"])
     ap.add_argument("--split-unroll", type=int, default=1)
     ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
+    ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
     args = ap.parse_args(argv)
     if args.smoke:
         global STAGES
@@ -261,6 +275,9 @@ def main(argv=None):
         nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else 150)
         print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
         nns, stages = nde_train(ds, model, nns)
+        if args.save_nns:
+            save_nns(nns, args.save_nns)
+            print(f"checkpoint saved to {args.save_nns}", flush=True)
         held_out = evaluate(model, nns)
         result = dict(
             sims=len(TRAIN_FILES), frames=N_FRAMES, data_s=data_s, mpp_calibration=mpp_info,

@@ -215,6 +215,25 @@ def test_train_gp(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "gp_uncertainty_wT.png"))
 
 
+def test_train_gp_ml2_hyperopt(tmp_path, capsys):
+    # --optimize-hyperparams refines the grid winner by gradient ML-II
+    # (beyond the reference's gamma-only grid, GaussianProcesses.jl:30-49);
+    # the run must improve the marginal-likelihood loss and still report a
+    # finite test MSE.
+    out = str(tmp_path / "gp_ml2")
+    rc = main([
+        "train-gp", "--sims", "strong_wind", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--fluxes", "wT", "--subsample", "12", "--kernel-ids", "1,2",
+        "--optimize-hyperparams", "--hyperopt-iters", "15", "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "gp_report.json")) as f:
+        report = json.load(f)
+    assert np.isfinite(report["wT"]["mse"])
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if "ML-II" in ln]
+    assert lines, "ML-II refinement line not printed"
+
+
 def test_train_gp_loo_selection_and_sm_kernel(tmp_path, capsys):
     # Two training sims -> leave-one-out kernel selection (never the test
     # set); the sweep includes the spectral-mixture family (id 6).
