@@ -39,6 +39,7 @@ seconds on a chip. Signs follow the host column model
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -415,11 +416,21 @@ def run_les(
     save_every: int = 60,
     key=None,
     method: str = "euler",
+    max_frames_per_dispatch: int = 256,
 ) -> ColumnTimeSeries:
     """Integrate the LES and return horizontally-averaged training data.
 
-    One jitted scan; profiles are sampled every ``save_every`` steps.
+    Jitted scans; profiles are sampled every ``save_every`` steps.
     Drop-in for ``synthetic_wind_mixing_les`` / the LESbrary reader.
+
+    The outer frame loop is dispatched from the host in chunks of
+    ``max_frames_per_dispatch`` frames (state stays on device between
+    chunks, so the split is free): a single device program that runs for
+    minutes gets killed by execution watchdogs (measured on this
+    container's remote-TPU tunnel: one 64x64x128 program of ~1,150 frames
+    x 50 substeps reproducibly takes the worker down, while the same run
+    in 256-frame chunks completes). Reference-scale 8-day datasets
+    (free_convection/README.md: 1,153 frames) need the chunking.
     """
     c = config
     state = state0 if state0 is not None else initial_state(c, key)
@@ -433,15 +444,27 @@ def run_les(
         carry, _ = jax.lax.scan(substep, carry, None, length=save_every)
         return carry, _horizontal_profiles(c, carry[0], carry[1])
 
-    @jax.jit
-    def run(state):
-        first = _horizontal_profiles(c, state)
-        carry, frames = jax.lax.scan(interval, (state, jnp.zeros((), state.T.dtype)), None, length=n_save)
-        return tuple(
-            jnp.concatenate([f0[None], fr], axis=0) for f0, fr in zip(first, frames)
-        )
+    @functools.partial(jax.jit, static_argnames="n_frames")
+    def run_chunk(carry, n_frames):
+        return jax.lax.scan(interval, carry, None, length=n_frames)
 
-    U, V, Tm, uw, vw, wT = run(state)
+    first = jax.jit(lambda s: _horizontal_profiles(c, s))(state)
+    carry = (state, jnp.zeros((), state.T.dtype))
+    chunk = max(1, min(int(max_frames_per_dispatch), n_save))
+    parts = []
+    done = 0
+    while done < n_save:
+        n = min(chunk, n_save - done)
+        # Pin the remainder chunk to the full length's compile when close
+        # enough would recompile anyway (distinct static n); two programs
+        # max: the full chunk and one remainder.
+        carry, frames = run_chunk(carry, n)
+        parts.append(frames)
+        done += n
+    U, V, Tm, uw, vw, wT = tuple(
+        jnp.concatenate([f0[None], *[p[i] for p in parts]], axis=0)
+        for i, f0 in enumerate(first)
+    )
     dtype = state.T.dtype
     t = jnp.arange(n_save + 1, dtype=dtype) * (save_every * dt)
     return ColumnTimeSeries(

@@ -440,6 +440,7 @@ def run_double_gyre(
     wT_scaling: ZeroMeanUnitVarianceScaling | None = None,
     tridiag_backend: str = "scan",
     unroll: int = 2,
+    max_frames_per_dispatch: int = 256,
 ) -> DoubleGyreState:
     """Integrate the basin, saving every ``save_every`` steps.
 
@@ -448,6 +449,12 @@ def run_double_gyre(
     (baseline) and ``double_gyre_nn.jl`` (with the NN forcing).
     ``unroll=2`` on the substep scan measures ~12% faster on TPU (the step
     is a chain of many small ops; unroll=4 regresses).
+
+    As in :func:`data.les.run_les`, the frame loop is dispatched from the
+    host in chunks of ``max_frames_per_dispatch`` (state stays on device):
+    a single device program running for minutes trips execution watchdogs
+    on remote-TPU tunnels, so multi-year basin runs must not be one
+    program.
     """
 
     def substep(state, _):
@@ -457,13 +464,23 @@ def run_double_gyre(
         state, _ = jax.lax.scan(substep, state, None, length=save_every, unroll=unroll)
         return state, state
 
-    _, frames = jax.lax.scan(interval, state0, None, length=n_save)
-    cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)  # noqa: E731
+    @functools.partial(jax.jit, static_argnames="n_frames")
+    def run_chunk(state, n_frames):
+        return jax.lax.scan(interval, state, None, length=n_frames)
+
+    state, parts, done = state0, [], 0
+    chunk = max(1, min(int(max_frames_per_dispatch), n_save))
+    while done < n_save:
+        n = min(chunk, n_save - done)
+        state, frames = run_chunk(state, n)
+        parts.append(frames)
+        done += n
+    cat = lambda a, parts: jnp.concatenate([a[None], *parts], axis=0)  # noqa: E731
     return DoubleGyreState(
-        u=cat(state0.u, frames.u),
-        v=cat(state0.v, frames.v),
-        T=cat(state0.T, frames.T),
-        eta=cat(state0.eta, frames.eta),
+        u=cat(state0.u, [p.u for p in parts]),
+        v=cat(state0.v, [p.v for p in parts]),
+        T=cat(state0.T, [p.T for p in parts]),
+        eta=cat(state0.eta, [p.eta for p in parts]),
     )
 
 
