@@ -122,11 +122,13 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
     return stats
 
 
-def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True):
+def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True, unroll: int = 4):
     """The headline forward benchmark (same path as bench.py).
 
     ``packed=True`` fuses the three flux MLPs into one block matmul chain
     (``models.wind_mixing.PackedFluxNNs``) — the default headline path.
+    ``unroll`` exposes the substep-scan unroll for scaling studies (4 is
+    the measured optimum at 1k columns; ignored unpacked).
     """
     from __graft_entry__ import _make_setup
 
@@ -145,11 +147,11 @@ def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, 
         def body(x, i):
             return rk4_step(rhs, x, i * dt, dt), None
 
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=4 if packed else 1)
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=unroll if packed else 1)
         return x
 
     stats = time_fn(run, nns, x0, iters=5, pipelined=True)
-    attach_roofline(stats, run, nns, x0, loop_steps=n_steps // (4 if packed else 1))
+    attach_roofline(stats, run, nns, x0, loop_steps=n_steps // (unroll if packed else 1))
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     return stats
 

@@ -1,0 +1,53 @@
+"""Forward-throughput scaling sweep on the real chip.
+
+Measures the headline wind-mixing forward path (PackedFluxNNs + RK4 scan,
+``benchmarks.bench_nde_forward``) across column batches and scan unrolls to
+find where the latency-bound regime hands over to the MXU-bound one and how
+far one chip scales (VERDICT r1 item 7's stretch: >2e8 col-ts/s).
+
+Run (TPU): ``python -u studies/forward_scaling.py``; each config is one
+pipelined measurement (5 iterations, one block). Prints one JSON line per
+config and a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--columns", default="1024,4096,16384,32768,65536,131072")
+    ap.add_argument("--unrolls", default="4")
+    ap.add_argument("--n-steps", type=int, default=1024)
+    ap.add_argument("--out", default=None, help="append JSON lines here")
+    args = ap.parse_args(argv)
+
+    from climateparameterizations_jl_tpu.benchmarks import bench_nde_forward
+
+    rows = []
+    for unroll in (int(u) for u in args.unrolls.split(",")):
+        for n in (int(c) for c in args.columns.split(",")):
+            stats = bench_nde_forward(n_columns=n, n_steps=args.n_steps, unroll=unroll)
+            row = {
+                "n_columns": n,
+                "unroll": unroll,
+                "n_steps": args.n_steps,
+                "median_s": stats["median_s"],
+                "col_ts_per_s": stats["column_timesteps_per_sec"],
+                "mfu_pct": stats.get("mfu_pct"),
+                "achieved_tflops": stats.get("achieved_tflops"),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            if args.out:
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+
+    best = max(rows, key=lambda r: r["col_ts_per_s"])
+    print(f"best: {best['col_ts_per_s']:.3e} col-ts/s at {best['n_columns']} cols, unroll={best['unroll']}")
+
+
+if __name__ == "__main__":
+    main()
