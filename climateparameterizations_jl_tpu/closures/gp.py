@@ -91,8 +91,8 @@ class GPKernel:
     alpha: jnp.ndarray
     family: str = dataclasses.field(metadata=dict(static=True), default="squared_exponential")
     metric: str = dataclasses.field(metadata=dict(static=True), default="euclidean")
-    # "xla" (differentiable, any dtype) or "pallas" (fused MXU Gram kernel,
-    # f32, forward-only — see ops/gram.py; interpret mode off-TPU).
+    # "xla" (any dtype) or "pallas" (fused MXU Gram kernel, f32, with an
+    # analytic custom-VJP backward — see ops/gram.py; interpret off-TPU).
     backend: str = dataclasses.field(metadata=dict(static=True), default="xla")
 
     def __call__(self, d):
@@ -115,12 +115,11 @@ class GPKernel:
     def gram(self, A, B, z):
         """Kernel matrix from feature matrices ``(n, D) x (m, D) -> (n, m)``."""
         if self.backend == "pallas":
-            from climateparameterizations_jl_tpu.ops.gram import gram_pallas
+            from climateparameterizations_jl_tpu.ops.gram import gram_pallas_diff
 
             tf = _DISTANCE_TRANSFORMS[self.metric]
-            return gram_pallas(
-                tf(A, z), tf(B, z), self.gamma, self.sigma, self.alpha,
-                family=self.family, interpret=jax.default_backend() != "tpu",
+            return gram_pallas_diff(
+                self.family, tf(A, z), tf(B, z), self.gamma, self.sigma, self.alpha
             )
         return self(distance_matrix(A, B, z, self.metric))
 
@@ -415,8 +414,10 @@ def optimize_kernel_hyperparameters(
     sweeps log gamma only): every hyperparameter — ``(gamma, sigma, alpha)``
     of a :class:`GPKernel`, or the full ``(w, mu, gamma)`` mixture of a
     :class:`SpectralMixtureKernel` — moves under gradients THROUGH the
-    Cholesky factorization (the differentiable XLA path; the forward-only
-    Pallas Gram backend is deliberately not used here, see ``ops/gram.py``).
+    Cholesky factorization. Works on both Gram backends: the XLA path (any
+    dtype, the f64 default) and the ``backend="pallas"`` MXU kernel, whose
+    analytic custom-VJP backward (``ops/gram.py::gram_pallas_diff``) makes
+    the fused forward differentiable (f32 — pair with ``jitter_scale``).
     Positive parameters are optimized in log space. Whole optimization is
     one jitted optax loop.
 

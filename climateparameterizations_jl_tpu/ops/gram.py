@@ -22,8 +22,12 @@ into one Gram-trick matmul; this kernel goes one step further and fuses the
 Scalars (gamma, sigma, alpha) ride in SMEM so the same compiled kernel
 serves every hyperparameter point of the ``best_kernel`` grid search.
 
-Forward-only (model selection needs no Gram gradients); the XLA path stays
-the differentiable fallback and the f64 path (robust Cholesky parity).
+``gram_pallas`` itself is forward-only; :func:`gram_pallas_diff` wraps it in
+a ``jax.custom_vjp`` with analytic XLA cotangents (closed-form ``dK/dgamma``,
+``dK/dsigma``, ``dK/dalpha``, and the Gram-trick matmul form of ``dK/dA``,
+``dK/dB``), so ML-II hyperparameter optimization
+(``closures.gp.optimize_kernel_hyperparameters``) can ride the MXU forward.
+The plain XLA path stays the f64 fallback (robust Cholesky parity).
 """
 
 from __future__ import annotations
@@ -127,3 +131,97 @@ def gram_pallas(
         interpret=interpret,
     )(params, Ap, Bp)
     return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, analytic XLA backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gram_pallas_diff(family: str, A, B, gamma, sigma, alpha):
+    """Differentiable fused Gram: MXU forward + closed-form XLA cotangents.
+
+    Same value as :func:`gram_pallas` (f32; interpret mode off-TPU). The
+    backward pass never materializes an ``(M, N, D)`` tensor: with
+    ``W = Kbar * dK/d(d^2)``, the feature cotangents collapse to two matmuls
+    (``dA = 2 (rowsum(W) * A - W @ B)`` and transpose for ``dB``), and the
+    hyperparameter cotangents are elementwise reductions of the recomputed
+    squared-distance matrix.
+    """
+    return gram_pallas(
+        A, B, gamma, sigma, alpha, family=family,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def _family_partials(family, d2, gamma, sigma, alpha):
+    """``(K, dK/dgamma, dK/d(d2), dK/dalpha)`` as elementwise f32 maps.
+
+    Matern forms are arranged so every partial is finite at ``d = 0``
+    (the ``c/d`` ratios reduce to constants); matern12's ``dK/d(d2)`` keeps
+    its true integrable singularity guarded by a tiny floor, matching the
+    kernel's genuine non-differentiability at coincident points.
+    """
+    g2 = gamma * gamma
+    if family == "squared_exponential":
+        K = sigma * jnp.exp(-d2 / (2.0 * g2))
+        return K, K * d2 / (g2 * gamma), -K / (2.0 * g2), jnp.zeros_like(d2)
+    d = jnp.sqrt(d2)
+    if family == "matern12":
+        K = sigma * jnp.exp(-d / gamma)
+        dK_dd2 = -K / (2.0 * gamma * jnp.maximum(d, jnp.float32(1e-12)))
+        return K, K * d / g2, dK_dd2, jnp.zeros_like(d2)
+    if family == "matern32":
+        c = jnp.sqrt(jnp.float32(3.0)) * d / gamma
+        e = jnp.exp(-c)
+        K = sigma * (1.0 + c) * e
+        return K, sigma * c * c * e / gamma, -sigma * e * 1.5 / g2, jnp.zeros_like(d2)
+    if family == "matern52":
+        c = jnp.sqrt(jnp.float32(5.0)) * d / gamma
+        e = jnp.exp(-c)
+        K = sigma * (1.0 + c + c * c / 3.0) * e
+        dK_dgamma = sigma * e * c * c * (1.0 + c) / (3.0 * gamma)
+        dK_dd2 = -sigma * e * (1.0 + c) * (5.0 / (6.0 * g2))
+        return K, dK_dgamma, dK_dd2, jnp.zeros_like(d2)
+    if family == "rational_quadratic":
+        base = 1.0 + d2 / (2.0 * alpha * g2)
+        K = sigma * jnp.exp(-alpha * jnp.log(base))
+        Kb = K / base  # sigma * base^(-alpha-1)
+        dK_dgamma = Kb * d2 / (g2 * gamma)
+        dK_dd2 = -Kb / (2.0 * g2)
+        dK_dalpha = K * (-jnp.log(base) + d2 / (2.0 * alpha * g2 * base))
+        return K, dK_dgamma, dK_dd2, dK_dalpha
+    raise ValueError(f"unknown kernel family {family!r}")
+
+
+def _gram_diff_fwd(family, A, B, gamma, sigma, alpha):
+    K = gram_pallas_diff(family, A, B, gamma, sigma, alpha)
+    return K, (A, B, gamma, sigma, alpha)
+
+
+def _gram_diff_bwd(family, res, Kbar):
+    A, B, gamma, sigma, alpha = res
+    dtypes = [jnp.asarray(v).dtype for v in res]
+    Af = jnp.asarray(A, jnp.float32)
+    Bf = jnp.asarray(B, jnp.float32)
+    Kbar = jnp.asarray(Kbar, jnp.float32)
+    gf = jnp.asarray(gamma, jnp.float32)
+    sf = jnp.asarray(sigma, jnp.float32)
+    af = jnp.asarray(alpha, jnp.float32)
+    ab = Af @ Bf.T
+    d2 = jnp.maximum(
+        jnp.sum(Af * Af, axis=1)[:, None] + jnp.sum(Bf * Bf, axis=1)[None, :] - 2.0 * ab, 0.0
+    )
+    K, dK_dgamma, dK_dd2, dK_dalpha = _family_partials(family, d2, gf, sf, af)
+    W = Kbar * dK_dd2
+    dA = 2.0 * (jnp.sum(W, axis=1)[:, None] * Af - W @ Bf)
+    dB = 2.0 * (jnp.sum(W, axis=0)[:, None] * Bf - W.T @ Af)
+    dgamma = jnp.sum(Kbar * dK_dgamma)
+    dsigma = jnp.sum(Kbar * K) / sf
+    dalpha = jnp.sum(Kbar * dK_dalpha)
+    out = (dA, dB, dgamma, dsigma, dalpha)
+    return tuple(jnp.asarray(v, dt).reshape(jnp.shape(r)) for v, dt, r in zip(out, dtypes, res))
+
+
+gram_pallas_diff.defvjp(_gram_diff_fwd, _gram_diff_bwd)

@@ -1,5 +1,6 @@
 """Gaussian-process closure tests: kernels, distances, exact GP, model selection."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -410,6 +411,48 @@ class TestPallasGram:
         K0 = np.asarray(GPKernel(backend="xla", **kw).gram(A, B, None), np.float32)
         K1 = np.asarray(GPKernel(backend="pallas", **kw).gram(A, B, None))
         np.testing.assert_allclose(K1, K0, rtol=2e-5, atol=2e-6)
+
+
+class TestPallasGramGradients:
+    """gram_pallas_diff custom VJP vs autodiff through the XLA path."""
+
+    @pytest.mark.parametrize("family", [
+        "squared_exponential", "matern12", "matern32", "matern52", "rational_quadratic",
+    ])
+    def test_vjp_matches_xla_autodiff(self, family):
+        rng = np.random.default_rng(7)
+        A = jnp.asarray(rng.normal(size=(11, 5)), jnp.float32)
+        B = jnp.asarray(rng.normal(size=(9, 5)), jnp.float32)
+        Kbar = jnp.asarray(rng.normal(size=(11, 9)), jnp.float32)
+        hyp = (jnp.float32(1.3), jnp.float32(0.9), jnp.float32(1.4))
+
+        def scalar(backend):
+            def f(A, B, gamma, sigma, alpha):
+                k = GPKernel(gamma=gamma, sigma=sigma, alpha=alpha, family=family, backend=backend)
+                return jnp.sum(Kbar * k.gram(A, B, None))
+            return f
+
+        g_ref = jax.grad(scalar("xla"), argnums=(0, 1, 2, 3, 4))(A, B, *hyp)
+        g_pl = jax.grad(scalar("pallas"), argnums=(0, 1, 2, 3, 4))(A, B, *hyp)
+        for r, p, name in zip(g_ref, g_pl, ["A", "B", "gamma", "sigma", "alpha"]):
+            np.testing.assert_allclose(
+                np.asarray(p), np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name
+            )
+
+    def test_ml2_optimization_runs_on_pallas_backend(self):
+        from climateparameterizations_jl_tpu.closures.gp import optimize_kernel_hyperparameters
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(32, 4)), jnp.float32)
+        y = jnp.asarray(np.sin(np.asarray(x).sum(axis=1, keepdims=True)), jnp.float32)
+        k0 = GPKernel(
+            gamma=jnp.float32(3.0), sigma=jnp.float32(1.0), alpha=jnp.float32(1.0),
+            backend="pallas",
+        )
+        k, losses = optimize_kernel_hyperparameters(x, y, k0, None, iters=25, learning_rate=0.05)
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+        assert float(k.gamma) != 3.0  # hyperparameters actually moved
 
 
 class TestVmappedGridSearch:
