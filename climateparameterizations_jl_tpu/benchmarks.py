@@ -122,6 +122,48 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
     return stats
 
 
+def bench_gp_ml2_step(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
+    """One ML-II step: NLML value+grad over (gamma, sigma, alpha) + adam update.
+
+    A/B for the differentiable Pallas Gram (``ops/gram.py::gram_pallas_diff``):
+    ``backend="pallas"`` runs the MXU-fused forward with the analytic
+    custom-VJP backward; ``backend="xla"`` differentiates straight through
+    the XLA Gram. Both f32 (the Cholesky dominates either way — this
+    measures how much of the Gram build the fused kernel recovers).
+    """
+    import optax
+
+    from climateparameterizations_jl_tpu.closures.gp import (
+        GPKernel, gp_fit, mean_log_marginal_loss,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n_train, n_features), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(1), (n_train, 33), jnp.float32)
+    z = jnp.linspace(0.0, 1.0, n_features)
+    opt = optax.adam(0.05)
+
+    def loss_fn(raw):
+        k = GPKernel(
+            gamma=jnp.exp(raw["gamma"]), sigma=jnp.exp(raw["sigma"]),
+            alpha=jnp.exp(raw["alpha"]), backend=backend,
+        )
+        return mean_log_marginal_loss(gp_fit(x, y, k, z), y, add_constant=True)
+
+    raw0 = {n: jnp.float32(0.0) for n in ("gamma", "sigma", "alpha")}
+    state0 = opt.init(raw0)
+
+    @jax.jit
+    def step(raw, state):
+        loss, g = jax.value_and_grad(loss_fn)(raw)
+        updates, state = opt.update(g, state, raw)
+        return optax.apply_updates(raw, updates), state, loss
+
+    stats = time_fn(lambda r, s: step(r, s)[0], raw0, state0, iters=5, pipelined=True)
+    attach_roofline(stats, lambda r, s: step(r, s)[0], raw0, state0)
+    return stats
+
+
 def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True, unroll: int = 4):
     """The headline forward benchmark (same path as bench.py).
 
