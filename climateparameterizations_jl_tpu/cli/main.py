@@ -787,11 +787,18 @@ def cmd_train_gp(args) -> int:
             # ML-II refinement beyond the reference's gamma-only grid
             # (GaussianProcesses.jl:30-49): gradient-descend the marginal
             # likelihood through the Cholesky from the grid winner.
+            # --gram-backend pallas runs the MXU-fused Gram forward with its
+            # analytic custom-VJP backward (f32); the final fit below is
+            # always the f64 XLA path regardless.
+            import dataclasses as _dc
+
             from climateparameterizations_jl_tpu.closures.gp import optimize_kernel_hyperparameters
 
             kernel, ml_losses = optimize_kernel_hyperparameters(
-                x_tr, y_tr, kernel, z, iters=args.hyperopt_iters
+                x_tr, y_tr, _dc.replace(kernel, backend=args.gram_backend), z,
+                iters=args.hyperopt_iters,
             )
+            kernel = _dc.replace(kernel, backend="xla")
             print(f"train-gp[{flux}]: ML-II {ml_losses[0]:.4e} -> {ml_losses[-1]:.4e} ({args.hyperopt_iters} iters)")
         selected[flux] = kernel
         x_by_flux[flux], y_by_flux[flux] = x_tr, y_tr
@@ -1189,6 +1196,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize-hyperparams", action="store_true",
                    help="ML-II refine the grid-selected kernel (gradient through the Cholesky)")
     p.add_argument("--hyperopt-iters", type=int, default=80)
+    p.add_argument("--gram-backend", default="xla", choices=["xla", "pallas"],
+                   help="Gram backend for the ML-II loop (pallas = fused MXU forward + analytic VJP, f32)")
     p.add_argument("--n-integrate-steps", type=int, default=32)
     p.add_argument("--n-substeps", type=int, default=4)
     p.set_defaults(fn=cmd_train_gp)
