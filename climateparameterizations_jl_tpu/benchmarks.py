@@ -164,13 +164,21 @@ def bench_gp_ml2_step(n_train: int = 1024, n_features: int = 96, backend: str = 
     return stats
 
 
-def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True, unroll: int = 4):
+def bench_nde_forward(
+    n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True,
+    unroll: int = 4, chunk_columns: int | None = None,
+):
     """The headline forward benchmark (same path as bench.py).
 
     ``packed=True`` fuses the three flux MLPs into one block matmul chain
     (``models.wind_mixing.PackedFluxNNs``) — the default headline path.
     ``unroll`` exposes the substep-scan unroll for scaling studies (4 is
     the measured optimum at 1k columns; ignored unpacked).
+    ``chunk_columns`` runs the time scan per column chunk under ``lax.map``
+    — columns are independent, so this is exact, and it keeps each chunk's
+    RK4 stage buffers VMEM-resident past the ~32k-column capacity wall
+    (measured: 131k columns run 4x faster as 4 x 32k chunks; see
+    PERFORMANCE.md "Forward-throughput scaling").
     """
     from __graft_entry__ import _make_setup
 
@@ -181,6 +189,8 @@ def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, 
     if packed:
         nns = pack_flux_nns(nns)
     dt = jnp.float32(1e-5)
+    if chunk_columns is not None and n_columns % chunk_columns:
+        raise ValueError(f"chunk_columns={chunk_columns} must divide n_columns={n_columns}")
 
     @jax.jit
     def run(nns, x):
@@ -189,8 +199,13 @@ def bench_nde_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, 
         def body(x, i):
             return rk4_step(rhs, x, i * dt, dt), None
 
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=unroll if packed else 1)
-        return x
+        def evolve(x):
+            x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=unroll if packed else 1)
+            return x
+
+        if chunk_columns is not None and n_columns > chunk_columns:
+            return jax.lax.map(evolve, x.reshape(-1, chunk_columns, x.shape[-1])).reshape(x.shape)
+        return evolve(x)
 
     stats = time_fn(run, nns, x0, iters=5, pipelined=True)
     attach_roofline(stats, run, nns, x0, loop_steps=n_steps // (unroll if packed else 1))

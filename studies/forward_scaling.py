@@ -21,6 +21,8 @@ def main(argv=None):
     ap.add_argument("--columns", default="1024,4096,16384,32768,65536,131072")
     ap.add_argument("--unrolls", default="4")
     ap.add_argument("--n-steps", type=int, default=1024)
+    ap.add_argument("--chunk-columns", type=int, default=None,
+                    help="lax.map the scan over column chunks (VMEM-cliff mitigation)")
     ap.add_argument("--out", default=None, help="append JSON lines here")
     args = ap.parse_args(argv)
 
@@ -29,11 +31,15 @@ def main(argv=None):
     rows = []
     for unroll in (int(u) for u in args.unrolls.split(",")):
         for n in (int(c) for c in args.columns.split(",")):
-            stats = bench_nde_forward(n_columns=n, n_steps=args.n_steps, unroll=unroll)
+            stats = bench_nde_forward(
+                n_columns=n, n_steps=args.n_steps, unroll=unroll,
+                chunk_columns=args.chunk_columns if args.chunk_columns and n > args.chunk_columns else None,
+            )
             row = {
                 "n_columns": n,
                 "unroll": unroll,
                 "n_steps": args.n_steps,
+                "chunk_columns": args.chunk_columns,
                 "median_s": stats["median_s"],
                 "col_ts_per_s": stats["column_timesteps_per_sec"],
                 "mfu_pct": stats.get("mfu_pct"),
