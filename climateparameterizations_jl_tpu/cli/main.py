@@ -165,7 +165,10 @@ def cmd_generate_les(args) -> int:
     cfl = 0.6 if args.les_method == "rk3" else 0.2
     dt = args.dt if args.dt else stable_dt(config, u_max=args.u_max, cfl=cfl)
     save_every = max(1, int(round(args.dt_save / dt)))
-    ds = run_les(config, dt=dt, n_save=args.n_save, save_every=save_every, method=args.les_method)
+    ds = run_les(
+        config, dt=dt, n_save=args.n_save, save_every=save_every, method=args.les_method,
+        max_frames_per_dispatch=args.max_frames_per_dispatch,
+    )
     os.makedirs(args.output, exist_ok=True)
     path = os.path.join(args.output, "les_profiles.npz")
     np.savez(path, **{f.name: np.asarray(getattr(ds, f.name)) for f in dataclasses.fields(ds)})
@@ -1128,6 +1131,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt-save", type=float, default=600.0)
     p.add_argument("--n-save", type=int, default=48)
     p.add_argument("--les-method", default="rk3", choices=["euler", "rk3"])
+    p.add_argument("--max-frames-per-dispatch", type=int, default=256,
+                   help="host-chunk the frame loop (keep each device program under the tunnel's ~60 s watchdog; shrink for big grids, e.g. 16 at 256^3)")
     p.add_argument("--diurnal", action="store_true", help="sinusoidal daily surface-flux cycle (Qb = amplitude); inferred from a diurnal --jld2-name")
     p.add_argument("--jld2-name", default=None, help="also write a reference-layout .jld2 under this catalog name")
     p.add_argument("--output", default="runs/les")
