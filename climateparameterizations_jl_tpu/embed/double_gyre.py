@@ -313,14 +313,60 @@ def double_gyre_step(
     wT_scaling: ZeroMeanUnitVarianceScaling | None = None,
     tridiag_backend: str = "scan",
 ) -> DoubleGyreState:
-    """Advance one step: explicit dynamics -> barotropic DCT correction ->
-    implicit vertical mixing (+ optional NN column closure)."""
+    """Advance one step: tracer step -> explicit momentum (pressure from the
+    updated tracer: forward-backward internal-wave coupling) -> barotropic
+    DCT correction -> implicit vertical mixing (+ optional NN closure)."""
     u, v, T, eta = state.u, state.v, state.T, state.eta
     dx, dy, dz = model.dx, model.dy, model.dz
     dtype = T.dtype
 
-    p = hydrostatic_pressure(model, T)
     w = vertical_velocity(model, u, v)
+
+    # ---- temperature: flux-form advection + diffusion + forcings ---------
+    # Stepped FIRST: the hydrostatic pressure the momentum update sees is
+    # computed from the UPDATED temperature (forward-backward internal-wave
+    # coupling, the same trick as the Coriolis pair below). With p from the
+    # *old* T both halves of the baroclinic oscillation are forward Euler,
+    # which amplifies internal gravity waves by ~sqrt(1 + (omega dt)^2) per
+    # step — at 96x96 (omega dt ~ 0.4 at the grid scale) that e-folds in
+    # ~1 day and NaNs a 30-day run; forward-backward is neutrally stable to
+    # omega dt <= 2. WENO5 upwind faces by default (the reference's scheme);
+    # "centered" keeps the 2nd-order faces for A/B. Wall faces carry zero
+    # flux either way; z boundary faces keep the first-order edge value (no
+    # 5-point stencil exists there).
+    if model.advection == "weno5":
+        from climateparameterizations_jl_tpu.core.advection import weno5_advective_flux
+
+        Fx = weno5_advective_flux(u[:, 1:-1, :], T, axis=1, boundary="edge")
+        Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
+        Fy = weno5_advective_flux(v[1:-1, :, :], T, axis=0, boundary="edge")
+        Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
+        Fz_int = weno5_advective_flux(w[..., 1:-1], T, axis=2, boundary="edge")
+        Fz = jnp.concatenate([w[..., :1] * T[..., :1], Fz_int, w[..., -1:] * T[..., -1:]], axis=-1)
+    else:
+        T_at_u = 0.5 * (T[:, 1:, :] + T[:, :-1, :])
+        Fx = u[:, 1:-1, :] * T_at_u
+        Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
+        T_at_v = 0.5 * (T[1:, :, :] + T[:-1, :, :])
+        Fy = v[1:-1, :, :] * T_at_v
+        Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
+        Tz = jnp.concatenate([T[..., :1], 0.5 * (T[..., 1:] + T[..., :-1]), T[..., -1:]], axis=-1)
+        Fz = w * Tz
+    GT = (
+        -(Fx[:, 1:, :] - Fx[:, :-1, :]) / dx
+        - (Fy[1:, :, :] - Fy[:-1, :, :]) / dy
+        - (Fz[..., 1:] - Fz[..., :-1]) / dz
+        + model.kappa_h * _laplacian_h(T, dx, dy)
+    )
+    # Surface restoring toward T*(y) in the top cell (restoring T-flux BC of
+    # double_gyre.jl's FluxBoundaryCondition).
+    sst_target = model.restoring_sst(dtype)
+    GT = GT.at[..., -1].add((sst_target[:, None] - T[..., -1]) / model.t_restore)
+    if nn is not None:
+        GT = GT + nn_closure_forcing(model, nn, T, T_scaling, wT_scaling)
+    T_new = T + dt * GT
+
+    p = hydrostatic_pressure(model, T_new)
 
     yc = model.y_centers(dtype)
     yf = jnp.arange(model.Ny + 1, dtype=dtype) * dy
@@ -383,43 +429,6 @@ def double_gyre_step(
     corr_y = -model.g * dt * (d_eta[1:, :] - d_eta[:-1, :])[..., None] / dy
     u_new = u_star.at[:, 1:-1, :].add(corr_x)
     v_new = v_star.at[1:-1, :, :].add(corr_y)
-
-    # ---- temperature: flux-form advection + diffusion + forcings ---------
-    # WENO5 upwind faces by default (the reference's scheme); "centered"
-    # keeps the 2nd-order faces for A/B. Wall faces carry zero flux either
-    # way; z boundary faces keep the first-order edge value (no 5-point
-    # stencil exists there).
-    if model.advection == "weno5":
-        from climateparameterizations_jl_tpu.core.advection import weno5_advective_flux
-
-        Fx = weno5_advective_flux(u[:, 1:-1, :], T, axis=1, boundary="edge")
-        Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
-        Fy = weno5_advective_flux(v[1:-1, :, :], T, axis=0, boundary="edge")
-        Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
-        Fz_int = weno5_advective_flux(w[..., 1:-1], T, axis=2, boundary="edge")
-        Fz = jnp.concatenate([w[..., :1] * T[..., :1], Fz_int, w[..., -1:] * T[..., -1:]], axis=-1)
-    else:
-        T_at_u = 0.5 * (T[:, 1:, :] + T[:, :-1, :])
-        Fx = u[:, 1:-1, :] * T_at_u
-        Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
-        T_at_v = 0.5 * (T[1:, :, :] + T[:-1, :, :])
-        Fy = v[1:-1, :, :] * T_at_v
-        Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
-        Tz = jnp.concatenate([T[..., :1], 0.5 * (T[..., 1:] + T[..., :-1]), T[..., -1:]], axis=-1)
-        Fz = w * Tz
-    GT = (
-        -(Fx[:, 1:, :] - Fx[:, :-1, :]) / dx
-        - (Fy[1:, :, :] - Fy[:-1, :, :]) / dy
-        - (Fz[..., 1:] - Fz[..., :-1]) / dz
-        + model.kappa_h * _laplacian_h(T, dx, dy)
-    )
-    # Surface restoring toward T*(y) in the top cell (restoring T-flux BC of
-    # double_gyre.jl's FluxBoundaryCondition).
-    sst_target = model.restoring_sst(dtype)
-    GT = GT.at[..., -1].add((sst_target[:, None] - T[..., -1]) / model.t_restore)
-    if nn is not None:
-        GT = GT + nn_closure_forcing(model, nn, T, T_scaling, wT_scaling)
-    T_new = T + dt * GT
 
     # ---- implicit vertical mixing + convective adjustment -----------------
     u_new, v_new, T_new = _implicit_vertical_mixing(model, u_new, v_new, T_new, dt, tridiag_backend)
