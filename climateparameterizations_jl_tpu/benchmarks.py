@@ -24,7 +24,7 @@ import json
 import jax
 import jax.numpy as jnp
 
-from climateparameterizations_jl_tpu.utils.profiling import attach_roofline, time_fn
+from climateparameterizations_jl_tpu.utils.profiling import time_fn, timed_roofline
 
 # Reference wall-clock numbers recorded in wind_mixing/Benchmarking.jl:22-55
 # (single column, single-threaded CPU, circa 2021).
@@ -59,8 +59,7 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     fn = jax.jit(
         lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4).T
     )
-    stats = time_fn(fn, state0, iters=5, pipelined=True)
-    attach_roofline(stats, fn, state0, loop_steps=n_steps)
+    stats = timed_roofline(fn, state0, iters=5, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["kpp_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -83,8 +82,7 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     Fb = jnp.full((n_columns,), 3e-8, f32)
 
     fn = jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
-    stats = time_fn(fn, state0, iters=5, pipelined=True)
-    attach_roofline(stats, fn, state0, loop_steps=n_steps)
+    stats = timed_roofline(fn, state0, iters=5, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["tke_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -116,8 +114,7 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
             return tuple(gp_fit(x, y, kernel, z).alpha for y in (y1, y2, y3))
 
     built = jax.jit(build_three)
-    stats = time_fn(built, x, *ys, iters=3, pipelined=True)
-    attach_roofline(stats, built, x, *ys)
+    stats = timed_roofline(built, x, *ys, iters=3)
     stats["vs_reference"] = REFERENCE_SECONDS["gp_build_3_models"] / stats["median_s"]
     return stats
 
@@ -159,8 +156,7 @@ def bench_gp_ml2_step(n_train: int = 1024, n_features: int = 96, backend: str = 
         updates, state = opt.update(g, state, raw)
         return optax.apply_updates(raw, updates), state, loss
 
-    stats = time_fn(lambda r, s: step(r, s)[0], raw0, state0, iters=5, pipelined=True)
-    attach_roofline(stats, lambda r, s: step(r, s)[0], raw0, state0)
+    stats = timed_roofline(lambda r, s: step(r, s)[0], raw0, state0, iters=5)
     return stats
 
 
@@ -207,8 +203,12 @@ def bench_nde_forward(
             return jax.lax.map(evolve, x.reshape(-1, chunk_columns, x.shape[-1])).reshape(x.shape)
         return evolve(x)
 
-    stats = time_fn(run, nns, x0, iters=5, pipelined=True)
-    attach_roofline(stats, run, nns, x0, loop_steps=n_steps // (unroll if packed else 1))
+    # XLA's cost model counts each loop body once: restore the time-scan
+    # trips AND the lax.map chunk trips (the map lowers to a scan whose body
+    # holds the whole time scan), else chunked rows report FLOPs/MFU
+    # n_chunks-fold low.
+    n_chunks = n_columns // chunk_columns if chunk_columns is not None and n_columns > chunk_columns else 1
+    stats = timed_roofline(run, nns, x0, iters=5, loop_steps=(n_steps // (unroll if packed else 1)) * n_chunks)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     return stats
 
@@ -249,8 +249,7 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
         updates, opt_state = optimizer.update(grads, opt_state, nns)
         return optax.apply_updates(nns, updates), opt_state, total
 
-    stats = time_fn(step, nns, opt_state, iters=5, pipelined=True)
-    attach_roofline(stats, step, nns, opt_state, loop_steps=n_window * 4)
+    stats = timed_roofline(step, nns, opt_state, iters=5, loop_steps=n_window * 4)
     stats["train_steps_per_sec"] = 1.0 / stats["median_s"]
     return stats
 
@@ -281,8 +280,7 @@ def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 3
     fn = jax.jit(
         lambda s: run_double_gyre(model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn, T_scaling=Ts, wT_scaling=ws).T
     )
-    stats = time_fn(fn, state0, iters=3, pipelined=True)
-    attach_roofline(stats, fn, state0, loop_steps=n_steps)
+    stats = timed_roofline(fn, state0, iters=3, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = Nx * Ny * n_steps / stats["median_s"]
     return stats
 
@@ -394,8 +392,7 @@ def bench_fc_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1152):
     fn = jax.jit(
         lambda T: solve_free_convection_split(model, None, T, 0.0, 1.0, 1, n_substeps=n_steps)
     )
-    stats = time_fn(fn, T0, iters=5, pipelined=True)
-    attach_roofline(stats, fn, T0, loop_steps=n_steps)
+    stats = timed_roofline(fn, T0, iters=5, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     return stats
 

@@ -508,7 +508,15 @@ def cmd_train_nde(args) -> int:
     if any(w > n_frames for w, _ in windows):
         print(f"warning: clamping training windows {windows} to {n_frames} available frames")
         windows = [(min(w, n_frames), s) for w, s in windows]
-    stages = [CurriculumStage(tsteps=np.arange(0, w, s), maxiters=args.maxiters, learning_rate=args.lr) for w, s in windows]
+    # n_substeps scales by the stride so the inner physical step stays at
+    # dt_save / n_substeps regardless of frame striding (the fc path and the
+    # flagship study do the same; without this a 1153:9 stage silently
+    # integrates 9x-coarser physics).
+    stages = [
+        CurriculumStage(tsteps=np.arange(0, w, s), maxiters=args.maxiters,
+                        learning_rate=args.lr, n_substeps=args.n_substeps * s)
+        for w, s in windows
+    ]
     batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau, diurnal=diurnal)  # noqa: E731
     batch = batch_fn(stages[0].tsteps)
 
@@ -760,12 +768,18 @@ def cmd_train_gp(args) -> int:
         val_ds = _load_suite(_sims(args.val_sims), args.nz, args.data_dir, args.n_save, args.dt_save)
         splits = [(train_ds, scalings, val_ds)]
     elif len(train_names) > 1:
+        # Slice the already-loaded suite along its sims axis (stack_datasets
+        # stacks every field on a leading axis) — re-loading per split paid
+        # ~n^2 dataset builds, each a column-model/LES integration for
+        # synthetic/les3d stand-ins.
+        import jax
+
         splits = []
         for i in range(len(train_names)):
-            sub_ds = _load_suite([n for j, n in enumerate(train_names) if j != i], args.nz, args.data_dir, args.n_save, args.dt_save)
-            sub_scl = fit_wind_mixing_scalings(sub_ds)
-            held_ds = _load_suite([train_names[i]], args.nz, args.data_dir, args.n_save, args.dt_save)
-            splits.append((sub_ds, sub_scl, held_ds))
+            keep = np.array([j for j in range(len(train_names)) if j != i])
+            sub_ds = jax.tree.map(lambda a, k=keep: a[k], train_ds)
+            held_ds = jax.tree.map(lambda a, idx=i: a[idx], train_ds)
+            splits.append((sub_ds, fit_wind_mixing_scalings(sub_ds), held_ds))
     else:
         splits = None
 
@@ -797,11 +811,16 @@ def cmd_train_gp(args) -> int:
 
             from climateparameterizations_jl_tpu.closures.gp import optimize_kernel_hyperparameters
 
+            # Only GPKernel carries a Gram backend field; the spectral-mixture
+            # winner (id 6) optimizes on its XLA path directly.
+            if isinstance(kernel, GPKernel):
+                kernel = _dc.replace(kernel, backend=args.gram_backend)
             kernel, ml_losses = optimize_kernel_hyperparameters(
-                x_tr, y_tr, _dc.replace(kernel, backend=args.gram_backend), z,
+                x_tr, y_tr, kernel, z,
                 iters=args.hyperopt_iters,
             )
-            kernel = _dc.replace(kernel, backend="xla")
+            if isinstance(kernel, GPKernel):
+                kernel = _dc.replace(kernel, backend="xla")
             print(f"train-gp[{flux}]: ML-II {ml_losses[0]:.4e} -> {ml_losses[-1]:.4e} ({args.hyperopt_iters} iters)")
         selected[flux] = kernel
         x_by_flux[flux], y_by_flux[flux] = x_tr, y_tr
@@ -992,11 +1011,29 @@ def cmd_double_gyre(args) -> int:
             T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(args.T_mu), jnp.float32(args.T_sigma))
             wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(0.0), jnp.float32(args.wT_sigma))
 
+    T_remap = None
+    if nn is not None and args.nn_T_remap != "none":
+        # The reference remaps basin temperatures into the closure's training
+        # range before the NN sees them (``T_profile = 19.65 + T_profile/20``,
+        # double_gyre_nn.jl:155) — the basin spans ~20 K, the training columns
+        # ~1 K, and the unguarded extrapolation NaNs multi-month runs. "auto"
+        # derives (a, b) from the checkpoint's own scalings so the basin's
+        # restoring range [T_north, T_south] maps to mu +- sigma of training.
+        if args.nn_T_remap == "auto":
+            mu, sigma = float(T_scaling.mu), float(T_scaling.sigma)
+            t_lo, t_hi = float(model.T_north), float(model.T_south)
+            b = (t_hi - t_lo) / (2.0 * sigma)
+            a = mu - 0.5 * (t_lo + t_hi) / b
+        else:
+            a, b = (float(s) for s in args.nn_T_remap.split(","))
+        T_remap = (a, b)
+        print(f"NN T remap: T -> {a:.4g} + T/{b:.4g}")
+
     n_steps = int(args.days * 86400.0 / args.dt)
     save_every = max(1, n_steps // max(args.n_frames, 1))
     traj = run_double_gyre(
         model, state0, dt=args.dt, n_save=max(1, n_steps // save_every), save_every=save_every,
-        nn=nn, T_scaling=T_scaling, wT_scaling=wT_scaling,
+        nn=nn, T_scaling=T_scaling, wT_scaling=wT_scaling, T_remap=T_remap,
     )
     psi = np.asarray(barotropic_streamfunction(model, traj.u[-1])) / 1e6
     os.makedirs(args.output, exist_ok=True)
@@ -1233,6 +1270,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--T-mu", type=float, default=10.0)
     p.add_argument("--T-sigma", type=float, default=5.0)
     p.add_argument("--wT-sigma", type=float, default=1e-5)
+    p.add_argument("--nn-T-remap", default="auto",
+                   help="basin-T -> NN-input remap 'a + T/b': 'auto' (derive from checkpoint "
+                        "scalings), 'none' (raw T), or 'A,B' (the reference hardcodes 19.65,20 "
+                        "at double_gyre_nn.jl:155)")
     p.add_argument("--animate", action="store_true")
     p.set_defaults(fn=cmd_double_gyre)
 

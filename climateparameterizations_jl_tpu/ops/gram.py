@@ -210,11 +210,18 @@ def _gram_diff_bwd(family, res, Kbar):
     sf = jnp.asarray(sigma, jnp.float32)
     af = jnp.asarray(alpha, jnp.float32)
     ab = Af @ Bf.T
-    d2 = jnp.maximum(
-        jnp.sum(Af * Af, axis=1)[:, None] + jnp.sum(Bf * Bf, axis=1)[None, :] - 2.0 * ab, 0.0
-    )
+    a2 = jnp.sum(Af * Af, axis=1)[:, None]
+    b2 = jnp.sum(Bf * Bf, axis=1)[None, :]
+    d2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
     K, dK_dgamma, dK_dd2, dK_dalpha = _family_partials(family, d2, gf, sf, af)
-    W = Kbar * dK_dd2
+    # Numerically-coincident pairs (the diagonal of a training Gram) contribute
+    # exactly 0 to the feature cotangents — W_ij * (A_i - B_j) with A_i == B_j
+    # — but must be masked BEFORE the Gram-trick decomposition below: for
+    # matern12 the floored 1/d singularity puts ~1/1e-12-scale entries into
+    # rowsum(W)*A - W@B, and the f32 cancellation wipes out the O(1)
+    # off-diagonal signal entirely.
+    coincident = d2 <= jnp.float32(1e-7) * (a2 + b2)
+    W = jnp.where(coincident, 0.0, Kbar * dK_dd2)
     dA = 2.0 * (jnp.sum(W, axis=1)[:, None] * Af - W @ Bf)
     dB = 2.0 * (jnp.sum(W, axis=0)[:, None] * Bf - W.T @ Af)
     dgamma = jnp.sum(Kbar * dK_dgamma)

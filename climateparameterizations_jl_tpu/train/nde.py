@@ -59,11 +59,18 @@ class NDETrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class CurriculumStage:
-    """One curriculum window: which tsteps to fit and for how many iterations."""
+    """One curriculum window: which tsteps to fit and for how many iterations.
+
+    ``n_substeps`` (optional) overrides the config's per-save-interval substep
+    count for this stage — strided stages (the reference's ``1:9:1153``
+    tranges) must scale it by the stride or the inner physical step silently
+    grows stride-fold.
+    """
 
     tsteps: Sequence[int]
     maxiters: int
     learning_rate: float = 1e-3
+    n_substeps: int | None = None
 
 
 def _make_optimizer(config: NDETrainConfig, lr=None):
@@ -219,9 +226,10 @@ def train_wind_mixing_nde(
 
     for i, stage in enumerate(stages):
         stage_batch = full_batch_fn(stage.tsteps)
-        loss_scalings = determine_loss_scalings(model, nns, stage_batch, config)
-        loss_fn = make_wind_mixing_loss_fn(model, stage_batch, loss_scalings, config)
-        nns, h, opt_state = _train_loop(loss_fn, nns, _make_optimizer(config, stage.learning_rate), stage.maxiters, callback, opt_state)
+        stage_config = dataclasses.replace(config, n_substeps=stage.n_substeps) if stage.n_substeps else config
+        loss_scalings = determine_loss_scalings(model, nns, stage_batch, stage_config)
+        loss_fn = make_wind_mixing_loss_fn(model, stage_batch, loss_scalings, stage_config)
+        nns, h, opt_state = _train_loop(loss_fn, nns, _make_optimizer(stage_config, stage.learning_rate), stage.maxiters, callback, opt_state)
         history_all.extend(h)
         _save(nns, opt_state, i)
     return nns, history_all

@@ -89,8 +89,11 @@ def xla_cost(fn, *args, **kwargs) -> dict:
     zeros when the backend doesn't expose an analysis.
     """
     try:
-        lower = fn.lower if hasattr(fn, "lower") else jax.jit(fn).lower
-        ca = lower(*args, **kwargs).compile().cost_analysis()
+        if hasattr(fn, "cost_analysis"):  # an AOT jax.stages.Compiled — free
+            ca = fn.cost_analysis()
+        else:
+            lower = fn.lower if hasattr(fn, "lower") else jax.jit(fn).lower
+            ca = lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return {"flops": float(ca.get("flops", 0.0)), "bytes": float(ca.get("bytes accessed", 0.0))}
@@ -129,6 +132,26 @@ def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, **kwargs) -> di
         stats["hbm_util_pct"] = 100.0 * cost["bytes"] / t / PEAK_HBM_BYTES
         stats["arithmetic_intensity"] = cost["flops"] / max(cost["bytes"], 1.0)
     return stats
+
+
+def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps: int = 1) -> dict:
+    """``time_fn`` + ``attach_roofline`` with ONE XLA compilation.
+
+    AOT-compiles ``fn`` once, times the compiled executable, and reads the
+    cost analysis off the same executable — the separate
+    ``time_fn(fn) ... attach_roofline(fn)`` pair compiles twice (the AOT
+    stage does not share the jit dispatch cache), and a first TPU compile is
+    20-40 s with the suite running serially on one chip. Falls back to the
+    two-call path if AOT lowering fails.
+    """
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    try:
+        compiled = jitted.lower(*args).compile()
+    except Exception:  # pragma: no cover - backend-dependent
+        stats = time_fn(fn, *args, iters=iters, pipelined=pipelined)
+        return attach_roofline(stats, fn, *args, loop_steps=loop_steps)
+    stats = time_fn(compiled, *args, iters=iters, pipelined=pipelined)
+    return attach_roofline(stats, compiled, *args, loop_steps=loop_steps)
 
 
 class Timer:

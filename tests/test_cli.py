@@ -35,6 +35,24 @@ def test_train_nn_checkpoint(nn_ckpt):
     assert set(meta["arch"]) == {"uw", "vw", "wT"}
 
 
+def test_train_nde_strided_curriculum(tmp_path, capsys):
+    # Regression: a "window:stride" stage must scale n_substeps by the
+    # stride (inner step stays dt_save / n_substeps); before the fix the
+    # strided stage silently integrated stride-x coarser physics.
+    out = str(tmp_path / "nde_strided")
+    rc = main([
+        "train-nde", "--sims", "strong_wind", *TINY,
+        "--maxiters", "2", "--curriculum", "6,12:3", "--n-substeps", "2",
+        "--output", out,
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out
+    assert "train-nde: loss" in lines
+    # Loss finite through the strided stage.
+    last = [json.loads(ln) for ln in open(os.path.join(out, "history.jsonl"))][-1]
+    assert np.isfinite(sum(v for v in last.values() if isinstance(v, float)))
+
+
 def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     out = str(tmp_path / "nde")
     rc = main([
@@ -232,6 +250,23 @@ def test_train_gp_ml2_hyperopt(tmp_path, capsys):
     assert np.isfinite(report["wT"]["mse"])
     lines = [ln for ln in capsys.readouterr().out.splitlines() if "ML-II" in ln]
     assert lines, "ML-II refinement line not printed"
+
+
+def test_train_gp_ml2_hyperopt_sm_winner(tmp_path, capsys):
+    # Regression: when the spectral-mixture kernel (id 6) wins the sweep,
+    # --optimize-hyperparams must not crash on the backend-field replace
+    # (SpectralMixtureKernel has no Gram backend; it optimizes on XLA).
+    out = str(tmp_path / "gp_ml2_sm")
+    rc = main([
+        "train-gp", "--sims", "strong_wind", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--fluxes", "wT", "--subsample", "12", "--kernel-ids", "6",
+        "--optimize-hyperparams", "--hyperopt-iters", "3", "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "gp_report.json")) as f:
+        report = json.load(f)
+    assert report["wT"]["kernel"] == "spectral_mixture"
+    assert np.isfinite(report["wT"]["mse"])
 
 
 def test_train_gp_loo_selection_and_sm_kernel(tmp_path, capsys):

@@ -439,6 +439,53 @@ class TestPallasGramGradients:
                 np.asarray(p), np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name
             )
 
+    @pytest.mark.parametrize("family", ["matern12", "matern32", "squared_exponential"])
+    def test_training_gram_feature_gradients(self, family):
+        # Regression: on a TRAINING Gram (A is B, zero-distance diagonal)
+        # matern12's floored 1/d singularity used to put ~1e11-scale entries
+        # into the rowsum(W)*A - W@B cancellation and return f32 garbage for
+        # dA/dB. The coincident-pair mask makes the feature cotangents match
+        # finite differences (the function is smooth along any direction:
+        # coincident pairs move together, d stays 0).
+        from climateparameterizations_jl_tpu.ops.gram import gram_pallas_diff
+
+        rng = np.random.default_rng(11)
+        X = jnp.asarray(rng.normal(size=(10, 4)), jnp.float32)
+        Kbar = jnp.asarray(rng.normal(size=(10, 10)), jnp.float32)
+        hyp = (jnp.float32(1.5), jnp.float32(0.8), jnp.float32(1.0))
+
+        def f(X):
+            return jnp.sum(Kbar * gram_pallas_diff(family, X, X, *hyp))
+
+        g = jax.grad(f)(X)
+        assert np.isfinite(np.asarray(g)).all()
+        # f64 dense reference by central differences (f32 FD of the pallas
+        # path is too noisy: the Kbar-weighted sum cancels heavily).
+        X64, K64 = np.asarray(X, np.float64), np.asarray(Kbar, np.float64)
+        gam, sig, alp = (float(h) for h in hyp)
+
+        def f_ref(Xv):
+            d2 = ((Xv[:, None, :] - Xv[None, :, :]) ** 2).sum(-1)
+            d = np.sqrt(np.maximum(d2, 0.0))
+            if family == "squared_exponential":
+                K = sig * np.exp(-d2 / (2 * gam**2))
+            elif family == "matern12":
+                K = sig * np.exp(-d / gam)
+            else:  # matern32
+                c = np.sqrt(3.0) * d / gam
+                K = sig * (1 + c) * np.exp(-c)
+            return float((K64 * K).sum())
+
+        g_ref = np.zeros_like(X64)
+        h = 1e-6
+        for i in range(X64.shape[0]):
+            for j in range(X64.shape[1]):
+                Xp, Xm = X64.copy(), X64.copy()
+                Xp[i, j] += h
+                Xm[i, j] -= h
+                g_ref[i, j] = (f_ref(Xp) - f_ref(Xm)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=2e-4, atol=2e-5)
+
     def test_ml2_optimization_runs_on_pallas_backend(self):
         from climateparameterizations_jl_tpu.closures.gp import optimize_kernel_hyperparameters
 
