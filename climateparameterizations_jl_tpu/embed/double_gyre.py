@@ -264,14 +264,31 @@ def solve_free_surface(model: DoubleGyreModel, rhs, dt):
 # ----------------------------------------------------------------------------
 
 
-def nn_closure_forcing(model: DoubleGyreModel, nn: MLP, T, T_scaling: ZeroMeanUnitVarianceScaling, wT_scaling: ZeroMeanUnitVarianceScaling):
+def nn_closure_forcing(
+    model: DoubleGyreModel,
+    nn: MLP,
+    T,
+    T_scaling: ZeroMeanUnitVarianceScaling,
+    wT_scaling: ZeroMeanUnitVarianceScaling,
+    T_remap=None,
+):
     """``-d/dz(w'T'_NN)`` for every column as one batched MLP call.
 
     Parity: ``compute_neural_network_forcing!`` (``double_gyre_nn.jl:149-168``)
     — the reference assembles ``dz_wT_NN[i, j, k]`` column by column in a
     Julia loop; here the ``(Ny*Nx, Nz)`` scaled temperature block hits the
     MLP weights as one matmul.
+
+    ``T_remap=(a, b)`` applies ``T -> a + T/b`` before the training scaling —
+    the reference's distribution guard (``T_profile = 19.65 + T_profile/20``,
+    ``double_gyre_nn.jl:155``): the basin spans ~20 K while the closure was
+    trained on ~1 K free-convection columns, and raw basin temperatures put
+    the MLP far outside its training distribution (measured here: the raw-T
+    run NaNs the 2-year gyre at day ~160; the remapped run completes it).
     """
+    if T_remap is not None:
+        a, b = T_remap
+        T = a + T / b
     x = T_scaling.scale(T)  # (Ny, Nx, Nz) — z last, batched over leading axes
     # Affine unscale: the FC NN is trained against affine-scaled wT targets
     # (free_convection._assemble_wT), so physical flux = sigma * NN + mu;
@@ -312,6 +329,7 @@ def double_gyre_step(
     T_scaling: ZeroMeanUnitVarianceScaling | None = None,
     wT_scaling: ZeroMeanUnitVarianceScaling | None = None,
     tridiag_backend: str = "scan",
+    T_remap=None,
 ) -> DoubleGyreState:
     """Advance one step: tracer step -> explicit momentum (pressure from the
     updated tracer: forward-backward internal-wave coupling) -> barotropic
@@ -363,7 +381,7 @@ def double_gyre_step(
     sst_target = model.restoring_sst(dtype)
     GT = GT.at[..., -1].add((sst_target[:, None] - T[..., -1]) / model.t_restore)
     if nn is not None:
-        GT = GT + nn_closure_forcing(model, nn, T, T_scaling, wT_scaling)
+        GT = GT + nn_closure_forcing(model, nn, T, T_scaling, wT_scaling, T_remap)
     T_new = T + dt * GT
 
     p = hydrostatic_pressure(model, T_new)
@@ -450,6 +468,7 @@ def run_double_gyre(
     tridiag_backend: str = "scan",
     unroll: int = 2,
     max_frames_per_dispatch: int = 256,
+    T_remap=None,
 ) -> DoubleGyreState:
     """Integrate the basin, saving every ``save_every`` steps.
 
@@ -467,7 +486,7 @@ def run_double_gyre(
     """
 
     def substep(state, _):
-        return double_gyre_step(model, state, dt, nn, T_scaling, wT_scaling, tridiag_backend), None
+        return double_gyre_step(model, state, dt, nn, T_scaling, wT_scaling, tridiag_backend, T_remap), None
 
     def interval(state, _):
         state, _ = jax.lax.scan(substep, state, None, length=save_every, unroll=unroll)
