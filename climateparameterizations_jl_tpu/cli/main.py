@@ -168,6 +168,7 @@ def cmd_generate_les(args) -> int:
     ds = run_les(
         config, dt=dt, n_save=args.n_save, save_every=save_every, method=args.les_method,
         max_frames_per_dispatch=args.max_frames_per_dispatch,
+        max_steps_per_dispatch=args.max_steps_per_dispatch,
     )
     os.makedirs(args.output, exist_ok=True)
     path = os.path.join(args.output, "les_profiles.npz")
@@ -1034,6 +1035,7 @@ def cmd_double_gyre(args) -> int:
     traj = run_double_gyre(
         model, state0, dt=args.dt, n_save=max(1, n_steps // save_every), save_every=save_every,
         nn=nn, T_scaling=T_scaling, wT_scaling=wT_scaling, T_remap=T_remap,
+        max_steps_per_dispatch=args.max_steps_per_dispatch,
     )
     psi = np.asarray(barotropic_streamfunction(model, traj.u[-1])) / 1e6
     os.makedirs(args.output, exist_ok=True)
@@ -1169,7 +1171,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-save", type=int, default=48)
     p.add_argument("--les-method", default="rk3", choices=["euler", "rk3"])
     p.add_argument("--max-frames-per-dispatch", type=int, default=256,
-                   help="host-chunk the frame loop (keep each device program under the tunnel's ~60 s watchdog; shrink for big grids, e.g. 16 at 256^3)")
+                   help="host-chunk the frame loop (keep each device program under the tunnel's ~60 s watchdog)")
+    p.add_argument("--max-steps-per-dispatch", type=int, default=None,
+                   help="cap on LES substeps per device program; default derives from grid size (~40 s of device time per dispatch), so 256^3 runs auto-chunk")
     p.add_argument("--diurnal", action="store_true", help="sinusoidal daily surface-flux cycle (Qb = amplitude); inferred from a diurnal --jld2-name")
     p.add_argument("--jld2-name", default=None, help="also write a reference-layout .jld2 under this catalog name")
     p.add_argument("--output", default="runs/les")
@@ -1270,6 +1274,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--T-mu", type=float, default=10.0)
     p.add_argument("--T-sigma", type=float, default=5.0)
     p.add_argument("--wT-sigma", type=float, default=1e-5)
+    p.add_argument("--max-steps-per-dispatch", type=int, default=None,
+                   help="cap on inner steps per device program (remote-TPU tunnels kill "
+                        "programs running >60-90 s; sparsely-saved multi-year runs need this; "
+                        "default derives from grid size, ~40 s of device time per dispatch)")
     p.add_argument("--nn-T-remap", default="auto",
                    help="basin-T -> NN-input remap 'a + T/b': 'auto' (derive from checkpoint "
                         "scalings), 'none' (raw T), or 'A,B' (the reference hardcodes 19.65,20 "

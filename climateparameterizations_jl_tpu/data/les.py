@@ -417,24 +417,33 @@ def run_les(
     key=None,
     method: str = "euler",
     max_frames_per_dispatch: int = 256,
+    max_steps_per_dispatch: int | None = None,
 ) -> ColumnTimeSeries:
     """Integrate the LES and return horizontally-averaged training data.
 
     Jitted scans; profiles are sampled every ``save_every`` steps.
     Drop-in for ``synthetic_wind_mixing_les`` / the LESbrary reader.
 
-    The outer frame loop is dispatched from the host in chunks of
-    ``max_frames_per_dispatch`` frames (state stays on device between
-    chunks, so the split is free): a single device program that runs for
-    minutes gets killed by execution watchdogs (measured on this
-    container's remote-TPU tunnel: one 64x64x128 program of ~1,150 frames
-    x 50 substeps reproducibly takes the worker down, while the same run
-    in 256-frame chunks completes). Reference-scale 8-day datasets
-    (free_convection/README.md: 1,153 frames) need the chunking.
+    The outer frame loop is dispatched from the host in chunks (state
+    stays on device between chunks, so the split is free): a single device
+    program that runs for minutes gets killed by execution watchdogs
+    (measured on this container's remote-TPU tunnel: one 64x64x128 program
+    of ~1,150 frames x 50 substeps reproducibly takes the worker down,
+    while the same run in 256-frame chunks completes). Reference-scale
+    8-day datasets (free_convection/README.md: 1,153 frames) need the
+    chunking. The chunk is capped both in frames
+    (``max_frames_per_dispatch``) and in substeps
+    (``max_steps_per_dispatch``; the ``None`` default derives it from a
+    ~2e10 cell-steps budget — ~40 s of device time at the measured
+    ~2 ns/cell-step — so a 256^3 grid at ~33 ms/substep dispatches ~1,100
+    substeps at a time instead of 256 multi-second frames in one program).
     """
     c = config
     state = state0 if state0 is not None else initial_state(c, key)
     dt = jnp.asarray(dt, state.T.dtype)
+    if max_steps_per_dispatch is None:
+        max_steps_per_dispatch = int(2e10) // max(c.Nx * c.Ny * c.Nz, 1)
+    steps_cap = max(1, int(max_steps_per_dispatch))
 
     def substep(carry, _):
         s, t = carry
@@ -450,21 +459,42 @@ def run_les(
 
     first = jax.jit(lambda s: _horizontal_profiles(c, s))(state)
     carry = (state, jnp.zeros((), state.T.dtype))
-    chunk = max(1, min(int(max_frames_per_dispatch), n_save))
-    parts = []
-    done = 0
-    while done < n_save:
-        n = min(chunk, n_save - done)
-        # Pin the remainder chunk to the full length's compile when close
-        # enough would recompile anyway (distinct static n); two programs
-        # max: the full chunk and one remainder.
-        carry, frames = run_chunk(carry, n)
-        parts.append(frames)
-        done += n
-    U, V, Tm, uw, vw, wT = tuple(
-        jnp.concatenate([f0[None], *[p[i] for p in parts]], axis=0)
-        for i, f0 in enumerate(first)
-    )
+    if save_every > steps_cap:
+        # One save interval exceeds the device-program cap (e.g. 256^3 with
+        # sparse saves): sub-dispatch the interval, profile at frame ends.
+        @functools.partial(jax.jit, static_argnames="length")
+        def run_steps(carry, length):
+            carry, _ = jax.lax.scan(substep, carry, None, length=length)
+            return carry
+
+        profile = jax.jit(lambda carry: _horizontal_profiles(c, carry[0], carry[1]))
+        n_sub = -(-save_every // steps_cap)
+        base, rem = divmod(save_every, n_sub)
+        frames = []
+        for _ in range(n_save):
+            for k in range(n_sub):
+                carry = run_steps(carry, base + (1 if k < rem else 0))
+            frames.append(profile(carry))
+        U, V, Tm, uw, vw, wT = tuple(
+            jnp.stack([f0, *[f[i] for f in frames]], axis=0)
+            for i, f0 in enumerate(first)
+        )
+    else:
+        chunk = max(1, min(int(max_frames_per_dispatch), n_save, max(1, steps_cap // max(int(save_every), 1))))
+        parts = []
+        done = 0
+        while done < n_save:
+            n = min(chunk, n_save - done)
+            # Pin the remainder chunk to the full length's compile when close
+            # enough would recompile anyway (distinct static n); two programs
+            # max: the full chunk and one remainder.
+            carry, frames = run_chunk(carry, n)
+            parts.append(frames)
+            done += n
+        U, V, Tm, uw, vw, wT = tuple(
+            jnp.concatenate([f0[None], *[p[i] for p in parts]], axis=0)
+            for i, f0 in enumerate(first)
+        )
     dtype = state.T.dtype
     t = jnp.arange(n_save + 1, dtype=dtype) * (save_every * dt)
     return ColumnTimeSeries(

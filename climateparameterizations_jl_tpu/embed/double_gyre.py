@@ -469,6 +469,7 @@ def run_double_gyre(
     unroll: int = 2,
     max_frames_per_dispatch: int = 256,
     T_remap=None,
+    max_steps_per_dispatch: int | None = None,
 ) -> DoubleGyreState:
     """Integrate the basin, saving every ``save_every`` steps.
 
@@ -479,10 +480,22 @@ def run_double_gyre(
     is a chain of many small ops; unroll=4 regresses).
 
     As in :func:`data.les.run_les`, the frame loop is dispatched from the
-    host in chunks of ``max_frames_per_dispatch`` (state stays on device):
-    a single device program running for minutes trips execution watchdogs
-    on remote-TPU tunnels, so multi-year basin runs must not be one
-    program.
+    host in chunks (state stays on device): a single device program running
+    for minutes trips execution watchdogs on remote-TPU tunnels, so
+    multi-year basin runs must not be one program. The dispatch length is
+    capped BOTH in frames (``max_frames_per_dispatch``) and in total steps
+    (``max_steps_per_dispatch`` — sparsely-saved long runs like the
+    reference's 20-year ``good_double_gyre.jl`` pack thousands of steps
+    into one save interval, so a frames-only cap still built a several-
+    minute program; measured: 20 years / 60 frames = 5,840 steps/frame
+    crashed the tunnel, ~40 s of device time per dispatch does not). The
+    ``None`` default derives the step cap from a grid-size-aware budget of
+    ~1.5e10 cell-steps per dispatch (~40 s at the measured ~2.5 ns/cell-
+    step), so bigger basins automatically dispatch shorter programs. When
+    one save interval alone exceeds the step cap it is split into
+    sub-dispatches. Frame-chunked dispatch is bitwise-identical to
+    one-shot; sub-frame splitting compiles different scan lengths and is
+    equivalent to f32 ulp (tested).
     """
 
     def substep(state, _):
@@ -496,8 +509,33 @@ def run_double_gyre(
     def run_chunk(state, n_frames):
         return jax.lax.scan(interval, state, None, length=n_frames)
 
+    @functools.partial(jax.jit, static_argnames="length")
+    def run_steps(state, length):
+        state, _ = jax.lax.scan(substep, state, None, length=length, unroll=unroll)
+        return state
+
+    if max_steps_per_dispatch is None:
+        max_steps_per_dispatch = int(1.5e10) // max(model.Nx * model.Ny * model.Nz, 1)
+    steps_cap = max(1, int(max_steps_per_dispatch))
+    if save_every > steps_cap:
+        # One save interval exceeds the device-program cap: sub-dispatch it.
+        n_sub = -(-save_every // steps_cap)
+        base, rem = divmod(save_every, n_sub)
+        state, frames = state0, []
+        for _ in range(n_save):
+            for k in range(n_sub):
+                state = run_steps(state, base + (1 if k < rem else 0))
+            frames.append(state)
+        stk = lambda a, fs: jnp.stack([a, *fs], axis=0)  # noqa: E731
+        return DoubleGyreState(
+            u=stk(state0.u, [f.u for f in frames]),
+            v=stk(state0.v, [f.v for f in frames]),
+            T=stk(state0.T, [f.T for f in frames]),
+            eta=stk(state0.eta, [f.eta for f in frames]),
+        )
+
     state, parts, done = state0, [], 0
-    chunk = max(1, min(int(max_frames_per_dispatch), n_save))
+    chunk = max(1, min(int(max_frames_per_dispatch), n_save, max(1, steps_cap // max(int(save_every), 1))))
     while done < n_save:
         n = min(chunk, n_save - done)
         state, frames = run_chunk(state, n)

@@ -319,3 +319,38 @@ class TestInternalWaveStability:
         # Measured: 0.082 -> 0.040 fixed; 0.126 -> NaN with forward-Euler coupling.
         assert final < peak, (peak, final)
         assert final < 0.1, final
+
+
+class TestDispatchChunking:
+    def test_step_capped_dispatch_matches_one_shot(self):
+        """The host-chunked dispatch (both caps: frames per dispatch and
+        steps per dispatch, incl. splitting a single save interval into
+        sub-dispatches) must reproduce the one-shot trajectory exactly —
+        the 20-year reference run (good_double_gyre.jl, 5,840 steps per
+        saved frame) exceeds the tunnel watchdog unless the STEP count per
+        device program is capped, not just the frame count."""
+        from climateparameterizations_jl_tpu.embed.double_gyre import (
+            DoubleGyreModel,
+            DoubleGyreState,
+            run_double_gyre,
+        )
+
+        model = DoubleGyreModel.default(Nx=12, Ny=12, Nz=4)
+        s0 = DoubleGyreState.rest(model)
+        ref = run_double_gyre(model, s0, 1800.0, n_save=3, save_every=10)
+        # frames cap only
+        a = run_double_gyre(model, s0, 1800.0, n_save=3, save_every=10, max_frames_per_dispatch=1)
+        # step cap forcing sub-frame dispatches (10 steps/frame, cap 3 -> 4 sub-dispatches)
+        b = run_double_gyre(model, s0, 1800.0, n_save=3, save_every=10, max_steps_per_dispatch=3)
+        for f in ("u", "v", "T", "eta"):
+            # Frame-chunked dispatch reuses the identical interval program:
+            # bitwise equal.
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(ref, f)), err_msg=f"frames:{f}"
+            )
+            # Sub-frame splitting compiles different scan lengths — XLA may
+            # fuse/FMA differently, so equivalence is to f32 ulp, not bitwise.
+            np.testing.assert_allclose(
+                np.asarray(getattr(b, f)), np.asarray(getattr(ref, f)),
+                rtol=1e-5, atol=1e-6, err_msg=f"steps:{f}"
+            )

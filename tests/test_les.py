@@ -322,3 +322,22 @@ class TestShardedLES:
         c = LESConfig.default(Nx=8, Ny=12, Nz=8)
         with np.testing.assert_raises(ValueError):
             make_sharded_les_stepper(c, make_les_mesh(8), 10.0)
+
+
+class TestDispatchStepCap:
+    def test_step_capped_dispatch_matches_default(self):
+        """Sub-frame dispatch (save interval split across device programs,
+        for big grids whose frames each run seconds) must reproduce the
+        one-shot trajectory to f32 ulp; frame-chunked dispatch exactly."""
+        c = small_config(Nz=8, Qu=-1e-4, Qb=1e-7)
+        dt = stable_dt(c, u_max=0.05)
+        kw = dict(dt=dt, n_save=3, save_every=10, key=jax.random.PRNGKey(5))
+        ref = run_les(c, **kw)
+        a = run_les(c, max_frames_per_dispatch=1, **kw)
+        b = run_les(c, max_steps_per_dispatch=3, **kw)
+        for f in ("u", "v", "T", "uw", "vw", "wT"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(ref, f)), err_msg=f"frames:{f}")
+            np.testing.assert_allclose(
+                np.asarray(getattr(b, f)), np.asarray(getattr(ref, f)),
+                rtol=1e-5, atol=1e-7, err_msg=f"steps:{f}")
