@@ -67,3 +67,22 @@ def D_face_matrix(N: int, dz: float) -> np.ndarray:
         D[k, k - 1] = -1.0
         D[k, k] = 1.0
     return D / dz
+
+
+def pad_faces(interior, bottom, top):
+    """Assemble ``(..., Nz+1)`` faces from interior values + scalar-ish BCs.
+
+    BC arrays broadcast LEFT-aligned against the batch axes: a ``(S,)`` BC
+    with ``(S, E, Nz-1)`` interiors means "per simulation", so trailing
+    (ensemble) axes are appended — right-aligned numpy broadcasting would
+    silently attach it to the wrong axis whenever ``S == E``. Shared by the
+    wind-mixing flux assembly and the free-convection ``_assemble_wT``.
+    """
+    batch = interior.shape[:-1]
+
+    def expand(b):
+        b = jnp.asarray(b, interior.dtype)
+        b = b.reshape(b.shape + (1,) * (len(batch) - b.ndim))
+        return jnp.broadcast_to(b, batch)[..., None]
+
+    return jnp.concatenate([expand(bottom), interior, expand(top)], axis=-1)

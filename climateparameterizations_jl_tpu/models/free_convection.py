@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from climateparameterizations_jl_tpu.closures.mlp import MLP, apply_closure
-from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
+from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center, pad_faces
 from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
 from climateparameterizations_jl_tpu.models.timestepper import solve_fixed_step
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
@@ -63,16 +63,8 @@ def _assemble_wT(model: FreeConvectionModel, nn: MLP | None, T):
     else:
         interior = apply_closure(nn, T)
 
-    # LEFT-aligned BC broadcasting (same pitfall as wind_mixing._pad_faces):
-    # a (S,) flux against (S, E, Nz) states means "per simulation".
-    batch = T.shape[:-1]
-
-    def expand(b):
-        b = jnp.asarray(b, T.dtype)
-        b = b.reshape(b.shape + (1,) * (len(batch) - b.ndim))
-        return jnp.broadcast_to(b, batch)[..., None]
-
-    return jnp.concatenate([expand(model.bottom_flux), interior, expand(model.top_flux)], axis=-1)
+    # LEFT-aligned BC broadcasting: shared face assembly (core.operators.pad_faces).
+    return pad_faces(interior, model.bottom_flux, model.top_flux)
 
 
 def free_convection_rhs(model: FreeConvectionModel, nn: MLP, T, t):

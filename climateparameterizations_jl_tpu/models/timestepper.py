@@ -51,7 +51,9 @@ def solve_fixed_step(rhs, x0, t0, dt_save, n_save: int, n_substeps: int = 1, met
       dt_save: interval between saved states.
       n_save: number of save intervals (output has ``n_save + 1`` frames).
       n_substeps: integrator steps per save interval.
-      method: one of ``euler | heun | rk4``.
+      method: one of ``euler | heun | rk4``, or a callable
+        ``step(rhs, x, t, dt) -> x`` for custom schemes (e.g. operator
+        splits that need their own sub-structure per step).
       checkpoint: rematerialize each save interval in the backward pass —
         memory O(n_save) instead of O(n_save * n_substeps).
       unroll: scan unroll factor for the substep loop. The RK4 chain is
@@ -61,7 +63,7 @@ def solve_fixed_step(rhs, x0, t0, dt_save, n_save: int, n_substeps: int = 1, met
     Returns:
       Array of shape ``(n_save + 1, *x0.shape)``.
     """
-    step = _STEPPERS[method]
+    step = method if callable(method) else _STEPPERS[method]
     dt = dt_save / n_substeps
 
     def interval(x, t_start):

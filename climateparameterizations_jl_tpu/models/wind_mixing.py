@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from climateparameterizations_jl_tpu.closures.mlp import _ACTIVATIONS, MLP, mlp_apply
 from climateparameterizations_jl_tpu.core.constants import SECONDS_PER_DAY, diurnal_cycle
 from climateparameterizations_jl_tpu.core.filters import smoothing_filter
-from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center
+from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_face_to_center, pad_faces
 from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
 from climateparameterizations_jl_tpu.models.timestepper import solve_fixed_step
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
@@ -197,22 +197,9 @@ def _effective_bcs(model: WindMixingModel, bcs: BoundaryConditions, t):
     return dataclasses.replace(bcs, wT_top=model.scalings.wT.scale(wT_top_dim))
 
 
-def _pad_faces(interior, bottom, top):
-    """Assemble ``(..., Nz+1)`` faces from interior values + scalar-ish BCs.
-
-    BC arrays broadcast LEFT-aligned against the batch axes: a ``(S,)`` BC
-    with ``(S, E, Nz-1)`` interiors means "per simulation", so trailing
-    (ensemble) axes are appended — right-aligned numpy broadcasting would
-    silently attach it to the wrong axis whenever ``S == E``.
-    """
-    batch = interior.shape[:-1]
-
-    def expand(b):
-        b = jnp.asarray(b, interior.dtype)
-        b = b.reshape(b.shape + (1,) * (len(batch) - b.ndim))
-        return jnp.broadcast_to(b, batch)[..., None]
-
-    return jnp.concatenate([expand(bottom), interior, expand(top)], axis=-1)
+# Face assembly with left-aligned BC broadcasting lives in core.operators
+# (shared with the free-convection wT assembly).
+_pad_faces = pad_faces
 
 
 def _nn_fluxes(model: WindMixingModel, nns, bcs: BoundaryConditions, x):
@@ -244,20 +231,32 @@ def _nn_fluxes(model: WindMixingModel, nns, bcs: BoundaryConditions, x):
     return tuple(_pad_faces(i, b, t) for i, (b, t) in zip(interiors, pads))
 
 
-def _mpp_fluxes(model: WindMixingModel, bcs: BoundaryConditions, x):
-    """mPP downgradient flux faces ``nu * dphi/dz`` terms; ``NDE_training.jl:114-139``."""
+def _face_nu(model: WindMixingModel, x):
+    """Shared mPP face diffusivity: gradients (+eps) -> Ri (opt. smoothed) -> nu.
+
+    The ONE implementation both solvers use — the explicit flux assembly
+    (:func:`_mpp_fluxes`) and the split stepper's implicit solve
+    (:func:`_interior_nu`) must stay on identical Ri/nu conventions or
+    ``test_split_matches_explicit`` breaks. Returns ``(nu, (dudz, dvdz,
+    dTdz))`` so flux callers can reuse the gradients.
+    """
     s = model.scalings
     u, v, T = split_uvT(x, model.Nz)
     dz_hat = model.dz_hat
     eps = jnp.asarray(1e-7, x.dtype)
-
     dudz = d_center_to_face(u, dz_hat)
     dvdz = d_center_to_face(v, dz_hat)
     dTdz = d_center_to_face(T, dz_hat)
     Ri = local_richardson_scaled(dudz + eps, dvdz + eps, dTdz + eps, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma)
     if model.smooth_Ri:
         Ri = smoothing_filter(Ri, 3)
-    nu = mpp_diffusivity(Ri, model.mpp)
+    return mpp_diffusivity(Ri, model.mpp), (dudz, dvdz, dTdz)
+
+
+def _mpp_fluxes(model: WindMixingModel, bcs: BoundaryConditions, x):
+    """mPP downgradient flux faces ``nu * dphi/dz`` terms; ``NDE_training.jl:114-139``."""
+    s = model.scalings
+    nu, (dudz, dvdz, dTdz) = _face_nu(model, x)
 
     cu = s.u.sigma / s.uw.sigma / model.H
     cv = s.v.sigma / s.vw.sigma / model.H
@@ -296,7 +295,20 @@ def predict_flux(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, 
         dTdz = d_center_to_face(T, model.dz_hat)
         s = model.scalings
         kap = s.T.sigma / s.wT.sigma / model.H * model.kappa * jnp.minimum(0.0, dTdz)
-        return uw, vw, wT - kap
+        wT = wT - kap
+    if model.zero_weights:
+        # Without the mPP term to carry them (above), the prescribed BC
+        # fluxes must be set on the total boundary faces directly — same
+        # linear bc - scale(0) convention as _mpp_fluxes/_explicit_rhs_split.
+        # (Previously the conv-adj and pure-NN base closures silently lost
+        # all surface forcing in this solver while the split solver kept it.)
+        s = model.scalings
+        zu = s.uw.scale(jnp.zeros_like(bcs.uw_bot))
+        zv = s.vw.scale(jnp.zeros_like(bcs.vw_bot))
+        zT = s.wT.scale(jnp.zeros_like(bcs.wT_bot))
+        uw = _pad_faces(uw[..., 1:-1], bcs.uw_bot - zu, bcs.uw_top - zu)
+        vw = _pad_faces(vw[..., 1:-1], bcs.vw_bot - zv, bcs.vw_top - zv)
+        wT = _pad_faces(wT[..., 1:-1], bcs.wT_bot - zT, bcs.wT_top - zT)
     return uw, vw, wT
 
 
@@ -331,7 +343,29 @@ def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCon
     (``NDE_training.jl:291``) with an RK4 ``lax.scan`` and a discrete adjoint.
     ``unroll=4`` is worth ~+3% on forward-only runs (latency-bound chain);
     leave it at 1 for training (unrolling grows the rematerialized segment).
+
+    For ``euler``/``heun`` the Coriolis rotation is split out and applied
+    forward-backward after each flux substep: rotation inside a plain
+    forward-Euler (or Heun) step amplifies inertial oscillations by
+    ~``sqrt(1 + (f tau dt)^2)`` per step, which over multi-day runs grows
+    the Ekman transport without bound (the repo-wide Coriolis rule; RK4's
+    4th-order rotation error is negligible so it integrates the full RHS).
     """
+    if method in ("euler", "heun"):
+        from climateparameterizations_jl_tpu.models.timestepper import _STEPPERS
+
+        base_step = _STEPPERS[method]
+        rhs_flux = lambda x, t: _tendencies(model, x, *predict_flux(model, nns, bcs, x, t), coriolis=False)  # noqa: E731
+
+        def fb_step(_rhs, x, t, dt):
+            x = base_step(rhs_flux, x, t, dt)
+            s = model.scalings
+            u, v, T = split_uvT(x, model.Nz)
+            u = u + dt * model.f * model.tau / s.u.sigma * (s.v.sigma * v + s.v.mu)
+            v = v - dt * model.f * model.tau / s.v.sigma * (s.u.sigma * u + s.u.mu)
+            return join_uvT(u, v, T)
+
+        return solve_fixed_step(None, x0, t0, dt_save, n_save, n_substeps, fb_step, checkpoint, unroll)
     rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
     return solve_fixed_step(rhs, x0, t0, dt_save, n_save, n_substeps, method, checkpoint, unroll)
 
@@ -365,17 +399,7 @@ def _explicit_rhs_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCondi
 
 def _interior_nu(model: WindMixingModel, x):
     """Face mPP diffusivity with zero boundary faces, for the implicit solve."""
-    s = model.scalings
-    u, v, T = split_uvT(x, model.Nz)
-    dz_hat = model.dz_hat
-    eps = jnp.asarray(1e-7, x.dtype)
-    dudz = d_center_to_face(u, dz_hat) + eps
-    dvdz = d_center_to_face(v, dz_hat) + eps
-    dTdz = d_center_to_face(T, dz_hat) + eps
-    Ri = local_richardson_scaled(dudz, dvdz, dTdz, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma)
-    if model.smooth_Ri:
-        Ri = smoothing_filter(Ri, 3)
-    nu = mpp_diffusivity(Ri, model.mpp)
+    nu, _ = _face_nu(model, x)
     mask = jnp.ones(nu.shape[-1], nu.dtype).at[0].set(0.0).at[-1].set(0.0)
     return nu * mask
 

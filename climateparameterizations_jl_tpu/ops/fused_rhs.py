@@ -115,7 +115,17 @@ def _make_kernel(consts: tuple, dt: float, n_steps: int, Nz: int, activation: st
     cT = sig_T / sig_wT / H / Pr
     r = tau / H
 
-    act = _mish if activation == "mish" else jax.nn.relu
+    if activation == "mish":
+        act = _mish
+    elif activation == "relu":
+        act = jax.nn.relu
+    else:
+        # Silent substitution would quietly diverge from the validated XLA
+        # path (closures/mlp supports tanh/gelu/swish too).
+        raise NotImplementedError(
+            f"fused RK4 kernel supports activation 'mish' or 'relu', got {activation!r}; "
+            "use the XLA path (wind_mixing_rhs) for other activations"
+        )
     ni = Nz - 1
 
     def rhs(x, A1, b1, A2, b2, A3, b3):

@@ -191,9 +191,12 @@ def turbulent_velocity_scales(h, params: KPPParameters, Fu, Fb, sigma):
     """
     ustar = jnp.sqrt(jnp.abs(Fu))
     wb = jnp.maximum(0.0, Fb * h) ** (1.0 / 3.0)  # convective velocity
-    # Regime ratio: d = (wb / ustar)^3 (bounded for ustar -> 0).
     eps = 1e-30
-    d3 = (wb / (ustar + eps)) ** 3
+    # Regime ratio d = (wb / ustar)^3. The denominator floor must keep d3
+    # FINITE in f32 for physical wb (a 1e-30 floor overflowed to inf at
+    # ustar = 0, and the wind branch's 0 * inf = NaN then poisons any
+    # gradient through the jnp.where even though the primal selects conv).
+    d3 = (wb / jnp.maximum(ustar, 1e-10)) ** 3
 
     # Depth fraction: under DESTABILIZING forcing LMD94 caps the evaluation
     # depth at the surface-layer fraction; under stable forcing the full
@@ -237,8 +240,10 @@ def kpp_diffusivities(U, V, T, zf, zc, params: KPPParameters, forcing: KPPForcin
     F_theta = Fb / (g * alpha)
     NL = jnp.where(Fb[..., None] > 0.0, params.CNL * F_theta[..., None] * shape, 0.0)
 
-    # No flux through the boundaries in the implicit solve.
-    mask = jnp.ones_like(sigma).at[..., 0].set(0.0).at[..., -1].set(0.0)
+    # No flux through the boundaries in the implicit solve. 1-D mask, not a
+    # scatter on the batched array: single-index scatters mis-partition on
+    # GSPMD-sharded batches (CLAUDE.md; same idiom as implicit_diffusion_step).
+    mask = jnp.ones(sigma.shape[-1], sigma.dtype).at[0].set(0.0).at[-1].set(0.0)
     return K_U * mask, K_T * mask, NL * mask, h
 
 
@@ -259,13 +264,11 @@ def kpp_diagnostic_fluxes(U, V, T, zf, zc, params: KPPParameters, forcing: KPPFo
     OceanTurb flux diagnostics). Batches over leading axes (e.g. a whole
     saved trajectory at once).
     """
+    from climateparameterizations_jl_tpu.core.operators import d_center_to_face
+
     dz = H / Nz
     K_U, K_T, NL, _h = kpp_diffusivities(U, V, T, zf, zc, params, forcing, g, alpha, H)
-
-    def ddz(phi):
-        interior = (phi[..., 1:] - phi[..., :-1]) / dz
-        zeros = jnp.zeros(interior.shape[:-1] + (1,), phi.dtype)
-        return jnp.concatenate([zeros, interior, zeros], axis=-1)
+    ddz = lambda phi: d_center_to_face(phi, dz)  # noqa: E731 — shared operator, zero boundary faces
 
     uw = -K_U * ddz(U)
     vw = -K_U * ddz(V)

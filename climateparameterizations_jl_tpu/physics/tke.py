@@ -138,7 +138,8 @@ def tke_diffusivities(state: TKEState, dz, zc, params: TKEParameters, g, alpha):
     K_T = CK_T * ell * sqrt_e + params.KT0
     K_e = CK_e * ell * sqrt_e + params.KU0
 
-    mask = jnp.ones_like(K_U).at[..., 0].set(0.0).at[..., -1].set(0.0)
+    # 1-D shard-safe mask (see kpp_diffusivities / CLAUDE.md scatter note).
+    mask = jnp.ones(K_U.shape[-1], K_U.dtype).at[0].set(0.0).at[-1].set(0.0)
     return K_U * mask, K_T * mask, K_e * mask, (S2, N2, ell, sqrt_e)
 
 

@@ -262,3 +262,28 @@ class TestVelocityScaleContinuity:
                 hi = turbulent_velocity_scales(h, params, Fu, Fb, jnp.float64(sig_switch + eps))
                 for a, b in zip(lo, hi):
                     assert abs(float(a) - float(b)) < 1e-6 * abs(float(a)), (float(a), float(b))
+
+
+class TestKPPGradientsFiniteAtZeroWind:
+    def test_velocity_scale_grads_finite_for_pure_convection(self):
+        """Regression: with Fu = 0 (free convection) the regime ratio
+        (wb/ustar)^3 overflowed to inf in f32 and the wind branch's
+        0 * inf = NaN poisoned gradients through the jnp.where (the primal
+        was fine — only grad-based calibration would see it)."""
+        from climateparameterizations_jl_tpu.physics.kpp import (
+            KPPParameters,
+            turbulent_velocity_scales,
+        )
+
+        params = KPPParameters.default()
+        sigma = jnp.linspace(0.05, 0.95, 8, dtype=jnp.float32)
+
+        def f(fb):
+            W_U, W_T = turbulent_velocity_scales(
+                jnp.float32(50.0), params, jnp.float32(0.0), fb, sigma
+            )
+            return jnp.sum(W_U) + jnp.sum(W_T)
+
+        val, grad = jax.value_and_grad(f)(jnp.float32(3e-8))
+        assert np.isfinite(float(val))
+        assert np.isfinite(float(grad)), grad

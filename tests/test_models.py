@@ -87,6 +87,23 @@ class TestWindMixingInertialOscillation:
     du/dt_hat = f tau v, dv/dt_hat = -f tau u -> (u + iv)(t) rotating at f tau.
     """
 
+    @pytest.mark.parametrize("method", ["euler", "heun"])
+    def test_low_order_methods_do_not_amplify_rotation(self, method):
+        """Repo-wide Coriolis rule: euler/heun must not integrate the
+        rotation forward-explicitly (amplifies |u+iv| by sqrt(1+(f tau dt)^2)
+        per step — 100 steps at omega dt ~ 0.3 would grow the amplitude
+        ~70x). The forward-backward split keeps it neutral."""
+        model = make_model(use_mpp=False, use_conv_adj=False, zero_weights=True)
+        bcs = zero_bcs()
+        Nz = model.Nz
+        omega = float(model.f * model.tau)
+        dt = 0.3 / omega
+        x0 = jnp.concatenate([jnp.ones(Nz), jnp.zeros(Nz), jnp.zeros(Nz)]).astype(jnp.float32)
+        traj = solve_wind_mixing_nde(model, NO_NNS, bcs, x0, 0.0, dt * 10, 10, n_substeps=10, method=method)
+        u, v, _ = split_uvT(traj, Nz)
+        amp = np.sqrt(np.array(u[:, 0]) ** 2 + np.array(v[:, 0]) ** 2)
+        assert amp[-1] < 1.05, amp[-1]
+
     def test_rotation_matches_analytic(self):
         model = make_model(use_mpp=False, use_conv_adj=False, zero_weights=True)
         bcs = zero_bcs()
@@ -124,6 +141,30 @@ class TestWindMixingMPP:
         expl = solve_wind_mixing_nde(model, NO_NNS, bcs, x0, 0.0, 2e-4, 10, n_substeps=16)
         splt = solve_wind_mixing_split(model, NO_NNS, bcs, x0, 0.0, 2e-4, 10, n_substeps=16)
         np.testing.assert_allclose(np.array(expl[-1]), np.array(splt[-1]), atol=2e-3)
+
+    def test_split_matches_explicit_conv_adj_with_bc_fluxes(self):
+        """Regression: in zero_weights mode with a NON-mPP base closure the
+        explicit solver used to drop the prescribed boundary fluxes
+        entirely (only the mPP term carried them), silently diverging from
+        the split solver. With nonzero surface forcing both solvers must
+        agree and the forcing must act."""
+        model = make_model(use_mpp=False, use_conv_adj=True, zero_weights=True)
+        bcs = dataclasses.replace(zero_bcs(), uw_top=f32(-0.5), wT_top=f32(0.3))
+        rng = np.random.default_rng(7)
+        # Stably-stratified T: the conv-adj switch stays off in both solvers
+        # (the stiff explicit-min vs implicit-lagged schemes legitimately
+        # differ when active — CLAUDE.md), isolating the BC-flux paths.
+        x0 = jnp.concatenate([
+            jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32),
+            jnp.linspace(-0.5, 0.5, 32, dtype=jnp.float32),
+        ])
+        expl = solve_wind_mixing_nde(model, NO_NNS, bcs, x0, 0.0, 2e-4, 10, n_substeps=16)
+        splt = solve_wind_mixing_split(model, NO_NNS, bcs, x0, 0.0, 2e-4, 10, n_substeps=16)
+        np.testing.assert_allclose(np.array(expl[-1]), np.array(splt[-1]), atol=2e-3)
+        # The surface forcing must actually reach the state (previously the
+        # explicit trajectory was forcing-free).
+        free = solve_wind_mixing_nde(model, NO_NNS, zero_bcs(), x0, 0.0, 2e-4, 10, n_substeps=16)
+        assert float(jnp.abs(expl[-1] - free[-1]).max()) > 1e-4
 
     def test_surface_stress_accelerates_top(self):
         model = make_model()
