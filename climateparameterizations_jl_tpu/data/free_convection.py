@@ -95,7 +95,7 @@ def load_free_convection_simulation(
 
     from climateparameterizations_jl_tpu.data.synthetic import synthetic_free_convection_les
 
-    ds = synthetic_free_convection_les(Qb=Qb, Nz=Nz_les, n_save=n_save, dt_save=dt_save)
+    ds = synthetic_free_convection_les(Qb=Qb, Nz=Nz_les, n_save=n_save, dt_save=dt_save, stratification=strat)
     return coarsen_dataset(ds, Nz)
 
 

@@ -253,8 +253,15 @@ def surface_theta_flux(config: LESConfig, t):
     return config.theta_top
 
 
-def _tendencies(config: LESConfig, state: LESState, t):
-    """(du/dt, dv/dt, dw_int/dt, dT/dt) before the pressure projection."""
+def _tendencies(config: LESConfig, state: LESState, t, coriolis: bool = True):
+    """(du/dt, dv/dt, dw_int/dt, dT/dt) before the pressure projection.
+
+    ``coriolis=False`` omits the rotation terms — the forward-Euler path
+    applies them forward-backward in :func:`_advance` instead (simultaneous
+    explicit rotation amplifies inertial energy ~(1 + (f dt)^2)^(1/2) per
+    step, the repo-wide Coriolis rule; RK3 keeps them in-tendency, its
+    stability region covers the imaginary axis portion needed).
+    """
     c = config
     dx, dy, dz = c.dx, c.dy, c.dz
     u, v, w, T = state.u, state.v, state.w, state.T
@@ -303,7 +310,8 @@ def _tendencies(config: LESConfig, state: LESState, t):
     adv_u = (Fuu - _xm(Fuu)) / dx + (_yp(Fuv) - Fuv) / dy + (Fuw[..., 1:] - Fuw[..., :-1]) / dz
     v_at_u = 0.5 * (v_corner + _yp(v_corner))
     nu_u = 0.5 * (nu_c + _xm(nu_c))
-    dudt = -adv_u + c.f * v_at_u + nu_u * (_lap_xy(u, dx, dy) + _lap_z_neumann(u, dz))
+    f_u = c.f if coriolis else jnp.zeros_like(c.f)
+    dudt = -adv_u + f_u * v_at_u + nu_u * (_lap_xy(u, dx, dy) + _lap_z_neumann(u, dz))
     dudt = dudt.at[..., -1].add(-c.Qu / dz)
 
     # --- v momentum (y-faces) ----------------------------------------------
@@ -315,7 +323,7 @@ def _tendencies(config: LESConfig, state: LESState, t):
     adv_v = (_xp(Fvu) - Fvu) / dx + (Fvv - _ym(Fvv)) / dy + (Fvw[..., 1:] - Fvw[..., :-1]) / dz
     u_at_v = 0.5 * (u_corner + _xp(u_corner))
     nu_v = 0.5 * (nu_c + _ym(nu_c))
-    dvdt = -adv_v - c.f * u_at_v + nu_v * (_lap_xy(v, dx, dy) + _lap_z_neumann(v, dz))
+    dvdt = -adv_v - f_u * u_at_v + nu_v * (_lap_xy(v, dx, dy) + _lap_z_neumann(v, dz))
 
     # --- w momentum (interior z-faces) --------------------------------------
     Fww = w_zc * w_zc  # centers
@@ -349,11 +357,19 @@ def _project(config: LESConfig, u_star, v_star, w_star, dt):
     return u, v, w
 
 
-def _advance(config: LESConfig, state: LESState, dt, t) -> LESState:
+def _advance(config: LESConfig, state: LESState, dt, t, fb_coriolis: bool = False) -> LESState:
     """Tendencies -> predictor -> projection, over a (sub)step of size dt."""
-    dudt, dvdt, dwdt, dTdt = _tendencies(config, state, t)
+    dudt, dvdt, dwdt, dTdt = _tendencies(config, state, t, coriolis=not fb_coriolis)
     u_star = state.u + dt * dudt
     v_star = state.v + dt * dvdt
+    if fb_coriolis:
+        # Forward-backward rotation: v sees the already-rotated u (neutral
+        # for inertial oscillations; see models/wind_mixing + double_gyre).
+        c = config
+        v_corner = 0.5 * (v_star + _xm(v_star))
+        u_star = u_star + dt * c.f * 0.5 * (v_corner + _yp(v_corner))
+        u_corner = 0.5 * (u_star + _ym(u_star))
+        v_star = v_star - dt * c.f * 0.5 * (u_corner + _xp(u_corner))
     w_star = state.w.at[..., 1:-1].add(dt * dwdt)
     u, v, w = _project(config, u_star, v_star, w_star, dt)
     return LESState(u=u, v=v, w=w, T=state.T + dt * dTdt)
@@ -371,7 +387,7 @@ def les_step(config: LESConfig, state: LESState, dt, method: str = "euler", t=0.
     """
     t = jnp.asarray(t, state.T.dtype)
     if method == "euler":
-        return _advance(config, state, dt, t)
+        return _advance(config, state, dt, t, fb_coriolis=True)
     if method == "rk3":
         s1 = _advance(config, state, dt, t)
         s2_raw = _advance(config, s1, dt, t + dt)
@@ -441,9 +457,12 @@ def run_les(
     c = config
     state = state0 if state0 is not None else initial_state(c, key)
     dt = jnp.asarray(dt, state.T.dtype)
-    if max_steps_per_dispatch is None:
-        max_steps_per_dispatch = int(2e10) // max(c.Nx * c.Ny * c.Nz, 1)
-    steps_cap = max(1, int(max_steps_per_dispatch))
+    from climateparameterizations_jl_tpu.utils.dispatch import dispatch_plan
+
+    _plan_kind, _plan = dispatch_plan(
+        n_save, save_every, c.Nx * c.Ny * c.Nz,
+        max_frames_per_dispatch, max_steps_per_dispatch, cell_step_budget=2e10,
+    )
 
     def substep(carry, _):
         s, t = carry
@@ -459,7 +478,7 @@ def run_les(
 
     first = jax.jit(lambda s: _horizontal_profiles(c, s))(state)
     carry = (state, jnp.zeros((), state.T.dtype))
-    if save_every > steps_cap:
+    if _plan_kind == "subframe":
         # One save interval exceeds the device-program cap (e.g. 256^3 with
         # sparse saves): sub-dispatch the interval, profile at frame ends.
         @functools.partial(jax.jit, static_argnames="length")
@@ -468,19 +487,17 @@ def run_les(
             return carry
 
         profile = jax.jit(lambda carry: _horizontal_profiles(c, carry[0], carry[1]))
-        n_sub = -(-save_every // steps_cap)
-        base, rem = divmod(save_every, n_sub)
         frames = []
         for _ in range(n_save):
-            for k in range(n_sub):
-                carry = run_steps(carry, base + (1 if k < rem else 0))
+            for n in _plan:
+                carry = run_steps(carry, n)
             frames.append(profile(carry))
         U, V, Tm, uw, vw, wT = tuple(
             jnp.stack([f0, *[f[i] for f in frames]], axis=0)
             for i, f0 in enumerate(first)
         )
     else:
-        chunk = max(1, min(int(max_frames_per_dispatch), n_save, max(1, steps_cap // max(int(save_every), 1))))
+        chunk = _plan
         parts = []
         done = 0
         while done < n_save:

@@ -147,9 +147,16 @@ def synthetic_free_convection_les(
     dt_save: float = 600.0,
     n_substeps: int = 4,
     kappa: float = 10.0,
+    stratification: float = 0.002,
     dtype=jnp.float32,
 ) -> ColumnTimeSeries:
     """Surface-cooled convecting column: surface flux + implicit conv-adj.
+
+    ``stratification`` sets the deep/thermocline temperature gradients and
+    the fixed-gradient bottom BC — catalog ids sharing a surface flux
+    differ ONLY in stratification, so the offline stand-ins must thread it
+    or distinct ids silently produce byte-identical datasets (train/test
+    leakage; the les3d source threads it via ``LESConfig.dTdz``).
 
     Stand-in for the 9 LESbrary free-convection simulations
     (``free_convection/src/data.jl:3-12``). Each substep applies the surface
@@ -168,7 +175,7 @@ def synthetic_free_convection_les(
     dz = H / Nz
     dt = dt_save / n_substeps
     zc = (jnp.arange(Nz, dtype=dtype) + 0.5) * dz - H
-    T0 = three_layer_profile(zc).astype(dtype)
+    T0 = three_layer_profile(zc, dTdz_thermocline=10.0 * stratification, dTdz_deep=stratification).astype(dtype)
 
     def substep(T, _):
         # Explicit surface-flux divergence: only the top cell feels theta_top.
@@ -207,5 +214,5 @@ def synthetic_free_convection_les(
         beta=jnp.asarray(8e-4, dtype),
         u_top=jnp.asarray(0.0, dtype),
         theta_top=jnp.asarray(theta_top, dtype),
-        theta_bottom=jnp.asarray(0.002, dtype),
+        theta_bottom=jnp.asarray(stratification, dtype),
     )

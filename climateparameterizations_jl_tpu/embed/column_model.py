@@ -74,6 +74,12 @@ class HostColumnModel:
     # ``data_containers.jl:131-156``). ``t`` is the dimensional time passed
     # to host_column_step.
     diurnal: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # How NN outputs dimensionalize: "affine" (sigma*y + mu — FC NNs and
+    # wind-mixing NNs trained with zero_weights=False), "linear" (sigma*y —
+    # the zero-weights flux/sigma convention), or "auto" (affine iff
+    # nn_input == "T", the historical behavior). Eval callers must pass the
+    # TRAINING-mode convention or embedded faces are biased by mu.
+    nn_dimensionalize: str = dataclasses.field(metadata=dict(static=True), default="auto")
     # mPP + convective adjustment on the TRACER diffusivity: where the
     # column is convectively unstable (Ri <= 0), kappa_T jumps to
     # ``kappa_conv`` instead of nu/Pr — the reference's
@@ -113,12 +119,13 @@ def _nn_flux_faces(model: HostColumnModel, nns: FluxNNs | None, state: HostColum
     def faces(nn: MLP | None, scaling):
         if nn is None:
             return zeros_faces
-        # Dimensionalize per training convention: FC NNs (nn_input="T") are
-        # trained against AFFINE-scaled targets (sigma * y + mu); the
-        # wind-mixing triple NNs train in zero-weights mode where the
-        # NN output is the flux over sigma (linear, no offset).
+        # Dimensionalize per training convention (see nn_dimensionalize):
+        # FC NNs train against AFFINE-scaled targets (sigma * y + mu);
+        # wind-mixing triple NNs in zero-weights mode output flux/sigma
+        # (linear, no offset) — but zero_weights=False training is affine too.
         y = apply_closure(nn, x)
-        interior = scaling.unscale(y) if model.nn_input == "T" else scaling.sigma * y
+        affine = model.nn_dimensionalize == "affine" or (model.nn_dimensionalize == "auto" and model.nn_input == "T")
+        interior = scaling.unscale(y) if affine else scaling.sigma * y
         zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
         return jnp.concatenate([zeros, interior, zeros], axis=-1)
 

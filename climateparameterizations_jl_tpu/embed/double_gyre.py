@@ -514,17 +514,18 @@ def run_double_gyre(
         state, _ = jax.lax.scan(substep, state, None, length=length, unroll=unroll)
         return state
 
-    if max_steps_per_dispatch is None:
-        max_steps_per_dispatch = int(1.5e10) // max(model.Nx * model.Ny * model.Nz, 1)
-    steps_cap = max(1, int(max_steps_per_dispatch))
-    if save_every > steps_cap:
+    from climateparameterizations_jl_tpu.utils.dispatch import dispatch_plan
+
+    kind, plan = dispatch_plan(
+        n_save, save_every, model.Nx * model.Ny * model.Nz,
+        max_frames_per_dispatch, max_steps_per_dispatch,
+    )
+    if kind == "subframe":
         # One save interval exceeds the device-program cap: sub-dispatch it.
-        n_sub = -(-save_every // steps_cap)
-        base, rem = divmod(save_every, n_sub)
         state, frames = state0, []
         for _ in range(n_save):
-            for k in range(n_sub):
-                state = run_steps(state, base + (1 if k < rem else 0))
+            for n in plan:
+                state = run_steps(state, n)
             frames.append(state)
         stk = lambda a, fs: jnp.stack([a, *fs], axis=0)  # noqa: E731
         return DoubleGyreState(
@@ -535,7 +536,7 @@ def run_double_gyre(
         )
 
     state, parts, done = state0, [], 0
-    chunk = max(1, min(int(max_frames_per_dispatch), n_save, max(1, steps_cap // max(int(save_every), 1))))
+    chunk = plan
     while done < n_save:
         n = min(chunk, n_save - done)
         state, frames = run_chunk(state, n)

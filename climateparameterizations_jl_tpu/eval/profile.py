@@ -287,6 +287,10 @@ def nde_profile(
             dTdz_bottom=ds_test.theta_bottom,
             scalings=s, mpp=model.mpp, Nz=Nz, closure="mpp",
             diurnal=model.diurnal,
+            # The embedded column must dimensionalize NN faces by the SAME
+            # convention the NNs were trained under (affine when
+            # zero_weights=False), or every interior face is biased by mu.
+            nn_dimensionalize="linear" if model.zero_weights else "affine",
         )
         i0 = int(np.asarray(tsteps)[0])
         state0 = HostColumnState(

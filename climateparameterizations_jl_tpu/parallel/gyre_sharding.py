@@ -76,9 +76,14 @@ def make_sharded_gyre_stepper(
     s = state_shardings(mesh)
 
     def advance(state):
-        for _ in range(n_substeps):
-            state = double_gyre_step(model, state, dt, nn, T_scaling, wT_scaling)
-        return state
+        # lax.scan, NOT a Python loop: unrolling traces n_substeps copies of
+        # the whole step graph (compile time explodes at reference-scale
+        # save intervals of thousands of steps).
+        def body(st, _):
+            return double_gyre_step(model, st, dt, nn, T_scaling, wT_scaling), None
+
+        st, _ = jax.lax.scan(body, state, None, length=n_substeps)
+        return st
 
     return jax.jit(advance, in_shardings=(s,), out_shardings=s)
 
@@ -103,11 +108,27 @@ def run_double_gyre_sharded(
     import jax.numpy as jnp
 
     mesh = mesh if mesh is not None else make_gyre_mesh()
-    step = make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=save_every)
     state = shard_gyre_state(state0, mesh)
     frames = [state]
-    for _ in range(n_save):
-        state = step(state)
-        frames.append(state)
+    # Same device-program step cap as the unsharded runner: sparsely-saved
+    # long runs must not build one multi-minute program per frame (remote
+    # tunnels kill programs running >60-90 s).
+    from climateparameterizations_jl_tpu.utils.dispatch import dispatch_plan
+
+    kind, plan = dispatch_plan(n_save, save_every, model.Nx * model.Ny * model.Nz, max_frames_per_dispatch=1)
+    if kind == "subframe":
+        steppers = {
+            n: make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=n)
+            for n in sorted(set(plan))
+        }
+        for _ in range(n_save):
+            for n in plan:
+                state = steppers[n](state)
+            frames.append(state)
+    else:
+        step = make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=save_every)
+        for _ in range(n_save):
+            state = step(state)
+            frames.append(state)
     stack = lambda f: jnp.stack([getattr(fr, f) for fr in frames], axis=0)  # noqa: E731
     return DoubleGyreState(u=stack("u"), v=stack("v"), T=stack("T"), eta=stack("eta"))

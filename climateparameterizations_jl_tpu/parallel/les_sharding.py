@@ -67,8 +67,12 @@ def make_sharded_les_stepper(
     repl = NamedSharding(mesh, P())
 
     def advance(state, t):
-        for i in range(n_substeps):
-            state = les_step(config, state, dt, method, t + i * dt)
-        return state
+        # lax.scan, NOT a Python loop (see make_sharded_gyre_stepper).
+        def body(carry, _):
+            st, tc = carry
+            return (les_step(config, st, dt, method, tc), tc + dt), None
+
+        (st, _), _ = jax.lax.scan(body, (state, t), None, length=n_substeps)
+        return st
 
     return jax.jit(advance, in_shardings=(s, repl), out_shardings=s)

@@ -175,17 +175,20 @@ def make_sharded_suite_ensemble_solver(model: WindMixingModel, config: NDETrainC
     return jax.jit(solve, static_argnums=(5,))
 
 
-def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh, axis_name: str = "batch"):
+def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh, axis_name: str = "batch", out_sharding: NamedSharding | None = None):
     """Forward ensemble solver with columns sharded across the mesh.
 
     For the 1k-column UQ / double-gyre ensembles: ``x0`` ``(E, 3 Nz)`` and
     per-member BCs shard over the mesh; the returned trajectories stay
     device-sharded (``(Nt, E, 3 Nz)`` with E split), so downstream
     reductions (ensemble means/variances) also run sharded.
+    ``out_sharding`` overrides the output layout — a FACTORY parameter
+    (shardings are trace-time properties; a runtime argument on the jitted
+    function would be unusably traced).
     """
-    split = NamedSharding(mesh, P(None, axis_name))
+    out_sharding = out_sharding if out_sharding is not None else NamedSharding(mesh, P(None, axis_name))
 
-    def solve(nns: FluxNNs, bcs, x0, t0, dt_save, n_save, out_sharding=split):
+    def solve(nns: FluxNNs, bcs, x0, t0, dt_save, n_save):
         if config.method == "split":
             traj = solve_wind_mixing_split(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps)
         else:

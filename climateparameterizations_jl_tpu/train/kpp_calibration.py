@@ -84,6 +84,12 @@ def make_kpp_forward_fn(
     T_truth = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
     t_row = ds.t[0] if ds.t.ndim > 1 else ds.t
     t_save = jnp.take(t_row, jnp.asarray(tsteps))
+    # solve_kpp integrates a fixed step derived from (t[-1]-t[0])/n_save: a
+    # non-uniform tstep selection would silently fit KPP states at wrong
+    # times against truth at the real times.
+    from climateparameterizations_jl_tpu.train.nde import _require_uniform
+
+    _require_uniform(t_save, "make_kpp_forward_fn")
     base = base_params if base_params is not None else KPPParameters.default()
     i0 = tsteps[0]
     state0 = KPPState(U=ds.u[..., i0, :], V=ds.v[..., i0, :], T=ds.T[..., i0, :])

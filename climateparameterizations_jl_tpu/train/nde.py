@@ -92,6 +92,19 @@ def _make_optimizer(config: NDETrainConfig, lr=None):
     return optax.with_extra_args_support(opt)
 
 
+def _require_uniform(t, where: str):
+    """Fixed-step solvers integrate on a uniform save grid; a non-uniform
+    tstep selection (e.g. a hand-rolled growing window [0,1,2,4,8,...])
+    would silently integrate to WRONG times while the loss compares against
+    targets at the true saved times. Call on concrete (non-traced) t only —
+    the eval path has the same guard (eval/profile._require_uniform)."""
+    import numpy as _np
+
+    dt = _np.diff(_np.asarray(t, _np.float64), axis=-1)
+    if dt.size and not _np.allclose(dt, dt[..., :1], rtol=1e-4):
+        raise ValueError(f"{where}: tsteps must be uniformly spaced (got save intervals {dt.ravel()[:4]}...)")
+
+
 def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: NDETrainConfig):
     if config.pack_nns:
         # One block matmul chain instead of 9 small matmuls per RHS; the
@@ -217,6 +230,7 @@ def train_wind_mixing_nde(
             )
 
     history_all = []
+    _require_uniform(batch.t, "train_wind_mixing_nde")
     if stages is None:
         loss_scalings = determine_loss_scalings(model, nns, batch, config)
         loss_fn = make_wind_mixing_loss_fn(model, batch, loss_scalings, config)
@@ -226,6 +240,7 @@ def train_wind_mixing_nde(
 
     for i, stage in enumerate(stages):
         stage_batch = full_batch_fn(stage.tsteps)
+        _require_uniform(stage_batch.t, f"curriculum stage {i}")
         stage_config = dataclasses.replace(config, n_substeps=stage.n_substeps) if stage.n_substeps else config
         loss_scalings = determine_loss_scalings(model, nns, stage_batch, stage_config)
         loss_fn = make_wind_mixing_loss_fn(model, stage_batch, loss_scalings, stage_config)
@@ -252,6 +267,7 @@ def train_free_convection_nde(
     ``free_convection/src/training.jl:55-62``).
     """
     t = jnp.asarray(t)
+    _require_uniform(t, "train_free_convection_nde")
     n_save = t.shape[0] - 1
     dt_save = (t[-1] - t[0]) / n_save
 

@@ -354,3 +354,36 @@ class TestDispatchChunking:
                 np.asarray(getattr(b, f)), np.asarray(getattr(ref, f)),
                 rtol=1e-5, atol=1e-6, err_msg=f"steps:{f}"
             )
+
+
+def test_host_nn_dimensionalization_follows_training_mode():
+    """Regression: the embedded column must dimensionalize wind-mixing NN
+    outputs by the TRAINING convention — affine (sigma*y + mu) for
+    zero_weights=False models, not always the linear flux/sigma form
+    keyed on nn_input. A zero-output NN makes the difference exact: affine
+    faces carry mu, linear faces are zero."""
+    from climateparameterizations_jl_tpu.closures.mlp import MLP
+    from climateparameterizations_jl_tpu.embed.column_model import _nn_flux_faces
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+
+    base = make_host_model()
+    model = dataclasses.replace(
+        base,
+        scalings=dataclasses.replace(base.scalings, wT=_scaling(3e-6, 1e-5)),
+    )
+    mu = float(model.scalings.wT.mu)
+    assert mu != 0.0
+    Nz = model.Nz
+    zero_nn = MLP(
+        weights=(jnp.zeros((Nz - 1, 3 * Nz), jnp.float32),),
+        biases=(jnp.zeros(Nz - 1, jnp.float32),),
+    )
+    nns = FluxNNs(uw=None, vw=None, wT=zero_nn)
+    state = stratified_state(Nz=Nz)
+
+    lin = dataclasses.replace(model, nn_dimensionalize="linear")
+    aff = dataclasses.replace(model, nn_dimensionalize="affine")
+    _, _, wT_lin = _nn_flux_faces(lin, nns, state)
+    _, _, wT_aff = _nn_flux_faces(aff, nns, state)
+    np.testing.assert_allclose(np.asarray(wT_lin[..., 1:-1]), 0.0)
+    np.testing.assert_allclose(np.asarray(wT_aff[..., 1:-1]), mu, rtol=1e-6)

@@ -92,3 +92,17 @@ class TestFCLes3DSource:
         assert ds.T.shape == (3, 8)
         assert np.all(np.isfinite(np.asarray(ds.T)))
         assert float(ds.theta_top) > 0.0  # surface cooling
+
+
+def test_offline_ids_sharing_qb_are_distinct():
+    """Regression: ids sharing a surface flux differ only in stratification;
+    the offline synthetic stand-in used to drop it, making e.g. held-out id
+    7 byte-identical to training id 3 (silent train/test leakage)."""
+    from climateparameterizations_jl_tpu.data.free_convection import (
+        load_free_convection_simulation,
+    )
+
+    a = load_free_convection_simulation(3, Nz=16, Nz_les=32, n_save=4, dt_save=600.0)
+    b = load_free_convection_simulation(7, Nz=16, Nz_les=32, n_save=4, dt_save=600.0)
+    assert float(jnp.abs(a.T - b.T).max()) > 1e-6
+    assert float(a.theta_bottom) != float(b.theta_bottom)

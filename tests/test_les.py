@@ -341,3 +341,18 @@ class TestDispatchStepCap:
             np.testing.assert_allclose(
                 np.asarray(getattr(b, f)), np.asarray(getattr(ref, f)),
                 rtol=1e-5, atol=1e-7, err_msg=f"steps:{f}")
+
+
+def test_dispatch_plan_arithmetic():
+    from climateparameterizations_jl_tpu.utils.dispatch import dispatch_plan
+
+    # Frames mode: cap in frames and in steps both bind.
+    kind, chunk = dispatch_plan(100, 10, n_cells=1, max_frames_per_dispatch=256, max_steps_per_dispatch=35)
+    assert kind == "frames" and chunk == 3  # 35 // 10
+    # Sub-frame mode: one interval over the cap splits exactly.
+    kind, subs = dispatch_plan(5, 10, n_cells=1, max_steps_per_dispatch=3)
+    assert kind == "subframe" and sum(subs) == 10 and max(subs) <= 3, subs
+    # Grid-derived default: bigger grids get shorter dispatches.
+    k1, c1 = dispatch_plan(10, 100, n_cells=10**6)
+    k2, c2 = dispatch_plan(10, 100, n_cells=10**8)
+    assert k1 == "frames" and k2 == "frames" and c1 >= c2
