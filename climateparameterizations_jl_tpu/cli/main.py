@@ -25,10 +25,19 @@ def _load_config(path: str | None) -> dict:
         return json.load(f)
 
 
-def _apply_config(args: argparse.Namespace, config: dict, parser_defaults: dict):
-    """Config overrides defaults; explicit CLI flags override config."""
+def _apply_config(args: argparse.Namespace, config: dict, parser_defaults: dict, explicit: set | None = None):
+    """Config overrides defaults; explicit CLI flags override config.
+
+    ``explicit`` names the dests actually typed on the command line —
+    comparing values against parser defaults alone cannot tell
+    ``--nz 32`` (typed, equal to the default) from an omitted flag, and the
+    config would silently override the user's explicit choice.
+    """
+    explicit = explicit or set()
     for key, value in config.items():
         attr = key.replace("-", "_")
+        if attr in explicit:
+            continue
         if hasattr(args, attr) and getattr(args, attr) == parser_defaults.get(attr):
             setattr(args, attr, value)
     return args
@@ -161,7 +170,26 @@ def cmd_generate_les(args) -> int:
                 "loaders would pin the cyclic data to a constant amplitude; use a *_diurnal_* name"
             )
         diurnal = diurnal or bool(spec.diurnal)
-    config = LESConfig.default(Nx=args.n_horizontal, Ny=args.n_horizontal, Nz=args.nz_les, Qu=args.qu, Qb=args.qb, diurnal=diurnal)
+        # A file written under a catalog name must carry that name's forcing
+        # (downstream name-based tooling assumes it): default Qu/Qb/f from
+        # the spec, and refuse a contradicting explicit flag. Signed Qu like
+        # the registry stand-ins (negative = eastward; 2DaySuite entries
+        # store magnitudes).
+        spec_qu = -abs(spec.Qu) if spec.Qu != 0.0 else 0.0
+        for flag, value, spec_value in (("--qu", args.qu, spec_qu), ("--qb", args.qb, spec.Qb)):
+            if value is not None and abs(value - spec_value) > 1e-12 * max(abs(spec_value), 1e-30):
+                raise SystemExit(
+                    f"{flag}={value} contradicts catalog entry {args.jld2_name!r} ({flag[2:]}={spec_value}); "
+                    "drop the flag (the spec's value is the default) or use a matching name"
+                )
+        qu = spec_qu if args.qu is None else args.qu
+        qb = spec.Qb if args.qb is None else args.qb
+        f_cor = spec.f
+    else:
+        qu = args.qu if args.qu is not None else -5e-4
+        qb = args.qb if args.qb is not None else 3e-8
+        f_cor = 1e-4
+    config = LESConfig.default(Nx=args.n_horizontal, Ny=args.n_horizontal, Nz=args.nz_les, Qu=qu, Qb=qb, f=f_cor, diurnal=diurnal)
     cfl = 0.6 if args.les_method == "rk3" else 0.2
     dt = args.dt if args.dt else stable_dt(config, u_max=args.u_max, cfl=cfl)
     save_every = max(1, int(round(args.dt_save / dt)))
@@ -312,13 +340,19 @@ def cmd_ensemble(args) -> int:
     )
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
 
-    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
+    names = _sims(args.sims)
+    ds = _load_suite(names, args.nz, args.data_dir, args.n_save, args.dt_save)
     if args.checkpoint:
         nns, ckpt_meta = _load_nns(args.checkpoint)
     else:
         nns, ckpt_meta = FluxNNs(uw=None, vw=None, wT=None), {}
+    flags = _suite_diurnal_flags(names)
+    # CLAUDE.md diurnal rule: thread diurnal_amplitude through
+    # training_tensors AND set model.diurnal, or the cycling surface flux
+    # silently freezes at its frame-0 value (sin(0) = 0: no heat flux at all).
+    diurnal = bool(ckpt_meta.get("diurnal", all(flags) and len(flags) > 0))
     model = _wind_model(
-        ds, args.nz,
+        ds, args.nz, diurnal=diurnal,
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
         smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
     )
@@ -329,7 +363,7 @@ def cmd_ensemble(args) -> int:
         nns = packed
 
     tsteps = np.arange(0, min(args.n_steps, int(ds.t.shape[-1])))
-    batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
+    batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau, diurnal=diurnal)
     E = args.n_members
     key = jax.random.PRNGKey(args.seed)
     # Ensemble members perturb the FIRST simulation's initial column (and
@@ -364,6 +398,32 @@ def cmd_extract(args) -> int:
     extract_checkpoint(args.run_dir, args.out_dir)
     print(f"extracted {args.run_dir} -> {args.out_dir}")
     return 0
+
+
+def _parse_curriculum(spec, n_frames: int, n_substeps: int, maxiters: int, lr: float, default_window: int):
+    """Parse "w[:s],w[:s],..." into :class:`CurriculumStage` objects.
+
+    The ONE implementation for both NDE trainers (the wind/fc copies had
+    diverged and dropped the stride scaling on single-stage runs): windows
+    clamp to the available frames, and each stage's ``n_substeps`` scales by
+    its stride so the inner physical step stays at ``dt_save / n_substeps``
+    (the reference's ``1:9:1153`` tranges are strided saveat ranges —
+    ``train_NDE_args.jl:197``, ``train_free_convection_nde.jl:244,258``).
+    """
+    from climateparameterizations_jl_tpu.train.nde import CurriculumStage
+
+    def parse_stage(x: str):
+        w, _, s = x.partition(":")
+        return int(w), int(s) if s else 1
+
+    windows = [parse_stage(x) for x in spec.split(",")] if spec else [(default_window, 1)]
+    if any(w > n_frames for w, _ in windows):
+        print(f"warning: clamping training windows {windows} to {n_frames} available frames")
+        windows = [(min(w, n_frames), s) for w, s in windows]
+    return [
+        CurriculumStage(tsteps=np.arange(0, w, s), maxiters=maxiters, learning_rate=lr, n_substeps=n_substeps * s)
+        for w, s in windows
+    ]
 
 
 def _history_writer(output: str, print_every: int = 10):
@@ -497,27 +557,18 @@ def cmd_train_nde(args) -> int:
             else None
         ),
     )
-    # Curriculum entries are "window" or "window:stride" — the reference's
-    # tranges are strided saveat ranges over the full span (the flagship is
-    # 1:9:1153, train_NDE_args.jl:197: every 9th frame of the 8-day run).
-    def parse_stage(x: str):
-        w, _, s = x.partition(":")
-        return int(w), int(s) if s else 1
-
-    windows = [parse_stage(x) for x in args.curriculum.split(",")] if args.curriculum else [(args.n_train_steps, 1)]
     n_frames = ds.t.reshape(-1, ds.t.shape[-1]).shape[-1] if ds.t.ndim > 1 else ds.t.shape[-1]
-    if any(w > n_frames for w, _ in windows):
-        print(f"warning: clamping training windows {windows} to {n_frames} available frames")
-        windows = [(min(w, n_frames), s) for w, s in windows]
-    # n_substeps scales by the stride so the inner physical step stays at
-    # dt_save / n_substeps regardless of frame striding (the fc path and the
-    # flagship study do the same; without this a 1153:9 stage silently
-    # integrates 9x-coarser physics).
-    stages = [
-        CurriculumStage(tsteps=np.arange(0, w, s), maxiters=args.maxiters,
-                        learning_rate=args.lr, n_substeps=args.n_substeps * s)
-        for w, s in windows
-    ]
+    stages = _parse_curriculum(
+        args.curriculum, n_frames, args.n_substeps, args.maxiters, args.lr,
+        default_window=args.n_train_steps,
+    )
+    if len(stages) == 1:
+        # Single stage: thread the stride-scaled n_substeps through the
+        # config (stages=None below bypasses the per-stage override — a
+        # bare `--curriculum 1153:9` must not integrate 9x-coarser physics).
+        import dataclasses as _dc
+
+        config = _dc.replace(config, n_substeps=stages[0].n_substeps)
     batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau, diurnal=diurnal)  # noqa: E731
     batch = batch_fn(stages[0].tsteps)
 
@@ -538,6 +589,7 @@ def cmd_train_nde(args) -> int:
         "command": "train-nde", "sims": args.sims, "nz": args.nz,
         # evaluate/ensemble must rebuild the EXACT training-time dynamics.
         "smooth_NN": bool(args.smooth_nn), "smooth_Ri": bool(args.smooth_ri),
+        "diurnal": bool(diurnal),
     })
     print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
@@ -598,21 +650,25 @@ def cmd_train_fc_nde(args) -> int:
 
     n_frames = int(ds.t.shape[-1])
 
-    # Curriculum entries are "window" or "window:stride" — the reference's
-    # tranges are strided saveat ranges (1:20, 1:5:101, ..., burn-in
-    # 1:9:1153; train_free_convection_nde.jl:244,258).
-    def parse_stage(x: str):
-        w, _, s = x.partition(":")
-        return min(int(w), n_frames), int(s) if s else 1
+    # Spatial causality through the NDE stage: "hard" masks the weights now
+    # and re-projects after every optimizer update (the mask does not
+    # survive updates otherwise); "soft" is a pretraining-only penalty (the
+    # reference's usage, train_free_convection_nde.jl:184-200).
+    project = None
+    if args.spatial_causality == "hard":
+        from climateparameterizations_jl_tpu.closures.mlp import apply_spatial_causality_mask
 
-    windows = (
-        [parse_stage(w) for w in args.curriculum.split(",")]
-        if args.curriculum
-        else [(min(args.n_train_steps, n_frames), 1)]
+        nn = apply_spatial_causality_mask(nn)
+        project = apply_spatial_causality_mask
+    elif args.spatial_causality == "soft" and args.pretrain_epochs == 0:
+        print("warning: --spatial-causality soft only acts during flux pretraining; set --pretrain-epochs > 0 or it is a no-op")
+
+    stages = _parse_curriculum(
+        args.curriculum, n_frames, args.n_substeps, args.maxiters, args.lr,
+        default_window=min(args.n_train_steps, n_frames),
     )
 
-    def stage_tensors(window: int, stride: int):
-        tsteps = np.arange(0, window, stride)
+    def stage_tensors(tsteps):
         T_sel = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
         T0 = T_scaling.scale(T_sel[..., 0, :])
         targets = T_scaling.scale(T_sel)
@@ -622,15 +678,14 @@ def cmd_train_fc_nde(args) -> int:
         return T0, targets, t
 
     # Staged curriculum over growing windows + full-span burn-in at decayed
-    # LR (train_free_convection_nde.jl:246-266).
+    # LR (train_free_convection_nde.jl:246-266). Each stage's n_substeps is
+    # pre-scaled by its stride (same physical inner step).
     history = []
-    for stage_i, (window, stride) in enumerate(windows):
-        lr = args.lr * (args.burn_in_lr_decay if stage_i == len(windows) - 1 and len(windows) > 1 else 1.0)
-        # Keep the inner step at the save spacing: stride-s saveat with
-        # n_substeps scaled by s integrates the same physical dt.
-        config = NDETrainConfig(learning_rate=lr, maxiters=args.maxiters, n_substeps=args.n_substeps * stride, method=args.method)
-        T0, targets, t = stage_tensors(window, stride)
-        nn, h = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output))
+    for stage_i, stage in enumerate(stages):
+        lr = args.lr * (args.burn_in_lr_decay if stage_i == len(stages) - 1 and len(stages) > 1 else 1.0)
+        config = NDETrainConfig(learning_rate=lr, maxiters=args.maxiters, n_substeps=stage.n_substeps, method=args.method)
+        T0, targets, t = stage_tensors(stage.tsteps)
+        nn, h = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output), project=project)
         history.extend(h)
     meta = {
         "command": "train-fc-nde", "sim_ids": ids, "conv": args.conv,
@@ -895,8 +950,13 @@ def cmd_evaluate(args) -> int:
     train_ds = _load_suite(train_names, args.nz, args.data_dir, args.n_save, args.dt_save)
     flags = _suite_diurnal_flags(train_names)
     nns, ckpt_meta = _load_nns(args.checkpoint)
+    # The checkpoint records the TRAINING-time diurnal mode (a checkpoint
+    # trained on a diurnal suite must evaluate with the cycle even when
+    # --sims is left at its default); older checkpoints fall back to the
+    # --sims name flags.
+    diurnal = bool(ckpt_meta.get("diurnal", all(flags) and len(flags) > 0))
     model = _wind_model(
-        train_ds, args.nz, diurnal=all(flags) and len(flags) > 0,  # TRAINING scalings (override semantics)
+        train_ds, args.nz, diurnal=diurnal,  # TRAINING scalings (override semantics)
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
         smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
     )
@@ -1163,8 +1223,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("generate-les", help="run the 3-D LES and save averaged training profiles")
     p.add_argument("--n-horizontal", type=int, default=32)
     p.add_argument("--nz-les", type=int, default=32)
-    p.add_argument("--qu", type=float, default=-5e-4, help="surface momentum flux [m2/s2]")
-    p.add_argument("--qb", type=float, default=3e-8, help="surface buoyancy flux [m2/s3]")
+    p.add_argument("--qu", type=float, default=None,
+                   help="surface momentum flux [m2/s2]; default -5e-4, or the catalog value when --jld2-name is given (a mismatch with the named entry is refused)")
+    p.add_argument("--qb", type=float, default=None,
+                   help="surface buoyancy flux [m2/s3]; default 3e-8, or the catalog value when --jld2-name is given")
     p.add_argument("--dt", type=float, default=None, help="LES step [s] (default: stability bound)")
     p.add_argument("--u-max", type=float, default=0.2, help="velocity scale for the stability bound")
     p.add_argument("--dt-save", type=float, default=600.0)
@@ -1297,15 +1359,26 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if getattr(args, "platform", None):
-        # Must land before the first computation initializes a backend.
-        # jax.config wins over JAX_PLATFORMS (container site hooks may
-        # overwrite the env var after the user exported it).
+    config = _load_config(getattr(args, "config", None))
+    # Backend choice must land before the first computation initializes a
+    # backend: CLI flag wins, then a config-file "platform" key (loading the
+    # YAML touches no backend, so reading it first is safe). jax.config wins
+    # over JAX_PLATFORMS (container site hooks may overwrite the env var
+    # after the user exported it).
+    platform = getattr(args, "platform", None) or (config or {}).get("platform")
+    if platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
-    config = _load_config(getattr(args, "config", None))
+        jax.config.update("jax_platforms", platform)
     if config:
-        defaults = {a.dest: a.default for sp in parser._subparsers._group_actions for a in getattr(sp.choices.get(args.command), "_actions", [])}  # noqa: SLF001
-        _apply_config(args, config, defaults)
+        import sys
+
+        tokens = list(sys.argv[1:] if argv is None else argv)
+        actions = [a for sp in parser._subparsers._group_actions for a in getattr(sp.choices.get(args.command), "_actions", [])]  # noqa: SLF001
+        defaults = {a.dest: a.default for a in actions}
+        explicit = {
+            a.dest for a in actions
+            if any(t == opt or t.startswith(opt + "=") for opt in a.option_strings for t in tokens)
+        }
+        _apply_config(args, config, defaults, explicit)
     return args.fn(args)

@@ -304,7 +304,13 @@ def gp_fit_multi(x_train, y_trains, kernels, z, jitter_scale: float | None = Non
     Returns a list of :class:`GPModel`, index-aligned with ``y_trains``.
     """
     x_train = jnp.asarray(x_train)
-    ys = [jnp.asarray(y) for y in y_trains]
+    ys_orig = [jnp.asarray(y) for y in y_trains]
+    # The grouped path concatenates targets on the last axis and slices the
+    # stacked solve back out — promote 1-D targets (valid for gp_fit) to
+    # (n, 1) for the concat and squeeze the resulting alpha, so both paths
+    # accept exactly what gp_fit accepts.
+    was_1d = [y.ndim == 1 for y in ys_orig]
+    ys = [y[:, None] if y.ndim == 1 else y for y in ys_orig]
     if len(ys) != len(kernels):
         raise ValueError(f"{len(ys)} target sets for {len(kernels)} kernels")
     out: list = [None] * len(ys)
@@ -316,7 +322,7 @@ def gp_fit_multi(x_train, y_trains, kernels, z, jitter_scale: float | None = Non
         if isinstance(k, GPKernel) and k.backend == "xla":
             groups.setdefault((k.family, k.metric), []).append(i)
         else:  # SpectralMixture / pallas backend: individual fits
-            out[i] = gp_fit(x_train, ys[i], k, z, jitter_scale)
+            out[i] = gp_fit(x_train, ys_orig[i], k, z, jitter_scale)
 
     for (family, metric), idxs in groups.items():
         d = distance_matrix(x_train, x_train, z, metric)
@@ -357,10 +363,11 @@ def gp_fit_multi(x_train, y_trains, kernels, z, jitter_scale: float | None = Non
             offset = 0
             for i in member_idxs:
                 D_out = ys[i].shape[-1]
+                alpha = alpha_cat[:, offset : offset + D_out]
                 out[i] = GPModel(
                     kernel=kernels[i], x_train=x_train,
                     z=None if z is None else jnp.asarray(z),
-                    alpha=alpha_cat[:, offset : offset + D_out], chol=chols[j],
+                    alpha=alpha[:, 0] if was_1d[i] else alpha, chol=chols[j],
                 )
                 offset += D_out
     return out
@@ -429,6 +436,17 @@ def optimize_kernel_hyperparameters(
     y_train = jnp.asarray(y_train)
 
     positive = {"gamma", "sigma", "alpha"} if isinstance(kernel, GPKernel) else {"gamma"}
+    # Coerce python-scalar hyperparameters to arrays FIRST: the array filter
+    # below would otherwise skip them all and "optimize" an empty dict,
+    # returning the kernel unchanged with a flat loss curve and no error.
+    kernel = dataclasses.replace(
+        kernel,
+        **{
+            f.name: jnp.asarray(getattr(kernel, f.name), jnp.result_type(float))
+            for f in dataclasses.fields(kernel)
+            if isinstance(getattr(kernel, f.name), (int, float)) and not isinstance(getattr(kernel, f.name), bool)
+        },
+    )
     fields = [f.name for f in dataclasses.fields(kernel) if isinstance(getattr(kernel, f.name), jnp.ndarray)]
 
     def to_raw(k):

@@ -148,7 +148,10 @@ def determine_loss_scalings(model: WindMixingModel, nns: FluxNNs, batch: Trainin
     return calculate_loss_scalings(channels, config.training_fractions, config.train_gradient)
 
 
-def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_state=None):
+def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_state=None, project=None):
+    """``project`` (optional) re-applies a parameter constraint after every
+    optimizer update inside the jitted step (e.g. the hard spatial-causality
+    mask — optimizer updates repopulate masked entries otherwise)."""
     if opt_state is None:
         opt_state = optimizer.init(params)
 
@@ -168,6 +171,8 @@ def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_st
         # keep the params at their declared precision.
         new = optax.apply_updates(params, updates)
         params = jax.tree.map(lambda n, o: n.astype(o.dtype), new, params)
+        if project is not None:
+            params = project(params)
         return params, opt_state, total, channels
 
     history = []
@@ -258,6 +263,7 @@ def train_free_convection_nde(
     t,
     config: NDETrainConfig,
     callback=None,
+    project=None,
 ):
     """Train the heat-flux NN through the free-convection NDE solve.
 
@@ -278,5 +284,5 @@ def train_free_convection_nde(
         zero = jnp.zeros_like(total)
         return total, LossChannels(u=zero, v=zero, T=total, dudz=zero, dvdz=zero, dTdz=zero)
 
-    nn, history, _ = _train_loop(loss_fn, nn, _make_optimizer(config), config.maxiters, callback)
+    nn, history, _ = _train_loop(loss_fn, nn, _make_optimizer(config), config.maxiters, callback, project=project)
     return nn, history

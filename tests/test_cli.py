@@ -337,3 +337,23 @@ def test_diurnal_training_batch_carries_amplitude():
     model = _wind_model(ds, 16, diurnal=True)
     batch = training_tensors(ds, model.scalings, np.arange(10), tau=model.tau, diurnal=True)
     assert float(np.abs(np.asarray(batch.bcs.diurnal_amplitude)).max()) > 0.0
+
+
+def test_config_does_not_override_explicit_flags(tmp_path):
+    """An explicitly-typed flag that happens to equal the parser default must
+    beat the config file (value comparison alone cannot tell them apart)."""
+    import yaml
+
+    from climateparameterizations_jl_tpu.cli.main import build_parser, _apply_config, _load_config
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(yaml.safe_dump({"nz": 64, "maxiters": 7}))
+    parser = build_parser()
+    argv = ["train-nde", "--sims", "strong_wind", "--config", str(cfg), "--nz", "32"]
+    args = parser.parse_args(argv)
+    actions = [a for sp in parser._subparsers._group_actions for a in getattr(sp.choices.get(args.command), "_actions", [])]  # noqa: SLF001
+    defaults = {a.dest: a.default for a in actions}
+    explicit = {a.dest for a in actions if any(t == o or t.startswith(o + "=") for o in a.option_strings for t in argv)}
+    _apply_config(args, _load_config(str(cfg)), defaults, explicit)
+    assert args.nz == 32  # typed on the CLI (equal to the default) -> config must not win
+    assert args.maxiters == 7  # not typed -> config wins over the default

@@ -117,3 +117,32 @@ def test_hard_mask_enforces_causality_through_all_layers():
     J = np.asarray(jax.jacobian(lambda x: mlp_apply(nn, x))(x))  # (Nz-1, Nz)
     for i in range(Nz - 1):
         assert np.allclose(J[i, i + 1 :], 0.0), f"face {i} leaks from deeper levels"
+
+
+def test_hard_causality_survives_nde_training_cli(tmp_path):
+    """Regression: --spatial-causality hard used to be a silent no-op with
+    --pretrain-epochs 0 (and the mask was destroyed by the first NDE
+    optimizer update otherwise). The mask must hold in the SAVED checkpoint
+    after NDE training."""
+    import numpy as np
+
+    from climateparameterizations_jl_tpu.cli.main import main
+    from climateparameterizations_jl_tpu.closures.mlp import spatial_causality_mask
+
+    out = str(tmp_path / "fc_hard")
+    rc = main([
+        "train-fc-nde", "--sim-ids", "1", "--nz", "16", "--n-save", "8", "--dt-save", "600",
+        "--pretrain-epochs", "0", "--spatial-causality", "hard",
+        "--maxiters", "3", "--n-train-steps", "8", "--output", out,
+    ])
+    assert rc == 0
+    import os
+
+    state = np.load(os.path.join(out, "state.npz"))
+    w_keys = [k for k in state.files if "weights" in k]
+    assert w_keys, state.files
+    for k in w_keys:
+        W = state[k]
+        if W.ndim == 2:
+            mask = np.asarray(spatial_causality_mask(W.shape))
+            assert np.allclose(W[mask], 0.0), f"{k} has nonzero acausal entries after NDE training"

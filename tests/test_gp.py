@@ -537,3 +537,36 @@ class TestVmappedGridSearch:
         np.testing.assert_allclose(err_sh, err_ref, rtol=1e-6)
         assert k_sh.family == k_ref.family
         np.testing.assert_allclose(float(k_sh.gamma), float(k_ref.gamma), rtol=1e-6)
+
+
+class TestMultiFit1D:
+    def test_matches_gp_fit_for_1d_targets(self):
+        """gp_fit accepts (n,) targets; the fused multi-fit must too (it used
+        to IndexError on the stacked-solve slice)."""
+        from climateparameterizations_jl_tpu.closures.gp import get_kernel, gp_fit, gp_fit_multi, gp_predict
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(24, 4)))
+        y1 = jnp.sin(x.sum(axis=1))
+        y2 = jnp.cos(x.sum(axis=1))
+        k = get_kernel(1, 0.0)
+        models = gp_fit_multi(x, [y1, y2], [k, k], None)
+        ref1 = gp_fit(x, y1, k, None)
+        np.testing.assert_allclose(np.asarray(models[0].alpha), np.asarray(ref1.alpha), rtol=1e-8)
+        assert models[0].alpha.ndim == 1  # same shape contract as gp_fit
+        np.testing.assert_allclose(
+            np.asarray(gp_predict(models[1], x)), np.asarray(y2), atol=5e-2
+        )
+
+    def test_hyperopt_accepts_python_scalar_kernel(self):
+        """optimize_kernel_hyperparameters must coerce python-scalar
+        hyperparameters instead of silently optimizing an empty dict."""
+        from climateparameterizations_jl_tpu.closures.gp import GPKernel, optimize_kernel_hyperparameters
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(24, 3)), jnp.float32)
+        y = jnp.sin(x.sum(axis=1, keepdims=True))
+        k0 = GPKernel(gamma=3.0, sigma=1.0, alpha=1.0)  # python floats
+        k, losses = optimize_kernel_hyperparameters(x, y, k0, None, iters=10)
+        assert losses[-1] < losses[0]
+        assert float(k.gamma) != 3.0
