@@ -98,6 +98,7 @@ def run_double_gyre_sharded(
     nn=None,
     T_scaling=None,
     wT_scaling=None,
+    max_steps_per_dispatch: int | None = None,
 ):
     """Sharded counterpart of :func:`embed.double_gyre.run_double_gyre`.
 
@@ -115,7 +116,10 @@ def run_double_gyre_sharded(
     # tunnels kill programs running >60-90 s).
     from climateparameterizations_jl_tpu.utils.dispatch import dispatch_plan
 
-    kind, plan = dispatch_plan(n_save, save_every, model.Nx * model.Ny * model.Nz, max_frames_per_dispatch=1)
+    kind, plan = dispatch_plan(
+        n_save, save_every, model.Nx * model.Ny * model.Nz,
+        max_frames_per_dispatch=1, max_steps_per_dispatch=max_steps_per_dispatch,
+    )
     if kind == "subframe":
         steppers = {
             n: make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=n)

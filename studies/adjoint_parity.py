@@ -26,7 +26,13 @@ Run: ``python studies/adjoint_parity.py [--platform cpu] [--out docs/adjoint_par
 The committed numbers in docs/PERFORMANCE.md come from this script.
 """
 
+
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (script lives in studies/)
 
 import argparse
 import dataclasses

@@ -28,7 +28,13 @@ Modes:
 Results are written to ``--out`` (JSON) and summarized in docs/RESULTS.md.
 """
 
+
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (script lives in studies/)
 
 import argparse
 import json

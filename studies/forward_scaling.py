@@ -10,7 +10,13 @@ pipelined measurement (5 iterations, one block). Prints one JSON line per
 config and a summary table.
 """
 
+
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (script lives in studies/)
 
 import argparse
 import json

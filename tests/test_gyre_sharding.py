@@ -56,3 +56,27 @@ class TestGyreSharding:
         assert sharded.v.shape == (25, 16, 8)
         assert sharded.v.sharding.is_fully_replicated
         assert np.all(np.isfinite(np.asarray(sharded.v)))
+
+
+def test_sharded_subframe_dispatch_matches():
+    """The step-capped sub-frame dispatch path of the sharded runner must
+    reproduce the one-dispatch-per-frame trajectory (to ulp: different scan
+    lengths compile differently)."""
+    from climateparameterizations_jl_tpu.embed.double_gyre import DoubleGyreModel, DoubleGyreState
+    from climateparameterizations_jl_tpu.parallel.gyre_sharding import (
+        make_gyre_mesh,
+        run_double_gyre_sharded,
+    )
+
+    model = DoubleGyreModel.default(Nx=16, Ny=24, Nz=8)
+    state0 = DoubleGyreState.rest(model)
+    mesh = make_gyre_mesh(8)
+    ref = run_double_gyre_sharded(model, state0, dt=1800.0, n_save=2, save_every=6, mesh=mesh)
+    sub = run_double_gyre_sharded(
+        model, state0, dt=1800.0, n_save=2, save_every=6, mesh=mesh, max_steps_per_dispatch=4,
+    )
+    for field in ("u", "v", "T", "eta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sub, field)), np.asarray(getattr(ref, field)),
+            rtol=1e-5, atol=1e-6, err_msg=field,
+        )
