@@ -7,9 +7,12 @@ fused ``lax.scan`` of RK4 steps over a 1024-column batch, and reports
     column-timesteps/sec = n_columns * n_steps / wall_seconds
 
 Baseline: the reference's only recorded comparable number — the OceanTurb
-KPP full 2-day column evolution, 25.762 ms for ~1153 steps of a single
-column on CPU (``wind_mixing/Benchmarking.jl:25``) => ~4.5e4
-column-timesteps/sec. ``vs_baseline`` is the speedup over that.
+KPP full 2-day column evolution, 25.762 ms single-column CPU
+(``wind_mixing/Benchmarking.jl:25``). The model steps at the dataset's
+save spacing (``k_profile_parameterization.jl:67``), so the 2-day run is
+~288 steps at 600 s => ~1.1e4 column-timesteps/s; the 4.5e4 constant kept
+here reads the run as 1153 steps — GENEROUS to the reference by ~4x, so
+every ``vs_baseline`` this prints is conservative.
 
 Prints ONE JSON line.
 """
@@ -17,7 +20,6 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 
@@ -52,41 +54,14 @@ def _resolve_platform(timeout_s: float = 180.0) -> str:
 
 def main():
     platform = _resolve_platform()
-    import jax.numpy as jnp
-    from __graft_entry__ import _make_setup
-    from climateparameterizations_jl_tpu.models.timestepper import rk4_step
-    from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns, wind_mixing_rhs
+    # ONE implementation of the headline configuration: bench_nde_forward
+    # (benchmarks.py) runs the identical packed-NN RK4 scan at 1024 columns
+    # x 1024 steps with pipelined timing — a second copy here could silently
+    # drift from the suite's.
+    from climateparameterizations_jl_tpu.benchmarks import bench_nde_forward
 
-    n_columns = 1024
-    n_steps = 1024
-    model, raw_nns, bcs, x0 = _make_setup(Nz=32, n_columns=n_columns)
-    # The three flux MLPs fused into one block matmul chain (+16% on the
-    # latency-bound RK4 chain; see models.wind_mixing.PackedFluxNNs).
-    nns = pack_flux_nns(raw_nns)
-    dt = jnp.float32(1e-5)
-
-    @jax.jit
-    def run(nns, x):
-        rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
-
-        def body(x, i):
-            return rk4_step(rhs, x, i * dt, dt), None
-
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32), unroll=4)
-        return x
-
-    # Warmup/compile.
-    out = run(nns, x0)
-    jax.block_until_ready(out)
-
-    reps = 5
-    start = time.perf_counter()
-    for _ in range(reps):
-        out = run(nns, out)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
-
-    column_timesteps_per_sec = n_columns * n_steps * reps / elapsed
+    stats = bench_nde_forward(n_columns=1024, n_steps=1024, packed=True, unroll=4)
+    column_timesteps_per_sec = stats["column_timesteps_per_sec"]
     print(
         json.dumps(
             {

@@ -280,7 +280,9 @@ def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 3
     fn = jax.jit(
         lambda s: run_double_gyre(model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn, T_scaling=Ts, wT_scaling=ws).T
     )
-    stats = timed_roofline(fn, state0, iters=3, loop_steps=n_steps)
+    # run_double_gyre's substep scan uses unroll=2: the cost model counts the
+    # unrolled body (2 substeps) once, so the trip count is n_steps/2.
+    stats = timed_roofline(fn, state0, iters=3, loop_steps=n_steps // 2)
     stats["column_timesteps_per_sec"] = Nx * Ny * n_steps / stats["median_s"]
     return stats
 

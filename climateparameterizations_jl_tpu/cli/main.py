@@ -741,7 +741,10 @@ def cmd_optimise_mpp(args) -> int:
     result = {
         "nu_0": float(params.nu_0), "nu_minus": float(params.nu_minus),
         "Ri_c": float(params.Ri_c), "delta_Ri": float(params.delta_Ri), "Pr": float(params.Pr),
-        "loss_initial": float(history[0][0]), "loss_final": float(history[-1][0]),
+        # loss_final = the best evaluated loss: optimise_mpp_parameters
+        # returns the best ITERATE's parameters, so this is the loss the
+        # adopted parameters actually achieved.
+        "loss_initial": float(history[0][0]), "loss_final": float(min(h[0] for h in history)),
     }
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "mpp_parameters.json"), "w") as f:

@@ -165,12 +165,21 @@ def nde_profile(
     include_kpp: bool = True,
     include_embedded: bool = False,
     embedded_substeps: int = 10,
+    kpp_n_substeps: int = 1,
 ) -> ProfileEvaluation:
     """Full comparison harness for one held-out wind-mixing simulation.
 
     ``model.scalings`` must be the *training* scalings (the reference's
     ``override_scalings`` semantics). ``tsteps`` selects the evaluation
     window out of ``ds_test``'s frames.
+
+    ``kpp_n_substeps``: inner KPP steps per save interval. The default 1
+    steps KPP at the save spacing — exactly what the reference's harness
+    does (``column_model_1D_kpp`` takes ``dt = times[2] - times[1]``,
+    ``wind_mixing/src/k_profile_parameterization.jl:51``), which on a
+    strided trange is coarser than KPP's usual 600 s. Pass the eval stride
+    here to give KPP its reference-native 600 s step (a FAIRER baseline on
+    strided evaluations; see RESULTS.md).
 
     Parity: ``NDE_profile`` (``training_postprocessing.jl:250-632``).
     """
@@ -239,6 +248,7 @@ def nde_profile(
         )
         kpp = solve_kpp(
             state0, t_dim, kpp_params, forcing, model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha,
+            n_substeps=kpp_n_substeps,
             diurnal=model.diurnal,  # Fb becomes the daily-cycle amplitude
         )
         out["kpp_u"], out["kpp_v"], out["kpp_T"] = (np.asarray(kpp.U), np.asarray(kpp.V), np.asarray(kpp.T))
@@ -423,8 +433,12 @@ def free_convection_profile(
     include_tke: bool = True,
     include_embedded: bool = False,
     embedded_substeps: int = 10,
+    kpp_n_substeps: int = 1,
 ) -> ProfileEvaluation:
     """Free-convection comparison: truth vs NDE vs conv-adj-only vs KPP vs TKE.
+
+    ``kpp_n_substeps``: see :func:`nde_profile` — 1 matches the reference's
+    harness (KPP stepped at the save spacing).
 
     Parity: the solution table assembled by
     ``free_convection/test_free_convection_nde.jl:110-165`` (true / NDE /
@@ -470,6 +484,7 @@ def free_convection_profile(
         kpp = solve_kpp(
             KPPState(U=zeros, V=zeros, T=T_truth[..., 0, :]),
             t_dim, kpp_params, forcing, model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha,
+            n_substeps=kpp_n_substeps,
         )
         out["kpp_T"] = np.asarray(kpp.T)
         out["losses_kpp_T"] = mse_t(model.T_scaling.scale(kpp.T), T_truth_scaled)

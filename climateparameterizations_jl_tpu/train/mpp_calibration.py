@@ -85,13 +85,21 @@ def optimise_mpp_parameters(
         theta = jnp.clip(optax.apply_updates(theta, updates), lb, ub).astype(init_vec.dtype)
         return theta, opt_state, total, channels
 
+    # Return the BEST EVALUATED iterate, not the last: step() evaluates the
+    # loss at the pre-update theta, so the post-final-update parameters were
+    # never evaluated and (with lbfgs especially) a last linesearch
+    # overshoot can leave them worse than min(history).
     history = []
+    best_loss, best_theta = float("inf"), theta
     for i in range(config.maxiters):
-        theta, opt_state, total, channels = step(theta, opt_state)
+        new_theta, opt_state, total, channels = step(theta, opt_state)
         history.append((float(total), jax.tree.map(float, unscale(theta))))
+        if float(total) < best_loss:
+            best_loss, best_theta = float(total), theta
         if callback is not None:
             callback(i, float(total), unscale(theta))
-    return unscale(theta), history
+        theta = new_theta
+    return unscale(best_theta), history
 
 
 def calibrate_mpp_eki(

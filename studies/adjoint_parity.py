@@ -123,7 +123,7 @@ def dt_refinement(model, batch, nns, substeps=(1, 2, 4, 8, 16, 32), fine: int = 
             finite = np.isfinite(L) and np.isfinite(g).all()
             rows.append(dict(
                 method=method, n_substeps=n,
-                dt_s=float((batch.t[1] - batch.t[0]) * 0 + 600.0 / n),  # dt_save=600 s
+                dt_s=600.0 / n,  # dt_save = 600 s, n substeps
                 loss=L,
                 loss_rel_err=abs(L - L_star) / abs(L_star) if finite else float("inf"),
                 grad_rel_err=float(np.linalg.norm(g - g_star) / np.linalg.norm(g_star)) if finite else float("inf"),

@@ -171,7 +171,13 @@ def evaluate(model, nns, Nz=32, include_kpp=True):
     for name in TEST_FILES:
         ds = load_suite([name], Nz)
         ev = nde_profile(model, nns, ds, tsteps, solver="split", n_substeps=9,
-                         include_kpp=include_kpp, include_embedded=False)
+                         include_kpp=include_kpp, include_embedded=False,
+                         # KPP at its reference-native 600 s step (FAIR
+                         # baseline). The reference's own harness steps KPP
+                         # at the strided 5400 s spacing (column_model_1D_kpp
+                         # takes dt = times[2]-times[1]); kpp_ref below
+                         # records that reference-matched number too.
+                         kpp_n_substeps=9)
         row = {}
         for member in ("nde", "mpp") + (("kpp",) if include_kpp else ()):
             # Mean over time of the T-channel per-timestep loss (the
@@ -180,10 +186,15 @@ def evaluate(model, nns, Nz=32, include_kpp=True):
         row["win_vs_mpp"] = row["mpp"] / row["nde"]
         if include_kpp:
             row["win_vs_kpp"] = row["kpp"] / row["nde"]
+            ev_ref = nde_profile(model, nns, ds, tsteps, solver="split", n_substeps=9,
+                                 include_kpp=True, include_embedded=False, kpp_n_substeps=1)
+            row["kpp_ref_dt"] = float(np.mean(ev_ref["losses_kpp_T"]))
+            row["win_vs_kpp_ref_dt"] = row["kpp_ref_dt"] / row["nde"]
         out[name] = row
         msg = f"eval[{name}]: NDE {row['nde']:.4e} vs mPP {row['mpp']:.4e} ({row['win_vs_mpp']:.1f}x)"
         if include_kpp:
-            msg += f" vs KPP {row['kpp']:.4e} ({row['win_vs_kpp']:.1f}x)"
+            msg += (f" vs KPP@600s {row['kpp']:.4e} ({row['win_vs_kpp']:.1f}x)"
+                    f" [KPP@save-spacing {row['kpp_ref_dt']:.4e}, {row['win_vs_kpp_ref_dt']:.1f}x]")
         print(msg, flush=True)
     return out
 

@@ -37,15 +37,19 @@ def main(argv=None):
     rows = []
     for unroll in (int(u) for u in args.unrolls.split(",")):
         for n in (int(c) for c in args.columns.split(",")):
+            # Effective chunking: only when it divides and actually splits
+            # (a non-divisor chunk would abort the sweep mid-run; rows must
+            # record the chunk actually used, not the CLI value).
+            chunk = args.chunk_columns if args.chunk_columns and n > args.chunk_columns and n % args.chunk_columns == 0 else None
             stats = bench_nde_forward(
                 n_columns=n, n_steps=args.n_steps, unroll=unroll,
-                chunk_columns=args.chunk_columns if args.chunk_columns and n > args.chunk_columns else None,
+                chunk_columns=chunk,
             )
             row = {
                 "n_columns": n,
                 "unroll": unroll,
                 "n_steps": args.n_steps,
-                "chunk_columns": args.chunk_columns,
+                "chunk_columns": chunk,
                 "median_s": stats["median_s"],
                 "col_ts_per_s": stats["column_timesteps_per_sec"],
                 "mfu_pct": stats.get("mfu_pct"),
