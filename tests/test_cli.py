@@ -357,3 +357,24 @@ def test_config_does_not_override_explicit_flags(tmp_path):
     _apply_config(args, _load_config(str(cfg)), defaults, explicit)
     assert args.nz == 32  # typed on the CLI (equal to the default) -> config must not win
     assert args.maxiters == 7  # not typed -> config wins over the default
+
+
+def test_ensemble_diurnal_carries_cycle(tmp_path, capsys):
+    """Regression: an ensemble over a diurnal suite used to integrate with
+    the surface flux frozen at sin(0) = 0 (diurnal_amplitude never threaded).
+    The ensemble-mean surface temperature must respond to the cycle — with
+    the flux frozen at zero the top cell only mixes (monotone tiny drift)."""
+    out = str(tmp_path / "ens_diurnal")
+    rc = main([
+        "ensemble", "--sims", "wind_-5e-4_diurnal_5e-8", *TINY,
+        "--n-members", "8", "--n-steps", "12", "--n-substeps", "2",
+        "--output", out,
+    ])
+    assert rc == 0
+    data = np.load(os.path.join(out, "ensemble.npz"))
+    mean = data["mean"]  # (Nt, 3*Nz)
+    top_T = mean[:, -1]  # T top cell
+    assert np.isfinite(mean).all()
+    # The daily cycle (amplitude 5e-8 buoyancy flux) must move the surface
+    # temperature measurably within the window.
+    assert float(np.abs(np.diff(top_T)).max()) > 1e-6, top_T
