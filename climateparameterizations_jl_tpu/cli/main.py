@@ -295,6 +295,7 @@ def cmd_evaluate_fc(args) -> int:
         tsteps = np.arange(0, min(args.n_eval_steps, int(ds.t.shape[-1])), args.eval_stride)
         ev = free_convection_profile(
             model, nn, ds, tsteps, n_substeps=args.n_substeps, include_embedded=args.embedded,
+            kpp_n_substeps=args.kpp_n_substeps,
         )
         np.savez(os.path.join(args.output, f"sim{i}.npz"), **ev.to_dict())
         if getattr(args, "netcdf", False):
@@ -980,7 +981,7 @@ def cmd_evaluate(args) -> int:
         ds = _load_suite([name], args.nz, args.data_dir, args.n_save, args.dt_save)
         ev = nde_profile(
             model, nns, ds, tsteps, solver=args.method, n_substeps=args.n_substeps,
-            include_embedded=args.embedded,
+            include_embedded=args.embedded, kpp_n_substeps=args.kpp_n_substeps,
         )
         # Keep only what the final-profiles figure needs (last frame per
         # member + coordinates) — retaining full ProfileEvaluations for a
@@ -1212,6 +1213,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedded", action="store_true")
     p.add_argument("--netcdf", action="store_true", help="also write the reference-layout oceananigans_*.nc pair per sim (requires --embedded)")
     p.add_argument("--output", default="runs/eval_fc")
+    p.add_argument("--kpp-n-substeps", type=int, default=1,
+                   help="inner KPP steps per save interval: 1 = the reference harness's behavior "
+                        "(KPP stepped at the save spacing); pass the eval stride for KPP's "
+                        "reference-native 600 s step on strided evaluations")
     p.set_defaults(fn=cmd_evaluate_fc)
 
     p = sub.add_parser("ensemble", help="sharded perturbed-IC column-ensemble forward run (UQ)")
@@ -1325,6 +1330,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gif-stride", type=int, default=4)
     p.add_argument("--embedded", action="store_true", help="also run the host column model (baseline + NN)")
     p.add_argument("--write-jld2", action="store_true", help="write the embedded pair as LESbrary-layout .jld2 sims (requires --embedded)")
+    p.add_argument("--kpp-n-substeps", type=int, default=1,
+                   help="inner KPP steps per save interval: 1 = the reference harness's behavior "
+                        "(KPP stepped at the save spacing); pass the eval stride for KPP's "
+                        "reference-native 600 s step on strided evaluations")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("double-gyre", help="3-D basin run with optional NN closure")
