@@ -1214,9 +1214,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--netcdf", action="store_true", help="also write the reference-layout oceananigans_*.nc pair per sim (requires --embedded)")
     p.add_argument("--output", default="runs/eval_fc")
     p.add_argument("--kpp-n-substeps", type=int, default=1,
-                   help="inner KPP steps per save interval: 1 = the reference harness's behavior "
-                        "(KPP stepped at the save spacing); pass the eval stride for KPP's "
-                        "reference-native 600 s step on strided evaluations")
+                   help="inner KPP (and TKE) steps per save interval: 1 = the reference harness's "
+                        "behavior (baselines stepped at the save spacing); pass the eval stride "
+                        "for the reference-native 600 s step on strided evaluations")
     p.set_defaults(fn=cmd_evaluate_fc)
 
     p = sub.add_parser("ensemble", help="sharded perturbed-IC column-ensemble forward run (UQ)")

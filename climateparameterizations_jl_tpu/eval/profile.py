@@ -434,11 +434,14 @@ def free_convection_profile(
     include_embedded: bool = False,
     embedded_substeps: int = 10,
     kpp_n_substeps: int = 1,
+    tke_n_substeps: int | None = None,
 ) -> ProfileEvaluation:
     """Free-convection comparison: truth vs NDE vs conv-adj-only vs KPP vs TKE.
 
     ``kpp_n_substeps``: see :func:`nde_profile` — 1 matches the reference's
-    harness (KPP stepped at the save spacing).
+    harness (KPP stepped at the save spacing). ``tke_n_substeps`` defaults to
+    ``kpp_n_substeps`` so one knob makes both physics baselines run at their
+    reference-native step on strided evaluations.
 
     Parity: the solution table assembled by
     ``free_convection/test_free_convection_nde.jl:110-165`` (true / NDE /
@@ -504,6 +507,7 @@ def free_convection_profile(
             t_dim, tke_params,
             jnp.zeros_like(ds_test.u_top), ds_test.theta_top * ds_test.g * ds_test.alpha,
             model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha,
+            n_substeps=tke_n_substeps if tke_n_substeps is not None else kpp_n_substeps,
         )
         out["tke_T"] = np.asarray(tke.T)
         out["losses_tke_T"] = mse_t(model.T_scaling.scale(tke.T), T_truth_scaled)
