@@ -278,7 +278,10 @@ def cmd_evaluate_fc(args) -> int:
     members = ("nde", "conv_adj", "kpp", "tke", "embedded", "embedded_baseline")
     matrix: dict = {}
     for i in ids:
-        ds = load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save, source=args.source)
+        ds = load_free_convection_simulation(
+            i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save,
+            source=args.source, les_cache_dir=args.les_cache_dir,
+        )
         if saved is not None:
             T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["T"]["mu"]), jnp.float32(saved["T"]["sigma"]))
             wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["wT"]["mu"]), jnp.float32(saved["wT"]["sigma"]))
@@ -619,7 +622,10 @@ def cmd_train_fc_nde(args) -> int:
     ids = [int(s) for s in _sims(args.sim_ids)]
     validate_simulation_ids(ids, [i for i in range(1, 10) if i not in ids])
     datasets = [
-        load_free_convection_simulation(i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save, source=args.source)
+        load_free_convection_simulation(
+            i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save,
+            source=args.source, les_cache_dir=args.les_cache_dir,
+        )
         for i in ids
     ]
     ds = stack_datasets(datasets) if len(datasets) > 1 else datasets[0]
@@ -1204,6 +1210,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sim-ids", default="1,2", help="comma-separated free-convection ids to evaluate")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--source", default="auto", choices=["auto", "synthetic", "les3d"], help="les3d GENERATES the data with the 3-D LES")
+    p.add_argument("--les-cache-dir", default=None,
+                   help="cache dir for les3d-generated profiles (skip identical LES re-runs)")
     p.add_argument("--nz", type=int, default=32)
     p.add_argument("--n-save", type=int, default=96)
     p.add_argument("--dt-save", type=float, default=600.0)
@@ -1259,6 +1267,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sim-ids", default="1", help="comma-separated LESbrary free-convection ids (1..9)")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--source", default="auto", choices=["auto", "synthetic", "les3d"], help="les3d GENERATES the data with the 3-D LES")
+    p.add_argument("--les-cache-dir", default=None,
+                   help="cache dir for les3d-generated profiles (skip identical LES re-runs)")
     p.add_argument("--nz", type=int, default=32)
     p.add_argument("--n-save", type=int, default=96)
     p.add_argument("--dt-save", type=float, default=600.0)

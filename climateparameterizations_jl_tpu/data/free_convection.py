@@ -47,6 +47,21 @@ def validate_simulation_ids(ids_train, ids_test) -> bool:
     return ok
 
 
+def _save_column_npz(path: str, ds: ColumnTimeSeries) -> None:
+    import dataclasses
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **{f.name: np.asarray(getattr(ds, f.name)) for f in dataclasses.fields(ds)})
+
+
+def _load_column_npz(path: str) -> ColumnTimeSeries:
+    import dataclasses
+
+    with np.load(path) as z:
+        names = {f.name for f in dataclasses.fields(ColumnTimeSeries)}
+        return ColumnTimeSeries(**{k: jnp.asarray(z[k]) for k in z.files if k in names})
+
+
 def load_free_convection_simulation(
     simulation_id: int,
     data_dir: str | None = None,
@@ -55,6 +70,7 @@ def load_free_convection_simulation(
     n_save: int = 96,
     dt_save: float = 600.0,
     source: str = "auto",
+    les_cache_dir: str | None = None,
 ) -> ColumnTimeSeries:
     """One free-convection simulation, coarse-grained to ``Nz`` levels.
 
@@ -62,7 +78,9 @@ def load_free_convection_simulation(
     ``<data_dir>/free_convection_<id>/instantaneous_statistics_with_halos.jld2``
     when present (the DataDeps layout, ``data.jl:32-71``); otherwise the
     id-specific synthetic stand-in. ``source="les3d"`` GENERATES the data by
-    running the 3-D LES with the id's surface buoyancy flux (Qu = 0).
+    running the 3-D LES with the id's surface buoyancy flux (Qu = 0);
+    ``les_cache_dir`` persists the averaged profiles so repeated loads of the
+    same (id, resolution, save grid) skip the LES re-run.
     """
     if simulation_id not in FREE_CONVECTION_IDS:
         raise KeyError(f"free-convection simulation id must be in 1..9, got {simulation_id}")
@@ -75,6 +93,14 @@ def load_free_convection_simulation(
 
         from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
 
+        cache_path = None
+        if les_cache_dir is not None:
+            cache_path = os.path.join(
+                les_cache_dir,
+                f"les3d_sim{simulation_id}_N{Nz_les}_n{n_save}_dt{dt_save:g}.npz",
+            )
+            if os.path.exists(cache_path):
+                return coarsen_dataset(_load_column_npz(cache_path), Nz)
         config = LESConfig.default(Nx=min(Nz_les, 64), Ny=min(Nz_les, 64), Nz=Nz_les, Qu=0.0, Qb=Qb)
         # Per-id initial/bottom stratification (ids sharing Qb differ only
         # in strat) and a per-id noise seed, so every id is distinct.
@@ -84,6 +110,8 @@ def load_free_convection_simulation(
             config, dt=dt, n_save=n_save, save_every=max(1, int(round(dt_save / dt))),
             key=jax.random.PRNGKey(simulation_id), method="rk3",
         )
+        if cache_path is not None:
+            _save_column_npz(cache_path, ds)
         return coarsen_dataset(ds, Nz)
 
     if data_dir is not None:

@@ -93,6 +93,38 @@ class TestFCLes3DSource:
         assert np.all(np.isfinite(np.asarray(ds.T)))
         assert float(ds.theta_top) > 0.0  # surface cooling
 
+    def test_les3d_cache_round_trip(self, tmp_path, monkeypatch):
+        """Second load with les_cache_dir hits the npz cache (no LES re-run)
+        and returns the identical coarse dataset."""
+        import numpy as np
+
+        import climateparameterizations_jl_tpu.data.free_convection as fc
+
+        first = fc.load_free_convection_simulation(
+            2, Nz=8, Nz_les=16, n_save=2, dt_save=60.0, source="les3d",
+            les_cache_dir=str(tmp_path),
+        )
+        assert len(list(tmp_path.glob("les3d_sim2_*.npz"))) == 1
+
+        def boom(*a, **k):  # the cache hit must not re-enter the LES
+            raise AssertionError("run_les called despite a warm cache")
+
+        monkeypatch.setattr("climateparameterizations_jl_tpu.data.les.run_les", boom)
+        second = fc.load_free_convection_simulation(
+            2, Nz=8, Nz_les=16, n_save=2, dt_save=60.0, source="les3d",
+            les_cache_dir=str(tmp_path),
+        )
+        for name in ("u", "v", "T", "uw", "vw", "wT", "t", "theta_top"):
+            np.testing.assert_array_equal(np.asarray(getattr(first, name)), np.asarray(getattr(second, name)))
+        # A different save grid is a different cache key, not a stale hit.
+        import pytest
+
+        with pytest.raises(AssertionError, match="run_les"):
+            fc.load_free_convection_simulation(
+                2, Nz=8, Nz_les=16, n_save=3, dt_save=60.0, source="les3d",
+                les_cache_dir=str(tmp_path),
+            )
+
 
 def test_offline_ids_sharing_qb_are_distinct():
     """Regression: ids sharing a surface flux differ only in stratification;
