@@ -37,17 +37,24 @@ def _resolve_platform(timeout_s: float = 180.0) -> str:
     """
     import subprocess
     import sys
+    import time
 
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        platform = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-        if out.returncode == 0 and platform:
-            return platform
-    except (subprocess.TimeoutExpired, OSError):
-        pass
+    # The tunnel's wedges are often transient (it serializes clients);
+    # probe a few times before surrendering the round's headline number
+    # to the CPU fallback.
+    for attempt in range(3):
+        if attempt:
+            time.sleep(120.0)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            platform = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            if out.returncode == 0 and platform:
+                return platform
+        except (subprocess.TimeoutExpired, OSError):
+            pass
     jax.config.update("jax_platforms", "cpu")
     return "cpu (tpu unavailable)"
 
