@@ -39,9 +39,21 @@ def _resolve_platform(timeout_s: float = 180.0) -> str:
     import sys
     import time
 
+    # A caller that already forced CPU (e.g. `climparam --platform cpu
+    # benchmark` sets jax_platforms in-process before exec'ing main()) must
+    # not be second-guessed: probing the DEFAULT backend from a subprocess
+    # would label the headline with a backend the parent never computes on,
+    # and would block for minutes on the excluded TPU tunnel. (The ambient
+    # container default is "axon,cpu", so only a cpu-FIRST value means the
+    # caller opted out of the tunnel.)
+    configured = jax.config.jax_platforms or ""
+    if configured.split(",")[0] == "cpu":
+        return "cpu"
+
     # The tunnel's wedges are often transient (it serializes clients);
     # probe a few times before surrendering the round's headline number
-    # to the CPU fallback.
+    # to the CPU fallback. Only a TIMEOUT is worth retrying — an instant
+    # non-zero exit (broken install, import error) is deterministic.
     for attempt in range(3):
         if attempt:
             time.sleep(120.0)
@@ -53,8 +65,11 @@ def _resolve_platform(timeout_s: float = 180.0) -> str:
             platform = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
             if out.returncode == 0 and platform:
                 return platform
-        except (subprocess.TimeoutExpired, OSError):
+            break  # fast deterministic failure: no point sleeping and re-probing
+        except subprocess.TimeoutExpired:
             pass
+        except OSError:
+            break
     jax.config.update("jax_platforms", "cpu")
     return "cpu (tpu unavailable)"
 

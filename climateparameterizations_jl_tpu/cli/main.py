@@ -145,8 +145,6 @@ def cmd_generate_les(args) -> int:
     Parity: the reference's LES driver ``wind_mixing/wind_mixing.jl:1-143``
     (256^3 Oceananigans GPU run -> AveragedField output), as one jitted scan.
     """
-    import dataclasses
-
     import jax.numpy as jnp
 
     from climateparameterizations_jl_tpu.data.les import LESConfig, run_les, stable_dt
@@ -198,9 +196,11 @@ def cmd_generate_les(args) -> int:
         max_frames_per_dispatch=args.max_frames_per_dispatch,
         max_steps_per_dispatch=args.max_steps_per_dispatch,
     )
+    from climateparameterizations_jl_tpu.data.free_convection import save_column_npz
+
     os.makedirs(args.output, exist_ok=True)
     path = os.path.join(args.output, "les_profiles.npz")
-    np.savez(path, **{f.name: np.asarray(getattr(ds, f.name)) for f in dataclasses.fields(ds)})
+    save_column_npz(path, ds)
     result = {
         "output": path, "dt": float(dt), "save_every": save_every,
         "frames": int(ds.t.shape[-1]),

@@ -47,14 +47,30 @@ def validate_simulation_ids(ids_train, ids_test) -> bool:
     return ok
 
 
-def _save_column_npz(path: str, ds: ColumnTimeSeries) -> None:
+def save_column_npz(path: str, ds: ColumnTimeSeries) -> None:
+    """Atomically dump a :class:`ColumnTimeSeries` to npz (tmp + rename).
+
+    A direct ``np.savez(path)`` interrupted mid-write (kill, OOM, two CLI
+    runs sharing a cache dir) leaves a truncated zip that poisons every
+    later load; writing to a tmp file in the same directory and
+    ``os.replace``-ing keeps readers safe.
+    """
     import dataclasses
+    import tempfile
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **{f.name: np.asarray(getattr(ds, f.name)) for f in dataclasses.fields(ds)})
+    fd, tmp = tempfile.mkstemp(suffix=".npz", dir=os.path.dirname(path) or ".")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **{f_.name: np.asarray(getattr(ds, f_.name)) for f_ in dataclasses.fields(ds)})
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
-def _load_column_npz(path: str) -> ColumnTimeSeries:
+def load_column_npz(path: str) -> ColumnTimeSeries:
     import dataclasses
 
     with np.load(path) as z:
@@ -100,7 +116,10 @@ def load_free_convection_simulation(
                 f"les3d_sim{simulation_id}_N{Nz_les}_n{n_save}_dt{dt_save:g}.npz",
             )
             if os.path.exists(cache_path):
-                return coarsen_dataset(_load_column_npz(cache_path), Nz)
+                try:
+                    return coarsen_dataset(load_column_npz(cache_path), Nz)
+                except Exception as e:  # corrupt/stale-schema cache: regenerate
+                    logger.warning("LES cache %s unreadable (%s); regenerating", cache_path, e)
         config = LESConfig.default(Nx=min(Nz_les, 64), Ny=min(Nz_les, 64), Nz=Nz_les, Qu=0.0, Qb=Qb)
         # Per-id initial/bottom stratification (ids sharing Qb differ only
         # in strat) and a per-id noise seed, so every id is distinct.
@@ -111,7 +130,7 @@ def load_free_convection_simulation(
             key=jax.random.PRNGKey(simulation_id), method="rk3",
         )
         if cache_path is not None:
-            _save_column_npz(cache_path, ds)
+            save_column_npz(cache_path, ds)
         return coarsen_dataset(ds, Nz)
 
     if data_dir is not None:

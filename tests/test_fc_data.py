@@ -125,6 +125,31 @@ class TestFCLes3DSource:
                 les_cache_dir=str(tmp_path),
             )
 
+    def test_les3d_corrupt_cache_regenerates(self, tmp_path):
+        """A truncated/corrupt cache file must fall through to the LES re-run
+        (and be atomically replaced with a good one), not crash every later
+        load with BadZipFile."""
+        import numpy as np
+
+        import climateparameterizations_jl_tpu.data.free_convection as fc
+
+        first = fc.load_free_convection_simulation(
+            2, Nz=8, Nz_les=16, n_save=2, dt_save=60.0, source="les3d",
+            les_cache_dir=str(tmp_path),
+        )
+        (cache,) = tmp_path.glob("les3d_sim2_*.npz")
+        cache.write_bytes(cache.read_bytes()[: cache.stat().st_size // 2])  # truncate
+
+        again = fc.load_free_convection_simulation(
+            2, Nz=8, Nz_les=16, n_save=2, dt_save=60.0, source="les3d",
+            les_cache_dir=str(tmp_path),
+        )
+        np.testing.assert_array_equal(np.asarray(first.T), np.asarray(again.T))
+        # The regeneration healed the cache in place (atomic replace, no tmp litter).
+        assert len(list(tmp_path.glob("les3d_sim2_*.npz"))) == 1
+        assert list(tmp_path.glob("*.npz")) and not list(tmp_path.glob("tmp*"))
+        fc.load_column_npz(str(cache))  # readable again
+
 
 def test_offline_ids_sharing_qb_are_distinct():
     """Regression: ids sharing a surface flux differ only in stratification;
