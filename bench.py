@@ -54,7 +54,7 @@ def _resolve_platform(timeout_s: float = 180.0) -> str:
     # probe a few times before surrendering the round's headline number
     # to the CPU fallback. Only a TIMEOUT is worth retrying — an instant
     # non-zero exit (broken install, import error) is deterministic.
-    for attempt in range(3):
+    for attempt in range(5):
         if attempt:
             time.sleep(120.0)
         try:
