@@ -96,6 +96,25 @@ def _wind_model(ds, Nz: int, **overrides):
     return WindMixingModel(**kw)
 
 
+def _base_closure_overrides(name: str) -> dict:
+    """WindMixingModel flags for a --base-closure name (also read back from
+    checkpoint meta so evaluate/ensemble rebuild the training-time dynamics).
+
+    Parity: the reference's base-closure variants — mPP (``train_NDE.jl``),
+    convective adjustment (``train_NDE_2DaySuite_SWNH_convective_adjustment.jl``),
+    bare NNs (``NDE_training.jl`` with both toggles off).
+    """
+    table = {
+        "mpp": dict(use_mpp=True, use_conv_adj=False),
+        "conv-adj": dict(use_mpp=False, use_conv_adj=True),
+        "none": dict(use_mpp=False, use_conv_adj=False),
+    }
+    try:
+        return table[name]
+    except KeyError:
+        raise SystemExit(f"unknown base closure {name!r} (expected one of {sorted(table)})") from None
+
+
 def _save_nns(output: str, nns, meta: dict):
     from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
 
@@ -359,6 +378,7 @@ def cmd_ensemble(args) -> int:
         ds, args.nz, diurnal=diurnal,
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
         smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
+        **_base_closure_overrides(ckpt_meta.get("base_closure", "mpp")),
     )
     from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns
 
@@ -544,6 +564,7 @@ def cmd_train_nde(args) -> int:
     model = _wind_model(
         ds, args.nz, diurnal=diurnal,
         smooth_NN=args.smooth_nn, smooth_Ri=args.smooth_ri,
+        **_base_closure_overrides(args.base_closure),
     )
     if args.init_from:
         nns, _ = _load_nns(args.init_from)
@@ -593,7 +614,7 @@ def cmd_train_nde(args) -> int:
         "command": "train-nde", "sims": args.sims, "nz": args.nz,
         # evaluate/ensemble must rebuild the EXACT training-time dynamics.
         "smooth_NN": bool(args.smooth_nn), "smooth_Ri": bool(args.smooth_ri),
-        "diurnal": bool(diurnal),
+        "diurnal": bool(diurnal), "base_closure": args.base_closure,
     })
     print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
@@ -969,6 +990,7 @@ def cmd_evaluate(args) -> int:
         train_ds, args.nz, diurnal=diurnal,  # TRAINING scalings (override semantics)
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
         smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
+        **_base_closure_overrides(ckpt_meta.get("base_closure", "mpp")),
     )
     tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
     if getattr(args, "write_jld2", False) and not args.embedded:
@@ -1195,6 +1217,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient-scaling", type=float, default=5e-3)
     p.add_argument("--smooth-nn", action="store_true", help="tri-band running-mean filter on the NN flux outputs (smooth_NN)")
     p.add_argument("--smooth-ri", action="store_true", help="same filter on the Ri profile before the mPP diffusivity (smooth_Ri)")
+    p.add_argument("--base-closure", default="mpp", choices=["mpp", "conv-adj", "none"],
+                   help="physics base under the NN fluxes: mPP Ri-diffusivity (default), "
+                        "convective adjustment (train_NDE_*_convective_adjustment.jl), or bare NNs")
     p.add_argument("--auto-balance", action="store_true")
     p.add_argument("--fraction-T", type=float, default=0.8)
     p.add_argument("--fraction-dTdz", type=float, default=0.8)

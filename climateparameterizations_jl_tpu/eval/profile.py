@@ -291,11 +291,16 @@ def nde_profile(
             run_paired_columns,
         )
 
+        # The host's base physics must match the NDE's training-time base
+        # (a conv-adj-base checkpoint embedded over an mPP host would hand
+        # the NNs a diffusivity they never saw).
+        host_closure = "mpp" if model.use_mpp else "conv_adj"
         host = HostColumnModel(
             H=model.H, f=model.f, g=model.g, alpha=model.alpha,
             Fu=ds_test.u_top, Ftheta=ds_test.theta_top,
             dTdz_bottom=ds_test.theta_bottom,
-            scalings=s, mpp=model.mpp, Nz=Nz, closure="mpp",
+            scalings=s, mpp=model.mpp, Nz=Nz, closure=host_closure,
+            kappa_conv=model.kappa,
             diurnal=model.diurnal,
             # The embedded column must dimensionalize NN faces by the SAME
             # convention the NNs were trained under (affine when

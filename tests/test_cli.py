@@ -114,6 +114,40 @@ def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     assert np.all(np.isfinite(ev2["losses_embedded_T"]))
 
 
+def test_train_nde_conv_adj_base_and_evaluate(tmp_path, capsys):
+    """--base-closure conv-adj trains the wind-mixing NDE over a convective-
+    adjustment base (train_NDE_2DaySuite_SWNH_convective_adjustment.jl) and
+    evaluate rebuilds the SAME dynamics from the checkpoint meta, embedding
+    over a conv-adj host (not an mPP one the NNs never saw)."""
+    out = str(tmp_path / "nde_ca")
+    rc = main([
+        "train-nde", "--sims", "strong_wind", *TINY,
+        "--maxiters", "2", "--n-train-steps", "6", "--n-substeps", "2",
+        "--base-closure", "conv-adj", "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f)["base_closure"] == "conv-adj"
+    capsys.readouterr()
+
+    eval_out = str(tmp_path / "eval_ca")
+    rc = main([
+        "evaluate", "--sims", "strong_wind", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--checkpoint", out, "--n-train-steps", "6", "--n-substeps", "2",
+        "--eval-stride", "2", "--embedded", "--output", eval_out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(summary["nde"]) and np.isfinite(summary["embedded"])
+    # The "physics-only" twin is the conv-adj base here, and the base-closure
+    # change must actually alter the dynamics vs an mPP-base evaluation.
+    from climateparameterizations_jl_tpu.cli.main import _base_closure_overrides
+
+    assert _base_closure_overrides("conv-adj") == {"use_mpp": False, "use_conv_adj": True}
+    ev = np.load(os.path.join(eval_out, "evaluation_strong_wind_weak_cooling.npz"))
+    assert np.all(np.isfinite(ev["embedded_T"]))
+
+
 def test_train_fc_nde(tmp_path):
     out = str(tmp_path / "fc")
     rc = main([
