@@ -211,6 +211,301 @@ def _compiled_multistep(consts: tuple, dt: float, n_steps: int, Nz: int, activat
     return jax.jit(call)
 
 
+def _pack_block_weights_padded(nns, Nz: int, dtype=np.float32):
+    """Like :func:`_pack_block_weights` but the LAST layer writes into the
+    block-aligned ``(C, 3 Nz)`` layout directly: block ``b`` occupies lanes
+    ``[b Nz, (b+1) Nz)`` with the ``Nz - 1`` interior-face fluxes in lanes
+    ``0..Nz-2`` and a structural zero in the seam lane ``Nz - 1``. This lets
+    the MXU variant keep every intermediate on 32-lane block boundaries
+    (aligned lane offsets are the cheap ones on the VPU) and feed the flux
+    array straight into the divergence matmul without repacking.
+    """
+    mlps = [nns.uw, nns.vw, nns.wT]
+    h1 = mlps[0].weights[0].shape[0]
+    h2 = mlps[0].weights[1].shape[0]
+    n_out = mlps[0].weights[2].shape[0]
+    assert n_out == Nz - 1, "flux MLPs must output Nz-1 interior faces"
+
+    A1 = np.concatenate([np.asarray(m.weights[0], dtype).T for m in mlps], axis=1)
+    b1 = np.concatenate([np.asarray(m.biases[0], dtype) for m in mlps])[None, :]
+    A2 = np.zeros((3 * h1, 3 * h2), dtype)
+    b2 = np.concatenate([np.asarray(m.biases[1], dtype) for m in mlps])[None, :]
+    A3 = np.zeros((3 * h2, 3 * Nz), dtype)
+    b3 = np.zeros((1, 3 * Nz), dtype)
+    for i, m in enumerate(mlps):
+        A2[i * h1 : (i + 1) * h1, i * h2 : (i + 1) * h2] = np.asarray(m.weights[1], dtype).T
+        A3[i * h2 : (i + 1) * h2, i * Nz : i * Nz + n_out] = np.asarray(m.weights[2], dtype).T
+        b3[0, i * Nz : i * Nz + n_out] = np.asarray(m.biases[2], dtype)
+    return (A1, b1, A2, b2, A3, b3), (h1, h2, n_out)
+
+
+def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
+    """Constant matrices/rows for the MXU-assembled RHS.
+
+    Returns ``(Dr, Krow, w1, w2)``:
+
+    - ``Dr (3 Nz, 3 Nz)``: total-flux lanes -> scaled flux-divergence
+      tendencies. Input lane ``b Nz + j`` (``j <= Nz-2``) holds interior face
+      ``j + 1`` of variable ``b``; seam lanes have zero rows, so the junk the
+      roll-based gradient leaves there never reaches the output.
+    - ``Krow (1, 3 Nz)``: the constant tendency — boundary-face BC fluxes
+      (already in the ``bc - scale(0)`` convention) plus the Coriolis mean
+      terms ``+f tau mu_v / sig_u`` / ``-f tau mu_u / sig_v``.
+    - ``w1/w2 (1, 3 Nz)``: lane masks x coefficients for the rotation terms
+      ``w1 * roll(x, -Nz) + w2 * roll(x, +Nz)`` (v into the u block, u into
+      the v block; T lanes zero).
+    """
+    (
+        Hga, sig_u, sig_v, sig_T, mu_u, mu_v, sig_uw, sig_vw, sig_wT,
+        nu0, nu1, Ric, dRi, Pr, H, tau, fcor,
+        uw_bot, uw_top, vw_bot, vw_top, wT_bot, wT_top,
+    ) = consts
+    dz = 1.0 / Nz
+    R = (tau / H * sig_uw / sig_u, tau / H * sig_vw / sig_v, tau / H * sig_wT / sig_T)
+    bots = (uw_bot, vw_bot, wT_bot)
+    tops = (uw_top, vw_top, wT_top)
+    cf_u = fcor * tau / sig_u
+    cf_v = fcor * tau / sig_v
+
+    Dr = np.zeros((3 * Nz, 3 * Nz), dtype)
+    Krow = np.zeros((1, 3 * Nz), dtype)
+    w1 = np.zeros((1, 3 * Nz), dtype)
+    w2 = np.zeros((1, 3 * Nz), dtype)
+    for b in range(3):
+        o = b * Nz
+        for k in range(Nz - 1):  # face k+1 feeds cells k (as F[k+1]) and k+1 (as F[k])
+            Dr[o + k, o + k] = -R[b] / dz
+            Dr[o + k, o + k + 1] = +R[b] / dz
+        Krow[0, o] += R[b] * bots[b] / dz  # -R*(F[1]-bot)/dz constant part
+        Krow[0, o + Nz - 1] += -R[b] * tops[b] / dz
+    Krow[0, 0:Nz] += cf_u * mu_v
+    Krow[0, Nz : 2 * Nz] += -cf_v * mu_u
+    w1[0, 0:Nz] = cf_u * sig_v
+    w2[0, Nz : 2 * Nz] = -cf_v * sig_u
+    return Dr, Krow, w1, w2
+
+
+def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str, matmul_dtype):
+    """MXU-assembly variant of :func:`_make_kernel`.
+
+    Replaces the v1 kernel's slice/concat divergence + Coriolis chains with
+    one matmul against the baked bidiagonal ``Dr`` plus two aligned
+    ``Nz``-lane rolls, and computes all three stencil gradients with a
+    single roll-by-1 subtraction in the packed ``(C, 3 Nz)`` layout (seam
+    junk stays in the per-block pad lane, zeroed by ``Dr``'s rows). The
+    dependent-op chain per RHS is ~13 deep vs ~25 for v1.
+    """
+    dz = 1.0 / Nz
+    eps = 1e-7
+    (
+        Hga, sig_u, sig_v, sig_T, mu_u, mu_v, sig_uw, sig_vw, sig_wT,
+        nu0, nu1, Ric, dRi, Pr, H, tau, fcor,
+        *_bcs,
+    ) = consts
+    # Ri on raw (un-divided) differences d = x[k+1] - x[k]:
+    #   Ri = aT (dT + eps dz) / (au (du + eps dz)^2 + av (dv + eps dz)^2)
+    epsdz = eps * dz
+    au = (sig_u / dz) ** 2
+    av = (sig_v / dz) ** 2
+    aT = Hga * sig_T / dz
+    # nu = n_a + n_b * tanh(t_a Ri + t_b)
+    n_a = nu0 + 0.5 * nu1
+    n_b = -0.5 * nu1
+    t_a = 1.0 / dRi
+    t_b = -Ric / dRi
+    # mPP interior flux on raw differences: c_b * nu * d  (c folds 1/dz)
+    cu = sig_u / sig_uw / H / dz
+    cv = sig_v / sig_vw / H / dz
+    cT = sig_T / sig_wT / H / Pr / dz
+
+    if activation == "mish":
+        act = _mish
+    elif activation == "relu":
+        act = jax.nn.relu
+    else:
+        raise NotImplementedError(
+            f"fused MXU kernel supports activation 'mish' or 'relu', got {activation!r}"
+        )
+
+    mdt = matmul_dtype
+
+    def mm(x, A):
+        return jnp.dot(x.astype(mdt), A, preferred_element_type=jnp.float32)
+
+    def rhs(x, A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2):
+        d = jnp.roll(x, -1, axis=1) - x  # packed raw differences; seam lanes junk
+        du = d[:, 0:Nz]
+        dv = d[:, Nz : 2 * Nz]
+        dT = d[:, 2 * Nz : 3 * Nz]
+        eu = du + epsdz
+        ev = dv + epsdz
+        eT = dT + epsdz
+        Ri = aT * eT / (au * eu * eu + av * ev * ev)
+        nu = n_a + n_b * jnp.tanh(t_a * Ri + t_b)
+
+        a1 = act(mm(x, A1) + b1)
+        a2 = act(mm(a1, A2) + b2)
+        y = mm(a2, A3) + b3  # (C, 3 Nz), seam lanes structurally zero
+
+        mpp = jnp.concatenate([cu * (nu * du), cv * (nu * dv), cT * (nu * dT)], axis=1)
+        flux = y - mpp
+        cor = w1 * jnp.roll(x, -Nz, axis=1) + w2 * jnp.roll(x, Nz, axis=1)
+        return jnp.dot(flux, Dr, preferred_element_type=jnp.float32) + cor + Krow
+
+    def kernel(x_ref, A1_ref, b1_ref, A2_ref, b2_ref, A3_ref, b3_ref,
+               Dr_ref, Krow_ref, w1_ref, w2_ref, out_ref):
+        ws = (
+            A1_ref[:], b1_ref[:], A2_ref[:], b2_ref[:], A3_ref[:], b3_ref[:],
+            Dr_ref[:], Krow_ref[:], w1_ref[:], w2_ref[:],
+        )
+
+        def step(_, x):
+            k1 = rhs(x, *ws)
+            k2 = rhs(x + 0.5 * dt * k1, *ws)
+            k3 = rhs(x + 0.5 * dt * k2, *ws)
+            k4 = rhs(x + dt * k3, *ws)
+            return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+        out_ref[:] = jax.lax.fori_loop(0, n_steps, step, x_ref[:])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_multistep_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str,
+                            n_columns: int, cb: int, matmul_dtype_name: str, interpret: bool):
+    matmul_dtype = jnp.dtype(matmul_dtype_name)
+    kernel = _make_kernel_mxu(consts, dt, n_steps, Nz, activation, matmul_dtype)
+    nF = 3 * Nz
+    grid = (pl.cdiv(n_columns, cb),)
+    weight_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((cb, nF), lambda j: (j, 0), memory_space=pltpu.VMEM)]
+        + [weight_spec() for _ in range(10)],
+        out_specs=pl.BlockSpec((cb, nF), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_columns, nF), jnp.float32),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def make_fused_runner_mxu(
+    model,
+    nns,
+    bcs,
+    dt: float,
+    n_steps: int,
+    n_columns: int,
+    column_block: int = 2048,
+    matmul_dtype: str = "float32",
+    interpret: bool = False,
+):
+    """MXU-assembly variant of :func:`make_fused_runner`.
+
+    ``matmul_dtype="bfloat16"`` stores the NN block weights in bf16 and
+    feeds the MXU bf16 inputs with f32 accumulation (the divergence matmul
+    stays f32 — it carries the physics). Same restrictions as the v1
+    runner: non-diurnal, ``use_mpp`` + ``zero_weights``, call outside jit.
+    """
+    assert not model.diurnal, "fused kernel covers the non-diurnal configuration"
+    assert model.use_mpp and model.zero_weights, "fused kernel implements the mPP + zero_weights flux path"
+    Nz = model.Nz
+    consts = _scalar_constants(model, bcs)
+    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights_padded(nns, Nz)
+    Dr, Krow, w1, w2 = _assembly_constants(consts, Nz)
+    wdt = jnp.dtype(matmul_dtype)
+    weights = tuple(
+        jax.device_put(jnp.asarray(a, dtype))
+        for a, dtype in (
+            (A1, wdt), (b1, jnp.float32), (A2, wdt), (b2, jnp.float32),
+            (A3, wdt), (b3, jnp.float32),
+            (Dr, jnp.float32), (Krow, jnp.float32), (w1, jnp.float32), (w2, jnp.float32),
+        )
+    )
+
+    cb = min(column_block, n_columns)
+    call = _compiled_multistep_mxu(
+        consts, float(dt), int(n_steps), Nz, nns.uw.activation,
+        n_columns, cb, str(wdt), interpret,
+    )
+
+    def run(x0):
+        return call(jnp.asarray(x0, jnp.float32), *weights)
+
+    return run
+
+
+def fused_wind_mixing_multistep_mxu(model, nns, bcs, x0, dt, n_steps,
+                                    column_block: int = 2048,
+                                    matmul_dtype: str = "float32",
+                                    interpret: bool = False):
+    """One-shot convenience wrapper around :func:`make_fused_runner_mxu`."""
+    run = make_fused_runner_mxu(model, nns, bcs, dt, n_steps, x0.shape[0],
+                                column_block, matmul_dtype, interpret)
+    return run(x0)
+
+
+def make_fast_rhs(model, nns, bcs):
+    """The MXU-assembly RHS on the plain XLA path (jit/scan/vmap/grad-safe).
+
+    Same math as :func:`_make_kernel_mxu` — roll-based packed gradients,
+    divergence + scalings as one baked bidiagonal matmul, Coriolis as two
+    aligned rolls — but built from ``jnp`` ops so it composes with the
+    standard solvers. Restricted to the fused kernels' configuration
+    (non-diurnal, mPP + zero_weights); validated against
+    :func:`~climateparameterizations_jl_tpu.models.wind_mixing.wind_mixing_rhs`
+    in ``tests/test_fused_rhs.py``. Returns ``rhs(x, t)``.
+    """
+    assert not model.diurnal and model.use_mpp and model.zero_weights
+    Nz = model.Nz
+    consts = _scalar_constants(model, bcs)
+    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights_padded(nns, Nz)
+    Dr, Krow, w1, w2 = _assembly_constants(consts, Nz)
+    f32 = jnp.float32
+    # Row constants as 1-D vectors: (1, n) rows would broadcast a leading
+    # axis onto unbatched (3 Nz,) states.
+    mats = [
+        jnp.asarray(a[0] if a.ndim == 2 and a.shape[0] == 1 else a, f32)
+        for a in (A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2)
+    ]
+    dz = 1.0 / Nz
+    eps = 1e-7
+    (Hga, sig_u, sig_v, sig_T, mu_u, mu_v, sig_uw, sig_vw, sig_wT,
+     nu0, nu1, Ric, dRi, Pr, H, tau, fcor, *_bcs) = consts
+    epsdz = eps * dz
+    au = (sig_u / dz) ** 2
+    av = (sig_v / dz) ** 2
+    aT = Hga * sig_T / dz
+    n_a = nu0 + 0.5 * nu1
+    n_b = -0.5 * nu1
+    t_a = 1.0 / dRi
+    t_b = -Ric / dRi
+    cu = sig_u / sig_uw / H / dz
+    cv = sig_v / sig_vw / H / dz
+    cT = sig_T / sig_wT / H / Pr / dz
+    act = _mish if nns.uw.activation == "mish" else jax.nn.relu
+    A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2 = mats
+
+    def rhs(x, t):
+        del t
+        d = jnp.roll(x, -1, axis=-1) - x
+        du = d[..., 0:Nz]
+        dv = d[..., Nz : 2 * Nz]
+        dT = d[..., 2 * Nz :]
+        Ri = aT * (dT + epsdz) / (au * (du + epsdz) ** 2 + av * (dv + epsdz) ** 2)
+        nu = n_a + n_b * jnp.tanh(t_a * Ri + t_b)
+        a1 = act(x @ A1 + b1)
+        a2 = act(a1 @ A2 + b2)
+        y = a2 @ A3 + b3
+        mpp = jnp.concatenate([cu * (nu * du), cv * (nu * dv), cT * (nu * dT)], axis=-1)
+        cor = w1 * jnp.roll(x, -Nz, axis=-1) + w2 * jnp.roll(x, Nz, axis=-1)
+        return (y - mpp) @ Dr + cor + Krow
+
+    return rhs
+
+
 def make_fused_runner(
     model,
     nns,

@@ -10,7 +10,11 @@ import numpy as np
 
 from climateparameterizations_jl_tpu.models.timestepper import rk4_step
 from climateparameterizations_jl_tpu.models.wind_mixing import wind_mixing_rhs
-from climateparameterizations_jl_tpu.ops.fused_rhs import fused_wind_mixing_multistep
+from climateparameterizations_jl_tpu.ops.fused_rhs import (
+    fused_wind_mixing_multistep,
+    fused_wind_mixing_multistep_mxu,
+    make_fast_rhs,
+)
 
 
 def _setup(n_columns=64, Nz=32):
@@ -49,3 +53,62 @@ class TestFusedRHS:
         out = fused_wind_mixing_multistep(model, nns, bcs, x0, 1e-5, 16, interpret=True)
         assert np.all(np.isfinite(np.asarray(out)))
         assert float(jnp.max(jnp.abs(out - x0))) > 1e-6
+
+
+def _xla_rk4(model, nns, bcs, x0, dt, n_steps):
+    def run(x):
+        rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
+
+        def body(x, i):
+            return rk4_step(rhs, x, i * dt, jnp.float32(dt)), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps, dtype=jnp.float32))
+        return x
+
+    return jax.jit(run)(x0)
+
+
+class TestFusedRHSMXU:
+    """The MXU-assembly variant: roll-based gradients + divergence matmul."""
+
+    def test_fast_rhs_matches_reference_rhs(self):
+        model, nns, bcs, x0 = _setup(n_columns=8)
+        fast = make_fast_rhs(model, nns, bcs)
+        want = wind_mixing_rhs(model, nns, bcs, x0, 0.0)
+        got = fast(x0, 0.0)
+        # f32 roundoff is amplified by the stiff tendency scaling
+        # (r / dz ~ 9e4 for the flagship tau/H): a 1-ulp flux difference
+        # between the packed-matmul and per-MLP paths lands at ~1e-5 abs.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+    def test_fast_rhs_unbatched_shape(self):
+        model, nns, bcs, x0 = _setup(n_columns=2)
+        fast = make_fast_rhs(model, nns, bcs)
+        got = fast(x0[0], 0.0)
+        assert got.shape == (3 * model.Nz,)
+        want = wind_mixing_rhs(model, nns, bcs, x0[0], 0.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+    def test_kernel_matches_xla_path(self):
+        model, nns, bcs, x0 = _setup()
+        dt, n_steps = 1e-5, 8
+        fused = fused_wind_mixing_multistep_mxu(model, nns, bcs, x0, dt, n_steps, interpret=True)
+        reference = _xla_rk4(model, nns, bcs, x0, dt, n_steps)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(reference), rtol=2e-4, atol=2e-6)
+
+    def test_column_blocking_invariant(self):
+        model, nns, bcs, x0 = _setup(n_columns=96)
+        a = fused_wind_mixing_multistep_mxu(model, nns, bcs, x0, 1e-5, 4, column_block=32, interpret=True)
+        b = fused_wind_mixing_multistep_mxu(model, nns, bcs, x0, 1e-5, 4, column_block=96, interpret=True)
+        # Interpret-mode matmuls accumulate in an M-dependent order on CPU,
+        # so different column blocks differ at the last few f32 ulps.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8)
+
+    def test_bf16_matmuls_close(self):
+        model, nns, bcs, x0 = _setup(n_columns=16)
+        fused = fused_wind_mixing_multistep_mxu(
+            model, nns, bcs, x0, 1e-5, 4, matmul_dtype="bfloat16", interpret=True
+        )
+        reference = _xla_rk4(model, nns, bcs, x0, 1e-5, 4)
+        # bf16 NN matmuls: ~3 decimal digits on the NN flux contribution.
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(reference), rtol=3e-2, atol=3e-3)
