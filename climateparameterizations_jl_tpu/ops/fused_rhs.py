@@ -53,29 +53,66 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pack_block_weights(nns, Nz: int, dtype=np.float32):
+def _pack_block_weights(nns, Nz: int, dtype=np.float32, pad_to_block: bool = False):
     """Pack the three flux MLPs into right-multiply block matrices.
 
     Returns ``(A1, b1, A2, b2, A3, b3)`` with ``A1 (3Nz, 3h1)``,
-    ``A2 (3h1, 3h2)`` / ``A3 (3h2, 3(Nz-1))`` block-diagonal, and biases as
-    ``(1, n)`` rows, so the chain is ``y = mish(mish(x@A1+b1)@A2+b2)@A3+b3``.
+    ``A2 (3h1, 3h2)`` / ``A3`` block-diagonal, and biases as ``(1, n)``
+    rows, so the chain is ``y = mish(mish(x@A1+b1)@A2+b2)@A3+b3``.
+
+    With ``pad_to_block=False`` the last layer writes the compact
+    ``(C, 3 (Nz-1))`` layout. With ``pad_to_block=True`` it writes the
+    block-aligned ``(C, 3 Nz)`` layout instead: block ``b`` occupies lanes
+    ``[b Nz, (b+1) Nz)`` with the interior-face fluxes in lanes ``0..Nz-2``
+    and a structural zero in the seam lane — the layout the MXU-assembly
+    kernel keeps everything on (aligned 32-lane offsets are the cheap ones
+    on the VPU, and the flux array feeds the divergence matmul without
+    repacking).
     """
     mlps = [nns.uw, nns.vw, nns.wT]
     h1 = mlps[0].weights[0].shape[0]
     h2 = mlps[0].weights[1].shape[0]
     n_out = mlps[0].weights[2].shape[0]
     assert n_out == Nz - 1, "flux MLPs must output Nz-1 interior faces"
+    stride = Nz if pad_to_block else n_out
 
     A1 = np.concatenate([np.asarray(m.weights[0], dtype).T for m in mlps], axis=1)  # (3Nz, 3h1)
     b1 = np.concatenate([np.asarray(m.biases[0], dtype) for m in mlps])[None, :]
     A2 = np.zeros((3 * h1, 3 * h2), dtype)
     b2 = np.concatenate([np.asarray(m.biases[1], dtype) for m in mlps])[None, :]
-    A3 = np.zeros((3 * h2, 3 * n_out), dtype)
-    b3 = np.concatenate([np.asarray(m.biases[2], dtype) for m in mlps])[None, :]
+    A3 = np.zeros((3 * h2, 3 * stride), dtype)
+    b3 = np.zeros((1, 3 * stride), dtype)
     for i, m in enumerate(mlps):
         A2[i * h1 : (i + 1) * h1, i * h2 : (i + 1) * h2] = np.asarray(m.weights[1], dtype).T
-        A3[i * h2 : (i + 1) * h2, i * n_out : (i + 1) * n_out] = np.asarray(m.weights[2], dtype).T
+        A3[i * h2 : (i + 1) * h2, i * stride : i * stride + n_out] = np.asarray(m.weights[2], dtype).T
+        b3[0, i * stride : i * stride + n_out] = np.asarray(m.biases[2], dtype)
     return (A1, b1, A2, b2, A3, b3), (h1, h2, n_out)
+
+
+def _resolve_activation(activation: str):
+    """Map the MLP activation name to its jnp form; raise on unsupported.
+
+    Silent substitution would quietly diverge from the validated XLA path
+    (``closures/mlp`` supports tanh/gelu/swish too).
+    """
+    if activation == "mish":
+        return _mish
+    if activation == "relu":
+        return jax.nn.relu
+    raise NotImplementedError(
+        f"fused RHS paths support activation 'mish' or 'relu', got {activation!r}; "
+        "use the XLA path (wind_mixing_rhs) for other activations"
+    )
+
+
+def _assert_fused_config(model):
+    """The configuration every fused/fast path implements (and nothing else)."""
+    assert not model.diurnal, "fused kernels cover the non-diurnal configuration"
+    assert model.use_mpp and model.zero_weights, "fused kernels implement the mPP + zero_weights flux path"
+    assert not model.smooth_NN and not model.smooth_Ri, (
+        "fused kernels do not apply the NN/Ri smoothing filters; "
+        "use the XLA path (wind_mixing_rhs) for smoothed models"
+    )
 
 
 def _mish(x):
@@ -115,17 +152,7 @@ def _make_kernel(consts: tuple, dt: float, n_steps: int, Nz: int, activation: st
     cT = sig_T / sig_wT / H / Pr
     r = tau / H
 
-    if activation == "mish":
-        act = _mish
-    elif activation == "relu":
-        act = jax.nn.relu
-    else:
-        # Silent substitution would quietly diverge from the validated XLA
-        # path (closures/mlp supports tanh/gelu/swish too).
-        raise NotImplementedError(
-            f"fused RK4 kernel supports activation 'mish' or 'relu', got {activation!r}; "
-            "use the XLA path (wind_mixing_rhs) for other activations"
-        )
+    act = _resolve_activation(activation)
     ni = Nz - 1
 
     def rhs(x, A1, b1, A2, b2, A3, b3):
@@ -211,34 +238,6 @@ def _compiled_multistep(consts: tuple, dt: float, n_steps: int, Nz: int, activat
     return jax.jit(call)
 
 
-def _pack_block_weights_padded(nns, Nz: int, dtype=np.float32):
-    """Like :func:`_pack_block_weights` but the LAST layer writes into the
-    block-aligned ``(C, 3 Nz)`` layout directly: block ``b`` occupies lanes
-    ``[b Nz, (b+1) Nz)`` with the ``Nz - 1`` interior-face fluxes in lanes
-    ``0..Nz-2`` and a structural zero in the seam lane ``Nz - 1``. This lets
-    the MXU variant keep every intermediate on 32-lane block boundaries
-    (aligned lane offsets are the cheap ones on the VPU) and feed the flux
-    array straight into the divergence matmul without repacking.
-    """
-    mlps = [nns.uw, nns.vw, nns.wT]
-    h1 = mlps[0].weights[0].shape[0]
-    h2 = mlps[0].weights[1].shape[0]
-    n_out = mlps[0].weights[2].shape[0]
-    assert n_out == Nz - 1, "flux MLPs must output Nz-1 interior faces"
-
-    A1 = np.concatenate([np.asarray(m.weights[0], dtype).T for m in mlps], axis=1)
-    b1 = np.concatenate([np.asarray(m.biases[0], dtype) for m in mlps])[None, :]
-    A2 = np.zeros((3 * h1, 3 * h2), dtype)
-    b2 = np.concatenate([np.asarray(m.biases[1], dtype) for m in mlps])[None, :]
-    A3 = np.zeros((3 * h2, 3 * Nz), dtype)
-    b3 = np.zeros((1, 3 * Nz), dtype)
-    for i, m in enumerate(mlps):
-        A2[i * h1 : (i + 1) * h1, i * h2 : (i + 1) * h2] = np.asarray(m.weights[1], dtype).T
-        A3[i * h2 : (i + 1) * h2, i * Nz : i * Nz + n_out] = np.asarray(m.weights[2], dtype).T
-        b3[0, i * Nz : i * Nz + n_out] = np.asarray(m.biases[2], dtype)
-    return (A1, b1, A2, b2, A3, b3), (h1, h2, n_out)
-
-
 def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
     """Constant matrices/rows for the MXU-assembled RHS.
 
@@ -285,15 +284,20 @@ def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
     return Dr, Krow, w1, w2
 
 
-def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str, matmul_dtype):
-    """MXU-assembly variant of :func:`_make_kernel`.
+def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None):
+    """The MXU-assembly RHS body, shared by the Pallas kernel and the XLA twin.
 
     Replaces the v1 kernel's slice/concat divergence + Coriolis chains with
     one matmul against the baked bidiagonal ``Dr`` plus two aligned
     ``Nz``-lane rolls, and computes all three stencil gradients with a
-    single roll-by-1 subtraction in the packed ``(C, 3 Nz)`` layout (seam
+    single roll-by-1 subtraction in the packed ``(..., 3 Nz)`` layout (seam
     junk stays in the per-block pad lane, zeroed by ``Dr``'s rows). The
     dependent-op chain per RHS is ~13 deep vs ~25 for v1.
+
+    ``matmul_dtype`` (e.g. ``jnp.bfloat16``) casts the NN matmul inputs,
+    with f32 accumulation; ``None`` keeps them f32. Returns
+    ``rhs(x, A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2)`` acting on the last
+    axis (any leading batch shape).
     """
     dz = 1.0 / Nz
     eps = 1e-7
@@ -318,25 +322,19 @@ def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation
     cv = sig_v / sig_vw / H / dz
     cT = sig_T / sig_wT / H / Pr / dz
 
-    if activation == "mish":
-        act = _mish
-    elif activation == "relu":
-        act = jax.nn.relu
-    else:
-        raise NotImplementedError(
-            f"fused MXU kernel supports activation 'mish' or 'relu', got {activation!r}"
-        )
-
+    act = _resolve_activation(activation)
     mdt = matmul_dtype
 
     def mm(x, A):
+        if mdt is None:
+            return jnp.dot(x, A, preferred_element_type=jnp.float32)
         return jnp.dot(x.astype(mdt), A, preferred_element_type=jnp.float32)
 
     def rhs(x, A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2):
-        d = jnp.roll(x, -1, axis=1) - x  # packed raw differences; seam lanes junk
-        du = d[:, 0:Nz]
-        dv = d[:, Nz : 2 * Nz]
-        dT = d[:, 2 * Nz : 3 * Nz]
+        d = jnp.roll(x, -1, axis=-1) - x  # packed raw differences; seam lanes junk
+        du = d[..., 0:Nz]
+        dv = d[..., Nz : 2 * Nz]
+        dT = d[..., 2 * Nz : 3 * Nz]
         eu = du + epsdz
         ev = dv + epsdz
         eT = dT + epsdz
@@ -345,12 +343,19 @@ def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation
 
         a1 = act(mm(x, A1) + b1)
         a2 = act(mm(a1, A2) + b2)
-        y = mm(a2, A3) + b3  # (C, 3 Nz), seam lanes structurally zero
+        y = mm(a2, A3) + b3  # (..., 3 Nz), seam lanes structurally zero
 
-        mpp = jnp.concatenate([cu * (nu * du), cv * (nu * dv), cT * (nu * dT)], axis=1)
+        mpp = jnp.concatenate([cu * (nu * du), cv * (nu * dv), cT * (nu * dT)], axis=-1)
         flux = y - mpp
-        cor = w1 * jnp.roll(x, -Nz, axis=1) + w2 * jnp.roll(x, Nz, axis=1)
+        cor = w1 * jnp.roll(x, -Nz, axis=-1) + w2 * jnp.roll(x, Nz, axis=-1)
         return jnp.dot(flux, Dr, preferred_element_type=jnp.float32) + cor + Krow
+
+    return rhs
+
+
+def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str, matmul_dtype):
+    """Pallas kernel body around :func:`_make_mxu_rhs` (RK4 x ``n_steps``)."""
+    rhs = _make_mxu_rhs(consts, Nz, activation, matmul_dtype)
 
     def kernel(x_ref, A1_ref, b1_ref, A2_ref, b2_ref, A3_ref, b3_ref,
                Dr_ref, Krow_ref, w1_ref, w2_ref, out_ref):
@@ -407,13 +412,13 @@ def make_fused_runner_mxu(
     ``matmul_dtype="bfloat16"`` stores the NN block weights in bf16 and
     feeds the MXU bf16 inputs with f32 accumulation (the divergence matmul
     stays f32 — it carries the physics). Same restrictions as the v1
-    runner: non-diurnal, ``use_mpp`` + ``zero_weights``, call outside jit.
+    runner: non-diurnal, ``use_mpp`` + ``zero_weights``, no smoothing,
+    call outside jit.
     """
-    assert not model.diurnal, "fused kernel covers the non-diurnal configuration"
-    assert model.use_mpp and model.zero_weights, "fused kernel implements the mPP + zero_weights flux path"
+    _assert_fused_config(model)
     Nz = model.Nz
     consts = _scalar_constants(model, bcs)
-    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights_padded(nns, Nz)
+    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights(nns, Nz, pad_to_block=True)
     Dr, Krow, w1, w2 = _assembly_constants(consts, Nz)
     wdt = jnp.dtype(matmul_dtype)
     weights = tuple(
@@ -458,50 +463,22 @@ def make_fast_rhs(model, nns, bcs):
     :func:`~climateparameterizations_jl_tpu.models.wind_mixing.wind_mixing_rhs`
     in ``tests/test_fused_rhs.py``. Returns ``rhs(x, t)``.
     """
-    assert not model.diurnal and model.use_mpp and model.zero_weights
+    _assert_fused_config(model)
     Nz = model.Nz
     consts = _scalar_constants(model, bcs)
-    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights_padded(nns, Nz)
+    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights(nns, Nz, pad_to_block=True)
     Dr, Krow, w1, w2 = _assembly_constants(consts, Nz)
-    f32 = jnp.float32
     # Row constants as 1-D vectors: (1, n) rows would broadcast a leading
     # axis onto unbatched (3 Nz,) states.
-    mats = [
-        jnp.asarray(a[0] if a.ndim == 2 and a.shape[0] == 1 else a, f32)
+    mats = tuple(
+        jnp.asarray(a[0] if a.ndim == 2 and a.shape[0] == 1 else a, jnp.float32)
         for a in (A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2)
-    ]
-    dz = 1.0 / Nz
-    eps = 1e-7
-    (Hga, sig_u, sig_v, sig_T, mu_u, mu_v, sig_uw, sig_vw, sig_wT,
-     nu0, nu1, Ric, dRi, Pr, H, tau, fcor, *_bcs) = consts
-    epsdz = eps * dz
-    au = (sig_u / dz) ** 2
-    av = (sig_v / dz) ** 2
-    aT = Hga * sig_T / dz
-    n_a = nu0 + 0.5 * nu1
-    n_b = -0.5 * nu1
-    t_a = 1.0 / dRi
-    t_b = -Ric / dRi
-    cu = sig_u / sig_uw / H / dz
-    cv = sig_v / sig_vw / H / dz
-    cT = sig_T / sig_wT / H / Pr / dz
-    act = _mish if nns.uw.activation == "mish" else jax.nn.relu
-    A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2 = mats
+    )
+    body = _make_mxu_rhs(consts, Nz, nns.uw.activation)
 
     def rhs(x, t):
         del t
-        d = jnp.roll(x, -1, axis=-1) - x
-        du = d[..., 0:Nz]
-        dv = d[..., Nz : 2 * Nz]
-        dT = d[..., 2 * Nz :]
-        Ri = aT * (dT + epsdz) / (au * (du + epsdz) ** 2 + av * (dv + epsdz) ** 2)
-        nu = n_a + n_b * jnp.tanh(t_a * Ri + t_b)
-        a1 = act(x @ A1 + b1)
-        a2 = act(a1 @ A2 + b2)
-        y = a2 @ A3 + b3
-        mpp = jnp.concatenate([cu * (nu * du), cv * (nu * dv), cT * (nu * dT)], axis=-1)
-        cor = w1 * jnp.roll(x, -Nz, axis=-1) + w2 * jnp.roll(x, Nz, axis=-1)
-        return (y - mpp) @ Dr + cor + Krow
+        return body(x, *mats)
 
     return rhs
 
@@ -526,8 +503,7 @@ def make_fused_runner(
     (concrete floats), which is what makes the body a straight-line VMEM
     program.
     """
-    assert not model.diurnal, "fused kernel covers the non-diurnal configuration"
-    assert model.use_mpp and model.zero_weights, "fused kernel implements the mPP + zero_weights flux path"
+    _assert_fused_config(model)
     Nz = model.Nz
     (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights(nns, Nz)
     weights = tuple(jax.device_put(jnp.asarray(a)) for a in (A1, b1, A2, b2, A3, b3))
