@@ -104,6 +104,17 @@ class TestFusedRHSMXU:
         # so different column blocks differ at the last few f32 ulps.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8)
 
+    def test_fast_rhs_gradient_matches(self):
+        # make_fast_rhs is advertised as jit/scan/grad-safe: the pullback
+        # through the roll/matmul assembly must agree with the reference
+        # RHS's (so it can drive rk4 training, not just forward benches).
+        model, nns, bcs, x0 = _setup(n_columns=4)
+
+        fast = make_fast_rhs(model, nns, bcs)
+        g_fast = jax.grad(lambda x: jnp.sum(fast(x, 0.0) ** 2))(x0)
+        g_ref = jax.grad(lambda x: jnp.sum(wind_mixing_rhs(model, nns, bcs, x, 0.0) ** 2))(x0)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), rtol=1e-3, atol=1e-2 * float(jnp.abs(g_ref).max()))
+
     def test_bf16_matmuls_close(self):
         model, nns, bcs, x0 = _setup(n_columns=16)
         fused = fused_wind_mixing_multistep_mxu(
