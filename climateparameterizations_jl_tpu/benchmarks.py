@@ -162,7 +162,7 @@ def bench_gp_ml2_step(n_train: int = 1024, n_features: int = 96, backend: str = 
 
 def bench_nde_forward(
     n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True,
-    unroll: int = 4, chunk_columns: int | None = None,
+    unroll: int = 4, chunk_columns: int | None = None, rhs_variant: str = "packed",
 ):
     """The headline forward benchmark (same path as bench.py).
 
@@ -175,6 +175,10 @@ def bench_nde_forward(
     RK4 stage buffers VMEM-resident past the ~32k-column capacity wall
     (measured: 131k columns run 4x faster as 4 x 32k chunks; see
     PERFORMANCE.md "Forward-throughput scaling").
+    ``rhs_variant="fast"`` swaps in the MXU-assembly RHS twin
+    (``ops.fused_rhs.make_fast_rhs``: roll-based gradients, divergence as
+    one baked matmul) — same math, shorter dependent chain; A/B'd against
+    the packed path in ``studies/fused_kernel_sweep.py``.
     """
     from __graft_entry__ import _make_setup
 
@@ -182,6 +186,12 @@ def bench_nde_forward(
     from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns, wind_mixing_rhs
 
     model, nns, bcs, x0 = _make_setup(Nz=Nz, n_columns=n_columns)
+    if rhs_variant == "fast":
+        from climateparameterizations_jl_tpu.ops.fused_rhs import make_fast_rhs
+
+        fast_rhs = make_fast_rhs(model, nns, bcs)
+    elif rhs_variant != "packed":
+        raise ValueError(f"rhs_variant must be 'packed' or 'fast', got {rhs_variant!r}")
     if packed:
         nns = pack_flux_nns(nns)
     dt = jnp.float32(1e-5)
@@ -190,7 +200,10 @@ def bench_nde_forward(
 
     @jax.jit
     def run(nns, x):
-        rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
+        if rhs_variant == "fast":
+            rhs = lambda x, t: fast_rhs(x, t)  # noqa: E731
+        else:
+            rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
 
         def body(x, i):
             return rk4_step(rhs, x, i * dt, dt), None
