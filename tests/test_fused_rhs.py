@@ -104,6 +104,16 @@ class TestFusedRHSMXU:
         # so different column blocks differ at the last few f32 ulps.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8)
 
+    def test_fast_rhs_other_Nz(self):
+        # The packed block layout (seam junk lane per Nz-block zeroed by
+        # Dr's rows, roll wraparound confined to the last seam) must hold
+        # for any Nz, not just the flagship 32.
+        for Nz in (16, 48):
+            model, nns, bcs, x0 = _setup(n_columns=4, Nz=Nz)
+            fast = make_fast_rhs(model, nns, bcs)
+            want = wind_mixing_rhs(model, nns, bcs, x0, 0.0)
+            np.testing.assert_allclose(np.asarray(fast(x0, 0.0)), np.asarray(want), rtol=1e-3, atol=1e-4)
+
     def test_fast_rhs_gradient_matches(self):
         # make_fast_rhs is advertised as jit/scan/grad-safe: the pullback
         # through the roll/matmul assembly must agree with the reference
