@@ -170,7 +170,17 @@ def _thomas_pallas(dl, d, du, b, lane_tile: int = 256):
     return out[:, :B].T.reshape(*batch_shape, n).astype(orig_dtype)
 
 
-def tridiagonal_solve(dl, d, du, b, backend: str = "scan", unroll: int = 1):
+def _raw_solve(dl, d, du, b, backend: str, unroll: int):
+    if backend == "scan":
+        return _thomas_scan(dl, d, du, b, unroll)
+    if backend == "pcr":
+        return _thomas_pcr(dl, d, du, b)
+    if backend == "pallas":
+        return _thomas_pallas(dl, d, du, b)
+    raise ValueError(f"unknown tridiagonal backend: {backend!r}")
+
+
+def tridiagonal_solve(dl, d, du, b, backend: str = "scan", unroll: int = 1, implicit_grad: bool = True):
     """Solve tridiagonal systems ``A x = b`` batched over leading axes.
 
     Args:
@@ -182,15 +192,45 @@ def tridiagonal_solve(dl, d, du, b, backend: str = "scan", unroll: int = 1):
         cyclic reduction — differentiable, log-depth, any device), or
         ``"pallas"`` (TPU kernel).
       unroll: scan-backend unroll factor (see ``_thomas_scan``).
+      implicit_grad: differentiate via ``lax.custom_linear_solve`` (implicit
+        function theorem): the backward pass is ONE transposed tridiagonal
+        solve plus an elementwise matvec pullback, instead of unrolled
+        differentiation through the solver's internal recurrence (~2x the
+        solver's op count on the latency-bound training chains). Gradient
+        VALUES are identical up to roundoff (a direct solve is exact); this
+        also makes the forward-only ``pallas`` backend trainable. Set False
+        to differentiate through the solver ops directly.
     """
     dl, d, du, b = jnp.broadcast_arrays(dl, d, du, b)
-    if backend == "scan":
-        return _thomas_scan(dl, d, du, b, unroll)
-    if backend == "pcr":
-        return _thomas_pcr(dl, d, du, b)
-    if backend == "pallas":
-        return _thomas_pallas(dl, d, du, b)
-    raise ValueError(f"unknown tridiagonal backend: {backend!r}")
+    if not implicit_grad:
+        return _raw_solve(dl, d, du, b, backend, unroll)
+
+    # The "ignored" boundary entries must not receive spurious cotangents
+    # through the matvec pullback: zero them so A is exactly the matrix the
+    # solvers factor (their gradients are structurally zero).
+    dl = dl.at[..., 0].set(0.0)
+    du = du.at[..., -1].set(0.0)
+    pads = [(0, 0)] * (b.ndim - 1)
+
+    def shift_down(x):  # x[k-1], zero at k = 0
+        return jnp.pad(x[..., :-1], pads + [(1, 0)])
+
+    def shift_up(x):  # x[k+1], zero at k = N-1
+        return jnp.pad(x[..., 1:], pads + [(0, 1)])
+
+    def matvec(x):
+        return d * x + dl * shift_down(x) + du * shift_up(x)
+
+    # A^T's row-k sub-diagonal is du[k-1], super-diagonal dl[k+1].
+    dlT = shift_down(du)
+    duT = shift_up(dl)
+
+    return jax.lax.custom_linear_solve(
+        matvec,
+        b,
+        solve=lambda _mv, rhs: _raw_solve(dl, d, du, rhs, backend, unroll),
+        transpose_solve=lambda _mv, rhs: _raw_solve(dlT, d, duT, rhs, backend, unroll),
+    )
 
 
 def implicit_diffusion_matrix(nu_face, dt, dz):

@@ -97,6 +97,61 @@ class TestThomas:
         np.testing.assert_allclose(g[3], fd, rtol=1e-4)
 
 
+class TestImplicitGrad:
+    """IFT gradients (lax.custom_linear_solve) vs direct solver autodiff."""
+
+    @pytest.mark.parametrize("backend", ["scan", "pcr"])
+    def test_matches_direct_autodiff_all_inputs(self, backend):
+        rng = np.random.default_rng(11)
+        systems = [random_system(rng, 16) for _ in range(3)]
+        stack = lambda i: jnp.asarray(np.stack([s[i] for s in systems]))  # noqa: E731
+        args = tuple(stack(i) for i in range(4))
+
+        def loss(dl, d, du, b, implicit):
+            x = tridiagonal_solve(dl, d, du, b, backend=backend, implicit_grad=implicit)
+            return jnp.sum(jnp.sin(x) * x)
+
+        g_ift = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3))(*args)
+        g_dir = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(*args)
+        for gi, gd in zip(g_ift, g_dir):
+            np.testing.assert_allclose(np.asarray(gi), np.asarray(gd), rtol=1e-8, atol=1e-12)
+
+    def test_diagonal_gradient_fd(self):
+        rng = np.random.default_rng(12)
+        dl, d, du, b = (jnp.asarray(a) for a in random_system(rng, 8))
+
+        def loss(dd):
+            return jnp.sum(tridiagonal_solve(dl, dd, du, b) ** 2)
+
+        g = jax.grad(loss)(d)
+        eps = 1e-6
+        d0 = np.asarray(d)
+        fd = (loss(jnp.asarray(d0 + eps * np.eye(8)[2])) - loss(jnp.asarray(d0 - eps * np.eye(8)[2]))) / (2 * eps)
+        np.testing.assert_allclose(g[2], fd, rtol=1e-4)
+
+    def test_ignored_corner_entries_get_zero_cotangent(self):
+        rng = np.random.default_rng(13)
+        dl, d, du, b = (jnp.asarray(a + (0.3 if i in (0, 2) else 0.0)) for i, a in enumerate(random_system(rng, 8)))
+        # Re-poison the ignored entries with nonzero values: the solve must
+        # neither read them nor hand them gradient.
+        dl = dl.at[0].set(7.0)
+        du = du.at[-1].set(-7.0)
+        g_dl, g_du = jax.grad(
+            lambda a, c: jnp.sum(tridiagonal_solve(a, d, c, b) ** 2), argnums=(0, 1)
+        )(dl, du)
+        assert float(g_dl[0]) == 0.0
+        assert float(g_du[-1]) == 0.0
+
+    def test_vmap_composes(self):
+        rng = np.random.default_rng(14)
+        systems = [random_system(rng, 12) for _ in range(5)]
+        stack = lambda i: jnp.asarray(np.stack([s[i] for s in systems]))  # noqa: E731
+        dl, d, du, b = (stack(i) for i in range(4))
+        x_vmap = jax.vmap(lambda a, m, c, r: tridiagonal_solve(a, m, c, r))(dl, d, du, b)
+        x_batch = tridiagonal_solve(dl, d, du, b, implicit_grad=False)
+        np.testing.assert_allclose(np.asarray(x_vmap), np.asarray(x_batch), rtol=1e-9)
+
+
 class TestImplicitDiffusion:
     def test_matrix_matches_reference_structure(self):
         """Diagonals must reproduce oceananigans_nn.jl:25-34 exactly."""
