@@ -576,6 +576,7 @@ def cmd_train_nde(args) -> int:
         learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps,
         method=args.method, gradient_scaling=args.gradient_scaling,
         optimizer=args.optimizer, tridiag_backend=args.tridiag_backend,
+        fast_assembly=args.fast_assembly,
         training_fractions=(
             {"T": args.fraction_T, "dTdz": args.fraction_dTdz, "profile": args.fraction_profile}
             if args.auto_balance
@@ -1228,6 +1229,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="split stepper's implicit solve; pcr is 1.35x faster on TPU (PERFORMANCE.md)")
+    p.add_argument("--fast-assembly", action="store_true", help="matmul-assembled explicit split tendencies (fewer tiny ops per substep; incompatible with --smooth-nn)")
     p.set_defaults(fn=cmd_train_nde)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")

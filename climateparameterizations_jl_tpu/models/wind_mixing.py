@@ -397,6 +397,69 @@ def _explicit_rhs_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCondi
     return _tendencies(model, x, uw, vw, wT, coriolis=False)
 
 
+def _split_bc_row(model: WindMixingModel, bcs_t: BoundaryConditions, batch):
+    """Constant tendency row carrying the boundary-face BC fluxes.
+
+    The split stepper's explicit tendencies are linear in the total flux
+    faces; the boundary faces are pure BC expressions, so their divergence
+    contribution is a constant row: ``+R_b bot_b / dz`` at cell 0 and
+    ``-R_b top_b / dz`` at cell ``Nz - 1`` of each variable block
+    (``bc - scale(0)`` convention in ``zero_weights`` mode, the raw BC
+    otherwise — mirrors ``_explicit_rhs_split`` / ``_nn_fluxes``). BC
+    arrays broadcast LEFT-aligned over ``batch`` (same rule as
+    ``pad_faces``). Returns shape broadcastable against ``batch + (3 Nz,)``.
+    """
+    import numpy as np
+
+    s = model.scalings
+    Nz = model.Nz
+
+    def expand(c):
+        c = jnp.asarray(c)
+        return c.reshape(c.shape + (1,) * (len(batch) - c.ndim))[..., None]
+
+    specs = (
+        (bcs_t.uw_bot, bcs_t.uw_top, model.tau / model.H * s.uw.sigma / s.u.sigma, s.uw),
+        (bcs_t.vw_bot, bcs_t.vw_top, model.tau / model.H * s.vw.sigma / s.v.sigma, s.vw),
+        (bcs_t.wT_bot, bcs_t.wT_top, model.tau / model.H * s.wT.sigma / s.T.sigma, s.wT),
+    )
+    K = None
+    for b, (bot, top, R, fscale) in enumerate(specs):
+        if model.zero_weights:
+            z = fscale.scale(jnp.zeros_like(jnp.asarray(bot)))
+            bot, top = bot - z, top - z
+        e_bot = np.zeros(3 * Nz, np.float32)
+        e_bot[b * Nz] = 1.0
+        e_top = np.zeros(3 * Nz, np.float32)
+        e_top[b * Nz + Nz - 1] = 1.0
+        term = (R * Nz) * (expand(bot) * e_bot - expand(top) * e_top)
+        K = term if K is None else K + term
+    return K
+
+
+def _pad_to_block(y, Nz: int):
+    """``(..., 3 (Nz-1))`` interior fluxes -> the block-aligned ``(..., 3 Nz)``
+    layout (seam lane per block zero) that :func:`divergence_matrix` expects."""
+    batch = y.shape[:-1]
+    pads = [(0, 0)] * len(batch) + [(0, 0), (0, 1)]
+    return jnp.pad(y.reshape(batch + (3, Nz - 1)), pads).reshape(batch + (3 * Nz,))
+
+
+def _fast_explicit_tendencies(model: WindMixingModel, packed, Dr, bcs: BoundaryConditions, x, t):
+    """Matmul-assembled equivalent of :func:`_explicit_rhs_split`.
+
+    One packed NN chain + one divergence matmul + the BC constant row,
+    replacing the per-variable pad/diff/concat chains (~12 fewer tiny ops
+    per substep forward on the latency-bound training batch; the backward
+    saves double). Validated against ``_explicit_rhs_split`` in
+    ``tests/test_fused_rhs.py::TestFastSplit``.
+    """
+    bcs_t = _effective_bcs(model, bcs, t)
+    y = _pad_to_block(packed(x), model.Nz)
+    K = _split_bc_row(model, bcs_t, x.shape[:-1])
+    return jnp.einsum("...i,io->...o", y, Dr, preferred_element_type=y.dtype) + K
+
+
 def _interior_nu(model: WindMixingModel, x):
     """Face mPP diffusivity with zero boundary faces, for the implicit solve."""
     nu, _ = _face_nu(model, x)
@@ -404,7 +467,7 @@ def _interior_nu(model: WindMixingModel, x):
     return nu * mask
 
 
-def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True, unroll: int = 1):
+def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True, unroll: int = 1, fast_assembly: bool = False):
     """Operator-split semi-implicit integration (unconditionally stable in nu).
 
     Per substep: explicit Euler on the NN fluxes + BC faces, then a
@@ -413,13 +476,43 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
     lagged at the start-of-step state — the scheme the reference uses inside
     its Oceananigans embedding (``NDE_oceananigans.jl:61-101``), here as one
     batched Thomas solve over all columns x 3 variables.
+
+    ``fast_assembly=True`` computes the explicit part as one packed NN
+    matmul chain + one divergence matmul + a BC constant row
+    (:func:`_fast_explicit_tendencies`) instead of the per-variable
+    pad/diff/concat chains — same math (equivalence-tested), fewer tiny ops
+    on the latency-bound training chain. Requires packable NNs and no
+    ``smooth_NN`` (``smooth_Ri`` is fine: the implicit ``nu`` path is
+    unchanged). Diurnal BCs are supported (the time-varying top-flux term
+    re-enters the BC row each substep; the invariant terms hoist).
     """
     dt = dt_save / n_substeps
     # Non-dimensional diffusion coefficient: nu * tau / H^2 (see module docstring).
     nu_scale = model.tau / (model.H * model.H)
 
+    if fast_assembly:
+        if model.smooth_NN:
+            raise ValueError("fast_assembly does not apply the NN smoothing filter; use the default path")
+        packed = nns if isinstance(nns, PackedFluxNNs) else pack_flux_nns(nns)
+        if packed is None:
+            raise ValueError("fast_assembly needs three packable (same-depth, same-activation) MLP closures")
+        from climateparameterizations_jl_tpu.ops.fused_rhs import divergence_matrix
+
+        s = model.scalings
+        # Trace-safe: fixed unit patterns (numpy) scaled by the (possibly
+        # traced) per-variable tendency coefficients; loop-invariant, so XLA
+        # hoists the 3-term sum out of the substep scan.
+        Dr = (
+            model.tau / model.H * s.uw.sigma / s.u.sigma * divergence_matrix(1.0, 0.0, 0.0, model.Nz)
+            + model.tau / model.H * s.vw.sigma / s.v.sigma * divergence_matrix(0.0, 1.0, 0.0, model.Nz)
+            + model.tau / model.H * s.wT.sigma / s.T.sigma * divergence_matrix(0.0, 0.0, 1.0, model.Nz)
+        ).astype(x0.dtype)
+
     def substep(x, t):
-        x_adv = x + dt * _explicit_rhs_split(model, nns, bcs, x, t)
+        if fast_assembly:
+            x_adv = x + dt * _fast_explicit_tendencies(model, packed, Dr, bcs, x, t)
+        else:
+            x_adv = x + dt * _explicit_rhs_split(model, nns, bcs, x, t)
         # Forward-backward Coriolis (v uses the already-rotated u):
         # neutrally stable for inertial oscillations where forward Euler
         # amplifies by sqrt(1 + (f dt)^2) per substep (see kpp_step /

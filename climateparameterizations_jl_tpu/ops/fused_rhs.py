@@ -238,6 +238,27 @@ def _compiled_multistep(consts: tuple, dt: float, n_steps: int, Nz: int, activat
     return jax.jit(call)
 
 
+def divergence_matrix(Ru: float, Rv: float, RT: float, Nz: int, dtype=np.float32) -> np.ndarray:
+    """``(3 Nz, 3 Nz)`` matrix: packed interior-face fluxes -> scaled tendencies.
+
+    Input lane ``b Nz + j`` (``j <= Nz - 2``) holds interior face ``j + 1``
+    of variable ``b`` (seam lanes ``b Nz + Nz - 1`` have zero rows, so junk
+    or padding there never reaches the output). Output lane ``b Nz + k`` is
+    ``-R_b * (F[k+1] - F[k]) / dz`` — boundary faces excluded (they are
+    constants; fold them into a separate row, e.g. ``Krow`` /
+    ``models.wind_mixing._split_bc_row``).
+    """
+    dz = 1.0 / Nz
+    R = (Ru, Rv, RT)
+    Dr = np.zeros((3 * Nz, 3 * Nz), dtype)
+    for b in range(3):
+        o = b * Nz
+        for k in range(Nz - 1):  # face k+1 feeds cells k (as F[k+1]) and k+1 (as F[k])
+            Dr[o + k, o + k] = -R[b] / dz
+            Dr[o + k, o + k + 1] = +R[b] / dz
+    return Dr
+
+
 def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
     """Constant matrices/rows for the MXU-assembled RHS.
 
@@ -266,15 +287,12 @@ def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
     cf_u = fcor * tau / sig_u
     cf_v = fcor * tau / sig_v
 
-    Dr = np.zeros((3 * Nz, 3 * Nz), dtype)
+    Dr = divergence_matrix(R[0], R[1], R[2], Nz, dtype)
     Krow = np.zeros((1, 3 * Nz), dtype)
     w1 = np.zeros((1, 3 * Nz), dtype)
     w2 = np.zeros((1, 3 * Nz), dtype)
     for b in range(3):
         o = b * Nz
-        for k in range(Nz - 1):  # face k+1 feeds cells k (as F[k+1]) and k+1 (as F[k])
-            Dr[o + k, o + k] = -R[b] / dz
-            Dr[o + k, o + k + 1] = +R[b] / dz
         Krow[0, o] += R[b] * bots[b] / dz  # -R*(F[1]-bot)/dz constant part
         Krow[0, o + Nz - 1] += -R[b] * tops[b] / dz
     Krow[0, 0:Nz] += cf_u * mu_v

@@ -133,3 +133,87 @@ class TestFusedRHSMXU:
         reference = _xla_rk4(model, nns, bcs, x0, 1e-5, 4)
         # bf16 NN matmuls: ~3 decimal digits on the NN flux contribution.
         np.testing.assert_allclose(np.asarray(fused), np.asarray(reference), rtol=3e-2, atol=3e-3)
+
+
+class TestFastSplit:
+    """fast_assembly split stepper == the default pad/diff/concat path."""
+
+    def _solve_pair(self, model, nns, bcs, x0, **kw):
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_split
+
+        args = (model, nns, bcs, x0, 0.0, 1e-3, 3)
+        a = solve_wind_mixing_split(*args, n_substeps=4, fast_assembly=False, **kw)
+        b = solve_wind_mixing_split(*args, n_substeps=4, fast_assembly=True, **kw)
+        return a, b
+
+    def test_matches_default_path(self):
+        model, nns, bcs, x0 = _setup(n_columns=6)
+        a, b = self._solve_pair(model, nns, bcs, x0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_batched_per_sim_bcs(self):
+        import dataclasses
+
+        model, nns, bcs, x0 = _setup(n_columns=5)
+        rng = np.random.default_rng(3)
+        per_sim = dataclasses.replace(
+            bcs,
+            uw_top=jnp.asarray(rng.normal(size=5) * 0.3, x0.dtype),
+            wT_top=jnp.asarray(rng.normal(size=5) * 0.2, x0.dtype),
+            vw_bot=jnp.asarray(rng.normal(size=5) * 0.1, x0.dtype),
+        )
+        a, b = self._solve_pair(model, nns, per_sim, x0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_diurnal(self):
+        import dataclasses
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+        model = dataclasses.replace(model, diurnal=True)
+        bcs = dataclasses.replace(
+            bcs, diurnal_amplitude=jnp.asarray(np.linspace(1e-5, 3e-5, 4), x0.dtype)
+        )
+        a, b = self._solve_pair(model, nns, bcs, x0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_non_zero_weights(self):
+        import dataclasses
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+        model = dataclasses.replace(model, zero_weights=False)
+        a, b = self._solve_pair(model, nns, bcs, x0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_conv_adj_base(self):
+        import dataclasses
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+        model = dataclasses.replace(model, use_mpp=False, use_conv_adj=True)
+        a, b = self._solve_pair(model, nns, bcs, x0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_gradients_match(self):
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_split
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+
+        def loss(nns, fast):
+            traj = solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 1e-3, 2, n_substeps=3, fast_assembly=fast)
+            return jnp.sum(traj[-1] ** 2)
+
+        g_fast = jax.grad(lambda p: loss(p, True))(nns)
+        g_ref = jax.grad(lambda p: loss(p, False))(nns)
+        for gf, gr in zip(jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6 * max(1.0, float(jnp.abs(gr).max())))
+
+    def test_smooth_nn_rejected(self):
+        import dataclasses
+
+        import pytest
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_split
+
+        model, nns, bcs, x0 = _setup(n_columns=2)
+        model = dataclasses.replace(model, smooth_NN=True)
+        with pytest.raises(ValueError, match="smoothing"):
+            solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 1e-3, 1, fast_assembly=True)
