@@ -207,7 +207,7 @@ def save_nns(nns, out_dir):
     return out_dir
 
 
-def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1):
+def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False):
     """Compile + steady-state time of ONE final-stage train step."""
     import jax
 
@@ -220,7 +220,8 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1):
     window, stride, _, lr = STAGES[-1]
     config = NDETrainConfig(learning_rate=lr, n_substeps=stride, method="split",
                             training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
-                            tridiag_backend=tridiag_backend, split_unroll=split_unroll)
+                            tridiag_backend=tridiag_backend, split_unroll=split_unroll,
+                            fast_assembly=fast_assembly)
     batch = training_tensors(ds, model.scalings, np.arange(0, window, stride), tau=model.tau)
     scalings = determine_loss_scalings(model, nns, batch, config)
 
@@ -263,6 +264,7 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
     ap.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"])
     ap.add_argument("--split-unroll", type=int, default=1)
+    ap.add_argument("--fast-assembly", action="store_true", help="matmul-assembled explicit split tendencies (A/B vs default)")
     ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
     ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
     args = ap.parse_args(argv)
@@ -275,8 +277,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     if args.mode == "step-bench":
-        result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll)
+        result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
+                            fast_assembly=args.fast_assembly)
         result["tridiag_backend"] = args.tridiag_backend
+        result["fast_assembly"] = args.fast_assembly
         result["split_unroll"] = args.split_unroll
         print(json.dumps(result))
     else:
