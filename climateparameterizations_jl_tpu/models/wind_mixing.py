@@ -467,7 +467,7 @@ def _interior_nu(model: WindMixingModel, x):
     return nu * mask
 
 
-def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True, unroll: int = 1, fast_assembly: bool = False):
+def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 1, tridiag_backend: str = "scan", checkpoint: bool = True, unroll: int = 1, fast_assembly: bool = False, implicit_solve_grad: bool = True):
     """Operator-split semi-implicit integration (unconditionally stable in nu).
 
     Per substep: explicit Euler on the NN fluxes + BC faces, then a
@@ -530,7 +530,7 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             nu3 = jnp.stack([nu, nu, nu / model.mpp.Pr], axis=0)
             # unroll=8: the training batch is small (a few sims), so the
             # per-level Thomas scan is latency-bound (~18% faster train step).
-            phi = implicit_diffusion_step(phi, nu3, dt, model.dz_hat, backend=tridiag_backend, unroll=8)
+            phi = implicit_diffusion_step(phi, nu3, dt, model.dz_hat, backend=tridiag_backend, unroll=8, implicit_grad=implicit_solve_grad)
             x_adv = join_uvT(phi[0], phi[1], phi[2])
         elif model.use_conv_adj:
             # Implicit convective adjustment on T (switch lagged at the
@@ -541,7 +541,7 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             dTdz = d_center_to_face(T_lag, model.dz_hat)
             Kc = model.kappa * (dTdz < 0.0) * nu_scale
             u, v, T = split_uvT(x_adv, model.Nz)
-            T = implicit_diffusion_step(T, Kc, dt, model.dz_hat, backend=tridiag_backend, zero_boundary_faces=True, unroll=8)
+            T = implicit_diffusion_step(T, Kc, dt, model.dz_hat, backend=tridiag_backend, zero_boundary_faces=True, unroll=8, implicit_grad=implicit_solve_grad)
             x_adv = join_uvT(u, v, T)
         return x_adv
 

@@ -262,7 +262,7 @@ def implicit_diffusion_matrix(nu_face, dt, dz):
     return dl, d, du
 
 
-def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan", zero_boundary_faces: bool = False, unroll: int = 1):
+def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan", zero_boundary_faces: bool = False, unroll: int = 1, implicit_grad: bool = True):
     """One backward-Euler diffusion step ``(I - dt*D(nu)) phi' = phi``.
 
     ``phi`` has shape ``(..., N)`` (centers), ``nu_face`` ``(..., N+1)`` (faces).
@@ -278,4 +278,4 @@ def implicit_diffusion_step(phi, nu_face, dt, dz, backend: str = "scan", zero_bo
         mask = jnp.ones(nu_face.shape[-1], nu_face.dtype).at[0].set(0.0).at[-1].set(0.0)
         nu_face = nu_face * mask
     dl, d, du = implicit_diffusion_matrix(nu_face, dt, dz)
-    return tridiagonal_solve(dl, d, du, phi, backend=backend, unroll=unroll)
+    return tridiagonal_solve(dl, d, du, phi, backend=backend, unroll=unroll, implicit_grad=implicit_grad)

@@ -56,6 +56,7 @@ class NDETrainConfig:
     tridiag_backend: str = "scan"  # "scan" | "pcr" for the split stepper's implicit solve
     split_unroll: int = 1  # substep-scan unroll in the split stepper
     fast_assembly: bool = False  # matmul-assembled explicit split tendencies (see solve_wind_mixing_split)
+    implicit_solve_grad: bool = True  # IFT gradients through the implicit solves (ops.tridiagonal)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,7 +120,7 @@ def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: N
     n_save = t.shape[0] - 1
     dt_save = (t[-1] - t[0]) / n_save
     if config.method == "split":
-        traj = solve_wind_mixing_split(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, tridiag_backend=config.tridiag_backend, unroll=config.split_unroll, fast_assembly=config.fast_assembly)
+        traj = solve_wind_mixing_split(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, tridiag_backend=config.tridiag_backend, unroll=config.split_unroll, fast_assembly=config.fast_assembly, implicit_solve_grad=config.implicit_solve_grad)
     else:
         traj = solve_wind_mixing_nde(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, config.method)
     return jnp.moveaxis(traj, 0, -2)  # (S, Nt, 3Nz)

@@ -207,7 +207,7 @@ def save_nns(nns, out_dir):
     return out_dir
 
 
-def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False):
+def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True):
     """Compile + steady-state time of ONE final-stage train step."""
     import jax
 
@@ -221,7 +221,7 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
     config = NDETrainConfig(learning_rate=lr, n_substeps=stride, method="split",
                             training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
                             tridiag_backend=tridiag_backend, split_unroll=split_unroll,
-                            fast_assembly=fast_assembly)
+                            fast_assembly=fast_assembly, implicit_solve_grad=implicit_solve_grad)
     batch = training_tensors(ds, model.scalings, np.arange(0, window, stride), tau=model.tau)
     scalings = determine_loss_scalings(model, nns, batch, config)
 
@@ -265,6 +265,7 @@ def main(argv=None):
     ap.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"])
     ap.add_argument("--split-unroll", type=int, default=1)
     ap.add_argument("--fast-assembly", action="store_true", help="matmul-assembled explicit split tendencies (A/B vs default)")
+    ap.add_argument("--no-ift", action="store_true", help="direct autodiff through the implicit solves instead of the IFT default (A/B)")
     ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
     ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
     args = ap.parse_args(argv)
@@ -278,9 +279,10 @@ def main(argv=None):
 
     if args.mode == "step-bench":
         result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
-                            fast_assembly=args.fast_assembly)
+                            fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift)
         result["tridiag_backend"] = args.tridiag_backend
         result["fast_assembly"] = args.fast_assembly
+        result["implicit_solve_grad"] = not args.no_ift
         result["split_unroll"] = args.split_unroll
         print(json.dumps(result))
     else:
