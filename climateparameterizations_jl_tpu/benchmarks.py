@@ -178,7 +178,11 @@ def bench_nde_forward(
     ``rhs_variant="fast"`` swaps in the MXU-assembly RHS twin
     (``ops.fused_rhs.make_fast_rhs``: roll-based gradients, divergence as
     one baked matmul) — same math, shorter dependent chain; A/B'd against
-    the packed path in ``studies/fused_kernel_sweep.py``.
+    the packed path in ``studies/fused_kernel_sweep.py``. Note the fast
+    twin bakes the NN weights as jit CONSTANTS (its serving posture) while
+    the packed path passes them as traced arguments, so the A/B includes
+    whatever constant folding buys; requires ``packed=True`` so the scan
+    unroll matches the incumbent configuration.
     """
     from __graft_entry__ import _make_setup
 
@@ -187,6 +191,8 @@ def bench_nde_forward(
 
     model, nns, bcs, x0 = _make_setup(Nz=Nz, n_columns=n_columns)
     if rhs_variant == "fast":
+        if not packed:
+            raise ValueError("rhs_variant='fast' requires packed=True (keeps the scan unroll comparable)")
         from climateparameterizations_jl_tpu.ops.fused_rhs import make_fast_rhs
 
         fast_rhs = make_fast_rhs(model, nns, bcs)

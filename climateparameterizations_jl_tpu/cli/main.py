@@ -546,6 +546,14 @@ def cmd_train_nn(args) -> int:
 def cmd_train_nde(args) -> int:
     import jax
 
+    # Fail fast on --fast-assembly misconfiguration (before any data loads;
+    # the deep solver check would only fire at the first jit trace).
+    if args.fast_assembly:
+        if args.smooth_nn:
+            raise SystemExit("train-nde: --fast-assembly does not apply the NN smoothing filter; drop --smooth-nn")
+        if args.method != "split":
+            raise SystemExit(f"train-nde: --fast-assembly only affects --method split (got {args.method!r})")
+
     from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
     from climateparameterizations_jl_tpu.data.containers import training_tensors
     from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs

@@ -409,7 +409,7 @@ def _split_bc_row(model: WindMixingModel, bcs_t: BoundaryConditions, batch):
     arrays broadcast LEFT-aligned over ``batch`` (same rule as
     ``pad_faces``). Returns shape broadcastable against ``batch + (3 Nz,)``.
     """
-    import numpy as np
+    from climateparameterizations_jl_tpu.ops.fused_rhs import bc_tendency_row
 
     s = model.scalings
     Nz = model.Nz
@@ -418,23 +418,21 @@ def _split_bc_row(model: WindMixingModel, bcs_t: BoundaryConditions, batch):
         c = jnp.asarray(c)
         return c.reshape(c.shape + (1,) * (len(batch) - c.ndim))[..., None]
 
-    specs = (
-        (bcs_t.uw_bot, bcs_t.uw_top, model.tau / model.H * s.uw.sigma / s.u.sigma, s.uw),
-        (bcs_t.vw_bot, bcs_t.vw_top, model.tau / model.H * s.vw.sigma / s.v.sigma, s.vw),
-        (bcs_t.wT_bot, bcs_t.wT_top, model.tau / model.H * s.wT.sigma / s.T.sigma, s.wT),
-    )
-    K = None
-    for b, (bot, top, R, fscale) in enumerate(specs):
+    bots, tops = [], []
+    for bot, top, fscale in (
+        (bcs_t.uw_bot, bcs_t.uw_top, s.uw),
+        (bcs_t.vw_bot, bcs_t.vw_top, s.vw),
+        (bcs_t.wT_bot, bcs_t.wT_top, s.wT),
+    ):
         if model.zero_weights:
             z = fscale.scale(jnp.zeros_like(jnp.asarray(bot)))
             bot, top = bot - z, top - z
-        e_bot = np.zeros(3 * Nz, np.float32)
-        e_bot[b * Nz] = 1.0
-        e_top = np.zeros(3 * Nz, np.float32)
-        e_top[b * Nz + Nz - 1] = 1.0
-        term = (R * Nz) * (expand(bot) * e_bot - expand(top) * e_top)
-        K = term if K is None else K + term
-    return K
+        bots.append(expand(bot))
+        tops.append(expand(top))
+    Ru = model.tau / model.H * s.uw.sigma / s.u.sigma
+    Rv = model.tau / model.H * s.vw.sigma / s.v.sigma
+    RT = model.tau / model.H * s.wT.sigma / s.T.sigma
+    return bc_tendency_row(Ru, Rv, RT, bots, tops, Nz)
 
 
 def _pad_to_block(y, Nz: int):

@@ -259,6 +259,28 @@ def divergence_matrix(Ru: float, Rv: float, RT: float, Nz: int, dtype=np.float32
     return Dr
 
 
+def bc_tendency_row(Ru, Rv, RT, bots, tops, Nz: int):
+    """The boundary-face BC contribution to the packed tendencies.
+
+    ``sum_b R_b * Nz * (bot_b x e_{b Nz} - top_b x e_{b Nz + Nz - 1})`` —
+    i.e. ``+R_b bot_b / dz`` at cell 0 and ``-R_b top_b / dz`` at cell
+    ``Nz - 1`` of each variable block. ``bots``/``tops`` are 3-sequences of
+    scalars or arrays already expanded to broadcast against a trailing
+    ``(3 Nz,)`` axis. The ONE implementation behind both the fused kernels'
+    baked ``Krow`` (:func:`_assembly_constants`) and the split stepper's
+    batched/traced row (``models.wind_mixing._split_bc_row``).
+    """
+    K = None
+    for b, R in enumerate((Ru, Rv, RT)):
+        e_bot = np.zeros(3 * Nz, np.float32)
+        e_bot[b * Nz] = 1.0
+        e_top = np.zeros(3 * Nz, np.float32)
+        e_top[b * Nz + Nz - 1] = 1.0
+        term = (R * Nz) * (bots[b] * e_bot - tops[b] * e_top)
+        K = term if K is None else K + term
+    return K
+
+
 def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
     """Constant matrices/rows for the MXU-assembled RHS.
 
@@ -288,13 +310,9 @@ def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
     cf_v = fcor * tau / sig_v
 
     Dr = divergence_matrix(R[0], R[1], R[2], Nz, dtype)
-    Krow = np.zeros((1, 3 * Nz), dtype)
+    Krow = np.asarray(bc_tendency_row(R[0], R[1], R[2], bots, tops, Nz), dtype)[None, :].copy()
     w1 = np.zeros((1, 3 * Nz), dtype)
     w2 = np.zeros((1, 3 * Nz), dtype)
-    for b in range(3):
-        o = b * Nz
-        Krow[0, o] += R[b] * bots[b] / dz  # -R*(F[1]-bot)/dz constant part
-        Krow[0, o + Nz - 1] += -R[b] * tops[b] / dz
     Krow[0, 0:Nz] += cf_u * mu_v
     Krow[0, Nz : 2 * Nz] += -cf_v * mu_u
     w1[0, 0:Nz] = cf_u * sig_v
