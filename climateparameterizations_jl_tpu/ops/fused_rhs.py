@@ -389,8 +389,12 @@ def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None):
     return rhs
 
 
-def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str, matmul_dtype):
-    """Pallas kernel body around :func:`_make_mxu_rhs` (RK4 x ``n_steps``)."""
+def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str, matmul_dtype, loop_unroll: int = 1):
+    """Pallas kernel body around :func:`_make_mxu_rhs` (RK4 x ``n_steps``).
+
+    ``loop_unroll`` unrolls the fori_loop body (more scheduling freedom for
+    Mosaic on the dependent chain, at the cost of program size).
+    """
     rhs = _make_mxu_rhs(consts, Nz, activation, matmul_dtype)
 
     def kernel(x_ref, A1_ref, b1_ref, A2_ref, b2_ref, A3_ref, b3_ref,
@@ -407,16 +411,17 @@ def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation
             k4 = rhs(x + dt * k3, *ws)
             return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
-        out_ref[:] = jax.lax.fori_loop(0, n_steps, step, x_ref[:])
+        out_ref[:] = jax.lax.fori_loop(0, n_steps, step, x_ref[:], unroll=loop_unroll)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
 def _compiled_multistep_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str,
-                            n_columns: int, cb: int, matmul_dtype_name: str, interpret: bool):
+                            n_columns: int, cb: int, matmul_dtype_name: str, interpret: bool,
+                            loop_unroll: int = 1):
     matmul_dtype = jnp.dtype(matmul_dtype_name)
-    kernel = _make_kernel_mxu(consts, dt, n_steps, Nz, activation, matmul_dtype)
+    kernel = _make_kernel_mxu(consts, dt, n_steps, Nz, activation, matmul_dtype, loop_unroll)
     nF = 3 * Nz
     grid = (pl.cdiv(n_columns, cb),)
     weight_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -442,6 +447,7 @@ def make_fused_runner_mxu(
     column_block: int = 2048,
     matmul_dtype: str = "float32",
     interpret: bool = False,
+    loop_unroll: int = 1,
 ):
     """MXU-assembly variant of :func:`make_fused_runner`.
 
@@ -469,7 +475,7 @@ def make_fused_runner_mxu(
     cb = min(column_block, n_columns)
     call = _compiled_multistep_mxu(
         consts, float(dt), int(n_steps), Nz, nns.uw.activation,
-        n_columns, cb, str(wdt), interpret,
+        n_columns, cb, str(wdt), interpret, int(loop_unroll),
     )
 
     def run(x0):
@@ -481,10 +487,11 @@ def make_fused_runner_mxu(
 def fused_wind_mixing_multistep_mxu(model, nns, bcs, x0, dt, n_steps,
                                     column_block: int = 2048,
                                     matmul_dtype: str = "float32",
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    loop_unroll: int = 1):
     """One-shot convenience wrapper around :func:`make_fused_runner_mxu`."""
     run = make_fused_runner_mxu(model, nns, bcs, dt, n_steps, x0.shape[0],
-                                column_block, matmul_dtype, interpret)
+                                column_block, matmul_dtype, interpret, loop_unroll)
     return run(x0)
 
 

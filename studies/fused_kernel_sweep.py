@@ -131,6 +131,17 @@ def main():
             except Exception as e:
                 print(f"pallas mxu cb={cb} {mdt}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
 
+    for lu in (4,):  # time-loop unrolling on the best-guess block size
+        cb = min(2048, C)
+        try:
+            run = make_fused_runner_mxu(
+                model, nns, bcs, float(dt), S, C, column_block=cb,
+                interpret=interpret, loop_unroll=lu,
+            )
+            record(f"pallas mxu cb={cb} f32 loop_unroll={lu}", _bench_pallas(run, x0))
+        except Exception as e:
+            print(f"pallas mxu loop_unroll={lu}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+
     best = max(rows, key=lambda r: r["col_ts_per_sec"])
     print("\nbest:", json.dumps(best))
 
