@@ -40,6 +40,21 @@ benchmark configuration). Scalar coefficients are baked into the kernel at
 trace time (call outside jit). Forward-only — training uses the
 differentiable XLA path. Validated against ``wind_mixing_rhs`` in
 interpret mode (``tests/test_fused_rhs.py``).
+
+Round-2 additions attacking the latency-bound chain (awaiting chip A/B,
+``studies/fused_kernel_sweep.py``):
+
+- :func:`make_fused_runner_mxu` — the MXU-assembly kernel variant: packed
+  stencil gradients via one roll-by-1 subtract, flux divergence + tendency
+  scalings as a single baked bidiagonal matmul (:func:`divergence_matrix`),
+  Coriolis as two aligned ``Nz``-lane rolls; ~13-deep dependent chain vs
+  ~25 for v1, tunable ``column_block`` (v1 measured at cb=512 only, where
+  per-op tile work is too small to amortize issue latency).
+- :func:`make_fast_rhs` — the same assembly on the plain XLA path
+  (jit/scan/vmap/grad-safe), A/B-able against ``PackedFluxNNs`` +
+  ``wind_mixing_rhs`` via ``benchmarks.bench_nde_forward(rhs_variant=...)``.
+- The split stepper reuses the divergence/BC-row machinery via
+  ``models.wind_mixing.solve_wind_mixing_split(fast_assembly=True)``.
 """
 
 from __future__ import annotations
