@@ -190,7 +190,12 @@ def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig,
 
     def solve(nns: FluxNNs, bcs, x0, t0, dt_save, n_save):
         if config.method == "split":
-            traj = solve_wind_mixing_split(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps)
+            traj = solve_wind_mixing_split(
+                model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps,
+                tridiag_backend=config.tridiag_backend, unroll=config.split_unroll,
+                fast_assembly=config.fast_assembly,
+                implicit_solve_grad=config.implicit_solve_grad,
+            )
         else:
             traj = solve_wind_mixing_nde(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps, config.method)
         return jax.lax.with_sharding_constraint(traj, out_sharding)

@@ -119,6 +119,29 @@ class TestShardedEnsemble:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
         assert len(out.sharding.device_set) == 8
 
+    def test_fast_assembly_matches_unsharded(self, setup):
+        """The matmul-assembled split path composes with the sharded solver
+        (GSPMD must partition the divergence matmul + BC row correctly)."""
+        model, nns, batch = setup
+        config = NDETrainConfig(n_substeps=2, method="split", fast_assembly=True)
+        E = 16
+        rng = np.random.default_rng(2)
+        x0 = jnp.asarray(rng.normal(size=(E, 96)) * 0.1, f32)
+        zeros = jnp.zeros((E,), f32)
+        bcs = BoundaryConditions(
+            uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros,
+            wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros,
+        )
+        ref = solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 1e-3, 3, 2)
+
+        mesh = make_mesh(8)
+        solver = make_sharded_ensemble_solver(model, config, mesh)
+        with mesh:
+            out = solver(nns, bcs, x0, jnp.float32(0.0), jnp.float32(1e-3), 3)
+            jax.block_until_ready(out)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
+        assert len(out.sharding.device_set) == 8
+
     def test_2d_mesh_suite_ensemble_matches_unsharded(self, setup):
         """(sims x members) block sharded over a 2-D (4, 2) mesh == single device."""
         from climateparameterizations_jl_tpu.parallel.sharding import (
