@@ -206,6 +206,43 @@ class TestFastSplit:
         for gf, gr in zip(jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6 * max(1.0, float(jnp.abs(gr).max())))
 
+    def test_fuzz_random_configurations(self):
+        """Randomized sweep over Nz / batch shape / BC shape / flags: the
+        packed block layout and BC-row broadcasting must agree with the
+        default path everywhere, not just the flagship configuration."""
+        import dataclasses
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_split
+
+        rng = np.random.default_rng(42)
+        for trial in range(6):
+            Nz = int(rng.choice([16, 24, 32]))
+            S = int(rng.integers(2, 5))
+            two_d = bool(rng.integers(0, 2))
+            model, nns, bcs, _ = _setup(n_columns=S, Nz=Nz)
+            model = dataclasses.replace(
+                model,
+                zero_weights=bool(rng.integers(0, 2)),
+                diurnal=bool(rng.integers(0, 2)),
+            )
+            batch = (S, 3) if two_d else (S,)
+            x0 = jnp.asarray(rng.normal(size=batch + (3 * Nz,)) * 0.1, jnp.float32)
+            import dataclasses as dc
+
+            bcs = dc.replace(
+                bcs,
+                uw_top=jnp.asarray(rng.normal(size=S) * 0.3, jnp.float32),  # per-sim
+                wT_top=jnp.asarray(rng.normal(size=S) * 0.2, jnp.float32),
+                diurnal_amplitude=jnp.asarray(np.abs(rng.normal(size=S)) * 1e-5, jnp.float32),
+            )
+            args = (model, nns, bcs, x0, 0.0, 5e-4, 2)
+            a = solve_wind_mixing_split(*args, n_substeps=3, fast_assembly=False)
+            b = solve_wind_mixing_split(*args, n_substeps=3, fast_assembly=True)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+                err_msg=f"trial {trial}: Nz={Nz} batch={batch} zero_weights={model.zero_weights} diurnal={model.diurnal}",
+            )
+
     def test_smooth_nn_rejected(self):
         import dataclasses
 
