@@ -378,7 +378,7 @@ def bench_tridiagonal(n_systems: int = 16384, N: int = 32):
     b = jax.random.normal(ks[3], (n_systems, N), f32)
 
     out = {}
-    backends = ["scan"] + (["pallas"] if jax.default_backend() == "tpu" else [])
+    backends = ["scan", "pcr"] + (["pallas"] if jax.default_backend() == "tpu" else [])
     for backend in backends:
         fn = jax.jit(lambda dl, d, du, b, bk=backend: tridiagonal_solve(dl, d, du, b, backend=bk))
         stats = time_fn(fn, dl, d, du, b, iters=5, pipelined=True)
