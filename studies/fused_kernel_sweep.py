@@ -142,6 +142,28 @@ def main():
         except Exception as e:
             print(f"pallas mxu loop_unroll={lu}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
 
+    # Hybrid: ONE fused RK4 step as a Pallas kernel, time loop as an XLA
+    # scan — VMEM-fused RHS chain but XLA's cross-step pipelining, paying
+    # one state round-trip through HBM per step (~24 MB at 16k columns vs
+    # the pure-XLA path's ~100 MB of intermediates).
+    for cb in ({min(2048, C), min(C, 8192)}):
+        try:
+            step1 = make_fused_runner_mxu(
+                model, nns, bcs, float(dt), 1, C, column_block=cb, interpret=interpret,
+            )
+
+            @jax.jit
+            def hybrid(x):
+                def body(x, _):
+                    return step1(x), None
+
+                x, _ = jax.lax.scan(body, x, None, length=S)
+                return x
+
+            record(f"pallas mxu single-step x scan cb={cb}", _bench_pallas(hybrid, x0))
+        except Exception as e:
+            print(f"pallas hybrid cb={cb}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+
     best = max(rows, key=lambda r: r["col_ts_per_sec"])
     print("\nbest:", json.dumps(best))
 
