@@ -431,6 +431,7 @@ def run_suite(quick: bool = False) -> dict:
             if jax.default_backend() == "tpu"
             else {"skipped": "pallas Gram benchmark needs a real TPU"}
         ),
+        "gp_ml2_step": bench_gp_ml2_step(n_train=max(128, int(1024 * scale))),
         "fc_conv_adj_forward": bench_fc_forward(n_columns=n_cols, n_steps=max(64, int(1152 * scale))),
         "nde_forward": bench_nde_forward(n_columns=n_cols, n_steps=max(64, int(1024 * scale))),
         "nde_train_step": bench_nde_train_step(n_sims=max(2, int(8 * scale)), n_window=max(8, int(32 * scale))),
