@@ -551,8 +551,8 @@ def cmd_train_nde(args) -> int:
     if args.fast_assembly:
         if args.smooth_nn:
             raise SystemExit("train-nde: --fast-assembly does not apply the NN smoothing filter; drop --smooth-nn")
-        if args.method != "split":
-            raise SystemExit(f"train-nde: --fast-assembly only affects --method split (got {args.method!r})")
+        if args.method not in ("split", "rk4"):
+            raise SystemExit(f"train-nde: --fast-assembly supports --method split or rk4 (got {args.method!r})")
 
     from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
     from climateparameterizations_jl_tpu.data.containers import training_tensors
@@ -1237,7 +1237,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="split stepper's implicit solve; pcr is 1.35x faster on TPU (PERFORMANCE.md)")
-    p.add_argument("--fast-assembly", action="store_true", help="matmul-assembled explicit split tendencies (fewer tiny ops per substep; incompatible with --smooth-nn)")
+    p.add_argument("--fast-assembly", action="store_true", help="matmul-assembled RHS/tendencies for split or rk4 (fewer tiny ops per substep; incompatible with --smooth-nn)")
     p.set_defaults(fn=cmd_train_nde)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")

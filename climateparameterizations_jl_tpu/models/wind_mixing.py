@@ -336,13 +336,17 @@ def wind_mixing_rhs(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCondition
     return _tendencies(model, x, uw, vw, wT)
 
 
-def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 4, method: str = "rk4", checkpoint: bool = True, unroll: int = 1):
+def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, x0, t0, dt_save, n_save: int, n_substeps: int = 4, method: str = "rk4", checkpoint: bool = True, unroll: int = 1, fast_assembly: bool = False):
     """Integrate the fully-explicit NDE; returns ``(n_save + 1, ..., 3 Nz)``.
 
     Replaces the reference's ROCK4 + InterpolatingAdjoint solve
     (``NDE_training.jl:291``) with an RK4 ``lax.scan`` and a discrete adjoint.
     ``unroll=4`` is worth ~+3% on forward-only runs (latency-bound chain);
     leave it at 1 for training (unrolling grows the rematerialized segment).
+
+    ``fast_assembly=True`` (``method="rk4"`` + mPP only) integrates the
+    MXU-assembled full RHS (:func:`_fast_full_rhs`) — same math,
+    equivalence-tested, fewer tiny ops on the latency-bound chain.
 
     For ``euler``/``heun`` the Coriolis rotation is split out and applied
     forward-backward after each flux substep: rotation inside a plain
@@ -366,7 +370,15 @@ def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCon
             return join_uvT(u, v, T)
 
         return solve_fixed_step(None, x0, t0, dt_save, n_save, n_substeps, fb_step, checkpoint, unroll)
-    rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
+    if fast_assembly:
+        if method != "rk4":
+            raise ValueError(f"fast_assembly supports method='rk4' here (got {method!r})")
+        packed = nns if isinstance(nns, PackedFluxNNs) else pack_flux_nns(nns)
+        if packed is None:
+            raise ValueError("fast_assembly needs three packable (same-depth, same-activation) MLP closures")
+        rhs = _fast_full_rhs(model, packed, bcs)
+    else:
+        rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
     return solve_fixed_step(rhs, x0, t0, dt_save, n_save, n_substeps, method, checkpoint, unroll)
 
 
@@ -456,6 +468,71 @@ def _fast_explicit_tendencies(model: WindMixingModel, packed, Dr, bcs: BoundaryC
     y = _pad_to_block(packed(x), model.Nz)
     K = _split_bc_row(model, bcs_t, x.shape[:-1])
     return jnp.einsum("...i,io->...o", y, Dr, preferred_element_type=y.dtype) + K
+
+
+def _pad_packed_chain(packed: PackedFluxNNs, Nz: int):
+    """Padded-last-layer view of a :class:`PackedFluxNNs`: the final matmul
+    writes straight into the block-aligned ``(..., 3 Nz)`` layout (seam
+    lanes structurally zero). Differentiable (pure pad/reshape)."""
+    n_out = Nz - 1
+    A3, b3 = packed.matrices[-1], packed.biases[-1]
+    A3p = jnp.pad(A3.reshape(A3.shape[0], 3, n_out), ((0, 0), (0, 0), (0, 1))).reshape(A3.shape[0], 3 * Nz)
+    b3p = jnp.pad(b3.reshape(3, n_out), ((0, 0), (0, 1))).reshape(3 * Nz)
+    return (*packed.matrices[:-1], A3p), (*packed.biases[:-1], b3p)
+
+
+def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryConditions):
+    """The FULL NDE right-hand side (mPP + Coriolis) via the MXU assembly.
+
+    :func:`ops.fused_rhs.make_fast_rhs` with traced/batched BCs and traced
+    (trainable) NN weights: same math as :func:`wind_mixing_rhs` for the
+    ``use_mpp`` configuration, ~13-deep dependent op chain instead of ~25.
+    Supports per-sim BC arrays (left-aligned broadcast) and diurnal top
+    fluxes; used by ``solve_wind_mixing_nde(fast_assembly=True)``.
+    """
+    import numpy as np
+
+    from climateparameterizations_jl_tpu.ops.fused_rhs import (
+        _make_mxu_rhs,
+        _scalar_constants,
+        divergence_matrix,
+    )
+
+    if model.smooth_NN or model.smooth_Ri:
+        raise ValueError("fast_assembly does not apply the NN/Ri smoothing filters; use the default path")
+    if not model.use_mpp:
+        raise ValueError("fast_assembly's full RHS covers the mPP base closure; use the default path")
+    Nz = model.Nz
+    s = model.scalings
+    body = _make_mxu_rhs(_scalar_constants(model), Nz, packed.activation)
+    mats, biases = _pad_packed_chain(packed, Nz)
+    A1, A2, A3p = mats
+    b1, b2, b3p = biases
+
+    Ru = model.tau / model.H * s.uw.sigma / s.u.sigma
+    Rv = model.tau / model.H * s.vw.sigma / s.v.sigma
+    RT = model.tau / model.H * s.wT.sigma / s.T.sigma
+    Dr = (
+        Ru * divergence_matrix(1.0, 0.0, 0.0, Nz)
+        + Rv * divergence_matrix(0.0, 1.0, 0.0, Nz)
+        + RT * divergence_matrix(0.0, 0.0, 1.0, Nz)
+    )
+    cf_u = model.f * model.tau / s.u.sigma
+    cf_v = model.f * model.tau / s.v.sigma
+    mask_u = np.zeros(3 * Nz, np.float32)
+    mask_u[0:Nz] = 1.0
+    mask_v = np.zeros(3 * Nz, np.float32)
+    mask_v[Nz : 2 * Nz] = 1.0
+    w1 = (cf_u * s.v.sigma) * mask_u  # v rotated into the u block
+    w2 = (-cf_v * s.u.sigma) * mask_v  # u rotated into the v block
+    K_mu = (cf_u * s.v.mu) * mask_u + (-cf_v * s.u.mu) * mask_v
+
+    def rhs(x, t):
+        bcs_t = _effective_bcs(model, bcs, t)
+        K = _split_bc_row(model, bcs_t, x.shape[:-1]) + K_mu
+        return body(x, A1, b1, A2, b2, A3p, b3p, Dr, K, w1, w2)
+
+    return rhs
 
 
 def _interior_nu(model: WindMixingModel, x):

@@ -134,11 +134,30 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
-def _scalar_constants(model, bcs) -> tuple:
-    """Extract the hashable scalar tuple that parameterizes the kernel."""
+def _scalar_constants(model, bcs=None) -> tuple:
+    """Extract the hashable scalar tuple that parameterizes the kernel.
+
+    ``bcs=None`` zeroes the BC tail — for callers that build the BC row
+    from traced (possibly batched) BC arrays instead of baking scalars
+    (``models.wind_mixing._fast_full_rhs``); the RHS body ignores the tail.
+    """
     s = model.scalings
     Hga = float(model.H) * float(model.g) * float(model.alpha)
-    z_u, z_v, z_T = float(s.uw.scale(0.0)), float(s.vw.scale(0.0)), float(s.wT.scale(0.0))
+    # scale(0) computed in pure Python: a jnp op here would become a tracer
+    # when this runs at trace time inside a jitted training step (the model
+    # leaves are concrete closure constants — float() on them is fine, jnp
+    # arithmetic on them is not).
+    z_u = (0.0 - float(s.uw.mu)) / float(s.uw.sigma)
+    z_v = (0.0 - float(s.vw.mu)) / float(s.vw.sigma)
+    z_T = (0.0 - float(s.wT.mu)) / float(s.wT.sigma)
+    if bcs is None:
+        bc_tail = (0.0,) * 6
+    else:
+        bc_tail = (
+            float(bcs.uw_bot) - z_u, float(bcs.uw_top) - z_u,
+            float(bcs.vw_bot) - z_v, float(bcs.vw_top) - z_v,
+            float(bcs.wT_bot) - z_T, float(bcs.wT_top) - z_T,
+        )
     return (
         Hga,
         float(s.u.sigma), float(s.v.sigma), float(s.T.sigma),
@@ -147,10 +166,7 @@ def _scalar_constants(model, bcs) -> tuple:
         float(model.mpp.nu_0), float(model.mpp.nu_minus),
         float(model.mpp.Ri_c), float(model.mpp.delta_Ri), float(model.mpp.Pr),
         float(model.H), float(model.tau), float(model.f),
-        float(bcs.uw_bot) - z_u, float(bcs.uw_top) - z_u,
-        float(bcs.vw_bot) - z_v, float(bcs.vw_top) - z_v,
-        float(bcs.wT_bot) - z_T, float(bcs.wT_top) - z_T,
-    )
+    ) + bc_tail
 
 
 def _make_kernel(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str):

@@ -122,7 +122,7 @@ def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: N
     if config.method == "split":
         traj = solve_wind_mixing_split(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, tridiag_backend=config.tridiag_backend, unroll=config.split_unroll, fast_assembly=config.fast_assembly, implicit_solve_grad=config.implicit_solve_grad)
     else:
-        traj = solve_wind_mixing_nde(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, config.method)
+        traj = solve_wind_mixing_nde(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, config.method, fast_assembly=config.fast_assembly)
     return jnp.moveaxis(traj, 0, -2)  # (S, Nt, 3Nz)
 
 

@@ -254,3 +254,77 @@ class TestFastSplit:
         model = dataclasses.replace(model, smooth_NN=True)
         with pytest.raises(ValueError, match="smoothing"):
             solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 1e-3, 1, fast_assembly=True)
+
+
+class TestFastRK4:
+    """fast_assembly on the fully-explicit rk4 solver (traced batched BCs)."""
+
+    def _solve_pair(self, model, nns, bcs, x0):
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        args = (model, nns, bcs, x0, 0.0, 1e-4, 3)
+        a = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=False)
+        b = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=True)
+        return a, b
+
+    def test_matches_default_path(self):
+        model, nns, bcs, x0 = _setup(n_columns=6)
+        a, b = self._solve_pair(model, nns, bcs, x0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_batched_bcs_and_diurnal(self):
+        import dataclasses
+
+        model, nns, bcs, x0 = _setup(n_columns=5)
+        model = dataclasses.replace(model, diurnal=True)
+        rng = np.random.default_rng(7)
+        bcs = dataclasses.replace(
+            bcs,
+            uw_top=jnp.asarray(rng.normal(size=5) * 0.3, x0.dtype),
+            wT_bot=jnp.asarray(rng.normal(size=5) * 0.1, x0.dtype),
+            diurnal_amplitude=jnp.asarray(np.abs(rng.normal(size=5)) * 2e-5, x0.dtype),
+        )
+        a, b = self._solve_pair(model, nns, bcs, x0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_gradients_match(self):
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+
+        def loss(nns, fast):
+            traj = solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 2, n_substeps=3, fast_assembly=fast)
+            return jnp.sum(traj[-1] ** 2)
+
+        g_fast = jax.grad(lambda p: loss(p, True))(nns)
+        g_ref = jax.grad(lambda p: loss(p, False))(nns)
+        for gf, gr in zip(jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6 * max(1.0, float(jnp.abs(gr).max())))
+
+    def test_non_mpp_rejected(self):
+        import dataclasses
+
+        import pytest
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=2)
+        model = dataclasses.replace(model, use_mpp=False, use_conv_adj=True)
+        with pytest.raises(ValueError, match="mPP"):
+            solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 1, fast_assembly=True)
+
+    def test_builds_inside_jit(self):
+        # The training loop traces the whole solve under jit: the fast-path
+        # builders must not run float() on values jnp ops have turned into
+        # tracers (regression: _scalar_constants used scale(0.0), a jnp op).
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=3)
+
+        @jax.jit
+        def run(nns, x0):
+            return solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 2, n_substeps=2, fast_assembly=True)
+
+        out = run(nns, x0)
+        ref = solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 2, n_substeps=2, fast_assembly=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
