@@ -232,11 +232,15 @@ def bench_nde_forward(
     return stats
 
 
-def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
+def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32,
+                         method: str = "split", fast_assembly: bool = False,
+                         implicit_solve_grad: bool = True, tridiag_backend: str = "scan"):
     """One NDE gradient step (value_and_grad through the scanned solve).
 
     Parity: ``benchmark_NDE_training.jl:34-47`` (mutating vs non-mutating NDE
-    training step across training-window sizes).
+    training step across training-window sizes). The keyword knobs expose
+    the solver A/B axes (split vs rk4, matmul assembly, IFT solve
+    gradients, tridiagonal backend) for chip measurements.
     """
     import numpy as np
     import optax
@@ -257,7 +261,8 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32):
         x0=x0, targets=jnp.repeat(x0[:, None, :], n_window, axis=1), bcs=bcs,
         t=jnp.linspace(0.0, 1e-3 * (n_window - 1), n_window), tau=jnp.float32(691200.0),
     )
-    config = NDETrainConfig(n_substeps=4, method="split")
+    config = NDETrainConfig(n_substeps=4, method=method, fast_assembly=fast_assembly,
+                            implicit_solve_grad=implicit_solve_grad, tridiag_backend=tridiag_backend)
     loss_fn = make_wind_mixing_loss_fn(model, batch, LossChannels.ones(config.gradient_scaling), config)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(nns)
