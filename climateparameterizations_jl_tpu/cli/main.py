@@ -553,6 +553,8 @@ def cmd_train_nde(args) -> int:
             raise SystemExit("train-nde: --fast-assembly does not apply the NN smoothing filter; drop --smooth-nn")
         if args.method not in ("split", "rk4"):
             raise SystemExit(f"train-nde: --fast-assembly supports --method split or rk4 (got {args.method!r})")
+        if args.method == "rk4" and args.smooth_ri:
+            raise SystemExit("train-nde: --fast-assembly with --method rk4 does not apply the Ri smoothing filter; drop --smooth-ri")
 
     from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
     from climateparameterizations_jl_tpu.data.containers import training_tensors

@@ -355,6 +355,8 @@ def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCon
     the Ekman transport without bound (the repo-wide Coriolis rule; RK4's
     4th-order rotation error is negligible so it integrates the full RHS).
     """
+    if fast_assembly and method != "rk4":
+        raise ValueError(f"fast_assembly supports method='rk4' here (got {method!r})")
     if method in ("euler", "heun"):
         from climateparameterizations_jl_tpu.models.timestepper import _STEPPERS
 
@@ -371,8 +373,6 @@ def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCon
 
         return solve_fixed_step(None, x0, t0, dt_save, n_save, n_substeps, fb_step, checkpoint, unroll)
     if fast_assembly:
-        if method != "rk4":
-            raise ValueError(f"fast_assembly supports method='rk4' here (got {method!r})")
         packed = nns if isinstance(nns, PackedFluxNNs) else pack_flux_nns(nns)
         if packed is None:
             raise ValueError("fast_assembly needs three packable (same-depth, same-activation) MLP closures")
@@ -409,6 +409,16 @@ def _explicit_rhs_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCondi
     return _tendencies(model, x, uw, vw, wT, coriolis=False)
 
 
+def _tendency_coefficients(model: WindMixingModel):
+    """``(R_u, R_v, R_T)`` nondimensional flux-divergence coefficients (one place)."""
+    from climateparameterizations_jl_tpu.ops.fused_rhs import tendency_coefficients
+
+    s = model.scalings
+    return tendency_coefficients(
+        model.tau, model.H, s.uw.sigma, s.vw.sigma, s.wT.sigma, s.u.sigma, s.v.sigma, s.T.sigma
+    )
+
+
 def _split_bc_row(model: WindMixingModel, bcs_t: BoundaryConditions, batch):
     """Constant tendency row carrying the boundary-face BC fluxes.
 
@@ -441,9 +451,7 @@ def _split_bc_row(model: WindMixingModel, bcs_t: BoundaryConditions, batch):
             bot, top = bot - z, top - z
         bots.append(expand(bot))
         tops.append(expand(top))
-    Ru = model.tau / model.H * s.uw.sigma / s.u.sigma
-    Rv = model.tau / model.H * s.vw.sigma / s.v.sigma
-    RT = model.tau / model.H * s.wT.sigma / s.T.sigma
+    Ru, Rv, RT = _tendency_coefficients(model)
     return bc_tendency_row(Ru, Rv, RT, bots, tops, Nz)
 
 
@@ -502,6 +510,11 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
         raise ValueError("fast_assembly does not apply the NN/Ri smoothing filters; use the default path")
     if not model.use_mpp:
         raise ValueError("fast_assembly's full RHS covers the mPP base closure; use the default path")
+    if len(packed.matrices) != 3:
+        raise ValueError(
+            f"fast_assembly requires the 3-layer flux MLP architecture "
+            f"(got {len(packed.matrices)} packed layers); use the default path"
+        )
     Nz = model.Nz
     s = model.scalings
     body = _make_mxu_rhs(_scalar_constants(model), Nz, packed.activation)
@@ -509,9 +522,7 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
     A1, A2, A3p = mats
     b1, b2, b3p = biases
 
-    Ru = model.tau / model.H * s.uw.sigma / s.u.sigma
-    Rv = model.tau / model.H * s.vw.sigma / s.v.sigma
-    RT = model.tau / model.H * s.wT.sigma / s.T.sigma
+    Ru, Rv, RT = _tendency_coefficients(model)
     Dr = (
         Ru * divergence_matrix(1.0, 0.0, 0.0, Nz)
         + Rv * divergence_matrix(0.0, 1.0, 0.0, Nz)
@@ -573,14 +584,14 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             raise ValueError("fast_assembly needs three packable (same-depth, same-activation) MLP closures")
         from climateparameterizations_jl_tpu.ops.fused_rhs import divergence_matrix
 
-        s = model.scalings
         # Trace-safe: fixed unit patterns (numpy) scaled by the (possibly
         # traced) per-variable tendency coefficients; loop-invariant, so XLA
         # hoists the 3-term sum out of the substep scan.
+        Ru, Rv, RT = _tendency_coefficients(model)
         Dr = (
-            model.tau / model.H * s.uw.sigma / s.u.sigma * divergence_matrix(1.0, 0.0, 0.0, model.Nz)
-            + model.tau / model.H * s.vw.sigma / s.v.sigma * divergence_matrix(0.0, 1.0, 0.0, model.Nz)
-            + model.tau / model.H * s.wT.sigma / s.T.sigma * divergence_matrix(0.0, 0.0, 1.0, model.Nz)
+            Ru * divergence_matrix(1.0, 0.0, 0.0, model.Nz)
+            + Rv * divergence_matrix(0.0, 1.0, 0.0, model.Nz)
+            + RT * divergence_matrix(0.0, 0.0, 1.0, model.Nz)
         ).astype(x0.dtype)
 
     def substep(x, t):

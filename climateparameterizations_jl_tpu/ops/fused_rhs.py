@@ -269,6 +269,18 @@ def _compiled_multistep(consts: tuple, dt: float, n_steps: int, Nz: int, activat
     return jax.jit(call)
 
 
+def tendency_coefficients(tau, H, sig_uw, sig_vw, sig_wT, sig_u, sig_v, sig_T):
+    """``(R_u, R_v, R_T) = tau/H * sigma_flux / sigma_var``.
+
+    The nondimensionalization convention of ``predict_NDE``
+    (``NDE_training.jl:149-165``) — the ONE implementation behind
+    ``_assembly_constants``, ``models.wind_mixing._tendency_coefficients``,
+    and every Dr/BC-row assembly site.
+    """
+    r = tau / H
+    return r * sig_uw / sig_u, r * sig_vw / sig_v, r * sig_wT / sig_T
+
+
 def divergence_matrix(Ru: float, Rv: float, RT: float, Nz: int, dtype=np.float32) -> np.ndarray:
     """``(3 Nz, 3 Nz)`` matrix: packed interior-face fluxes -> scaled tendencies.
 
@@ -333,8 +345,7 @@ def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
         nu0, nu1, Ric, dRi, Pr, H, tau, fcor,
         uw_bot, uw_top, vw_bot, vw_top, wT_bot, wT_top,
     ) = consts
-    dz = 1.0 / Nz
-    R = (tau / H * sig_uw / sig_u, tau / H * sig_vw / sig_v, tau / H * sig_wT / sig_T)
+    R = tendency_coefficients(tau, H, sig_uw, sig_vw, sig_wT, sig_u, sig_v, sig_T)
     bots = (uw_bot, vw_bot, wT_bot)
     tops = (uw_top, vw_top, wT_top)
     cf_u = fcor * tau / sig_u

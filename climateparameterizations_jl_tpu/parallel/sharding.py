@@ -24,14 +24,9 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from climateparameterizations_jl_tpu.data.containers import TrainingBatch
-from climateparameterizations_jl_tpu.models.wind_mixing import (
-    FluxNNs,
-    WindMixingModel,
-    solve_wind_mixing_nde,
-    solve_wind_mixing_split,
-)
+from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, WindMixingModel
 from climateparameterizations_jl_tpu.train.loss import LossChannels
-from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, make_wind_mixing_loss_fn
+from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, make_wind_mixing_loss_fn, solve_with_config
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
@@ -166,10 +161,7 @@ def make_sharded_suite_ensemble_solver(model: WindMixingModel, config: NDETrainC
     def solve(nns, bcs, x0, t0, dt_save, n_save):
         x0 = jax.lax.with_sharding_constraint(x0, x_shard)
         bcs = jax.tree.map(lambda b: jax.lax.with_sharding_constraint(b, bc_shard) if getattr(b, "ndim", 0) == 1 else b, bcs)
-        if config.method == "split":
-            traj = solve_wind_mixing_split(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps)
-        else:
-            traj = solve_wind_mixing_nde(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps, config.method)
+        traj = solve_with_config(model, nns, bcs, x0, t0, dt_save, n_save, config)
         return jax.lax.with_sharding_constraint(traj, out_shard)
 
     return jax.jit(solve, static_argnums=(5,))
@@ -189,15 +181,7 @@ def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig,
     out_sharding = out_sharding if out_sharding is not None else NamedSharding(mesh, P(None, axis_name))
 
     def solve(nns: FluxNNs, bcs, x0, t0, dt_save, n_save):
-        if config.method == "split":
-            traj = solve_wind_mixing_split(
-                model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps,
-                tridiag_backend=config.tridiag_backend, unroll=config.split_unroll,
-                fast_assembly=config.fast_assembly,
-                implicit_solve_grad=config.implicit_solve_grad,
-            )
-        else:
-            traj = solve_wind_mixing_nde(model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps, config.method)
+        traj = solve_with_config(model, nns, bcs, x0, t0, dt_save, n_save, config)
         return jax.lax.with_sharding_constraint(traj, out_sharding)
 
     return jax.jit(solve, static_argnums=(5,))

@@ -107,6 +107,27 @@ def _require_uniform(t, where: str):
         raise ValueError(f"{where}: tsteps must be uniformly spaced (got save intervals {dt.ravel()[:4]}...)")
 
 
+def solve_with_config(model: WindMixingModel, nns: FluxNNs, bcs, x0, t0, dt_save, n_save: int, config: NDETrainConfig):
+    """Dispatch to the configured solver, honoring EVERY solver knob.
+
+    The one implementation behind the train loop and the sharded solvers in
+    ``parallel/sharding.py`` — a new config knob added here reaches all of
+    them (a knob silently dropped by one caller is the bug class this
+    closes). Returns the raw ``(n_save + 1, ..., 3 Nz)`` trajectory.
+    """
+    if config.method == "split":
+        return solve_wind_mixing_split(
+            model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps,
+            tridiag_backend=config.tridiag_backend, unroll=config.split_unroll,
+            fast_assembly=config.fast_assembly,
+            implicit_solve_grad=config.implicit_solve_grad,
+        )
+    return solve_wind_mixing_nde(
+        model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps,
+        config.method, fast_assembly=config.fast_assembly,
+    )
+
+
 def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: NDETrainConfig):
     if config.pack_nns:
         # One block matmul chain instead of 9 small matmuls per RHS; the
@@ -119,10 +140,7 @@ def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: N
     t = batch.t
     n_save = t.shape[0] - 1
     dt_save = (t[-1] - t[0]) / n_save
-    if config.method == "split":
-        traj = solve_wind_mixing_split(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, tridiag_backend=config.tridiag_backend, unroll=config.split_unroll, fast_assembly=config.fast_assembly, implicit_solve_grad=config.implicit_solve_grad)
-    else:
-        traj = solve_wind_mixing_nde(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config.n_substeps, config.method, fast_assembly=config.fast_assembly)
+    traj = solve_with_config(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config)
     return jnp.moveaxis(traj, 0, -2)  # (S, Nt, 3Nz)
 
 

@@ -301,6 +301,33 @@ class TestFastRK4:
         for gf, gr in zip(jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6 * max(1.0, float(jnp.abs(gr).max())))
 
+    def test_non_rk4_methods_rejected(self):
+        # euler/heun used to return from the forward-backward branch BEFORE
+        # the fast_assembly validation, silently running the default path
+        # under a fast_assembly=True label (benchmark-poisoning bug).
+        import pytest
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=2)
+        for method in ("euler", "heun"):
+            with pytest.raises(ValueError, match="fast_assembly"):
+                solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 1, method=method, fast_assembly=True)
+
+    def test_wrong_depth_rejected(self):
+        # pack_flux_nns packs any same-depth MLP triple, but the MXU RHS body
+        # is the fixed 3-layer chain — reject with a message, not an unpack crash.
+        import pytest
+
+        from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+        from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, solve_wind_mixing_nde
+
+        model, _, bcs, x0 = _setup(n_columns=2)
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        two_layer = FluxNNs(*(wind_mixing_mlp(k, Nz=model.Nz, hidden=(16,)) for k in keys))
+        with pytest.raises(ValueError, match="3-layer"):
+            solve_wind_mixing_nde(model, two_layer, bcs, x0, 0.0, 1e-4, 1, fast_assembly=True)
+
     def test_non_mpp_rejected(self):
         import dataclasses
 

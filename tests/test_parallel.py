@@ -142,6 +142,44 @@ class TestShardedEnsemble:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
         assert len(out.sharding.device_set) == 8
 
+    def test_sharded_solvers_forward_every_config_knob(self, setup, monkeypatch):
+        """Both sharded factories must route through train.nde.solve_with_config.
+
+        The fast paths are numerically identical to the defaults, so the
+        equivalence tests above can NOT catch a silently-dropped solver knob
+        (the bug class: make_sharded_suite_ensemble_solver ignored
+        tridiag_backend/fast_assembly/... while its rows were labeled by the
+        config). Pin the dispatch structurally instead.
+        """
+        from climateparameterizations_jl_tpu.parallel import sharding as sh
+
+        model, nns, batch = setup
+        config = NDETrainConfig(n_substeps=2, method="split", fast_assembly=True,
+                                tridiag_backend="pcr", split_unroll=2, implicit_solve_grad=False)
+        seen = []
+        real = sh.solve_with_config
+
+        def spy(model_, nns_, bcs_, x0_, t0_, dt_save_, n_save_, config_):
+            seen.append(config_)
+            return real(model_, nns_, bcs_, x0_, t0_, dt_save_, n_save_, config_)
+
+        monkeypatch.setattr(sh, "solve_with_config", spy)
+        z = f32(0.0)
+        bcs = BoundaryConditions(uw_bot=z, uw_top=z - 0.5, vw_bot=z, vw_top=z,
+                                 wT_bot=z, wT_top=z + 0.3, diurnal_amplitude=z)
+        x0 = jnp.zeros((8, 96), f32) + 0.01
+
+        mesh = make_mesh(8)
+        with mesh:
+            sh.make_sharded_ensemble_solver(model, config, mesh)(nns, bcs, x0, f32(0.0), f32(1e-3), 2)
+        from climateparameterizations_jl_tpu.parallel.sharding import make_mesh_2d, make_sharded_suite_ensemble_solver
+
+        mesh2 = make_mesh_2d(4, 2)
+        with mesh2:
+            make_sharded_suite_ensemble_solver(model, config, mesh2)(
+                nns, bcs, x0.reshape(4, 2, 96), f32(0.0), f32(1e-3), 2)
+        assert len(seen) == 2 and all(c is config for c in seen)
+
     def test_2d_mesh_suite_ensemble_matches_unsharded(self, setup):
         """(sims x members) block sharded over a 2-D (4, 2) mesh == single device."""
         from climateparameterizations_jl_tpu.parallel.sharding import (
