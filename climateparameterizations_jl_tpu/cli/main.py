@@ -813,6 +813,7 @@ def cmd_calibrate_kpp(args) -> int:
         params, info = calibrate_kpp(
             ds, tsteps, args.nz,
             n_plugin=args.n_plugin, n_line_search=args.n_line_search,
+            refine="gradient" if args.calibration_method == "gradient" else "line-search",
         )
         result = {name: float(v) for name, v in zip(info["names"], np.asarray(info["values"]))}
         result["loss"] = info["final_loss"]
@@ -1336,9 +1337,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eki-inflation", type=float, default=1.0, help="multiplicative covariance inflation per EKI iteration (1.0 = off, the library default; the tempered updates already prevent collapse)")
     p.set_defaults(fn=cmd_optimise_mpp)
 
-    p = sub.add_parser("calibrate-kpp", help="KPP parameter search (random or ensemble-Kalman)")
+    p = sub.add_parser("calibrate-kpp", help="KPP parameter search (random, exact-gradient, or ensemble-Kalman)")
     _add_common(p)
-    p.add_argument("--calibration-method", default="random", choices=["random", "eki"])
+    p.add_argument("--calibration-method", default="random", choices=["random", "gradient", "eki"],
+                   help="random = reference recipe (plugin + FD line search); gradient = plugin + projected Adam with exact gradients through the solve; eki = ensemble Kalman inversion")
     p.add_argument("--n-plugin", type=int, default=64)
     p.add_argument("--n-line-search", type=int, default=20)
     p.add_argument("--n-ensemble", type=int, default=64, help="EKI ensemble size")

@@ -519,10 +519,9 @@ def free_convection_profile(
         # Heat-flux diagnostic (the wT output of free_convection_tke_mass_flux).
         from climateparameterizations_jl_tpu.physics.tke import tke_diagnostic_heat_flux
 
-        zc_dim = jnp.asarray(out["zc"], tke.T.dtype)
         out["tke_wT"] = np.asarray(
             tke_diagnostic_heat_flux(
-                tke, model.H / Nz, zc_dim, tke_params,
+                tke, model.H / Nz, tke_params,
                 ds_test.theta_top * ds_test.g * ds_test.alpha, ds_test.g, ds_test.alpha,
             )
         )

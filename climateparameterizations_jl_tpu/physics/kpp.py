@@ -99,6 +99,24 @@ class KPPForcing(NamedTuple):
     dTdz_bottom: jnp.ndarray  # bottom temperature gradient [K/m]
 
 
+def _pow_nonneg(x, p, tiny=1e-30):
+    """``max(0, x)**p`` (fractional ``p``) with finite gradients at/below zero.
+
+    Fractional powers have an infinite derivative at 0 and are NaN below it;
+    ``jnp.maximum``'s select-based VJP passes that through at the tie, and
+    the unselected branch of an outer ``jnp.where`` turns it into
+    ``0 * inf = NaN`` (the same class as the d3-floor note in
+    ``turbulent_velocity_scales``). Clamp INSIDE the power, select OUTSIDE —
+    the primal is unchanged (exactly 0 at and below 0; ``p = 0.5`` keeps the
+    dedicated sqrt op so values match the pre-guard code bit-for-bit — the
+    generic ``x**0.5`` differs by ULPs, enough to flip the discrete
+    boundary-layer-depth crossing cell in f32).
+    """
+    xs = jnp.maximum(x, tiny)
+    safe = jnp.sqrt(xs) if isinstance(p, float) and p == 0.5 else xs**p
+    return jnp.where(x > tiny, safe, 0.0)
+
+
 def _shape_fn(sigma):
     """K-profile shape ``sigma (1 - sigma)^2`` clipped to [0, 1]."""
     s = jnp.clip(sigma, 0.0, 1.0)
@@ -126,30 +144,44 @@ def _surface_layer_weights(zc, CSL):
     return W
 
 
-def _surface_layer_average(phi, W):
-    """``(..., Nz_cell) -> (..., Nz_cand)`` surface-layer means (one matmul)."""
-    return phi @ W.T
+def _surface_layer_anomaly(phi, W):
+    """``mean_sl(phi) - phi`` in difference form: ``sum_j W_kj (phi_j - phi_k)``.
+
+    Algebraically equal to ``phi @ W.T - phi`` (rows of ``W`` sum to 1) but
+    without the catastrophic cancellation: the direct form subtracts two
+    O(phi) numbers whose difference, in a well-mixed layer, is pure rounding
+    noise — which the tiny uKE floor (``CKE0 = 1e-11``) then amplifies
+    ~1e10x in the bulk-Ri ratio, enough to flip the discrete h-crossing
+    cell between COMPILATIONS of the same program (measured: jitted vs
+    eager ``kpp_step`` differed by ~1e-2 K per step in f32). Differencing
+    first keeps the anomaly exactly 0 where the profile is uniform.
+    """
+    diff = phi[..., None, :] - phi[..., :, None]  # (..., cand k, cell j)
+    # Elementwise multiply + reduce (not einsum/dot_general): a contraction
+    # lowers differently under vmap than unbatched, and the solve's discrete
+    # h-crossing amplifies even that ULP-level difference to ~1e-4 relative
+    # loss between a scalar and a vmapped calibration evaluation.
+    return (W * diff).sum(axis=-1)
 
 
 def bulk_richardson_number(U, V, B, zc, params: KPPParameters, Fb):
     """``Ri_b`` at each cell center (candidate boundary-layer bottoms)."""
     dz = zc[1] - zc[0]
     W_sl = _surface_layer_weights(zc, params.CSL)
-    U_sl = _surface_layer_average(U, W_sl)
-    V_sl = _surface_layer_average(V, W_sl)
-    B_sl = _surface_layer_average(B, W_sl)
 
     depth = -zc  # positive depth of each center
-    dB = B_sl - B
-    dU2 = (U_sl - U) ** 2 + (V_sl - V) ** 2
+    dB = _surface_layer_anomaly(B, W_sl)
+    dU2 = _surface_layer_anomaly(U, W_sl) ** 2 + _surface_layer_anomaly(V, W_sl) ** 2
 
-    # Unresolved kinetic energy (OceanTurb form).
+    # Unresolved kinetic energy (OceanTurb form). Both fractional powers
+    # need the safe form: Bz = 0 in mixed layers and Fb = 0 under pure wind
+    # are COMMON states, and the bare sqrt/cbrt have infinite gradients there.
     Bz = jnp.gradient(B, dz, axis=-1)
     uKE = (
         params.CKE
         * depth ** (4.0 / 3.0)
-        * jnp.sqrt(jnp.maximum(0.0, Bz))
-        * jnp.maximum(0.0, Fb)[..., None] ** (1.0 / 3.0)
+        * _pow_nonneg(Bz, 0.5)
+        * _pow_nonneg(Fb, 1.0 / 3.0)[..., None]
         + params.CKE0
     )
     return depth * dB / (dU2 + uKE + 1e-30)
@@ -189,8 +221,8 @@ def turbulent_velocity_scales(h, params: KPPParameters, Fu, Fb, sigma):
     Piecewise stable / wind-dominated / convection-dominated regimes
     (OceanTurb KPP formulation; constants from the reference table).
     """
-    ustar = jnp.sqrt(jnp.abs(Fu))
-    wb = jnp.maximum(0.0, Fb * h) ** (1.0 / 3.0)  # convective velocity
+    ustar = _pow_nonneg(jnp.abs(Fu), 0.5)  # sqrt has an infinite gradient at Fu = 0
+    wb = _pow_nonneg(Fb * h, 1.0 / 3.0)  # convective velocity
     eps = 1e-30
     # Regime ratio d = (wb / ustar)^3. The denominator floor must keep d3
     # FINITE in f32 for physical wb (a 1e-30 floor overflowed to inf at
@@ -208,8 +240,12 @@ def turbulent_velocity_scales(h, params: KPPParameters, Fu, Fb, sigma):
         Ctau_b = params.Ctau_b(Cb, Cd, Cm_b, Cm_tau)
         wind = params.Ctau * ustar * (1.0 + params.Cunst * d3 * sig) ** Cm_tau
         # Additive form: exactly continuous with the wind branch at
-        # d3 * sig = Cd (see Ctau_b).
-        conv = Cb * wb * (sig + Ctau_b / (d3 + eps)) ** Cm_b
+        # d3 * sig = Cd (see Ctau_b). The base is strictly positive wherever
+        # this branch is SELECTED (d3 sig >= Cd implies base >= (Cd + Ctau_b)/d3
+        # with Cd + Ctau_b > 0 for the reference constants) but goes NEGATIVE
+        # in the unselected region (Ctau_b < 0 for tracers), where the bare
+        # fractional power is NaN and poisons gradients through the where.
+        conv = Cb * wb * _pow_nonneg(sig + Ctau_b / (d3 + eps), Cm_b)
         unstable = jnp.where(d3 * sig < Cd, wind, conv)
         # Stable branch: buoyancy flux < 0 (heating) damps turbulence.
         rb = jnp.abs(Fb) * h / (ustar**3 + eps)

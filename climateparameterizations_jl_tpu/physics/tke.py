@@ -105,7 +105,7 @@ class TKEState:
     e: jnp.ndarray  # turbulent kinetic energy (centers)
 
 
-def tke_diffusivities(state: TKEState, dz, zc, params: TKEParameters, g, alpha):
+def tke_diffusivities(state: TKEState, dz, params: TKEParameters, g, alpha):
     """Face diffusivities ``(K_U, K_T, K_e)`` from the current TKE field."""
     e_pad = jnp.pad(state.e, [(0, 0)] * (state.e.ndim - 1) + [(1, 1)], mode="edge")
     e_face = jnp.maximum(params.e_min, 0.5 * (e_pad[..., :-1] + e_pad[..., 1:]))
@@ -143,21 +143,21 @@ def tke_diffusivities(state: TKEState, dz, zc, params: TKEParameters, g, alpha):
     return K_U * mask, K_T * mask, K_e * mask, (S2, N2, ell, sqrt_e)
 
 
-def tke_diagnostic_heat_flux(state: TKEState, dz, zc, params: TKEParameters, Fb, g, alpha):
+def tke_diagnostic_heat_flux(state: TKEState, dz, params: TKEParameters, Fb, g, alpha):
     """Diagnostic face heat flux ``wT = -K_T dT/dz`` with the surface flux on
     the top face — the ``wT`` output of the reference's TKE baseline
     (``free_convection/src/tke_mass_flux.jl:3-52``). Batches over leading
     axes (e.g. a saved trajectory)."""
-    K_U, K_T, K_e, _ = tke_diffusivities(state, dz, zc, params, g, alpha)
+    K_U, K_T, K_e, _ = tke_diffusivities(state, dz, params, g, alpha)
     dTdz = d_center_to_face(state.T, dz)
     wT = -K_T * dTdz
     F_theta = Fb / (g * alpha)
     return wT.at[..., -1].set(jnp.broadcast_to(F_theta, wT[..., -1].shape))
 
 
-def tke_step(state: TKEState, dt, dz, zc, params: TKEParameters, Fu, Fb, f_cor, g, alpha, tridiag_backend: str = "scan") -> TKEState:
+def tke_step(state: TKEState, dt, dz, params: TKEParameters, Fu, Fb, f_cor, g, alpha, tridiag_backend: str = "scan") -> TKEState:
     """One operator-split TKE step."""
-    K_U, K_T, K_e, (S2, N2, ell, sqrt_e) = tke_diffusivities(state, dz, zc, params, g, alpha)
+    K_U, K_T, K_e, (S2, N2, ell, sqrt_e) = tke_diffusivities(state, dz, params, g, alpha)
 
     # TKE sources at centers (average face quantities back to centers).
     to_c = lambda x: 0.5 * (x[..., 1:] + x[..., :-1])  # noqa: E731
@@ -207,10 +207,9 @@ def solve_tke(state0: TKEState, t_save, params: TKEParameters, Fu, Fb, H, Nz: in
     n_save = t_save.shape[0] - 1
     dt = (t_save[-1] - t_save[0]) / (n_save * n_substeps)
     dz = jnp.asarray(H / Nz, dtype)
-    zc = (jnp.arange(Nz, dtype=dtype) + 0.5) * dz - H
 
     def substep(state, _):
-        return tke_step(state, dt, dz, zc, params, Fu, Fb, f_cor, g, alpha, tridiag_backend), None
+        return tke_step(state, dt, dz, params, Fu, Fb, f_cor, g, alpha, tridiag_backend), None
 
     def interval(state, _):
         state, _ = jax.lax.scan(substep, state, None, length=n_substeps)

@@ -181,6 +181,52 @@ def random_line_search(
     return values, history
 
 
+def gradient_refine_kpp(
+    loss_fn: Callable,
+    values0,
+    bounds: tuple,
+    n_iters: int = 100,
+    learning_rate: float = 0.02,
+):
+    """Projected-Adam refinement with EXACT gradients through the KPP solve.
+
+    The reference never had this (its ``RandomLineSearch`` uses one-coordinate
+    finite differences because Zygote could not differentiate OceanTurb);
+    here the whole column solve is differentiable — ``kpp_step``'s velocity
+    scales/bulk-Ri guards keep the gradients finite in every forcing regime
+    (``tests/test_kpp_tke.py::test_full_step_grads_finite_across_regimes``).
+    Same best-evaluated-iterate + box-projection conventions as
+    ``mpp_calibration.optimise_mpp_parameters``. Returns ``(values, history)``.
+    """
+    import optax
+
+    lo, hi = (jnp.asarray(b, jnp.result_type(float)) for b in bounds)
+    values = jnp.asarray(values0, jnp.result_type(float))
+    # Optimize in box-normalized units so one learning rate fits parameters
+    # whose scales span [0.01, 8].
+    span = hi - lo
+    theta = (values - lo) / span
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(theta)
+
+    @jax.jit
+    def step(theta, opt_state):
+        loss, g = jax.value_and_grad(lambda th: loss_fn(lo + span * th))(theta)
+        updates, opt_state = opt.update(g, opt_state, theta)
+        theta = jnp.clip(optax.apply_updates(theta, updates), 0.0, 1.0)
+        return theta, opt_state, loss
+
+    history = []
+    best_loss, best_theta = float("inf"), theta
+    for _ in range(n_iters):
+        new_theta, opt_state, loss = step(theta, opt_state)
+        history.append(float(loss))
+        if history[-1] < best_loss:
+            best_loss, best_theta = history[-1], theta
+        theta = new_theta
+    return lo + span * best_theta, history
+
+
 def calibrate_kpp(
     ds: ColumnTimeSeries,
     tsteps,
@@ -191,11 +237,15 @@ def calibrate_kpp(
     n_line_search: int = 30,
     base_params: KPPParameters | None = None,
     n_substeps: int = 1,
+    refine: str = "line-search",
 ) -> tuple[KPPParameters, dict]:
-    """Full calibration pipeline: plugin search then line-search refinement.
+    """Full calibration pipeline: plugin search then refinement.
 
-    Returns the calibrated :class:`KPPParameters` and an info dict with the
-    loss history. Parity: the driver block ``train_kpp.jl:212-249``.
+    ``refine="line-search"`` is the reference's recipe (finite-difference
+    random line search, ``train_kpp.jl:212-249``); ``refine="gradient"``
+    swaps in projected Adam with exact gradients through the solve
+    (:func:`gradient_refine_kpp`). Returns the calibrated
+    :class:`KPPParameters` and an info dict with the loss history.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     priors = priors if priors is not None else dict(DEFAULT_PRIORS)
@@ -207,7 +257,12 @@ def calibrate_kpp(
     best_values, best_loss, plugin_losses = random_plugin(loss_fn, priors, n_plugin, k1)
     lo = [priors[n][0] for n in names]
     hi = [priors[n][1] for n in names]
-    values, history = random_line_search(loss_fn, best_values, k2, n_iters=n_line_search, bounds=(lo, hi))
+    if refine == "gradient":
+        values, history = gradient_refine_kpp(loss_fn, best_values, (lo, hi), n_iters=n_line_search)
+    elif refine == "line-search":
+        values, history = random_line_search(loss_fn, best_values, k2, n_iters=n_line_search, bounds=(lo, hi))
+    else:
+        raise ValueError(f"unknown refine method {refine!r} (line-search | gradient)")
 
     calibrated = _with_overrides(base, names, [values[i] for i in range(len(names))])
     info = {

@@ -287,3 +287,52 @@ class TestKPPGradientsFiniteAtZeroWind:
         val, grad = jax.value_and_grad(f)(jnp.float32(3e-8))
         assert np.isfinite(float(val))
         assert np.isfinite(float(grad)), grad
+
+    @pytest.mark.parametrize(
+        "fb,fu",
+        [
+            (3e-8, 0.0),  # free convection (ustar = 0)
+            (1e-8, 1e-4),  # wind + weak cooling (conv branch base < 0 unselected)
+            (0.0, 1e-4),  # pure wind (Fb = 0: cbrt'(0) = inf in uKE and wb)
+            (-1e-7, 1e-4),  # stable heating
+            (0.0, 0.0),  # no forcing at all
+        ],
+    )
+    def test_full_step_grads_finite_across_regimes(self, fb, fu):
+        """Regression: grads through the FULL kpp_step were NaN in every
+        regime. Three independent roots, all the same class (fractional
+        power with infinite/NaN derivative reached through the unselected
+        branch of a jnp.where): the conv branch's negative base
+        (sig + Ctau_b/d3 < 0 for tracers where the wind branch is selected),
+        sqrt(|Fu|) at Fu = 0, and cbrt/sqrt at Fb = 0 / Bz = 0 in the
+        unresolved-KE term. The earlier sigma-in-[0.05,0.95], Fu=0-only test
+        above passed while all of these were live — this one sweeps forcing
+        regimes and differentiates the full step (incl. the sigma = 0 top
+        face) w.r.t. forcing AND state."""
+        from climateparameterizations_jl_tpu.physics.kpp import (
+            KPPForcing,
+            KPPParameters,
+            KPPState,
+            kpp_step,
+        )
+
+        params = KPPParameters.default()
+        Nz, H = 32, 100.0
+        dz = H / Nz
+        zf = jnp.linspace(-H, 0.0, Nz + 1)
+        zc = 0.5 * (zf[:-1] + zf[1:])
+        T0 = 19.0 + 0.01 * (zc + H)
+        zeros = jnp.zeros(Nz)
+
+        def loss(fb_, fu_, T):
+            state = KPPState(U=zeros, V=zeros, T=T)
+            frc = KPPForcing(Fu=fu_, Fb=fb_, dTdz_bottom=jnp.asarray(0.01))
+            out = kpp_step(state, 600.0, dz, zf, zc, params, frc, 1e-4, 9.81, 2e-4, H)
+            return jnp.sum(out.T**2) + jnp.sum(out.U**2) + jnp.sum(out.V**2)
+
+        g_fb, g_fu, g_T = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(fb, T0.dtype), jnp.asarray(fu, T0.dtype), T0
+        )
+        assert np.isfinite(float(g_fb)), (fb, fu, g_fb)
+        assert np.isfinite(float(g_fu)), (fb, fu, g_fu)
+        assert bool(jnp.all(jnp.isfinite(g_T))), (fb, fu)
