@@ -501,9 +501,9 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
     import numpy as np
 
     from climateparameterizations_jl_tpu.ops.fused_rhs import (
+        _assembly_constants,
         _make_mxu_rhs,
         _scalar_constants,
-        divergence_matrix,
     )
 
     if model.smooth_NN or model.smooth_Ri:
@@ -516,32 +516,27 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
             f"(got {len(packed.matrices)} packed layers); use the default path"
         )
     Nz = model.Nz
-    s = model.scalings
-    body = _make_mxu_rhs(_scalar_constants(model), Nz, packed.activation)
+    consts = _scalar_constants(model)
+    body = _make_mxu_rhs(consts, Nz, packed.activation)
     mats, biases = _pad_packed_chain(packed, Nz)
     A1, A2, A3p = mats
     b1, b2, b3p = biases
 
-    Ru, Rv, RT = _tendency_coefficients(model)
-    Dr = (
-        Ru * divergence_matrix(1.0, 0.0, 0.0, Nz)
-        + Rv * divergence_matrix(0.0, 1.0, 0.0, Nz)
-        + RT * divergence_matrix(0.0, 0.0, 1.0, Nz)
-    )
-    cf_u = model.f * model.tau / s.u.sigma
-    cf_v = model.f * model.tau / s.v.sigma
-    mask_u = np.zeros(3 * Nz, np.float32)
-    mask_u[0:Nz] = 1.0
-    mask_v = np.zeros(3 * Nz, np.float32)
-    mask_v[Nz : 2 * Nz] = 1.0
-    w1 = (cf_u * s.v.sigma) * mask_u  # v rotated into the u block
-    w2 = (-cf_v * s.u.sigma) * mask_v  # u rotated into the v block
-    K_mu = (cf_u * s.v.mu) * mask_u + (-cf_v * s.u.mu) * mask_v
+    # Assembly constants shared with the fused kernels: the zeroed BC tail of
+    # ``_scalar_constants(model)`` makes ``Krow`` the pure Coriolis-mean row
+    # (the real BC row is traced per call below). Built in f64 and cast to the
+    # state dtype at trace time so x64 training keeps full precision.
+    Dr, K_mu, w1, w2 = _assembly_constants(consts, Nz, dtype=np.float64)
+    # 1-D rows: (1, n) would broadcast a leading axis onto unbatched states.
+    K_mu, w1, w2 = K_mu[0], w1[0], w2[0]
 
     def rhs(x, t):
         bcs_t = _effective_bcs(model, bcs, t)
-        K = _split_bc_row(model, bcs_t, x.shape[:-1]) + K_mu
-        return body(x, A1, b1, A2, b2, A3p, b3p, Dr, K, w1, w2)
+        K = _split_bc_row(model, bcs_t, x.shape[:-1]) + jnp.asarray(K_mu, x.dtype)
+        return body(
+            x, A1, b1, A2, b2, A3p, b3p,
+            jnp.asarray(Dr, x.dtype), K, jnp.asarray(w1, x.dtype), jnp.asarray(w2, x.dtype),
+        )
 
     return rhs
 

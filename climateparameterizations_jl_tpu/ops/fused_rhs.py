@@ -405,7 +405,10 @@ def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None):
 
     def mm(x, A):
         if mdt is None:
-            return jnp.dot(x, A, preferred_element_type=jnp.float32)
+            # Follow the state dtype: this body also serves the differentiable
+            # f64 training path (models.wind_mixing._fast_full_rhs), where a
+            # hardcoded f32 preference would silently downcast every matmul.
+            return jnp.dot(x, A, preferred_element_type=x.dtype)
         return jnp.dot(x.astype(mdt), A, preferred_element_type=jnp.float32)
 
     def rhs(x, A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2):
@@ -426,7 +429,7 @@ def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None):
         mpp = jnp.concatenate([cu * (nu * du), cv * (nu * dv), cT * (nu * dT)], axis=-1)
         flux = y - mpp
         cor = w1 * jnp.roll(x, -Nz, axis=-1) + w2 * jnp.roll(x, Nz, axis=-1)
-        return jnp.dot(flux, Dr, preferred_element_type=jnp.float32) + cor + Krow
+        return jnp.dot(flux, Dr, preferred_element_type=flux.dtype) + cor + Krow
 
     return rhs
 

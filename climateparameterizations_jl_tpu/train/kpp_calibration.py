@@ -203,9 +203,13 @@ def gradient_refine_kpp(
     lo, hi = (jnp.asarray(b, jnp.result_type(float)) for b in bounds)
     values = jnp.asarray(values0, jnp.result_type(float))
     # Optimize in box-normalized units so one learning rate fits parameters
-    # whose scales span [0.01, 8].
+    # whose scales span [0.01, 8]. Degenerate bounds (lo == hi) pin that
+    # coordinate: theta is normalized by a safe span but mapped back through
+    # the true (zero) span, so the value stays at lo with a zero gradient
+    # instead of NaN-poisoning the whole refinement.
     span = hi - lo
-    theta = (values - lo) / span
+    safe_span = jnp.where(span > 0, span, 1.0)
+    theta = jnp.clip((values - lo) / safe_span, 0.0, 1.0)
     opt = optax.adam(learning_rate)
     opt_state = opt.init(theta)
 
@@ -216,6 +220,10 @@ def gradient_refine_kpp(
         theta = jnp.clip(optax.apply_updates(theta, updates), 0.0, 1.0)
         return theta, opt_state, loss
 
+    if n_iters == 0:
+        # Still report the loss of the (returned) initial point so callers can
+        # rely on min(history) == loss of the returned values.
+        return lo + span * theta, [float(jax.jit(loss_fn)(lo + span * theta))]
     history = []
     best_loss, best_theta = float("inf"), theta
     for _ in range(n_iters):
@@ -269,7 +277,12 @@ def calibrate_kpp(
         "names": names,
         "values": values,
         "plugin_best_loss": float(best_loss),
-        "final_loss": history[-1],
+        # Loss of the ADOPTED parameters. Both refiners return their best
+        # evaluated iterate, so that loss is min(history) — the line search's
+        # history is monotone best-so-far (min == last), while the gradient
+        # refiner's is the raw non-monotone Adam trace (last iterate can be
+        # worse than the returned best).
+        "final_loss": min(history),
         "history": history,
     }
     return calibrated, info
