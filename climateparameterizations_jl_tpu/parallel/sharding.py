@@ -69,18 +69,28 @@ def make_sharded_nde_train_step(model: WindMixingModel, batch: TrainingBatch, co
     parameters/opt state should be replicated (:func:`replicate`). XLA
     inserts the gradient ``psum`` from the shardings.
 
+    The batch enters the jitted step as an ARGUMENT, not a closure capture:
+    jit drops the shardings of closure-captured arrays, which silently
+    compiles the "data-parallel" step into fully replicated redundant
+    compute with no collectives (caught by the compiled-HLO audit in
+    ``tests/test_collective_audit.py``). Argument shardings are honored.
+
     Returns ``step(nns, opt_state) -> (nns, opt_state, total, channels)``.
     """
     scalings = loss_scalings if loss_scalings is not None else LossChannels.ones(config.gradient_scaling)
-    loss_fn = make_wind_mixing_loss_fn(model, batch, scalings, config)
 
     @jax.jit
-    def step(nns, opt_state):
+    def _step(nns, opt_state, batch):
+        loss_fn = make_wind_mixing_loss_fn(model, batch, scalings, config)
         (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(nns)
         updates, opt_state = optimizer.update(grads, opt_state, nns)
         nns = optax.apply_updates(nns, updates)
         return nns, opt_state, total, channels
 
+    def step(nns, opt_state):
+        return _step(nns, opt_state, batch)
+
+    step.lower = lambda nns, opt_state: _step.lower(nns, opt_state, batch)
     return step
 
 

@@ -1,0 +1,176 @@
+"""Compiled-HLO audit of the sharded paths: assert XLA actually partitions.
+
+Numerical equivalence tests (``test_parallel.py``, ``test_gyre_sharding.py``)
+cannot distinguish real data parallelism from silently replicated redundant
+compute: ``jax.jit`` DROPS the shardings of closure-captured arrays, so a
+"sharded" step whose batch lives in a closure compiles to every device
+computing the FULL batch with zero collectives — correct numbers, no scaling
+(the bug class fixed in ``make_sharded_nde_train_step``). These tests inspect
+the post-GSPMD compiled HLO instead:
+
+- the data-parallel train step must hold only ``S / n_dev`` simulations per
+  device and reduce gradients with all-reduces whose operands are
+  O(parameters) — communication independent of batch and trajectory size;
+- the ensemble forward solver must be embarrassingly parallel (zero
+  collectives);
+- the y-decomposed gyre stepper must exchange halos (collective-permutes
+  from the ±1 y-stencils), i.e. be genuinely partitioned.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+from climateparameterizations_jl_tpu.data.containers import TrainingBatch
+from climateparameterizations_jl_tpu.models.wind_mixing import (
+    BoundaryConditions,
+    FluxNNs,
+    WindMixingModel,
+    WindMixingScalings,
+)
+from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+from climateparameterizations_jl_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_ensemble_solver,
+    make_sharded_nde_train_step,
+    replicate,
+    shard_training_batch,
+)
+from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+f32 = jnp.float32
+
+# Matches real collective instructions (incl. async -start forms); plain
+# substring search would also hit get-tuple-element lines referencing them.
+_COLLECTIVE_RE = re.compile(
+    r"=\s*\S+\s+((?:all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)(?:-start)?)\("
+)
+
+
+def _collective_ops(hlo_text: str) -> list:
+    return _COLLECTIVE_RE.findall(hlo_text)
+
+
+def _all_reduce_result_elems(hlo_text: str) -> list:
+    """Element counts of every all-reduce result (tuple members flattened)."""
+    counts = []
+    for line in hlo_text.splitlines():
+        m = re.search(r"=\s*(.*?)\s+all-reduce(?:-start)?\(", line)
+        if not m:
+            continue
+        for dims in re.findall(r"\w+\[([0-9,]*)\]", m.group(1)):
+            counts.append(int(np.prod([int(d) for d in dims.split(",") if d])) if dims else 1)
+    return counts
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sc = lambda m, s: ZeroMeanUnitVarianceScaling(f32(m), f32(s))  # noqa: E731
+    scalings = WindMixingScalings(
+        u=sc(0.0, 0.1), v=sc(0.0, 0.1), T=sc(19.0, 0.5),
+        uw=sc(0.0, 1e-4), vw=sc(0.0, 1e-4), wT=sc(0.0, 1e-5),
+    )
+    model = WindMixingModel(
+        H=f32(256.0), tau=f32(691200.0), f=f32(1e-4), g=f32(9.80665), alpha=f32(2e-4),
+        kappa=f32(10.0), scalings=scalings, mpp=MPPParameters.default(), Nz=32,
+    )
+    nns = FluxNNs(*[wind_mixing_mlp(k, 32, scale=1e-3) for k in jax.random.split(jax.random.PRNGKey(0), 3)])
+    return model, nns
+
+
+def _make_batch(S: int) -> TrainingBatch:
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(S, 96)) * 0.1, f32)
+    zeros = jnp.zeros((S,), f32)
+    bcs = BoundaryConditions(
+        uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros,
+        wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros,
+    )
+    return TrainingBatch(
+        x0=x0, targets=jnp.repeat(x0[:, None, :], 5, axis=1), bcs=bcs,
+        t=jnp.linspace(0.0, 4e-3, 5, dtype=f32), tau=f32(691200.0),
+    )
+
+
+class TestDataParallelTrainStepHLO:
+    def test_batch_partitioned_and_grads_reduced(self, setup):
+        model, nns = setup
+        config = NDETrainConfig(n_substeps=2, method="split")
+        optimizer = optax.adam(1e-3)
+        mesh = make_mesh(8)
+        with mesh:
+            sharded = shard_training_batch(_make_batch(8), mesh)
+            nns_r = replicate(nns, mesh)
+            step = make_sharded_nde_train_step(model, sharded, config, optimizer)
+            txt = step.lower(nns_r, optimizer.init(nns_r)).compile().as_text()
+
+        # Each device computes its 1-simulation shard, never the full batch
+        # (full-batch shapes reappearing = the closure-capture regression:
+        # replicated redundant compute with no collectives).
+        assert "f32[1,96]" in txt and "f32[1,5,96]" in txt
+        assert "f32[8,96]" not in txt and "f32[8,5,96]" not in txt
+
+        ops = _collective_ops(txt)
+        assert any(op.startswith("all-reduce") for op in ops), "gradient psum missing"
+        assert all(op.startswith("all-reduce") for op in ops), f"unexpected collectives: {ops}"
+
+        # Communication is O(parameters): every all-reduce operand is at most
+        # the full parameter vector (packed grads + scalar loss channels),
+        # never O(batch x trajectory).
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(nns))
+        assert max(_all_reduce_result_elems(txt)) <= n_params
+
+
+class TestEnsembleSolverHLO:
+    def test_embarrassingly_parallel(self, setup):
+        model, nns = setup
+        config = NDETrainConfig(n_substeps=2, method="split")
+        E = 16
+        batch = _make_batch(E)
+        mesh = make_mesh(8)
+        solver = make_sharded_ensemble_solver(model, config, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        with mesh:
+            sh = NamedSharding(mesh, P("batch"))
+            x0 = jax.device_put(batch.x0, sh)
+            bcs = jax.tree.map(lambda b: jax.device_put(b, sh), batch.bcs)
+            txt = solver.lower(nns, bcs, x0, f32(0.0), f32(1e-3), 3).compile().as_text()
+
+        assert _collective_ops(txt) == []
+        assert "f32[2,96]" in txt  # E/8 members per device
+        assert "f32[16,96]" not in txt
+
+
+class TestGyreStepperHLO:
+    def test_halo_exchange_not_replication(self):
+        from climateparameterizations_jl_tpu.embed.double_gyre import (
+            DoubleGyreModel,
+            DoubleGyreState,
+        )
+        from climateparameterizations_jl_tpu.parallel.gyre_sharding import (
+            make_gyre_mesh,
+            make_sharded_gyre_stepper,
+            shard_gyre_state,
+        )
+
+        model = DoubleGyreModel.default(Nx=16, Ny=24, Nz=8)
+        mesh = make_gyre_mesh(8)
+        stepper = make_sharded_gyre_stepper(model, mesh, 1800.0, n_substeps=2)
+        state = shard_gyre_state(DoubleGyreState.rest(model), mesh)
+        txt = stepper.lower(state).compile().as_text()
+
+        ops = _collective_ops(txt)
+        # The +-1 y-stencils must lower to halo collective-permutes — their
+        # absence would mean GSPMD replicated the basin on every device.
+        assert any(op.startswith("collective-permute") for op in ops)
+        # Per-device tiles of the y-sharded 3-D fields (Ny/8 = 3 rows).
+        assert "f32[3,16,8]" in txt
