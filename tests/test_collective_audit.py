@@ -150,6 +150,54 @@ class TestEnsembleSolverHLO:
         assert "f32[16,96]" not in txt
 
 
+class TestSuiteEnsembleSolverHLO:
+    def test_2d_mesh_embarrassingly_parallel(self, setup):
+        from climateparameterizations_jl_tpu.parallel.sharding import (
+            make_mesh_2d,
+            make_sharded_suite_ensemble_solver,
+        )
+
+        model, nns = setup
+        config = NDETrainConfig(n_substeps=2, method="split")
+        S, E = 4, 2
+        x0 = jnp.asarray(np.random.default_rng(0).normal(size=(S, E, 96)) * 0.1, f32)
+        zeros = jnp.zeros((S,), f32)
+        bcs = BoundaryConditions(
+            uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros,
+            wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros,
+        )
+        mesh = make_mesh_2d(S, E)
+        solver = make_sharded_suite_ensemble_solver(model, config, mesh)
+        with mesh:
+            txt = solver.lower(nns, bcs, x0, f32(0.0), f32(1e-3), 3).compile().as_text()
+
+        assert _collective_ops(txt) == []
+        assert "f32[1,1,96]" in txt  # one (sim, member) tile per device
+        assert "f32[4,2,96]" not in txt
+
+
+class TestLESStepperHLO:
+    def test_halo_exchange_not_replication(self):
+        from climateparameterizations_jl_tpu.data.les import LESConfig, initial_state
+        from climateparameterizations_jl_tpu.parallel.les_sharding import (
+            make_les_mesh,
+            make_sharded_les_stepper,
+            shard_les_state,
+        )
+
+        config = LESConfig.default(Nx=16, Ny=16, Nz=8)
+        mesh = make_les_mesh(8)
+        stepper = make_sharded_les_stepper(config, mesh, 1.0, n_substeps=2)
+        state = shard_les_state(initial_state(config), mesh)
+        txt = stepper.lower(state, jnp.zeros(())).compile().as_text()
+
+        ops = _collective_ops(txt)
+        assert any(op.startswith("collective-permute") for op in ops)
+        # Per-device y-tiles (Ny/8 = 2 rows), never the full 3-D fields.
+        assert "f32[2,16,8]" in txt
+        assert "f32[16,16,8]" not in txt
+
+
 class TestGyreStepperHLO:
     def test_halo_exchange_not_replication(self):
         from climateparameterizations_jl_tpu.embed.double_gyre import (
