@@ -340,6 +340,26 @@ class TestFastRK4:
         with pytest.raises(ValueError, match="mPP"):
             solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 1, fast_assembly=True)
 
+    def test_f64_full_precision(self):
+        # The MXU RHS body used to hardcode preferred_element_type=f32 in its
+        # matmuls: f64 states silently accumulated at f32 precision, so the
+        # "same math" contract vs the default path only held to ~1e-7. With
+        # the dots following the state dtype, x64 trajectories must now agree
+        # to near machine-f64.
+        import dataclasses
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+        to64 = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), t)  # noqa: E731
+        model64 = dataclasses.replace(to64(model), Nz=model.Nz)
+        nns64, bcs64, x64 = to64(nns), to64(bcs), jnp.asarray(x0, jnp.float64)
+        args = (model64, nns64, bcs64, x64, 0.0, 1e-4, 3)
+        a = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=False)
+        b = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=True)
+        assert a.dtype == jnp.float64 and b.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-14)
+
     def test_builds_inside_jit(self):
         # The training loop traces the whole solve under jit: the fast-path
         # builders must not run float() on values jnp ops have turned into
