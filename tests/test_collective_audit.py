@@ -198,6 +198,31 @@ class TestLESStepperHLO:
         assert "f32[16,16,8]" not in txt
 
 
+class TestShardedGPSearchHLO:
+    def test_gamma_grid_partitioned_no_collectives(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from climateparameterizations_jl_tpu.closures.gp import _error_per_gamma_vmapped
+
+        rng = np.random.default_rng(0)
+        x_tr = jnp.asarray(rng.normal(size=(64, 33)))
+        y_tr = jnp.asarray(rng.normal(size=(64,)))
+        x_va = jnp.asarray(rng.normal(size=(32, 33)))
+        y_va = jnp.asarray(rng.normal(size=(32,)))
+        mesh = make_mesh(8)
+        repl = NamedSharding(mesh, P())
+        lg = jax.device_put(jnp.linspace(-1.5, 1.5, 16), NamedSharding(mesh, P("batch")))
+        args = [jax.device_put(a, repl) for a in (x_tr, y_tr, x_va, y_va)]
+        with mesh:
+            txt = _error_per_gamma_vmapped.lower(*args, None, lg, 1, "euclidean", 0.0).compile().as_text()
+
+        # Each device factorizes its 2-gamma slice of the grid independently.
+        assert _collective_ops(txt) == []
+        dt = "f64" if jax.config.jax_enable_x64 else "f32"
+        assert f"{dt}[2,64,64]" in txt  # per-device batched-Cholesky tile
+        assert f"{dt}[16,64,64]" not in txt
+
+
 class TestGyreStepperHLO:
     def test_halo_exchange_not_replication(self):
         from climateparameterizations_jl_tpu.embed.double_gyre import (
