@@ -25,16 +25,9 @@ import numpy as np
 import optax
 import pytest
 
-from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
-from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
-from climateparameterizations_jl_tpu.data.containers import TrainingBatch
-from climateparameterizations_jl_tpu.models.wind_mixing import (
-    BoundaryConditions,
-    FluxNNs,
-    WindMixingModel,
-    WindMixingScalings,
-)
-from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+from helpers import make_wind_batch, make_wind_model_nns
+
+from climateparameterizations_jl_tpu.models.wind_mixing import BoundaryConditions
 from climateparameterizations_jl_tpu.parallel.sharding import (
     make_mesh,
     make_sharded_ensemble_solver,
@@ -48,10 +41,14 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual
 
 f32 = jnp.float32
 
-# Matches real collective instructions (incl. async -start forms); plain
-# substring search would also hit get-tuple-element lines referencing them.
+# Matches real collective instructions. The result type may be a single
+# shape (`f32[8]{0}`) or a TUPLE (`(f32[8]{0}, f32[4]{0})` for variadic
+# all-reduces and async `-start` forms), which contains spaces — match both
+# explicitly; plain substring search would also hit get-tuple-element lines
+# referencing a collective by name.
 _COLLECTIVE_RE = re.compile(
-    r"=\s*\S+\s+((?:all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)(?:-start)?)\("
+    r"=\s*(?:\([^)]*\)|\S+)\s+"
+    r"((?:all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)(?:-start)?)\("
 )
 
 
@@ -73,31 +70,12 @@ def _all_reduce_result_elems(hlo_text: str) -> list:
 
 @pytest.fixture(scope="module")
 def setup():
-    sc = lambda m, s: ZeroMeanUnitVarianceScaling(f32(m), f32(s))  # noqa: E731
-    scalings = WindMixingScalings(
-        u=sc(0.0, 0.1), v=sc(0.0, 0.1), T=sc(19.0, 0.5),
-        uw=sc(0.0, 1e-4), vw=sc(0.0, 1e-4), wT=sc(0.0, 1e-5),
-    )
-    model = WindMixingModel(
-        H=f32(256.0), tau=f32(691200.0), f=f32(1e-4), g=f32(9.80665), alpha=f32(2e-4),
-        kappa=f32(10.0), scalings=scalings, mpp=MPPParameters.default(), Nz=32,
-    )
-    nns = FluxNNs(*[wind_mixing_mlp(k, 32, scale=1e-3) for k in jax.random.split(jax.random.PRNGKey(0), 3)])
-    return model, nns
+    # Shared with test_parallel.py: the HLO audit inspects the SAME
+    # configuration whose numerics the equivalence tests pin.
+    return make_wind_model_nns()
 
 
-def _make_batch(S: int) -> TrainingBatch:
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.normal(size=(S, 96)) * 0.1, f32)
-    zeros = jnp.zeros((S,), f32)
-    bcs = BoundaryConditions(
-        uw_bot=zeros, uw_top=zeros - 0.5, vw_bot=zeros, vw_top=zeros,
-        wT_bot=zeros, wT_top=zeros + 0.3, diurnal_amplitude=zeros,
-    )
-    return TrainingBatch(
-        x0=x0, targets=jnp.repeat(x0[:, None, :], 5, axis=1), bcs=bcs,
-        t=jnp.linspace(0.0, 4e-3, 5, dtype=f32), tau=f32(691200.0),
-    )
+_make_batch = make_wind_batch
 
 
 class TestDataParallelTrainStepHLO:
@@ -247,3 +225,14 @@ class TestGyreStepperHLO:
         assert any(op.startswith("collective-permute") for op in ops)
         # Per-device tiles of the y-sharded 3-D fields (Ny/8 = 3 rows).
         assert "f32[3,16,8]" in txt
+        # Unlike the LES stepper, full-basin tensors DO legitimately appear
+        # here: `v` sits on Ny+1 faces (not mesh-divisible) and is stored
+        # replicated, and the DCT free-surface solve is global — so GSPMD
+        # emits a small, fixed number of full-field all-gathers feeding those
+        # (3 at this config). Bound them so a regression that gathers the
+        # whole basin into the hot loop (destroying scaling while halo
+        # permutes remain) cannot pass; halo permutes must dominate.
+        n_gather = sum(op.startswith("all-gather") for op in ops)
+        n_permute = sum(op.startswith("collective-permute") for op in ops)
+        assert n_gather <= 6, f"full-field all-gathers crept into the hot loop: {n_gather}"
+        assert n_permute > 10 * n_gather, (ops, n_permute, n_gather)

@@ -346,13 +346,12 @@ class TestFastRK4:
         # "same math" contract vs the default path only held to ~1e-7. With
         # the dots following the state dtype, x64 trajectories must now agree
         # to near machine-f64.
-        import dataclasses
-
         from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
 
         model, nns, bcs, x0 = _setup(n_columns=4)
+        # tree.map only touches array leaves; Nz is static metadata and survives.
         to64 = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), t)  # noqa: E731
-        model64 = dataclasses.replace(to64(model), Nz=model.Nz)
+        model64 = to64(model)
         nns64, bcs64, x64 = to64(nns), to64(bcs), jnp.asarray(x0, jnp.float64)
         args = (model64, nns64, bcs64, x64, 0.0, 1e-4, 3)
         a = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=False)
