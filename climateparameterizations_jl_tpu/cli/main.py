@@ -294,7 +294,9 @@ def cmd_evaluate_fc(args) -> int:
     if saved is None:
         print("warning: checkpoint has no recorded training scalings; refitting per sim (results not comparable to training)")
 
-    members = ("nde", "conv_adj", "kpp", "tke", "embedded", "embedded_baseline")
+    # "base" is the NN-free member of base_closure="none" checkpoints
+    # (free_convection_profile labels it honestly instead of "conv_adj").
+    members = ("nde", "conv_adj", "base", "kpp", "tke", "embedded", "embedded_baseline")
     matrix: dict = {}
     for i in ids:
         ds = load_free_convection_simulation(
@@ -1329,7 +1331,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--maxiters", type=int, default=100)
     p.add_argument("--n-substeps", type=int, default=4)
-    p.add_argument("--method", default="split")
+    p.add_argument("--method", default="split", choices=["split", "rk4", "heun", "euler"])
     p.add_argument("--n-train-steps", type=int, default=32)
     p.add_argument("--calibration-method", default="gradient", choices=["gradient", "eki"])
     p.add_argument("--n-ensemble", type=int, default=64)
@@ -1371,7 +1373,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--test-sims", default="strong_wind_weak_cooling")
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--method", default="split")
+    p.add_argument("--method", default="split", choices=["split", "rk4", "heun", "euler"])
     p.add_argument("--n-substeps", type=int, default=4)
     p.add_argument("--n-train-steps", type=int, default=32)
     p.add_argument("--eval-stride", type=int, default=2)

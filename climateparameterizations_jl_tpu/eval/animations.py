@@ -424,6 +424,27 @@ def plot_final_profiles(evaluations: dict, path: str, members=("truth", "nde", "
     return path
 
 
+def _isotherm_depth(T3, iso: float, zc, dz: float):
+    """z of the DEEPEST upward crossing of ``T = iso`` per column.
+
+    Linearly interpolated between adjacent cell centers; counting all cold
+    cells would mis-place the interface whenever a warm intrusion makes the
+    profile non-monotone. ``T3``: ``(..., Nz)``, z bottom -> top. Columns
+    entirely warmer than ``iso`` clamp to the bottom, entirely colder to
+    the top.
+    """
+    d = np.asarray(T3) - iso
+    crossing = (d[..., :-1] <= 0.0) & (d[..., 1:] > 0.0)
+    has_cross = crossing.any(axis=-1)
+    k = crossing.argmax(axis=-1)  # first True = deepest crossing (0 if none)
+    d0 = np.take_along_axis(d, k[..., None], axis=-1)[..., 0]
+    d1 = np.take_along_axis(d, (k + 1)[..., None], axis=-1)[..., 0]
+    denom = np.where(has_cross, d0 - d1, 1.0)
+    frac = np.where(has_cross, d0 / denom, 0.0)  # in [0, 1): d0 <= 0 < d1
+    z_cross = zc[k] + frac * dz
+    return np.where(has_cross, z_cross, np.where(d[..., 0] > 0.0, zc[0], zc[-1]))
+
+
 def animate_les_3d(T_frames, H: float, path: str, iso: float | None = None, fps: int = 6, stride: int = 1):
     """3-D animation of the LES: the depth surface of a temperature isotherm.
 
@@ -442,14 +463,8 @@ def animate_les_3d(T_frames, H: float, path: str, iso: float | None = None, fps:
     if iso is None:
         iso = 0.5 * (float(T[0].min()) + float(T[0].max()))
 
-    def iso_depth(T3):
-        # Deepest z where T crosses `iso` walking top-down: T is monotone-ish
-        # in z for these columns; use interpolation on the sorted profile.
-        below = T3 <= iso  # (Ny, Nx, Nz) True where colder than the isotherm
-        # index of the last True (highest cold cell); columns entirely above
-        # or below the isotherm clamp to the boundary.
-        k = np.clip(below.sum(axis=-1) - 1, 0, Nz - 1)
-        return zc[k]
+    dz = H / Nz
+    iso_depth = lambda T3: _isotherm_depth(T3, iso, zc, dz)  # noqa: E731
 
     X, Y = np.meshgrid(np.arange(Nx), np.arange(Ny))
     frames = range(0, Nt, stride)

@@ -116,8 +116,26 @@ def _solve_scaled(model, nns, bcs, x0, t, solver, n_substeps):
     n_save = t.shape[0] - 1
     if solver == "split":
         return solve_wind_mixing_split(model, nns, bcs, x0, t0, dt_save, n_save, n_substeps=n_substeps)
+    if solver not in ("rk4", "euler", "heun"):
+        raise ValueError(f"unknown solver {solver!r} (expected split/rk4/euler/heun)")
     # Evaluation is forward-only: unroll the substep scan (+3% measured).
-    return solve_wind_mixing_nde(model, nns, bcs, x0, t0, dt_save, n_save, n_substeps=n_substeps, unroll=4)
+    return solve_wind_mixing_nde(
+        model, nns, bcs, x0, t0, dt_save, n_save, n_substeps=n_substeps, method=solver, unroll=4
+    )
+
+
+def _grid(model):
+    """(zc, zf) cell-center / face depth arrays for the model's column."""
+    Nz = model.Nz
+    zc = np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H)
+    zf = np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H)
+    return zc, zf
+
+
+def _ri(model: WindMixingModel, u, v, T):
+    """Ri channel of a SCALED (u, v, T) trajectory; eps matches _face_nu's 1e-7."""
+    s = model.scalings
+    return richardson_profile(u, v, T, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
 
 
 def _trajectory_diagnostics(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryConditions, traj, t):
@@ -131,7 +149,7 @@ def _trajectory_diagnostics(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
 
     uw, vw, wT, nn_uw, nn_vw, nn_wT = jax.vmap(frame)(traj, t)
     u, v, T = split_uvT(traj, model.Nz)
-    Ri = richardson_profile(u, v, T, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+    Ri = _ri(model, u, v, T)
     # Dimensionalization matches the model's face convention: zero-weights
     # mode assembles faces in the LINEAR F/sigma convention (BC face =
     # bc - scale(0) = F_bc/sigma), so affine unscale would bias every face
@@ -183,6 +201,18 @@ def nde_profile(
 
     Parity: ``NDE_profile`` (``training_postprocessing.jl:250-632``).
     """
+    # This harness evaluates ONE simulation: the solvers return TIME-leading
+    # trajectories while training_tensors stacks targets BATCH-leading, so a
+    # stacked suite would silently broadcast the per-timestep channels into a
+    # meaningless (Nt, Nt) cross-time matrix. Squeeze a singleton stack
+    # (stack_datasets stacks every leaf); reject anything larger.
+    if ds_test.u.ndim > 2:
+        if ds_test.u.shape[0] != 1:
+            raise ValueError(
+                f"nde_profile evaluates ONE held-out simulation; got a stacked suite "
+                f"of {ds_test.u.shape[0]} (run each simulation through its own profile)"
+            )
+        ds_test = jax.tree.map(lambda a: a[0], ds_test)
     s = model.scalings
     batch: TrainingBatch = training_tensors(ds_test, s, tsteps, tau=model.tau, diurnal=model.diurnal)
     t = batch.t
@@ -197,10 +227,11 @@ def nde_profile(
 
     truth = batch.targets
 
+    zc, zf = _grid(model)
     out: dict = {
         "t": t_dim,
-        "zc": np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H),
-        "zf": np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H),
+        "zc": zc,
+        "zf": zf,
     }
 
     def unpack(name, traj):
@@ -224,7 +255,7 @@ def nde_profile(
             out[f"{name}_{k}"] = np.asarray(v)
     u_t, v_t, T_t = split_uvT(truth, Nz)
     out["truth_Ri"] = np.asarray(
-        richardson_profile(u_t, v_t, T_t, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+        _ri(model, u_t, v_t, T_t)
     )
 
     # --- per-timestep loss channels --------------------------------------
@@ -277,7 +308,7 @@ def nde_profile(
         out["kpp_uw"], out["kpp_vw"], out["kpp_wT"] = (np.asarray(kpp_uw), np.asarray(kpp_vw), np.asarray(kpp_wT))
         u_k, v_k, T_k = split_uvT(kpp_scaled, Nz)
         out["kpp_Ri"] = np.asarray(
-            richardson_profile(u_k, v_k, T_k, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+            _ri(model, u_k, v_k, T_k)
         )
 
     # --- embedded host-model run (dimensional column, implicit mPP) ------
@@ -293,14 +324,18 @@ def nde_profile(
 
         # The host's base physics must match the NDE's training-time base
         # (a conv-adj-base checkpoint embedded over an mPP host would hand
-        # the NNs a diffusivity they never saw).
+        # the NNs a diffusivity they never saw). A base-free checkpoint
+        # (use_mpp=use_conv_adj=False, --base-closure none) embeds over a
+        # ZERO-physics host: conv-adj with kappa 0, not the kappa=10
+        # adjustment the NNs never trained against.
         host_closure = "mpp" if model.use_mpp else "conv_adj"
+        kappa_host = model.kappa if (model.use_mpp or model.use_conv_adj) else jnp.zeros_like(model.kappa)
         host = HostColumnModel(
             H=model.H, f=model.f, g=model.g, alpha=model.alpha,
             Fu=ds_test.u_top, Ftheta=ds_test.theta_top,
             dTdz_bottom=ds_test.theta_bottom,
             scalings=s, mpp=model.mpp, Nz=Nz, closure=host_closure,
-            kappa_conv=model.kappa,
+            kappa_conv=kappa_host,
             diurnal=model.diurnal,
             # The embedded column must dimensionalize NN faces by the SAME
             # convention the NNs were trained under (affine when
@@ -336,7 +371,7 @@ def nde_profile(
             out[f"{name}_wT"] = np.asarray(jnp.moveaxis(wT_e, 0, -2))
             u_e, v_e, T_e = split_uvT(scaled, Nz)
             out[f"{name}_Ri"] = np.asarray(
-                richardson_profile(u_e, v_e, T_e, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+                _ri(model, u_e, v_e, T_e)
             )
 
     _add_scalar_aggregates(out)
@@ -381,10 +416,11 @@ def nde_profile_from_saved(sim_dir: str, model: WindMixingModel, ds_truth: Colum
             f"got a stacked suite of {truth.shape[0]} (pass a single-sim ds_truth)"
         )
     t_truth = np.asarray(batch.t, np.float64) * float(model.tau)
+    zc, zf = _grid(model)
     out: dict = {
         "t": t_truth,
-        "zc": np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H),
-        "zf": np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H),
+        "zc": zc,
+        "zf": zf,
     }
 
     def unpack_truth(name, traj):
@@ -418,7 +454,7 @@ def nde_profile_from_saved(sim_dir: str, model: WindMixingModel, ds_truth: Colum
             out[f"losses_{name}_{k}"] = np.asarray(val)
         u_e, v_e, T_e = split_uvT(scaled, Nz)
         out[f"{name}_Ri"] = np.asarray(
-            richardson_profile(u_e, v_e, T_e, model.H, model.g, model.alpha, s.u.sigma, s.v.sigma, s.T.sigma, eps=1e-7)
+            _ri(model, u_e, v_e, T_e)
         )
     _add_scalar_aggregates(out)
     return ProfileEvaluation(out)
@@ -452,6 +488,16 @@ def free_convection_profile(
     ``free_convection/test_free_convection_nde.jl:110-165`` (true / NDE /
     KPP / TKE / convective-adjustment solutions + per-sim losses).
     """
+    # One simulation only (same reason as nde_profile: solver output is
+    # time-leading, truth is batch-leading — a stacked suite would broadcast
+    # the loss channels into a meaningless cross-time matrix).
+    if ds_test.T.ndim > 2:
+        if ds_test.T.shape[0] != 1:
+            raise ValueError(
+                f"free_convection_profile evaluates ONE held-out simulation; got a stacked "
+                f"suite of {ds_test.T.shape[0]} (run each simulation through its own profile)"
+            )
+        ds_test = jax.tree.map(lambda a: a[0], ds_test)
     tsteps = np.asarray(tsteps)
     T_truth = jnp.take(ds_test.T, jnp.asarray(tsteps), axis=-2)
     t_row = ds_test.t[0] if ds_test.t.ndim > 1 else ds_test.t
@@ -464,15 +510,21 @@ def free_convection_profile(
     T0_scaled = model.T_scaling.scale(T_truth[..., 0, :])
     Nz = model.Nz
 
+    zc, zf = _grid(model)
     out: dict = {
         "t": t_dim,
-        "zc": np.asarray((jnp.arange(Nz) + 0.5) / Nz * model.H - model.H),
-        "zf": np.asarray(jnp.arange(Nz + 1) / Nz * model.H - model.H),
+        "zc": zc,
+        "zf": zf,
         "truth_T": np.asarray(T_truth),
         "truth_wT": np.asarray(jnp.take(ds_test.wT, jnp.asarray(tsteps), axis=-2)),
     }
 
-    runs = {"nde": nn, "conv_adj": None}
+    # The NN-free member is the conv-adj baseline only when the model's base
+    # IS convective adjustment; for --base-closure none it is a zero-closure
+    # run (surface fluxes only) and is labeled "base" so the loss matrix
+    # can't pass it off as a physics baseline.
+    base_label = "conv_adj" if model.base_closure == "convective_adjustment" else "base"
+    runs = {"nde": nn, base_label: None}
     mse_t = lambda a, b: np.asarray(jnp.mean((a - b) ** 2, axis=-1))  # noqa: E731
     T_truth_scaled = model.T_scaling.scale(T_truth)
     for name, run_nn in runs.items():
@@ -550,7 +602,12 @@ def free_convection_profile(
                 u=unit, v=unit, T=model.T_scaling, uw=unit, vw=unit, wT=model.wT_scaling
             ),
             mpp=MPPParameters.default(dtype),
-            kappa_conv=model.kappa, Nz=Nz, closure="conv_adj", nn_input="T",
+            # Base-free checkpoints embed over a zero-physics host (kappa 0),
+            # matching the base the NN was trained against.
+            kappa_conv=(
+                model.kappa if model.base_closure == "convective_adjustment" else jnp.zeros_like(model.kappa)
+            ),
+            Nz=Nz, closure="conv_adj", nn_input="T",
         )
         state0 = HostColumnState(
             u=jnp.zeros_like(T_truth[..., 0, :]),
