@@ -173,7 +173,13 @@ def to_f64(tree):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--out", default="docs/adjoint_parity.json")
+    ap.add_argument(
+        "--out",
+        # Anchor to the repo root, not the cwd: the study runs for many
+        # minutes and a cwd-relative path would discard everything at the
+        # final open() when launched from elsewhere.
+        default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "adjoint_parity.json"),
+    )
     ap.add_argument("--maxiters", type=int, default=150)
     ap.add_argument("--f32", action="store_true", help="keep the production f32 dtypes (default: f64 for a clean method-error study)")
     args = ap.parse_args(argv)
@@ -190,8 +196,15 @@ def main(argv=None):
     rows, meta = dt_refinement(model, batch, nns)
     ab = training_ab(model, batch, nns, maxiters=args.maxiters)
     report = dict(refinement=rows, meta=meta, training_ab=ab)
+    # Divergent rows carry inf/nan errors; bare Infinity/NaN tokens would
+    # make the artifact strictly-invalid JSON, so serialize them as null.
+    sanitize = lambda o: (  # noqa: E731
+        {k: sanitize(v) for k, v in o.items()} if isinstance(o, dict)
+        else [sanitize(v) for v in o] if isinstance(o, list)
+        else None if isinstance(o, float) and not np.isfinite(o) else o
+    )
     with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
+        json.dump(sanitize(report), f, indent=2)
 
     print(f"fine-limit loss {meta['L_star']:.6e}; rk4/split agreement at fine dt: {meta['solver_agreement_at_fine']}")
     print(f"{'method':>6} {'n_sub':>5} {'dt[s]':>7} {'|dL|/L*':>10} {'|dg|/|g*|':>10} {'cos':>7}")

@@ -133,12 +133,14 @@ def calibrate_mpp(ds, model, optimizer="lbfgs", maxiters=60, window=200, stride=
 
 def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5}):
     from climateparameterizations_jl_tpu.data.containers import training_tensors
-    from climateparameterizations_jl_tpu.train.nde import (
-        CurriculumStage,
-        NDETrainConfig,
-        train_wind_mixing_nde,
-    )
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, train_wind_mixing_nde
 
+    # Staging is hand-rolled here (rather than train_wind_mixing_nde's
+    # stages=[CurriculumStage(...)] path) to record per-stage wall-clock and
+    # loss curves for RESULTS.md. Deliberate consequence: the optimizer state
+    # resets at each stage boundary — matching the reference's flagship
+    # scripts, which construct a fresh optimizer per training stage
+    # (train_free_convection_nde.jl:246-266 re-enters train! per epoch block).
     report = []
     for window, stride, maxiters, lr in stages:
         config = NDETrainConfig(
@@ -160,6 +162,40 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
         print(f"stage window={window} stride={stride}: {report[-1]['loss_initial']:.4e} -> "
               f"{report[-1]['loss_final']:.4e} in {wall:.1f} s ({wall / maxiters * 1e3:.0f} ms/iter)", flush=True)
     return nns, report
+
+
+def _kpp_loss_at(model, ds, tsteps, kpp_n_substeps):
+    """Mean scaled-T MSE of the KPP baseline at the given substepping.
+
+    Mirrors nde_profile's KPP block (eval/profile.py) WITHOUT re-solving the
+    dominant-cost NDE/mPP trajectories — re-running the whole profile a
+    second time just for this number doubled held-out eval wall time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.physics.kpp import (
+        KPPForcing,
+        KPPParameters,
+        KPPState,
+        solve_kpp,
+    )
+
+    if ds.T.ndim > 2:  # singleton stacked suite (same squeeze as nde_profile)
+        ds = jax.tree.map(lambda a: a[0], ds)
+    tsteps = np.asarray(tsteps)
+    i0 = int(tsteps[0])
+    t_dim = np.asarray(jnp.take(ds.t, jnp.asarray(tsteps)))
+    kpp = solve_kpp(
+        KPPState(U=ds.u[..., i0, :], V=ds.v[..., i0, :], T=ds.T[..., i0, :]),
+        t_dim, KPPParameters.default(),
+        KPPForcing(Fu=ds.u_top, Fb=ds.theta_top * ds.g * ds.alpha, dTdz_bottom=ds.theta_bottom),
+        model.H, model.Nz, ds.f, ds.g, ds.alpha,
+        n_substeps=kpp_n_substeps, diurnal=model.diurnal,
+    )
+    s = model.scalings.T
+    truth = jnp.take(ds.T, jnp.asarray(tsteps), axis=-2)
+    return float(jnp.mean((s.scale(kpp.T) - s.scale(truth)) ** 2))
 
 
 def evaluate(model, nns, Nz=32, include_kpp=True):
@@ -186,9 +222,7 @@ def evaluate(model, nns, Nz=32, include_kpp=True):
         row["win_vs_mpp"] = row["mpp"] / row["nde"]
         if include_kpp:
             row["win_vs_kpp"] = row["kpp"] / row["nde"]
-            ev_ref = nde_profile(model, nns, ds, tsteps, solver="split", n_substeps=9,
-                                 include_kpp=True, include_embedded=False, kpp_n_substeps=1)
-            row["kpp_ref_dt"] = float(np.mean(ev_ref["losses_kpp_T"]))
+            row["kpp_ref_dt"] = _kpp_loss_at(model, ds, tsteps, kpp_n_substeps=1)
             row["win_vs_kpp_ref_dt"] = row["kpp_ref_dt"] / row["nde"]
         out[name] = row
         msg = f"eval[{name}]: NDE {row['nde']:.4e} vs mPP {row['mpp']:.4e} ({row['win_vs_mpp']:.1f}x)"

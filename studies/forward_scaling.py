@@ -41,10 +41,15 @@ def main(argv=None):
             # (a non-divisor chunk would abort the sweep mid-run; rows must
             # record the chunk actually used, not the CLI value).
             chunk = args.chunk_columns if args.chunk_columns and n > args.chunk_columns and n % args.chunk_columns == 0 else None
-            stats = bench_nde_forward(
-                n_columns=n, n_steps=args.n_steps, unroll=unroll,
-                chunk_columns=chunk,
-            )
+            try:
+                stats = bench_nde_forward(
+                    n_columns=n, n_steps=args.n_steps, unroll=unroll,
+                    chunk_columns=chunk,
+                )
+            except Exception as e:  # one huge config OOMing must not eat the sweep
+                print(json.dumps({"n_columns": n, "unroll": unroll, "chunk_columns": chunk,
+                                  "error": f"{type(e).__name__}: {e}"}), flush=True)
+                continue
             row = {
                 "n_columns": n,
                 "unroll": unroll,
@@ -61,8 +66,9 @@ def main(argv=None):
                 with open(args.out, "a") as f:
                     f.write(json.dumps(row) + "\n")
 
-    best = max(rows, key=lambda r: r["col_ts_per_s"])
-    print(f"best: {best['col_ts_per_s']:.3e} col-ts/s at {best['n_columns']} cols, unroll={best['unroll']}")
+    if rows:
+        best = max(rows, key=lambda r: r["col_ts_per_s"])
+        print(f"best: {best['col_ts_per_s']:.3e} col-ts/s at {best['n_columns']} cols, unroll={best['unroll']}")
 
 
 if __name__ == "__main__":
