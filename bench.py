@@ -84,6 +84,11 @@ def main():
 
     stats = bench_nde_forward(n_columns=1024, n_steps=1024, packed=True, unroll=4)
     column_timesteps_per_sec = stats["column_timesteps_per_sec"]
+    # Label the headline with the backend that actually produced the number
+    # (safe here: the run completed, so the parent's backend is initialized;
+    # the probe's answer could in principle differ from the parent's).
+    actual = jax.devices()[0].platform
+    platform = actual if "unavailable" not in platform else f"{actual} (tpu unavailable)"
     print(
         json.dumps(
             {

@@ -35,6 +35,14 @@ REFERENCE_SECONDS = {
 }
 
 
+def _linear_column(n_columns: int, Nz: int, H: float = 256.0):
+    """Canonical linearly-stratified column ICs shared by the physics benches."""
+    f32 = jnp.float32
+    zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (H / Nz) - H
+    T0 = jnp.broadcast_to(19.0 + 0.01 * (zc + H), (n_columns, Nz)).astype(f32)
+    return zc, T0
+
+
 def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     """KPP full-evolution: 2-day column at 600 s steps (Benchmarking.jl:25)."""
     from climateparameterizations_jl_tpu.physics.kpp import (
@@ -45,21 +53,27 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     )
 
     f32 = jnp.float32
-    zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (256.0 / Nz) - 256.0
-    T0 = jnp.broadcast_to(19.0 + 0.01 * (zc + 256.0), (n_columns, Nz)).astype(f32)
+    _, T0 = _linear_column(n_columns, Nz)
     state0 = KPPState(U=jnp.zeros((n_columns, Nz), f32), V=jnp.zeros((n_columns, Nz), f32), T=T0)
     forcing = KPPForcing(
         Fu=jnp.full((n_columns,), -5e-4, f32),
         Fb=jnp.full((n_columns,), 3e-8, f32),
         dTdz_bottom=jnp.full((n_columns,), 0.01, f32),
     )
-    t_save = jnp.linspace(0.0, n_steps * 600.0, n_steps + 1)
     params = KPPParameters.default()
 
-    fn = jax.jit(
-        lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4).T
+    def make_fn(ns):
+        t_save = jnp.linspace(0.0, ns * 600.0, ns + 1)
+        return jax.jit(lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
+
+    # Two-point cost probe: the saved trajectory's concatenate is one-time
+    # but n-proportional — without the probe it gets multiplied by the trip
+    # count and inflates the bytes-derived columns several-fold.
+    ns_probe = max(8, n_steps // 4)
+    stats = timed_roofline(
+        make_fn(n_steps), state0, iters=5, loop_steps=n_steps,
+        probe=(make_fn(ns_probe), (state0,), ns_probe),
     )
-    stats = timed_roofline(fn, state0, iters=5, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["kpp_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -70,19 +84,24 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     from climateparameterizations_jl_tpu.physics.tke import TKEParameters, TKEState, solve_tke
 
     f32 = jnp.float32
-    zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (256.0 / Nz) - 256.0
-    T0 = jnp.broadcast_to(19.0 + 0.01 * (zc + 256.0), (n_columns, Nz)).astype(f32)
+    _, T0 = _linear_column(n_columns, Nz)
     state0 = TKEState(
         U=jnp.zeros((n_columns, Nz), f32), V=jnp.zeros((n_columns, Nz), f32),
         T=T0, e=jnp.full((n_columns, Nz), 1e-6, f32),
     )
-    t_save = jnp.linspace(0.0, n_steps * 600.0, n_steps + 1)
     params = TKEParameters.default()
     Fu = jnp.full((n_columns,), -5e-4, f32)
     Fb = jnp.full((n_columns,), 3e-8, f32)
 
-    fn = jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
-    stats = timed_roofline(fn, state0, iters=5, loop_steps=n_steps)
+    def make_fn(ns):
+        t_save = jnp.linspace(0.0, ns * 600.0, ns + 1)
+        return jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
+
+    ns_probe = max(8, n_steps // 4)  # see bench_kpp: one-time trajectory cost
+    stats = timed_roofline(
+        make_fn(n_steps), state0, iters=5, loop_steps=n_steps,
+        probe=(make_fn(ns_probe), (state0,), ns_probe),
+    )
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["tke_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -115,7 +134,11 @@ def bench_gp(n_train: int = 1024, n_features: int = 96, backend: str = "xla"):
 
     built = jax.jit(build_three)
     stats = timed_roofline(built, x, *ys, iters=3)
-    stats["vs_reference"] = REFERENCE_SECONDS["gp_build_3_models"] / stats["median_s"]
+    # The recorded reference constant is for the n=1024 configuration; the
+    # Cholesky is O(n^3), so dividing it by a differently-sized run (e.g.
+    # quick mode's n=256) would fabricate a ~64x speedup.
+    if n_train == 1024:
+        stats["vs_reference"] = REFERENCE_SECONDS["gp_build_3_models"] / stats["median_s"]
     return stats
 
 
@@ -203,6 +226,10 @@ def bench_nde_forward(
     dt = jnp.float32(1e-5)
     if chunk_columns is not None and n_columns % chunk_columns:
         raise ValueError(f"chunk_columns={chunk_columns} must divide n_columns={n_columns}")
+    if packed and n_steps % unroll:
+        # lax.scan peels the remainder outside the loop; loop_steps scaling
+        # would then multiply that one-time remainder by the trip count.
+        raise ValueError(f"unroll={unroll} must divide n_steps={n_steps}")
 
     @jax.jit
     def run(nns, x):
@@ -273,7 +300,8 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32,
         updates, opt_state = optimizer.update(grads, opt_state, nns)
         return optax.apply_updates(nns, updates), opt_state, total
 
-    stats = timed_roofline(step, nns, opt_state, iters=5, loop_steps=n_window * 4)
+    # batch.t has n_window entries -> n_window - 1 save intervals x 4 substeps.
+    stats = timed_roofline(step, nns, opt_state, iters=5, loop_steps=(n_window - 1) * 4)
     stats["train_steps_per_sec"] = 1.0 / stats["median_s"]
     return stats
 
@@ -301,11 +329,17 @@ def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 3
     Ts = ZeroMeanUnitVarianceScaling(f32(15.0), f32(5.0))
     ws = ZeroMeanUnitVarianceScaling(f32(0.0), f32(1e-5))
 
+    if n_steps % 2:
+        raise ValueError(f"n_steps={n_steps} must be even (substep scan unroll=2)")
     fn = jax.jit(
-        lambda s: run_double_gyre(model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn, T_scaling=Ts, wT_scaling=ws).T
+        lambda s: run_double_gyre(
+            model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn,
+            T_scaling=Ts, wT_scaling=ws,
+            unroll=2,  # pinned: loop_steps below assumes the 2-substep body
+        ).T
     )
-    # run_double_gyre's substep scan uses unroll=2: the cost model counts the
-    # unrolled body (2 substeps) once, so the trip count is n_steps/2.
+    # The cost model counts the unrolled body (2 substeps) once, so the trip
+    # count is n_steps/2.
     stats = timed_roofline(fn, state0, iters=3, loop_steps=n_steps // 2)
     stats["column_timesteps_per_sec"] = Nx * Ny * n_steps / stats["median_s"]
     return stats
@@ -326,8 +360,10 @@ def bench_column_ensemble(n_members: int = 1024, Nz: int = 32, n_steps: int = 25
     )
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
 
+    import numpy as np
+
     model, nns, bcs_single, _ = _make_setup(Nz=Nz, n_columns=1)
-    rng = __import__("numpy").random.default_rng(0)
+    rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(n_members, 3 * Nz)) * 0.1, jnp.float32)
     zeros = jnp.zeros((n_members,), jnp.float32)
     bcs = BoundaryConditions(
@@ -404,7 +440,6 @@ def bench_fc_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1152):
 
     f32 = jnp.float32
     H, t_end = 256.0, n_steps * 600.0
-    zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (H / Nz) - H
     Ts = ZeroMeanUnitVarianceScaling(f32(19.0), f32(1.0))
     ws = ZeroMeanUnitVarianceScaling(f32(0.0), f32(1e-4))
     model = FreeConvectionModel(
@@ -412,13 +447,18 @@ def bench_fc_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1152):
         bottom_flux=ws.scale(f32(0.0)), top_flux=ws.scale(f32(3e-5)),
         Nz=Nz, base_closure="convective_adjustment",
     )
-    T0 = jnp.broadcast_to(Ts.scale(19.0 + 0.01 * (zc + H)), (n_columns, Nz)).astype(f32)
+    _, T0_dim = _linear_column(n_columns, Nz, H)
+    T0 = Ts.scale(T0_dim)
 
     # One save interval spanning the whole run: pure forward throughput.
-    fn = jax.jit(
-        lambda T: solve_free_convection_split(model, None, T, 0.0, 1.0, 1, n_substeps=n_steps)
+    def make_fn(ns):
+        return jax.jit(lambda T: solve_free_convection_split(model, None, T, 0.0, 1.0, 1, n_substeps=ns))
+
+    ns_probe = max(8, n_steps // 4)  # see bench_kpp: one-time-cost calibration
+    stats = timed_roofline(
+        make_fn(n_steps), T0, iters=5, loop_steps=n_steps,
+        probe=(make_fn(ns_probe), (T0,), ns_probe),
     )
-    stats = timed_roofline(fn, T0, iters=5, loop_steps=n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     return stats
 

@@ -101,7 +101,7 @@ def xla_cost(fn, *args, **kwargs) -> dict:
         return {"flops": 0.0, "bytes": 0.0}
 
 
-def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, **kwargs) -> dict:
+def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, probe=None, **kwargs) -> dict:
     """Add MFU + roofline columns to a ``time_fn`` stats dict, in place.
 
     ``mfu_pct`` = achieved FLOP rate / f32 MXU peak; ``hbm_util_pct`` =
@@ -119,8 +119,35 @@ def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, **kwargs) -> di
     same matmul body report identical flops), so callers whose hot work
     sits inside a scan must pass the trip count (times unroll-adjusted
     bodies) to scale the body cost to the whole run.
+
+    Known lower-bound caveat: scans NESTED inside the body (e.g. the
+    per-level Thomas recurrence inside each implicit substep) are also
+    counted once, and no outer trip count can restore them — solve-dominated
+    rows under-report FLOPs by up to ~Nz on that share. All such rows here
+    sit orders of magnitude below MXU-bound either way (see PERFORMANCE.md),
+    so the regime verdicts are unaffected; treat their ``mfu_pct`` as a
+    lower bound.
+
+    ``probe``: optional ``(probe_fn, probe_args, probe_loop_steps)`` — the
+    SAME benchmark lowered at a different trip count. Scaling the whole
+    program cost by ``loop_steps`` multiplies ONE-TIME costs (e.g. the
+    final trajectory concatenate, whose bytes are themselves proportional
+    to the trip count) by the trip count — inflating bytes-derived columns
+    several-fold for trajectory-saving benches. Two points give the
+    per-trip slope ``beta`` of that n-proportional one-time part and the
+    once-counted remainder ``kappa`` (body + any true constant), so the
+    whole-run cost is ``loop_steps * (kappa + beta)`` (true-constant one-time
+    work, typically negligible, is the only remaining approximation). Costs
+    one extra compile per row, so it is opt-in per benchmark.
     """
     cost = xla_cost(fn, *args, **kwargs)
+    if probe is not None:
+        probe_fn, probe_args, probe_steps = probe
+        if probe_steps != loop_steps:
+            c2 = xla_cost(probe_fn, *probe_args)
+            if cost["flops"] > 0 and c2["flops"] > 0:
+                beta = {k: (cost[k] - c2[k]) / (loop_steps - probe_steps) for k in cost}
+                cost = {k: max(cost[k] - beta[k] * loop_steps, 0.0) + beta[k] for k in cost}
     cost = {k: v * loop_steps for k, v in cost.items()}
     t = stats.get("median_s", 0.0)
     if t > 0 and cost["flops"] > 0:
@@ -134,7 +161,7 @@ def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, **kwargs) -> di
     return stats
 
 
-def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps: int = 1) -> dict:
+def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps: int = 1, probe=None) -> dict:
     """``time_fn`` + ``attach_roofline`` with ONE XLA compilation.
 
     AOT-compiles ``fn`` once, times the compiled executable, and reads the
@@ -142,16 +169,21 @@ def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps
     ``time_fn(fn) ... attach_roofline(fn)`` pair compiles twice (the AOT
     stage does not share the jit dispatch cache), and a first TPU compile is
     20-40 s with the suite running serially on one chip. Falls back to the
-    two-call path if AOT lowering fails.
+    two-call path if AOT lowering fails. ``compile_s`` is the wall time of
+    the AOT compile itself (time_fn's first call would otherwise mislabel a
+    warm execution as the compile). ``probe``: see :func:`attach_roofline`.
     """
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
     try:
+        t0 = time.perf_counter()
         compiled = jitted.lower(*args).compile()
+        compile_s = time.perf_counter() - t0
     except Exception:  # pragma: no cover - backend-dependent
         stats = time_fn(fn, *args, iters=iters, pipelined=pipelined)
-        return attach_roofline(stats, fn, *args, loop_steps=loop_steps)
+        return attach_roofline(stats, fn, *args, loop_steps=loop_steps, probe=probe)
     stats = time_fn(compiled, *args, iters=iters, pipelined=pipelined)
-    return attach_roofline(stats, compiled, *args, loop_steps=loop_steps)
+    stats["compile_s"] = compile_s
+    return attach_roofline(stats, compiled, *args, loop_steps=loop_steps, probe=probe)
 
 
 class Timer:
