@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Serialized TPU measurement session (round-2 runbook steps 1-4 + 6).
+#
+# The axon tunnel serializes clients (ONE TPU process at a time) and kills
+# single device programs >60-90 s, so this script runs each measurement as
+# its own bounded subprocess, back to back, and logs everything under
+# studies/chip_session_<tag>/. Analysis/decisions (flipping defaults,
+# updating PERFORMANCE.md) stay manual — this only collects the numbers.
+#
+# Usage: bash studies/chip_session.sh [tag]   (from /root/repo, NO PYTHONPATH
+# override — /root/.axon_site must stay on the default path for the TPU
+# plugin to register; cwd covers the package import.)
+set -u
+cd "$(dirname "$0")/.."
+TAG="${1:-r2}"
+OUT="studies/chip_session_${TAG}"
+mkdir -p "$OUT"
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  echo "=== $name: $* (timeout ${t}s)" | tee -a "$OUT/session.log"
+  local start=$SECONDS
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name: rc=$rc elapsed=$((SECONDS - start))s" | tee -a "$OUT/session.log"
+  tail -3 "$OUT/$name.log" | tee -a "$OUT/session.log"
+  return $rc
+}
+
+# 1. Sanity headline (expect ~7.5e7 col-ts/s, platform axon).
+run bench_sanity 900 python bench.py || exit 1
+grep -q '"platform": "axon"' "$OUT/bench_sanity.log" || {
+  echo "!!! headline did not run on the TPU — aborting session" | tee -a "$OUT/session.log"
+  exit 1
+}
+
+# 2. Perf stretch at 16k columns (VERDICT r1 item 7 stretch >2e8).
+run sweep_16k 1800 python studies/fused_kernel_sweep.py
+
+# 3. Headline-config A/B at 1024 columns.
+run sweep_1k 1800 python studies/fused_kernel_sweep.py --n-columns 1024 --n-steps 1024
+
+# 4. Flagship train-step A/B (IFT tridiagonal grads are now the default).
+run step_noift 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend pcr --no-ift
+run step_ift 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend pcr
+run step_fast 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend pcr --fast-assembly
+run step_scan 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend scan
+
+# 6. Full suite so the roofline columns regenerate with the corrected
+#    one-time-cost accounting (KPP/TKE bytes were inflated pre-probe).
+run suite 3600 python -m climateparameterizations_jl_tpu.cli benchmark --suite
+
+echo "=== chip session complete; logs in $OUT" | tee -a "$OUT/session.log"
