@@ -39,8 +39,22 @@ def _linear_column(n_columns: int, Nz: int, H: float = 256.0):
     """Canonical linearly-stratified column ICs shared by the physics benches."""
     f32 = jnp.float32
     zc = (jnp.arange(Nz, dtype=f32) + 0.5) * (H / Nz) - H
-    T0 = jnp.broadcast_to(19.0 + 0.01 * (zc + H), (n_columns, Nz)).astype(f32)
-    return zc, T0
+    return jnp.broadcast_to(19.0 + 0.01 * (zc + H), (n_columns, Nz)).astype(f32)
+
+
+def _probed_roofline(make_fn, args, n_steps: int, iters: int = 5):
+    """``timed_roofline`` with the two-point one-time-cost probe.
+
+    Shared calibration policy for trajectory-saving benches (KPP/TKE/FC):
+    the probe point is the same benchmark lowered at a quarter of the trip
+    count (floor 8), which separates the n-proportional one-time trajectory
+    cost from the once-counted scan body (see ``attach_roofline``).
+    """
+    ns_probe = max(8, n_steps // 4)
+    return timed_roofline(
+        make_fn(n_steps), *args, iters=iters, loop_steps=n_steps,
+        probe=(make_fn(ns_probe), args, ns_probe),
+    )
 
 
 def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
@@ -53,7 +67,7 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     )
 
     f32 = jnp.float32
-    _, T0 = _linear_column(n_columns, Nz)
+    T0 = _linear_column(n_columns, Nz)
     state0 = KPPState(U=jnp.zeros((n_columns, Nz), f32), V=jnp.zeros((n_columns, Nz), f32), T=T0)
     forcing = KPPForcing(
         Fu=jnp.full((n_columns,), -5e-4, f32),
@@ -69,11 +83,7 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     # Two-point cost probe: the saved trajectory's concatenate is one-time
     # but n-proportional — without the probe it gets multiplied by the trip
     # count and inflates the bytes-derived columns several-fold.
-    ns_probe = max(8, n_steps // 4)
-    stats = timed_roofline(
-        make_fn(n_steps), state0, iters=5, loop_steps=n_steps,
-        probe=(make_fn(ns_probe), (state0,), ns_probe),
-    )
+    stats = _probed_roofline(make_fn, (state0,), n_steps)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["kpp_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -84,7 +94,7 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     from climateparameterizations_jl_tpu.physics.tke import TKEParameters, TKEState, solve_tke
 
     f32 = jnp.float32
-    _, T0 = _linear_column(n_columns, Nz)
+    T0 = _linear_column(n_columns, Nz)
     state0 = TKEState(
         U=jnp.zeros((n_columns, Nz), f32), V=jnp.zeros((n_columns, Nz), f32),
         T=T0, e=jnp.full((n_columns, Nz), 1e-6, f32),
@@ -97,11 +107,7 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
         t_save = jnp.linspace(0.0, ns * 600.0, ns + 1)
         return jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
 
-    ns_probe = max(8, n_steps // 4)  # see bench_kpp: one-time trajectory cost
-    stats = timed_roofline(
-        make_fn(n_steps), state0, iters=5, loop_steps=n_steps,
-        probe=(make_fn(ns_probe), (state0,), ns_probe),
-    )
+    stats = _probed_roofline(make_fn, (state0,), n_steps)  # see bench_kpp
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     stats["vs_reference"] = REFERENCE_SECONDS["tke_run_2day_column"] / (stats["median_s"] / n_columns)
     return stats
@@ -447,18 +453,13 @@ def bench_fc_forward(n_columns: int = 1024, Nz: int = 32, n_steps: int = 1152):
         bottom_flux=ws.scale(f32(0.0)), top_flux=ws.scale(f32(3e-5)),
         Nz=Nz, base_closure="convective_adjustment",
     )
-    _, T0_dim = _linear_column(n_columns, Nz, H)
-    T0 = Ts.scale(T0_dim)
+    T0 = Ts.scale(_linear_column(n_columns, Nz, H))
 
     # One save interval spanning the whole run: pure forward throughput.
     def make_fn(ns):
         return jax.jit(lambda T: solve_free_convection_split(model, None, T, 0.0, 1.0, 1, n_substeps=ns))
 
-    ns_probe = max(8, n_steps // 4)  # see bench_kpp: one-time-cost calibration
-    stats = timed_roofline(
-        make_fn(n_steps), T0, iters=5, loop_steps=n_steps,
-        probe=(make_fn(ns_probe), (T0,), ns_probe),
-    )
+    stats = _probed_roofline(make_fn, (T0,), n_steps)  # see bench_kpp
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
     return stats
 

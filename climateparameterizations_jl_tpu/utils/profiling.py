@@ -137,8 +137,12 @@ def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, probe=None, **k
     per-trip slope ``beta`` of that n-proportional one-time part and the
     once-counted remainder ``kappa`` (body + any true constant), so the
     whole-run cost is ``loop_steps * (kappa + beta)`` (true-constant one-time
-    work, typically negligible, is the only remaining approximation). Costs
-    one extra compile per row, so it is opt-in per benchmark.
+    work, typically negligible, is the only remaining approximation). The fit
+    is sanity-gated: if the two lowerings are not consistent with a linear
+    cost model (negative slope or negative remainder — XLA can fuse/unroll
+    differently at a different trip count), the correction is skipped and
+    ``stats["probe_rejected"]`` is set rather than publishing a clamped fit.
+    Costs one extra compile per row, so it is opt-in per benchmark.
     """
     cost = xla_cost(fn, *args, **kwargs)
     if probe is not None:
@@ -147,7 +151,17 @@ def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, probe=None, **k
             c2 = xla_cost(probe_fn, *probe_args)
             if cost["flops"] > 0 and c2["flops"] > 0:
                 beta = {k: (cost[k] - c2[k]) / (loop_steps - probe_steps) for k in cost}
-                cost = {k: max(cost[k] - beta[k] * loop_steps, 0.0) + beta[k] for k in cost}
+                kappa = {k: cost[k] - beta[k] * loop_steps for k in cost}
+                # Sanity-gate the linear fit: XLA may lower the shorter probe
+                # program differently (fusion/unroll decisions can change with
+                # the trip count), producing a negative slope or a negative
+                # once-counted remainder. Publishing a silently-clamped fit as
+                # a "corrected" roofline number would be worse than the known
+                # uncorrected overestimate — fall back and flag it instead.
+                if all(beta[k] >= 0.0 and kappa[k] > 0.0 for k in cost):
+                    cost = {k: kappa[k] + beta[k] for k in cost}
+                else:
+                    stats["probe_rejected"] = True
     cost = {k: v * loop_steps for k, v in cost.items()}
     t = stats.get("median_s", 0.0)
     if t > 0 and cost["flops"] > 0:

@@ -27,8 +27,10 @@ run() { # run <name> <timeout_s> <cmd...>
   return $rc
 }
 
-# 1. Sanity headline (expect ~7.5e7 col-ts/s, platform axon).
-run bench_sanity 900 python bench.py || exit 1
+# 1. Sanity headline (expect ~7.5e7 col-ts/s, platform axon). The timeout
+#    must outlast bench.py's own tunnel-wedge retry loop (~1380 s worst case:
+#    5 probes x 180 s + 4 sleeps x 120 s) plus the compile and run.
+run bench_sanity 2700 python bench.py || exit 1
 grep -q '"platform": "axon"' "$OUT/bench_sanity.log" || {
   echo "!!! headline did not run on the TPU — aborting session" | tee -a "$OUT/session.log"
   exit 1

@@ -46,6 +46,22 @@ class TestProbeAlgebra:
         # The uncorrected path multiplies the beta*L one-time term by L too.
         assert stats["xla_flops"] == L * (kappa + beta * L)
 
+    def test_probe_rejected_on_inconsistent_lowering(self, monkeypatch):
+        # A cost that DECREASES with the trip count means the two lowerings
+        # are not the same program scaled (XLA fused differently); the fit
+        # must be rejected and the uncorrected estimate kept, flagged.
+        L, P = 64, 16
+
+        def fake(fn, *args, **kwargs):
+            return {"flops": 1e6 - 100.0 * fn(), "bytes": 1e6 - 100.0 * fn()}
+
+        monkeypatch.setattr(profiling, "xla_cost", fake)
+        stats = profiling.attach_roofline(
+            {"median_s": 1.0}, lambda: L, loop_steps=L, probe=(lambda: P, (), P)
+        )
+        assert stats["probe_rejected"] is True
+        assert stats["xla_flops"] == L * (1e6 - 100.0 * L)
+
     def test_probe_at_same_trip_count_is_ignored(self, monkeypatch):
         kappa, beta, L = 1000.0, 7.0, 64
         monkeypatch.setattr(profiling, "xla_cost", self._fake_cost(kappa, beta))
