@@ -570,9 +570,11 @@ def cmd_train_nde(args) -> int:
     names = _sims(args.sims)
     ds = _load_suite(names, args.nz, args.data_dir, args.n_save, args.dt_save)
     flags = _suite_diurnal_flags(names)
-    diurnal = all(flags) and len(flags) > 0
-    if any(flags) and not diurnal:
-        print("warning: mixed diurnal/constant-flux suite — diurnal forcing disabled (train diurnal sims separately)")
+    # Mixed suites are fine: amplitude is per-sim (constant-flux members
+    # carry 0 and keep their frozen BC in _effective_bcs), so the model's
+    # diurnal flag just enables the time-resolved path for the members
+    # that need it.
+    diurnal = any(flags)
     model = _wind_model(
         ds, args.nz, diurnal=diurnal,
         smooth_NN=args.smooth_nn, smooth_Ri=args.smooth_ri,

@@ -62,6 +62,12 @@ class ColumnTimeSeries:
     u_top: jnp.ndarray
     theta_top: jnp.ndarray
     theta_bottom: jnp.ndarray
+    # Diurnal surface-flux amplitude (0 for constant-flux sims, None when
+    # unknown, e.g. a raw LESbrary read outside the registry). Carried as a
+    # DATA field so stacked suites can mix diurnal and constant members
+    # per-sim; lets `enforce_surface_fluxes` refuse diurnal datasets and
+    # `training_tensors` infer the cycle without a side-channel flag.
+    diurnal_amplitude: jnp.ndarray | None = None
 
     @property
     def Nz(self) -> int:
@@ -94,7 +100,17 @@ def enforce_surface_fluxes(ds: ColumnTimeSeries) -> ColumnTimeSeries:
     """Pin the top face of ``uw``/``wT`` to the prescribed surface fluxes.
 
     Parity: ``enforce_top_surface_flux!`` (``data_containers.jl:282-294``).
+
+    Refuses diurnal datasets: pinning their oscillating surface flux to the
+    constant amplitude would silently destroy the cycle the diurnal model is
+    supposed to learn (the CLAUDE.md "never enforce_surface_fluxes on
+    diurnal sims" rule, enforced here rather than at call sites).
     """
+    if ds.diurnal_amplitude is not None and bool(np.any(np.asarray(ds.diurnal_amplitude) != 0.0)):
+        raise ValueError(
+            "enforce_surface_fluxes on a diurnal dataset would pin the oscillating "
+            "surface flux to a constant; skip it for diurnal sims"
+        )
     uw = ds.uw.at[..., -1].set(jnp.broadcast_to(ds.u_top[..., None], ds.uw.shape[:-1]))
     wT = ds.wT.at[..., -1].set(jnp.broadcast_to(ds.theta_top[..., None], ds.wT.shape[:-1]))
     return dataclasses.replace(ds, uw=uw, wT=wT)
@@ -163,7 +179,7 @@ class TrainingBatch:
     tau: jnp.ndarray
 
 
-def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps, tau=None, diurnal: bool = False) -> TrainingBatch:
+def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps, tau=None, diurnal: bool | None = None) -> TrainingBatch:
     """Build NDE training tensors from a stacked suite ``(S, Nt, ...)``.
 
     Parity: the ``uvT0s`` / ``uvT_trains`` / ``BCs`` assembly in
@@ -171,9 +187,16 @@ def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps,
     all ``tsteps``, BCs frozen at the window start), with time
     non-dimensionalized by ``tau`` = full simulation span by default.
     ``diurnal=True`` fills ``bcs.diurnal_amplitude`` with the dataset's
-    heat-flux amplitude (``theta_top``) so a ``diurnal`` model resolves the
-    sinusoidal top BC in time (``data_containers.jl:131-156``).
+    per-sim heat-flux amplitude (``ds.diurnal_amplitude``, falling back to
+    ``theta_top``) so a ``diurnal`` model resolves the sinusoidal top BC in
+    time (``data_containers.jl:131-156``); constant-flux members of a mixed
+    suite carry amplitude 0 and keep their frozen BC. The default
+    ``diurnal=None`` infers the flag from ``ds.diurnal_amplitude``.
     """
+    if diurnal is None:
+        diurnal = ds.diurnal_amplitude is not None and bool(
+            np.any(np.asarray(ds.diurnal_amplitude) != 0.0)
+        )
     n_frames = ds.t.shape[-1]
     t_arr = np.asarray(tsteps)
     if int(t_arr.max()) >= n_frames or int(t_arr.min()) < 0:
@@ -197,7 +220,10 @@ def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps,
         wT_bot=wT_s[..., i0, 0],
         wT_top=wT_s[..., i0, -1],
         diurnal_amplitude=(
-            jnp.broadcast_to(jnp.asarray(ds.theta_top), uw_s[..., i0, 0].shape)
+            jnp.broadcast_to(
+                jnp.asarray(ds.diurnal_amplitude if ds.diurnal_amplitude is not None else ds.theta_top),
+                uw_s[..., i0, 0].shape,
+            )
             if diurnal
             else jnp.zeros_like(uw_s[..., i0, 0])
         ),

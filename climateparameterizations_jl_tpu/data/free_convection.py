@@ -62,7 +62,14 @@ def save_column_npz(path: str, ds: ColumnTimeSeries) -> None:
     fd, tmp = tempfile.mkstemp(suffix=".npz", dir=os.path.dirname(path) or ".")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, **{f_.name: np.asarray(getattr(ds, f_.name)) for f_ in dataclasses.fields(ds)})
+            # Skip unset optional fields (e.g. diurnal_amplitude=None);
+            # load_column_npz restores only the keys present.
+            arrays = {
+                f_.name: np.asarray(v)
+                for f_ in dataclasses.fields(ds)
+                if (v := getattr(ds, f_.name)) is not None
+            }
+            np.savez(f, **arrays)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):

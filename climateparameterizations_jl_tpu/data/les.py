@@ -285,10 +285,14 @@ def _tendencies(config: LESConfig, state: LESState, t, coriolis: bool = True):
         FTx = weno5_advective_flux(u, T, axis=1, boundary="periodic")
         FTy = weno5_advective_flux(v, T, axis=0, boundary="periodic")
         FTz_int = weno5_advective_flux(w[..., 1:-1], T, axis=2, boundary="edge")
-    else:
+    elif c.advection == "centered":
         FTx = u * 0.5 * (T + _xm(T))
         FTy = v * 0.5 * (T + _ym(T))
         FTz_int = w[..., 1:-1] * zface_of_center(T)
+    else:
+        # A typo'd scheme name silently running centered advection would
+        # corrupt WENO A/Bs and generated training data; fail at trace time.
+        raise ValueError(f"unknown advection scheme {c.advection!r} (expected 'weno5' or 'centered')")
     zeros_f = jnp.zeros_like(w[..., :1])
     FTz = jnp.concatenate([zeros_f, FTz_int, zeros_f], axis=-1)
     adv_T = (_xp(FTx) - FTx) / dx + (_yp(FTy) - FTy) / dy + (FTz[..., 1:] - FTz[..., :-1]) / dz
@@ -518,6 +522,7 @@ def run_les(
         u=U, v=V, T=Tm, uw=uw, vw=vw, wT=wT, t=t,
         H=c.H, f=c.f, g=c.g, alpha=c.alpha, beta=jnp.zeros_like(c.alpha),
         u_top=c.Qu, theta_top=c.theta_top, theta_bottom=c.dTdz,
+        diurnal_amplitude=c.theta_top if c.diurnal else jnp.zeros_like(c.theta_top),
     )
 
 

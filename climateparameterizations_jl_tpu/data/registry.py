@@ -252,9 +252,16 @@ def load_simulation(
     if data_dir is not None:
         path = os.path.join(data_dir, lesbrary_relative_path(name))
         if os.path.exists(path):
+            import jax.numpy as jnp
+
             from climateparameterizations_jl_tpu.data.lesbrary import read_les_profiles
 
-            return read_les_profiles(path)
+            ds = read_les_profiles(path)
+            # Raw files don't record the diurnal flag (the reference encodes
+            # it in the filename); stamp it from the catalog spec so
+            # downstream guards/inference see it.
+            amp = ds.theta_top if spec.diurnal else jnp.zeros_like(jnp.asarray(ds.theta_top))
+            return dataclasses.replace(ds, diurnal_amplitude=amp)
 
     from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
 

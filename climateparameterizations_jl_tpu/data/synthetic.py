@@ -133,7 +133,14 @@ def synthetic_wind_mixing_les(
         beta=jnp.asarray(8e-4, dtype),
         u_top=jnp.asarray(Qu, dtype),
         theta_top=jnp.asarray(theta_top, dtype),
-        theta_bottom=jnp.asarray(0.002, dtype),
+        # The generating model applies ZERO bottom heat flux (bcs.wT_bot=0),
+        # so the advertised bottom-gradient BC must be 0 too — a nonzero
+        # value here would make embedded/KPP baselines inject bottom cooling
+        # the "truth" trajectory never felt (a systematic bottom-cell bias
+        # masquerading as closure error). Real LESbrary files carry their
+        # own nonzero gradient; this is a stand-in, internally consistent.
+        theta_bottom=jnp.asarray(0.0, dtype),
+        diurnal_amplitude=bcs.diurnal_amplitude,
     )
 
 
@@ -215,4 +222,5 @@ def synthetic_free_convection_les(
         u_top=jnp.asarray(0.0, dtype),
         theta_top=jnp.asarray(theta_top, dtype),
         theta_bottom=jnp.asarray(stratification, dtype),
+        diurnal_amplitude=jnp.asarray(0.0, dtype),
     )

@@ -179,15 +179,15 @@ def diagnose_nn_heat_flux(model: HostColumnModel, nns: FluxNNs | None, T):
     """
     if nns is None or nns.wT is None:
         return jnp.zeros(T.shape[:-1] + (T.shape[-1] + 1,), T.dtype)
-    s = model.scalings
-    if model.nn_input == "T":
-        x = s.T.scale(T)
-    else:
+    if model.nn_input != "T":
         raise ValueError("diagnose_nn_heat_flux needs nn_input='T' (heat-flux-only embedding)")
-    y = apply_closure(nns.wT, x)
-    interior = s.wT.unscale(y)
-    zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
-    return jnp.concatenate([zeros, interior, zeros], axis=-1)
+    # Delegate to the stepper's own flux assembly so the dimensionalization
+    # convention (nn_dimensionalize: affine vs flux/sigma) can never diverge
+    # from the flux that actually forced the column.
+    zeros_uv = jnp.zeros_like(T)
+    state = HostColumnState(u=zeros_uv, v=zeros_uv, T=T)
+    _, _, wT = _nn_flux_faces(model, nns, state)
+    return wT
 
 
 def _diffusivities(model: HostColumnModel, state: HostColumnState):

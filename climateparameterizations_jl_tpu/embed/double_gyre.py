@@ -300,19 +300,22 @@ def nn_closure_forcing(
 
 
 def _implicit_vertical_mixing(model: DoubleGyreModel, u, v, T, dt, tridiag_backend="scan"):
-    """Backward-Euler vertical viscosity + conv-adj diffusivity for the basin."""
+    """Backward-Euler vertical viscosity + conv-adj diffusivity for the basin.
+
+    Zero-flux boundaries via ``zero_boundary_faces=True`` (the raw matrix
+    replicates the reference's asymmetric boundary leak; see
+    ``implicit_diffusion_step``) — never hand-mask at call sites.
+    """
     dTdz = (T[..., 1:] - T[..., :-1]) / model.dz
     kappa_int = jnp.where(dTdz < 0.0, model.kappa_conv, model.kappa_v)
-    zeros = jnp.zeros(kappa_int.shape[:-1] + (1,), T.dtype)
-    kappa = jnp.concatenate([zeros, kappa_int, zeros], axis=-1)
-    T = implicit_diffusion_step(T, kappa, dt, model.dz, backend=tridiag_backend)
-
+    kappa = jnp.concatenate([kappa_int[..., :1], kappa_int, kappa_int[..., -1:]], axis=-1)
+    step = lambda phi, nu_face: implicit_diffusion_step(  # noqa: E731
+        phi, nu_face, dt, model.dz, backend=tridiag_backend, zero_boundary_faces=True
+    )
+    T = step(T, kappa)
     nu = jnp.full(u.shape[:-1] + (model.Nz + 1,), model.Av, u.dtype)
-    nu = nu.at[..., 0].set(0.0).at[..., -1].set(0.0)
-    u = implicit_diffusion_step(u, nu, dt, model.dz, backend=tridiag_backend)
-    nuv = jnp.full(v.shape[:-1] + (model.Nz + 1,), model.Av, v.dtype)
-    nuv = nuv.at[..., 0].set(0.0).at[..., -1].set(0.0)
-    v = implicit_diffusion_step(v, nuv, dt, model.dz, backend=tridiag_backend)
+    u = step(u, nu)
+    v = step(v, jnp.full(v.shape[:-1] + (model.Nz + 1,), model.Av, v.dtype))
     return u, v, T
 
 
@@ -361,7 +364,7 @@ def double_gyre_step(
         Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
         Fz_int = weno5_advective_flux(w[..., 1:-1], T, axis=2, boundary="edge")
         Fz = jnp.concatenate([w[..., :1] * T[..., :1], Fz_int, w[..., -1:] * T[..., -1:]], axis=-1)
-    else:
+    elif model.advection == "centered":
         T_at_u = 0.5 * (T[:, 1:, :] + T[:, :-1, :])
         Fx = u[:, 1:-1, :] * T_at_u
         Fx = jnp.pad(Fx, ((0, 0), (1, 1), (0, 0)))
@@ -370,6 +373,9 @@ def double_gyre_step(
         Fy = jnp.pad(Fy, ((1, 1), (0, 0), (0, 0)))
         Tz = jnp.concatenate([T[..., :1], 0.5 * (T[..., 1:] + T[..., :-1]), T[..., -1:]], axis=-1)
         Fz = w * Tz
+    else:
+        # Mirror data/les.py: a typo'd scheme must not silently run centered.
+        raise ValueError(f"unknown advection scheme {model.advection!r} (expected 'weno5' or 'centered')")
     GT = (
         -(Fx[:, 1:, :] - Fx[:, :-1, :]) / dx
         - (Fy[1:, :, :] - Fy[:-1, :, :]) / dy

@@ -189,12 +189,20 @@ def join_uvT(u, v, T):
 
 
 def _effective_bcs(model: WindMixingModel, bcs: BoundaryConditions, t):
-    """Resolve the (possibly time-dependent) top heat-flux BC at time ``t_hat``."""
+    """Resolve the (possibly time-dependent) top heat-flux BC at time ``t_hat``.
+
+    Amplitude is per-sim: constant-flux members of a mixed suite carry
+    ``diurnal_amplitude == 0`` and keep their frozen ``wT_top`` instead of
+    having it zeroed by an all-suite sinusoid.
+    """
     if not model.diurnal:
         return bcs
     t_dim = t * model.tau
     wT_top_dim = bcs.diurnal_amplitude * diurnal_cycle(t_dim)
-    return dataclasses.replace(bcs, wT_top=model.scalings.wT.scale(wT_top_dim))
+    wT_top = jnp.where(
+        bcs.diurnal_amplitude != 0.0, model.scalings.wT.scale(wT_top_dim), bcs.wT_top
+    )
+    return dataclasses.replace(bcs, wT_top=wT_top)
 
 
 # Face assembly with left-aligned BC broadcasting lives in core.operators

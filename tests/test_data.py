@@ -7,6 +7,7 @@ import pytest
 from climateparameterizations_jl_tpu.data.containers import (
     coarsen_dataset,
     direct_regression_pairs,
+    enforce_surface_fluxes,
     fit_wind_mixing_scalings,
     scaled_state_array,
     stack_datasets,
@@ -102,6 +103,43 @@ class TestPipeline:
         scalings = fit_wind_mixing_scalings([coarse])
         x, y = direct_regression_pairs(coarse, scalings, "wT")
         assert x.shape == (25, 96) and y.shape == (25, 33)
+
+
+class TestDiurnalGuard:
+    """Per-sim diurnal amplitude: self-guarding data layer (CLAUDE.md rule)."""
+
+    def _diurnal(self):
+        return synthetic_wind_mixing_les(Nz=32, n_save=4, dt_save=600.0, n_substeps=1, diurnal=True)
+
+    def test_enforce_surface_fluxes_refuses_diurnal(self):
+        with pytest.raises(ValueError, match="diurnal"):
+            enforce_surface_fluxes(self._diurnal())
+
+    def test_constant_flux_dataset_still_enforceable(self, wm_les):
+        out = enforce_surface_fluxes(wm_les)
+        np.testing.assert_allclose(np.array(out.wT[:, -1]), float(wm_les.theta_top))
+
+    def test_training_tensors_infers_per_sim_amplitude(self, wm_les):
+        const = coarsen_dataset(wm_les, 32)
+        diur = coarsen_dataset(self._diurnal(), 32)
+        # Pad the diurnal sim's frames to match (4+1 vs 24+1): slice const.
+        import jax
+
+        const = jax.tree.map(
+            lambda a: a[:5] if hasattr(a, "ndim") and a.ndim and a.shape[0] == 25 else a, const
+        )
+        suite = stack_datasets([const, diur])
+        scalings = fit_wind_mixing_scalings([const])
+        batch = training_tensors(suite, scalings, tsteps=np.arange(0, 4))  # diurnal inferred
+        amp = np.array(batch.bcs.diurnal_amplitude)
+        assert amp[0] == 0.0  # constant member keeps zero amplitude
+        assert amp[1] == pytest.approx(float(diur.theta_top))
+
+    def test_training_tensors_explicit_false_still_wins(self, wm_les):
+        coarse = coarsen_dataset(self._diurnal(), 32)
+        scalings = fit_wind_mixing_scalings([coarse])
+        batch = training_tensors(coarse, scalings, tsteps=np.arange(0, 4), diurnal=False)
+        assert float(np.array(batch.bcs.diurnal_amplitude)) == 0.0
 
 
 class TestFluxReconstruction:

@@ -387,3 +387,19 @@ def test_host_nn_dimensionalization_follows_training_mode():
     _, _, wT_aff = _nn_flux_faces(aff, nns, state)
     np.testing.assert_allclose(np.asarray(wT_lin[..., 1:-1]), 0.0)
     np.testing.assert_allclose(np.asarray(wT_aff[..., 1:-1]), mu, rtol=1e-6)
+
+    # diagnose_nn_heat_flux must report the flux AS APPLIED — same
+    # convention, not an unconditional affine unscale.
+    from climateparameterizations_jl_tpu.embed.column_model import diagnose_nn_heat_flux
+
+    lin_T = dataclasses.replace(lin, nn_input="T")
+    aff_T = dataclasses.replace(aff, nn_input="T")
+    zero_nn_T = MLP(
+        weights=(jnp.zeros((Nz - 1, Nz), jnp.float32),),
+        biases=(jnp.zeros(Nz - 1, jnp.float32),),
+    )
+    nns_T = FluxNNs(uw=None, vw=None, wT=zero_nn_T)
+    wT_diag_lin = diagnose_nn_heat_flux(lin_T, nns_T, state.T)
+    wT_diag_aff = diagnose_nn_heat_flux(aff_T, nns_T, state.T)
+    np.testing.assert_allclose(np.asarray(wT_diag_lin[..., 1:-1]), 0.0)
+    np.testing.assert_allclose(np.asarray(wT_diag_aff[..., 1:-1]), mu, rtol=1e-6)

@@ -136,6 +136,29 @@ class TestLESPhysics:
         assert (T0 - T1)[-4:].mean() > (T0 - T1)[:4].mean()
 
 
+class TestAdvectionDispatch:
+    def test_unknown_scheme_raises(self):
+        """A typo'd scheme must not silently run centered advection."""
+        c = small_config(advection="weno")  # typo for "weno5"
+        state = initial_state(c, noise=0.0)
+        from climateparameterizations_jl_tpu.data.les import les_step
+
+        with pytest.raises(ValueError, match="advection"):
+            les_step(c, state, 1.0)
+
+    def test_gyre_unknown_scheme_raises(self):
+        from climateparameterizations_jl_tpu.embed.double_gyre import (
+            DoubleGyreModel,
+            DoubleGyreState,
+            double_gyre_step,
+        )
+
+        model = DoubleGyreModel.default(Nx=8, Ny=8, Nz=4, advection="WENO5")  # case slip
+        state = DoubleGyreState.rest(model)
+        with pytest.raises(ValueError, match="advection"):
+            double_gyre_step(model, state, 1800.0)
+
+
 class TestLESOutput:
     @pytest.fixture(scope="class")
     def dataset(self):

@@ -304,6 +304,27 @@ class TestWindMixingMPP:
         expected = float(s.wT.scale(1e-4)) - float(s.wT.scale(0.0))
         np.testing.assert_allclose(float(wT[-1]), expected, rtol=1e-4)
 
+    def test_diurnal_mixed_suite_keeps_constant_members_frozen(self):
+        """Amplitude-0 members of a mixed suite keep their frozen wT_top.
+
+        Before the per-sim amplitude guard, a diurnal model zeroed EVERY
+        member's surface flux to amplitude*sin(t) — constant-flux sims in a
+        mixed suite lost their forcing entirely.
+        """
+        from climateparameterizations_jl_tpu.models.wind_mixing import _effective_bcs
+
+        model = make_model(diurnal=True)
+        bcs = dataclasses.replace(
+            zero_bcs(),
+            wT_top=jnp.asarray([0.7, 0.3], jnp.float32),
+            diurnal_amplitude=jnp.asarray([0.0, 1e-4], jnp.float32),
+        )
+        t_quarter = float(86400.0 / 4.0 / model.tau)  # sin = 1
+        eff = _effective_bcs(model, bcs, t_quarter)
+        s = model.scalings
+        np.testing.assert_allclose(float(eff.wT_top[0]), 0.7, rtol=1e-6)  # frozen
+        np.testing.assert_allclose(float(eff.wT_top[1]), float(s.wT.scale(1e-4)), rtol=1e-4)
+
 
 class TestFreeConvection:
     def make(self, base_closure="convective_adjustment", top_flux=0.0):
