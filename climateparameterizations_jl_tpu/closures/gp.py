@@ -27,6 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Distances (feature transforms + pairwise l2)
@@ -157,6 +158,10 @@ class SpectralMixtureKernel:
                 raise ValueError("isotropic SM kernel needs a length-3Q hyperparameter vector")
             return cls(w=hyp[:Q], mu=hyp[Q : 2 * Q], gamma=hyp[2 * Q :])
         Q = hyp.shape[0] // (3 * D)
+        if Q == 0 or 3 * D * Q != hyp.shape[0]:
+            raise ValueError(
+                f"ARD SM kernel with D={D} needs a length-3*D*Q hyperparameter vector, got {hyp.shape[0]}"
+            )
         r = lambda a: a.reshape(D, Q, order="F")  # noqa: E731 — Julia column-major reshape
         return cls(w=r(hyp[: D * Q]), mu=r(hyp[D * Q : 2 * D * Q]), gamma=r(hyp[2 * D * Q :]))
 
@@ -399,8 +404,11 @@ def mean_log_marginal_loss(model: GPModel, y_train, add_constant: bool = False):
     (``gaussian_process.jl:182-202``).
     """
     y = jnp.asarray(y_train)
+    if y.ndim == 1:  # gp_fit accepts 1-D targets; treat as one output dim
+        y = y[:, None]
     n, D = y.shape
-    total = 0.5 * jnp.sum(y * model.alpha) / D
+    alpha = model.alpha if model.alpha.ndim == 2 else model.alpha[:, None]
+    total = 0.5 * jnp.sum(y * alpha) / D
     if add_constant:
         total = total + jnp.sum(jnp.log(jnp.diag(model.chol))) + 0.5 * n * jnp.log(2.0 * jnp.pi)
     return total
@@ -436,18 +444,31 @@ def optimize_kernel_hyperparameters(
     y_train = jnp.asarray(y_train)
 
     positive = {"gamma", "sigma", "alpha"} if isinstance(kernel, GPKernel) else {"gamma"}
-    # Coerce python-scalar hyperparameters to arrays FIRST: the array filter
-    # below would otherwise skip them all and "optimize" an empty dict,
-    # returning the kernel unchanged with a flat loss curve and no error.
+    # Coerce ALL numeric hyperparameters (python scalars, numpy scalars,
+    # numpy arrays) to jnp arrays FIRST: the jnp-array filter below would
+    # otherwise skip them and "optimize" an empty dict, returning the kernel
+    # unchanged with a flat loss curve and no error.
+    def _numeric(v):
+        if isinstance(v, bool) or isinstance(v, str) or v is None:
+            return False
+        if isinstance(v, jnp.ndarray):
+            return False  # already the right type
+        try:
+            return np.issubdtype(np.asarray(v).dtype, np.number)
+        except Exception:
+            return False
+
     kernel = dataclasses.replace(
         kernel,
         **{
             f.name: jnp.asarray(getattr(kernel, f.name), jnp.result_type(float))
             for f in dataclasses.fields(kernel)
-            if isinstance(getattr(kernel, f.name), (int, float)) and not isinstance(getattr(kernel, f.name), bool)
+            if _numeric(getattr(kernel, f.name))
         },
     )
     fields = [f.name for f in dataclasses.fields(kernel) if isinstance(getattr(kernel, f.name), jnp.ndarray)]
+    if not fields:
+        raise ValueError("optimize_kernel_hyperparameters: kernel exposes no numeric hyperparameters")
 
     def to_raw(k):
         return {n: (jnp.log(getattr(k, n)) if n in positive else getattr(k, n)) for n in fields}

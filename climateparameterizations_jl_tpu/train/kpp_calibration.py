@@ -93,15 +93,31 @@ def make_kpp_forward_fn(
     base = base_params if base_params is not None else KPPParameters.default()
     i0 = tsteps[0]
     state0 = KPPState(U=ds.u[..., i0, :], V=ds.v[..., i0, :], T=ds.T[..., i0, :])
+    # Diurnal datasets carry a sinusoidal surface flux; fitting KPP against
+    # their trajectories under a CONSTANT flux equal to the amplitude would
+    # calibrate to wrong physics with no error. solve_kpp's diurnal path
+    # treats Fb as the daily amplitude — thread it from the dataset.
+    diurnal = ds.diurnal_amplitude is not None and bool(
+        np.any(np.asarray(ds.diurnal_amplitude) != 0.0)
+    )
+    if diurnal and bool(np.any(np.asarray(ds.diurnal_amplitude) == 0.0)):
+        raise ValueError(
+            "make_kpp_forward_fn: mixed diurnal/constant suite — calibrate these "
+            "separately (solve_kpp's diurnal flag is whole-batch)"
+        )
+    theta_surface = ds.diurnal_amplitude if diurnal else ds.theta_top
     forcing = KPPForcing(
-        Fu=ds.u_top, Fb=ds.theta_top * ds.g * ds.alpha, dTdz_bottom=ds.theta_bottom
+        Fu=ds.u_top, Fb=theta_surface * ds.g * ds.alpha, dTdz_bottom=ds.theta_bottom
     )
 
     def forward(values):
         values = jnp.asarray(values, ds.T.dtype)
         params = _with_overrides(base, names, [values[i] for i in range(len(names))])
         # solve_kpp returns time-major (Nt, ..., Nz); truth is (..., Nt, Nz).
-        sol = solve_kpp(state0, t_save, params, forcing, ds.H, Nz, ds.f, ds.g, ds.alpha, n_substeps=n_substeps)
+        sol = solve_kpp(
+            state0, t_save, params, forcing, ds.H, Nz, ds.f, ds.g, ds.alpha,
+            n_substeps=n_substeps, diurnal=diurnal,
+        )
         return jnp.moveaxis(sol.T, 0, -2).reshape(-1)
 
     return forward, T_truth.reshape(-1)

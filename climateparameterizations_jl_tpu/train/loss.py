@@ -81,13 +81,18 @@ def calculate_loss_scalings(losses: LossChannels, fractions, train_gradient: boo
     fdT = fractions["dTdz"] if isinstance(fractions, dict) else fractions.dTdz
     fprof = fractions["profile"] if isinstance(fractions, dict) else fractions.profile
 
-    velocity_scaling = (1 - fT) / fT * losses.T / (losses.u + losses.v)
+    # A zero denominator means that channel group carries no signal (e.g.
+    # u = v = 0 exactly in a free-convection-style suite): its weight is
+    # irrelevant, but inf * 0 = NaN would poison the total — weight 0.
+    safe_div = lambda a, b: jnp.where(b > 0, a / jnp.where(b > 0, b, 1.0), 0.0)  # noqa: E731
+
+    velocity_scaling = (1 - fT) / fT * safe_div(losses.T, losses.u + losses.v)
     profile_loss = velocity_scaling * (losses.u + losses.v) + losses.T
 
     if train_gradient:
-        velocity_gradient_scaling = (1 - fdT) / fdT * losses.dTdz / (losses.dudz + losses.dvdz)
+        velocity_gradient_scaling = (1 - fdT) / fdT * safe_div(losses.dTdz, losses.dudz + losses.dvdz)
         gradient_loss = velocity_gradient_scaling * (losses.dudz + losses.dvdz) + losses.dTdz
-        total_gradient_scaling = (1 - fprof) / fprof * profile_loss / gradient_loss
+        total_gradient_scaling = (1 - fprof) / fprof * safe_div(profile_loss, gradient_loss)
     else:
         velocity_gradient_scaling = jnp.asarray(0.0)
         total_gradient_scaling = jnp.asarray(0.0)

@@ -129,6 +129,12 @@ def calibrate_mpp_eki(
             name: (0.1 * float(getattr(model.mpp, name)), 10.0 * float(getattr(model.mpp, name)))
             for name in ("nu_0", "nu_minus", "delta_Ri", "Ri_c", "Pr")
         }
+        degenerate = [n for n, (lo, hi) in priors.items() if hi <= lo]
+        if degenerate:
+            raise ValueError(
+                f"calibrate_mpp_eki: default multiplicative priors are degenerate for "
+                f"zero-valued parameter(s) {degenerate} — pass explicit `priors` boxes for them"
+            )
     names = tuple(priors.keys())
 
     # Name-keyed everywhere: parameter order is whatever the priors dict

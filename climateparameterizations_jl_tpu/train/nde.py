@@ -198,9 +198,13 @@ def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_st
     history = []
     for i in range(maxiters):
         params, opt_state, total, channels = step(params, opt_state)
-        history.append(jax.tree.map(float, channels))
+        # ONE device->host transfer for all channels + the total (device_get
+        # on the tuple), not a blocking float() per leaf — each block costs
+        # a ~10-30 ms tunnel round-trip (CLAUDE.md).
+        total_h, channels_h = jax.device_get((total, channels))
+        history.append(jax.tree.map(float, channels_h))
         if callback is not None:
-            callback(i, float(total), channels, params)
+            callback(i, float(total_h), channels_h, params)
     return params, history, opt_state
 
 

@@ -67,6 +67,8 @@ def train_flux_nn(
     weights) | ``"hard"`` (re-zero them after every update; parity:
     ``free_convection/src/training.jl:24-42``).
     """
+    if causality not in ("none", "soft", "hard"):
+        raise ValueError(f"unknown causality mode {causality!r} (expected 'none', 'soft' or 'hard')")
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(nn)
     n = x.shape[0]

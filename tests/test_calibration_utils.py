@@ -31,6 +31,40 @@ def fc_dataset():
 
 
 class TestKPPCalibration:
+    def test_diurnal_dataset_threads_cycle_into_forward(self):
+        """Calibrating KPP on a diurnal dataset must use the sinusoidal
+        surface flux, not its amplitude as a constant (silent wrong physics)."""
+        import dataclasses as dc
+
+        from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
+        from climateparameterizations_jl_tpu.train.kpp_calibration import make_kpp_forward_fn
+
+        ds = coarsen_dataset(
+            synthetic_wind_mixing_les(Nz=64, n_save=8, dt_save=3600.0, n_substeps=1, diurnal=True), 32
+        )
+        fwd, y = make_kpp_forward_fn(ds, np.arange(0, 8, 2), 32)
+        d = KPPParameters.default()
+        v = jnp.asarray([float(d.CSL), float(d.CNL), float(d.Cb_T), float(d.CKE)])
+        out = np.asarray(fwd(v))
+        assert np.isfinite(out).all() and np.isfinite(np.asarray(y)).all()
+        # The constant-flux twin (amplitude stripped) must produce a
+        # DIFFERENT trajectory — same output would mean the cycle was dropped.
+        ds_const = dc.replace(ds, diurnal_amplitude=jnp.zeros_like(ds.diurnal_amplitude))
+        fwd_const, _ = make_kpp_forward_fn(ds_const, np.arange(0, 8, 2), 32)
+        assert not np.allclose(out, np.asarray(fwd_const(v)))
+
+    def test_mixed_diurnal_suite_refused(self):
+        from climateparameterizations_jl_tpu.data.containers import stack_datasets
+        from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
+        from climateparameterizations_jl_tpu.train.kpp_calibration import make_kpp_forward_fn
+
+        const = coarsen_dataset(synthetic_wind_mixing_les(Nz=64, n_save=8, dt_save=3600.0, n_substeps=1), 32)
+        diur = coarsen_dataset(
+            synthetic_wind_mixing_les(Nz=64, n_save=8, dt_save=3600.0, n_substeps=1, diurnal=True), 32
+        )
+        with pytest.raises(ValueError, match="mixed"):
+            make_kpp_forward_fn(stack_datasets([const, diur]), np.arange(0, 8, 2), 32)
+
     def test_loss_fn_finite_and_vmappable(self, fc_dataset):
         loss_fn = make_kpp_loss_fn(fc_dataset, np.arange(0, 16, 4), 32)
         defaults = KPPParameters.default()

@@ -192,3 +192,17 @@ class TestConvectiveAdjustProfile:
     def test_stable_profile_unchanged(self):
         x = jnp.linspace(0.0, 1.0, 12)
         np.testing.assert_allclose(convective_adjust_profile(x), x)
+
+    def test_batched_matches_vmap(self):
+        """Leading axes batch natively: (B, n) == vmap over rows.
+
+        Regression: the sweep used to index axis 0, so a batched input
+        compared whole rows (and silently clamped out-of-bounds indices).
+        """
+        rng = np.random.default_rng(3)
+        xb = jnp.asarray(rng.normal(size=(3, 12)).cumsum(axis=-1))
+        import jax
+
+        batched = convective_adjust_profile(xb)
+        rowwise = jax.vmap(convective_adjust_profile)(xb)
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(rowwise))

@@ -150,6 +150,16 @@ class TestExactGP:
         lml = float(mean_log_marginal_loss(model, y, add_constant=True))
         assert np.isfinite(lml)
 
+    def test_log_marginal_loss_accepts_1d_targets(self):
+        """gp_fit accepts 1-D targets, so the NLL must too (same value)."""
+        x, y, z = self._make_1d_problem()
+        y1 = y[:, 0] if y.ndim == 2 else y
+        m1 = gp_fit(x, y1, _kernel(gamma=1.0), z)
+        m2 = gp_fit(x, y1[:, None], _kernel(gamma=1.0), z)
+        l1 = float(mean_log_marginal_loss(m1, y1, add_constant=True))
+        l2 = float(mean_log_marginal_loss(m2, y1[:, None], add_constant=True))
+        np.testing.assert_allclose(l1, l2, rtol=1e-10)
+
 
 class TestMultiFit:
     """gp_fit_multi: fused shared-predictor fits == sequential gp_fit."""
@@ -262,6 +272,32 @@ class TestHyperparameterOptimization:
         fitted, losses = optimize_kernel_hyperparameters(X, Y, k0, z, iters=60, learning_rate=0.03)
         assert losses[-1] < losses[0]
         assert np.isfinite(np.asarray(fitted.gamma)).all()
+
+    def test_numpy_typed_hyperparameters_still_optimize(self):
+        """np.float32 / 0-d np.ndarray hyperparameters must be coerced and
+        optimized — the old isinstance(int, float) guard skipped them, ran
+        an empty optax loop, and returned the kernel unchanged."""
+        from climateparameterizations_jl_tpu.closures.gp import GPKernel, optimize_kernel_hyperparameters
+
+        rng = np.random.default_rng(13)
+        X = jnp.asarray(np.sort(rng.uniform(-3, 3, size=40))[:, None])
+        Y = jnp.sin(X)
+        z = jnp.asarray([0.0])
+        bad = GPKernel(
+            gamma=np.float32(0.03), sigma=np.array(1.0), alpha=np.float64(1.0),
+            family="squared_exponential", metric="euclidean",
+        )
+        fitted, losses = optimize_kernel_hyperparameters(X, Y, bad, z, iters=40, learning_rate=0.05)
+        assert losses[-1] < losses[0]
+        assert float(fitted.gamma) != pytest.approx(0.03)
+
+    def test_ard_spectral_mixture_rejects_wrong_length(self):
+        from climateparameterizations_jl_tpu.closures.gp import SpectralMixtureKernel
+
+        with pytest.raises(ValueError, match="3\\*D\\*Q"):
+            SpectralMixtureKernel.from_hyperparameters(np.ones(20), D=3)  # 20 % 9 != 0
+        with pytest.raises(ValueError, match="3\\*D\\*Q"):
+            SpectralMixtureKernel.from_hyperparameters(np.ones(2), D=3)  # Q would floor to 0
 
 
 class TestGPClosureDE:

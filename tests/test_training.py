@@ -76,6 +76,19 @@ class TestLossScalings:
         gradient = scaled_dT + scaled_duv
         assert profile / (profile + gradient) == pytest.approx(0.5, rel=1e-5)
 
+    def test_zero_velocity_suite_stays_finite(self):
+        """u = v = 0 exactly (free-convection-style batch): the velocity
+        weight is irrelevant but must be 0, not inf (inf * 0 = NaN total)."""
+        from climateparameterizations_jl_tpu.train.loss import apply_loss_scalings
+
+        zero = jnp.asarray(0.0)
+        losses = LossChannels(u=zero, v=zero, T=jnp.asarray(2.0),
+                              dudz=zero, dvdz=zero, dTdz=jnp.asarray(0.7))
+        w = calculate_loss_scalings(losses, {"T": 0.8, "dTdz": 0.8, "profile": 0.5})
+        total = float(sum(jax.tree.leaves(apply_loss_scalings(losses, w))))
+        assert np.isfinite(float(w.u)) and float(w.u) == 0.0
+        assert np.isfinite(total) and total > 0.0
+
 
 class TestWindMixingNDETraining:
     def test_loss_decreases(self, wm_setup):
@@ -208,8 +221,28 @@ class TestMPPCalibration:
         assert float(fitted.nu_0) > 0.0
         assert np.all(np.asarray(result.theta_std) >= 0.0)
 
+    def test_eki_zero_parameter_default_prior_raises(self, wm_setup):
+        """A zero base parameter makes the multiplicative default prior a
+        degenerate (0, 0) box -> 0/0 NaN ensemble; must fail loudly."""
+        import dataclasses as dc
+
+        from climateparameterizations_jl_tpu.train.mpp_calibration import calibrate_mpp_eki
+
+        model, suite, scalings, batch = wm_setup
+        m = dc.replace(model, mpp=dc.replace(model.mpp, nu_minus=f32(0.0)))
+        config = NDETrainConfig(n_substeps=2, train_gradient=False, method="split")
+        with pytest.raises(ValueError, match="nu_minus"):
+            calibrate_mpp_eki(m, batch, config, key=jax.random.PRNGKey(0), n_ensemble=4, n_iterations=1)
+
 
 class TestDirectFluxRegression:
+    def test_unknown_causality_mode_raises(self, wm_setup):
+        model, suite, scalings, batch = wm_setup
+        x, y = direct_regression_pairs(suite, scalings, "wT")
+        nn = wind_mixing_mlp(jax.random.PRNGKey(2), 32, hidden=(16,))
+        with pytest.raises(ValueError, match="causality"):
+            train_flux_nn(nn, x, y, epochs=1, causality="Hard")  # case slip must not train unmasked
+
     def test_fits_synthetic_fluxes(self, wm_setup):
         model, suite, scalings, batch = wm_setup
         x, y = direct_regression_pairs(suite, scalings, "wT")
