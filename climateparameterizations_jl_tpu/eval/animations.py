@@ -217,7 +217,8 @@ def animate_nde_loss(per_timestep_losses, t, path: str, fps: int = 10, ylabel: s
     """Animate the per-timestep loss curve as training progresses.
 
     ``per_timestep_losses``: ``(E, Nt)`` — one loss-vs-time curve per saved
-    epoch (from ``eval.loss_matrix.epoch_losses``). Parity:
+    epoch (from ``eval.loss_matrix.loss_per_timestep_matrix``;
+    ``epoch_losses`` returns per-epoch SCALARS and does not fit). Parity:
     ``animate_nde_loss`` (``free_convection/src/testing.jl:64-101``).
     """
     curves = np.asarray(per_timestep_losses)
@@ -324,9 +325,13 @@ def animate_double_gyre(traj, model, path: str, fps: int = 8):
     """
     from climateparameterizations_jl_tpu.embed.double_gyre import barotropic_streamfunction
 
+    import jax
+
     T = np.asarray(traj.T)  # (Nt, Ny, Nx, Nz)
     eta = np.asarray(traj.eta)
-    psi = np.stack([np.asarray(barotropic_streamfunction(model, traj.u[k])) for k in range(T.shape[0])]) / 1e6
+    # One batched dispatch over the time axis — a per-frame host loop pays a
+    # blocking device round-trip (~10-30 ms through the tunnel) per frame.
+    psi = np.asarray(jax.vmap(lambda u: barotropic_streamfunction(model, u))(traj.u)) / 1e6
 
     fig, axes = plt.subplots(1, 3, figsize=(15, 4.5))
     sst = T[..., -1]

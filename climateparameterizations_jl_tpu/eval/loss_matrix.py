@@ -13,6 +13,8 @@ Parity targets:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,17 +74,21 @@ def solution_history(
     Parity: ``compute_nde_solution_history`` (``testing.jl:1-32``).
     """
     stacked = stack_epochs(nn_history)
+    return _replay_epochs(stacked, model, T0_scaled, t0, dt_save, n_save, n_substeps, method)
 
-    @jax.jit
-    def replay(stacked):
-        def solve_one(nn):
-            return solve_free_convection_nde(
-                model, nn, T0_scaled, t0, dt_save, n_save, n_substeps=n_substeps, method=method
-            )
 
-        return jax.vmap(solve_one)(stacked)
+@partial(jax.jit, static_argnames=("n_save", "n_substeps", "method"))
+def _replay_epochs(stacked, model, T0_scaled, t0, dt_save, n_save, n_substeps, method):
+    # Module-level jit so repeated solution_history calls (one per held-out
+    # simulation) hit the compilation cache — a per-call inner closure would
+    # re-trace the whole vmapped multi-epoch scan every time (first TPU
+    # compile is 20-40 s).
+    def solve_one(nn):
+        return solve_free_convection_nde(
+            model, nn, T0_scaled, t0, dt_save, n_save, n_substeps=n_substeps, method=method
+        )
 
-    return replay(stacked)
+    return jax.vmap(solve_one)(stacked)
 
 
 def epoch_losses(trajectories, truth_scaled):

@@ -565,6 +565,8 @@ def free_convection_profile(
             jnp.zeros_like(ds_test.u_top), ds_test.theta_top * ds_test.g * ds_test.alpha,
             model.H, Nz, ds_test.f, ds_test.g, ds_test.alpha,
             n_substeps=tke_n_substeps if tke_n_substeps is not None else kpp_n_substeps,
+            # Same fixed-gradient bottom BC as the KPP baseline above.
+            dTdz_bottom=ds_test.theta_bottom,
         )
         out["tke_T"] = np.asarray(tke.T)
         out["losses_tke_T"] = mse_t(model.T_scaling.scale(tke.T), T_truth_scaled)

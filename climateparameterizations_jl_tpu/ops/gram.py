@@ -102,6 +102,10 @@ def gram_pallas(
     N, D2 = B.shape
     if D != D2:
         raise ValueError(f"feature mismatch: {D} vs {D2}")
+    if D > 4096:
+        # Past this the (block, Dp) VMEM slabs blow the ~16 MB/core budget
+        # and Mosaic fails with an opaque allocation error mid-compile.
+        raise ValueError(f"gram_pallas supports D <= 4096 features, got {D}; use the XLA backend")
 
     Dp = max(128, -(-D // 128) * 128)
     Mp = -(-M // bm) * bm

@@ -155,8 +155,13 @@ def tke_diagnostic_heat_flux(state: TKEState, dz, params: TKEParameters, Fb, g, 
     return wT.at[..., -1].set(jnp.broadcast_to(F_theta, wT[..., -1].shape))
 
 
-def tke_step(state: TKEState, dt, dz, params: TKEParameters, Fu, Fb, f_cor, g, alpha, tridiag_backend: str = "scan") -> TKEState:
-    """One operator-split TKE step."""
+def tke_step(state: TKEState, dt, dz, params: TKEParameters, Fu, Fb, f_cor, g, alpha, tridiag_backend: str = "scan", dTdz_bottom=0.0) -> TKEState:
+    """One operator-split TKE step.
+
+    ``dTdz_bottom``: fixed-gradient bottom BC on T, applied exactly like
+    ``kpp_step`` (upward flux ``-KT0 * dTdz`` exits the bottom face) so the
+    two physics baselines share bottom-boundary semantics.
+    """
     K_U, K_T, K_e, (S2, N2, ell, sqrt_e) = tke_diffusivities(state, dz, params, g, alpha)
 
     # TKE sources at centers (average face quantities back to centers).
@@ -181,6 +186,9 @@ def tke_step(state: TKEState, dt, dz, params: TKEParameters, Fu, Fb, f_cor, g, a
     U_half = U_half.at[..., -1].add(-dt * Fu / dz)
     F_theta = Fb / (g * alpha)
     T_half = state.T.at[..., -1].add(-dt * F_theta / dz)
+    # Fixed-gradient bottom BC on T (mirrors kpp_step; keeps the deep linear
+    # profile steady against the zero-flux Laplacian's erosion).
+    T_half = T_half.at[..., 0].add(-dt * params.KT0 * dTdz_bottom / dz)
 
     # One batched Thomas solve for all four variables: the solve is a
     # sequential scan over levels, so four separate solves cost 4x the
@@ -196,7 +204,7 @@ def tke_step(state: TKEState, dt, dz, params: TKEParameters, Fu, Fb, f_cor, g, a
     )
 
 
-def solve_tke(state0: TKEState, t_save, params: TKEParameters, Fu, Fb, H, Nz: int, f_cor, g, alpha, n_substeps: int = 1, tridiag_backend: str = "scan") -> TKEState:
+def solve_tke(state0: TKEState, t_save, params: TKEParameters, Fu, Fb, H, Nz: int, f_cor, g, alpha, n_substeps: int = 1, tridiag_backend: str = "scan", dTdz_bottom=0.0) -> TKEState:
     """Evolve a (batch of) TKE column(s); returns trajectories ``(Nt, ..., Nz)``.
 
     Parity: ``closure_tke_full_evolution``
@@ -209,7 +217,7 @@ def solve_tke(state0: TKEState, t_save, params: TKEParameters, Fu, Fb, H, Nz: in
     dz = jnp.asarray(H / Nz, dtype)
 
     def substep(state, _):
-        return tke_step(state, dt, dz, params, Fu, Fb, f_cor, g, alpha, tridiag_backend), None
+        return tke_step(state, dt, dz, params, Fu, Fb, f_cor, g, alpha, tridiag_backend, dTdz_bottom=dTdz_bottom), None
 
     def interval(state, _):
         state, _ = jax.lax.scan(substep, state, None, length=n_substeps)

@@ -175,6 +175,34 @@ class TestKPP:
 
 
 class TestTKE:
+    def test_bottom_gradient_bc_matches_kpp_semantics(self):
+        """Fixed-gradient bottom BC: -KT0*dTdz exits the bottom face exactly
+        like kpp_step, so the bottom cell loses KT0*dTdz/dz * t of heat
+        relative to the zero-flux run (the KPP/TKE baseline-consistency fix).
+        f64: the exported heat (~1e-5 K/day) sits below f32 ULP noise at T~19."""
+        f64 = jnp.float64
+        dTdz = 0.01
+        zc = jnp.asarray((np.arange(Nz) + 0.5) * dz - H, f64)
+        T_lin = 19.0 + dTdz * (zc + H)
+        state0 = TKEState(U=jnp.zeros(Nz, f64), V=jnp.zeros(Nz, f64),
+                          T=T_lin, e=jnp.full(Nz, 1e-9, f64))
+        t = jnp.linspace(0.0, 86400.0, 9, dtype=f64)
+        params = TKEParameters.default()
+        run = lambda **kw: solve_tke(  # noqa: E731
+            state0, t, params, f64(0.0), f64(0.0), f64(H), Nz,
+            f64(f_cor), f64(g), f64(alpha), n_substeps=4, **kw
+        )
+        with_bc = run(dTdz_bottom=f64(dTdz))
+        without = run()
+        # The BC's whole effect is the explicit bottom-cell sink: the two
+        # runs differ by exactly the exported heat (backward-Euler diffusion
+        # acts identically on both since U=V=0 and e stays at the floor).
+        exported = float(params.KT0) * dTdz / dz * 86400.0
+        diff = float(without.T[-1, 0] - with_bc.T[-1, 0])
+        np.testing.assert_allclose(diff, exported, rtol=0.05)
+        # And every other cell is essentially untouched by the BC.
+        np.testing.assert_allclose(np.asarray(without.T[-1, 1:]), np.asarray(with_bc.T[-1, 1:]), atol=1e-7)
+
     def test_cooling_run(self):
         U, V, T0 = initial_state()
         state0 = TKEState(U=U, V=V, T=T0, e=jnp.full(Nz, 1e-6, jnp.float32))
