@@ -375,7 +375,10 @@ def cmd_ensemble(args) -> int:
     # CLAUDE.md diurnal rule: thread diurnal_amplitude through
     # training_tensors AND set model.diurnal, or the cycling surface flux
     # silently freezes at its frame-0 value (sin(0) = 0: no heat flux at all).
-    diurnal = bool(ckpt_meta.get("diurnal", all(flags) and len(flags) > 0))
+    # Fallback any(flags): amplitude is per-sim, so constant members keep
+    # their frozen BC either way — all(flags) would drop the cycle whenever
+    # a meta-less checkpoint rides a mixed suite.
+    diurnal = bool(ckpt_meta.get("diurnal", any(flags)))
     model = _wind_model(
         ds, args.nz, diurnal=diurnal,
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
@@ -648,7 +651,6 @@ def cmd_train_fc_nde(args) -> int:
     from climateparameterizations_jl_tpu.data.free_convection import (
         free_convection_regression_pairs,
         load_free_convection_simulation,
-        validate_simulation_ids,
     )
     from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
     from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
@@ -656,7 +658,15 @@ def cmd_train_fc_nde(args) -> int:
     from climateparameterizations_jl_tpu.train.nn import train_flux_nn
 
     ids = [int(s) for s in _sims(args.sim_ids)]
-    validate_simulation_ids(ids, [i for i in range(1, 10) if i not in ids])
+    # Held-out ids are the complement by CLI convention, so the reference's
+    # overlap/unused warnings (data.jl:14-30) are structurally impossible
+    # here — passing the complement as a fake "test set" would just disable
+    # them while looking like validation. Only out-of-range is meaningful.
+    from climateparameterizations_jl_tpu.data.free_convection import FREE_CONVECTION_IDS
+
+    bad = sorted(set(ids) - set(FREE_CONVECTION_IDS))
+    if bad:
+        print(f"warning: unknown simulation ids {bad} (valid: {sorted(FREE_CONVECTION_IDS)})")
     datasets = [
         load_free_convection_simulation(
             i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save,
@@ -758,8 +768,12 @@ def cmd_optimise_mpp(args) -> int:
     )
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
 
-    ds = _load_suite(_sims(args.sims), args.nz, args.data_dir, args.n_save, args.dt_save)
-    model = _wind_model(ds, args.nz)
+    names = _sims(args.sims)
+    ds = _load_suite(names, args.nz, args.data_dir, args.n_save, args.dt_save)
+    # CLAUDE.md diurnal rule: without model.diurnal the cycling surface flux
+    # freezes at its frame-0 value (sin(0) = 0 — NO heat flux at all) and
+    # mPP parameters calibrate against wrong physics with no error.
+    model = _wind_model(ds, args.nz, diurnal=any(_suite_diurnal_flags(names)))
     batch = training_tensors(ds, model.scalings, np.arange(0, args.n_train_steps), tau=model.tau)
     config = NDETrainConfig(learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps, method=args.method, optimizer=args.optimizer)
     if args.calibration_method == "eki":
@@ -1000,8 +1014,9 @@ def cmd_evaluate(args) -> int:
     # The checkpoint records the TRAINING-time diurnal mode (a checkpoint
     # trained on a diurnal suite must evaluate with the cycle even when
     # --sims is left at its default); older checkpoints fall back to the
-    # --sims name flags.
-    diurnal = bool(ckpt_meta.get("diurnal", all(flags) and len(flags) > 0))
+    # --sims name flags (any(): per-sim amplitudes keep constant members
+    # frozen, so enabling the cycle for a mixed suite is always safe).
+    diurnal = bool(ckpt_meta.get("diurnal", any(flags)))
     model = _wind_model(
         train_ds, args.nz, diurnal=diurnal,  # TRAINING scalings (override semantics)
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
@@ -1030,10 +1045,13 @@ def cmd_evaluate(args) -> int:
         # Keep only what the final-profiles figure needs (last frame per
         # member + coordinates) — retaining full ProfileEvaluations for a
         # large suite would hold O(10 MB) x n_sims until the loop ends.
+        # Exclude losses_* channels: they end in "_T" too, but the figure
+        # reads only "{member}_T" profile keys.
         all_evs[name] = {
-            k: (v[-1:] if k.endswith(("_u", "_v", "_T", "_uw", "_vw", "_wT", "_Ri")) and getattr(v, "ndim", 0) >= 1 else v)
+            k: (v[-1:] if getattr(v, "ndim", 0) >= 1 and k not in ("zc", "zf") else v)
             for k, v in ev.to_dict().items()
-            if k in ("t", "zc", "zf") or k.endswith(("_u", "_v", "_T"))
+            if k in ("t", "zc", "zf")
+            or (k.endswith(("_u", "_v", "_T")) and not k.startswith("losses_"))
         }
         all_evs[name]["t"] = np.asarray(ev["t"])[-1:]
         np.savez(os.path.join(args.output, f"evaluation_{name}.npz"), **ev.to_dict())
@@ -1441,9 +1459,22 @@ def main(argv=None) -> int:
         tokens = list(sys.argv[1:] if argv is None else argv)
         actions = [a for sp in parser._subparsers._group_actions for a in getattr(sp.choices.get(args.command), "_actions", [])]  # noqa: SLF001
         defaults = {a.dest: a.default for a in actions}
-        explicit = {
-            a.dest for a in actions
-            if any(t == opt or t.startswith(opt + "=") for opt in a.option_strings for t in tokens)
-        }
+        # Which dests were ACTUALLY typed: re-parse the same argv against a
+        # fresh parser whose defaults are all SUPPRESS — only provided flags
+        # land in the namespace. Token-matching option strings misses
+        # argparse prefix abbreviations (--maxit for --maxiters), letting a
+        # config value silently override a flag the user explicitly typed.
+        probe = build_parser()
+        for sp_action in probe._subparsers._group_actions:  # noqa: SLF001
+            for sub in sp_action.choices.values():
+                for a in sub._actions:  # noqa: SLF001
+                    a.default = argparse.SUPPRESS
+        for a in probe._actions:  # noqa: SLF001
+            a.default = argparse.SUPPRESS
+        probe._defaults.clear()  # noqa: SLF001 — set_defaults(fn=...) entries
+        for sp_action in probe._subparsers._group_actions:  # noqa: SLF001
+            for sub in sp_action.choices.values():
+                sub._defaults.clear()  # noqa: SLF001
+        explicit = set(vars(probe.parse_known_args(tokens)[0]))
         _apply_config(args, config, defaults, explicit)
     return args.fn(args)

@@ -24,7 +24,8 @@ def basis_functions(kind: str, n: int, x, domain=(-1.0, 1.0)):
     """Values of the first ``n`` basis functions at points ``x``: ``(n, len(x))``.
 
     ``kind``: ``"fourier"`` (1, cos kt, sin kt on the mapped angle t in
-    [0, pi]), ``"legendre"`` (three-term recurrence), or ``"chebyshev"``
+    [0, 2 pi] — the full period, so the family is orthogonal),
+    ``"legendre"`` (three-term recurrence), or ``"chebyshev"``
     (cos(k arccos)). ``x`` is mapped affinely from ``domain`` to [-1, 1].
     """
     a, b = domain

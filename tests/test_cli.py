@@ -393,6 +393,29 @@ def test_config_does_not_override_explicit_flags(tmp_path):
     assert args.maxiters == 7  # not typed -> config wins over the default
 
 
+def test_config_does_not_override_abbreviated_flags(tmp_path):
+    """argparse prefix abbreviations (--maxit for --maxiters) are explicit
+    flags too: the config must not override them. Token-matching option
+    strings missed abbreviations; the SUPPRESS re-parse catches them.
+    Runs through main() so the real detection path is exercised."""
+    import yaml
+
+    cfg = tmp_path / "c.yaml"
+    # maxiters: typed (abbreviated) equal to the parser default 50 -> must
+    # beat the config's 500.
+    cfg.write_text(yaml.safe_dump({"maxiters": 500}))
+    out = str(tmp_path / "nde_abbrev")
+    rc = main([
+        "train-nde", "--sims", "strong_wind", *TINY,
+        "--config", str(cfg), "--output", out,
+        "--maxit", "50", "--curriculum", "6:1",
+    ])
+    assert rc == 0
+    hist = [json.loads(line) for line in open(os.path.join(out, "history.jsonl"))]
+    iters = max(h["iter"] for h in hist if "iter" in h) + 1
+    assert iters <= 60, f"config overrode the explicitly typed --maxit 50 (ran {iters} iters)"
+
+
 def test_ensemble_diurnal_carries_cycle(tmp_path, capsys):
     """Regression: an ensemble over a diurnal suite used to integrate with
     the surface flux frozen at sin(0) = 0 (diurnal_amplitude never threaded).

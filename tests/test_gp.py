@@ -335,6 +335,19 @@ class TestGPClosureDE:
             kappa=jnp.float64(10.0), scalings=jax.tree.map(lambda a: a.astype(jnp.float64), scalings),
             mpp=MPPParameters.default(jnp.float64), Nz=32,
         )
+        # Shared-Gram fast path (one cross-kernel matrix + stacked-alpha
+        # matmul) must be numerically identical to three gp_predict calls.
+        import dataclasses as dc
+
+        from climateparameterizations_jl_tpu.models.gp_closure import _share_gram, gp_closure_rhs
+
+        assert _share_gram(gps)
+        broken = FluxGPs(uw=gps.uw, vw=dc.replace(gps.vw, x_train=gps.vw.x_train.copy()), wT=gps.wT)
+        assert not _share_gram(broken)
+        r_fast = gp_closure_rhs(model, gps, x[0], 0.0)
+        r_slow = gp_closure_rhs(model, broken, x[0], 0.0)
+        np.testing.assert_allclose(np.asarray(r_fast), np.asarray(r_slow), rtol=1e-10)
+
         dt_save = 600.0 / float(tau)
         traj = solve_gp_closure(model, gps, x[0], 0.0, dt_save, 10, n_substeps=2)
         assert traj.shape == (11, 96)
