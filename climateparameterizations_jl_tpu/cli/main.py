@@ -1262,7 +1262,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="split stepper's implicit solve; pcr is 1.35x faster on TPU (PERFORMANCE.md)")
-    p.add_argument("--fast-assembly", action="store_true", help="matmul-assembled RHS/tendencies for split or rk4 (fewer tiny ops per substep; incompatible with --smooth-nn)")
+    p.add_argument("--fast-assembly", nargs="?", const=True, default=False,
+                   choices=[True, False, "fold"],
+                   help="matmul-assembled RHS/tendencies for split or rk4 (fewer tiny ops per substep; "
+                        "incompatible with --smooth-nn); pass 'fold' to also precompose the divergence "
+                        "matrix into the last NN layer (one less matmul per RHS)")
     p.set_defaults(fn=cmd_train_nde)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")

@@ -355,6 +355,9 @@ def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCon
     ``fast_assembly=True`` (``method="rk4"`` + mPP only) integrates the
     MXU-assembled full RHS (:func:`_fast_full_rhs`) — same math,
     equivalence-tested, fewer tiny ops on the latency-bound chain.
+    ``fast_assembly="fold"`` additionally precomposes the divergence matrix
+    into the last NN layer (one less ``(C, 3 Nz) @ (3 Nz, 3 Nz)`` matmul
+    per RHS evaluation — ~24% of the matmul FLOPs at MXU-bound batches).
 
     For ``euler``/``heun`` the Coriolis rotation is split out and applied
     forward-backward after each flux substep: rotation inside a plain
@@ -381,10 +384,12 @@ def solve_wind_mixing_nde(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryCon
 
         return solve_fixed_step(None, x0, t0, dt_save, n_save, n_substeps, fb_step, checkpoint, unroll)
     if fast_assembly:
+        if fast_assembly not in (True, "fold"):
+            raise ValueError(f"fast_assembly must be False, True or 'fold' (got {fast_assembly!r})")
         packed = nns if isinstance(nns, PackedFluxNNs) else pack_flux_nns(nns)
         if packed is None:
             raise ValueError("fast_assembly needs three packable (same-depth, same-activation) MLP closures")
-        rhs = _fast_full_rhs(model, packed, bcs)
+        rhs = _fast_full_rhs(model, packed, bcs, fold_divergence=fast_assembly == "fold")
     else:
         rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731
     return solve_fixed_step(rhs, x0, t0, dt_save, n_save, n_substeps, method, checkpoint, unroll)
@@ -497,7 +502,7 @@ def _pad_packed_chain(packed: PackedFluxNNs, Nz: int):
     return (*packed.matrices[:-1], A3p), (*packed.biases[:-1], b3p)
 
 
-def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryConditions):
+def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryConditions, fold_divergence: bool = False):
     """The FULL NDE right-hand side (mPP + Coriolis) via the MXU assembly.
 
     :func:`ops.fused_rhs.make_fast_rhs` with traced/batched BCs and traced
@@ -505,6 +510,15 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
     ``use_mpp`` configuration, ~13-deep dependent op chain instead of ~25.
     Supports per-sim BC arrays (left-aligned broadcast) and diurnal top
     fluxes; used by ``solve_wind_mixing_nde(fast_assembly=True)``.
+
+    ``fold_divergence=True`` (``fast_assembly="fold"``) additionally removes
+    the ``(C, 3 Nz) @ (3 Nz, 3 Nz)`` divergence matmul from every RHS
+    evaluation: ``Dr`` precomposes into the (traced) last NN layer ONCE at
+    closure-build time — outside the time scan, so the fold costs one
+    parameter-sized matmul per solve — and the mPP divergence becomes the
+    :func:`~climateparameterizations_jl_tpu.ops.fused_rhs.fold_divergence_constants`
+    roll-subtract. Differentiable: the fold is a plain ``jnp.dot`` on the
+    weight tracer.
     """
     import numpy as np
 
@@ -512,6 +526,7 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
         _assembly_constants,
         _make_mxu_rhs,
         _scalar_constants,
+        fold_divergence_constants,
     )
 
     if model.smooth_NN or model.smooth_Ri:
@@ -525,7 +540,7 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
         )
     Nz = model.Nz
     consts = _scalar_constants(model)
-    body = _make_mxu_rhs(consts, Nz, packed.activation)
+    body = _make_mxu_rhs(consts, Nz, packed.activation, fold_divergence=fold_divergence)
     mats, biases = _pad_packed_chain(packed, Nz)
     A1, A2, A3p = mats
     b1, b2, b3p = biases
@@ -537,6 +552,23 @@ def _fast_full_rhs(model: WindMixingModel, packed: PackedFluxNNs, bcs: BoundaryC
     Dr, K_mu, w1, w2 = _assembly_constants(consts, Nz, dtype=np.float64)
     # 1-D rows: (1, n) would broadcast a leading axis onto unbatched states.
     K_mu, w1, w2 = K_mu[0], w1[0], w2[0]
+
+    if fold_divergence:
+        # Fold ONCE at closure-build time (outside any time scan).
+        A3p = jnp.dot(A3p, jnp.asarray(Dr, A3p.dtype))
+        b3p = jnp.dot(b3p, jnp.asarray(Dr, b3p.dtype))
+        C2a, C2b = fold_divergence_constants(consts, Nz, dtype=np.float64)
+
+        def rhs(x, t):
+            bcs_t = _effective_bcs(model, bcs, t)
+            K = _split_bc_row(model, bcs_t, x.shape[:-1]) + jnp.asarray(K_mu, x.dtype)
+            return body(
+                x, A1, b1, A2, b2, A3p, b3p,
+                jnp.asarray(C2a, x.dtype), jnp.asarray(C2b, x.dtype),
+                K, jnp.asarray(w1, x.dtype), jnp.asarray(w2, x.dtype),
+            )
+
+        return rhs
 
     def rhs(x, t):
         bcs_t = _effective_bcs(model, bcs, t)
@@ -574,12 +606,18 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
     ``smooth_NN`` (``smooth_Ri`` is fine: the implicit ``nu`` path is
     unchanged). Diurnal BCs are supported (the time-varying top-flux term
     re-enters the BC row each substep; the invariant terms hoist).
+    ``fast_assembly="fold"`` precomposes the divergence matrix into the
+    packed last layer at closure-build time (outside the substep scan):
+    the explicit tendency is then the bare NN chain + BC row — the
+    divergence matmul AND the pad-to-block reshape drop out of the chain.
     """
     dt = dt_save / n_substeps
     # Non-dimensional diffusion coefficient: nu * tau / H^2 (see module docstring).
     nu_scale = model.tau / (model.H * model.H)
 
     if fast_assembly:
+        if fast_assembly not in (True, "fold"):
+            raise ValueError(f"fast_assembly must be False, True or 'fold' (got {fast_assembly!r})")
         if model.smooth_NN:
             raise ValueError("fast_assembly does not apply the NN smoothing filter; use the default path")
         packed = nns if isinstance(nns, PackedFluxNNs) else pack_flux_nns(nns)
@@ -596,9 +634,19 @@ def solve_wind_mixing_split(model: WindMixingModel, nns: FluxNNs, bcs: BoundaryC
             + Rv * divergence_matrix(0.0, 1.0, 0.0, model.Nz)
             + RT * divergence_matrix(0.0, 0.0, 1.0, model.Nz)
         ).astype(x0.dtype)
+        if fast_assembly == "fold":
+            mats, biases = _pad_packed_chain(packed, model.Nz)
+            folded = PackedFluxNNs(
+                matrices=(*mats[:-1], jnp.dot(mats[-1], Dr)),
+                biases=(*biases[:-1], jnp.dot(biases[-1], Dr)),
+                activation=packed.activation,
+            )
 
     def substep(x, t):
-        if fast_assembly:
+        if fast_assembly == "fold":
+            bcs_t = _effective_bcs(model, bcs, t)
+            x_adv = x + dt * (folded(x) + _split_bc_row(model, bcs_t, x.shape[:-1]))
+        elif fast_assembly:
             x_adv = x + dt * _fast_explicit_tendencies(model, packed, Dr, bcs, x, t)
         else:
             x_adv = x + dt * _explicit_rhs_split(model, nns, bcs, x, t)

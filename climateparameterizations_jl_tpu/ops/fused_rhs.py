@@ -362,7 +362,41 @@ def _assembly_constants(consts: tuple, Nz: int, dtype=np.float32):
     return Dr, Krow, w1, w2
 
 
-def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None):
+def fold_divergence_constants(consts: tuple, Nz: int, dtype=np.float32):
+    """Lane-coefficient vectors replacing the ``mpp @ Dr`` matmul.
+
+    ``Dr`` is bidiagonal within each variable block, so its action on the
+    mPP flux lanes collapses to a roll-subtract with per-lane constants:
+
+        ``mpp @ Dr == C2a * roll(nud, 1) - C2b * nud``
+
+    where ``nud = concat([nu * du, nu * dv, nu * dT])`` (raw differences x
+    nu, the per-variable mPP coefficients ``c_b`` folded into the vectors).
+    ``C2b`` zeroes the seam input lanes (``b Nz + Nz - 1``, junk
+    differences); ``C2a`` zeroes each block's first output lane (no
+    ``k - 1`` face) — which also kills the cross-block leak of the previous
+    block's seam lane under the packed roll. Used by the
+    ``fold_divergence`` variant of :func:`_make_mxu_rhs`.
+    """
+    (
+        Hga, sig_u, sig_v, sig_T, mu_u, mu_v, sig_uw, sig_vw, sig_wT,
+        nu0, nu1, Ric, dRi, Pr, H, tau, fcor,
+        *_bcs,
+    ) = consts
+    dz = 1.0 / Nz
+    R = tendency_coefficients(tau, H, sig_uw, sig_vw, sig_wT, sig_u, sig_v, sig_T)
+    c = (sig_u / sig_uw / H / dz, sig_v / sig_vw / H / dz, sig_T / sig_wT / H / Pr / dz)
+    C2a = np.zeros(3 * Nz, dtype)
+    C2b = np.zeros(3 * Nz, dtype)
+    for b in range(3):
+        o = b * Nz
+        coef = R[b] / dz * c[b]
+        C2a[o + 1 : o + Nz] = coef  # output lane k>=1 reads input lane k-1 (<= Nz-2)
+        C2b[o : o + Nz - 1] = coef  # output lane k<=Nz-2 reads input lane k
+    return C2a, C2b
+
+
+def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None, fold_divergence: bool = False):
     """The MXU-assembly RHS body, shared by the Pallas kernel and the XLA twin.
 
     Replaces the v1 kernel's slice/concat divergence + Coriolis chains with
@@ -376,6 +410,14 @@ def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None):
     with f32 accumulation; ``None`` keeps them f32. Returns
     ``rhs(x, A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2)`` acting on the last
     axis (any leading batch shape).
+
+    ``fold_divergence=True`` removes the ``(..., 3 Nz) @ (3 Nz, 3 Nz)``
+    divergence matmul from the chain entirely (~24% of the matmul FLOPs at
+    MXU-bound batch sizes): the NN side precomposes into the last layer
+    (caller passes ``A3f = A3 @ Dr``, ``b3f = b3 @ Dr``) and the mPP side
+    collapses to a roll-subtract with the :func:`fold_divergence_constants`
+    lane vectors. Returned signature becomes
+    ``rhs(x, A1, b1, A2, b2, A3f, b3f, C2a, C2b, Krow, w1, w2)``.
     """
     dz = 1.0 / Nz
     eps = 1e-7
@@ -431,7 +473,27 @@ def _make_mxu_rhs(consts: tuple, Nz: int, activation: str, matmul_dtype=None):
         cor = w1 * jnp.roll(x, -Nz, axis=-1) + w2 * jnp.roll(x, Nz, axis=-1)
         return jnp.dot(flux, Dr, preferred_element_type=flux.dtype) + cor + Krow
 
-    return rhs
+    def rhs_folded(x, A1, b1, A2, b2, A3f, b3f, C2a, C2b, Krow, w1, w2):
+        d = jnp.roll(x, -1, axis=-1) - x  # packed raw differences; seam lanes junk
+        du = d[..., 0:Nz]
+        dv = d[..., Nz : 2 * Nz]
+        dT = d[..., 2 * Nz : 3 * Nz]
+        eu = du + epsdz
+        ev = dv + epsdz
+        eT = dT + epsdz
+        Ri = aT * eT / (au * eu * eu + av * ev * ev)
+        nu = n_a + n_b * jnp.tanh(t_a * Ri + t_b)
+
+        a1 = act(mm(x, A1) + b1)
+        a2 = act(mm(a1, A2) + b2)
+        ydiv = mm(a2, A3f) + b3f  # NN flux divergence: Dr precomposed into the last layer
+
+        nud = jnp.concatenate([nu * du, nu * dv, nu * dT], axis=-1)
+        mppdiv = C2a * jnp.roll(nud, 1, axis=-1) - C2b * nud
+        cor = w1 * jnp.roll(x, -Nz, axis=-1) + w2 * jnp.roll(x, Nz, axis=-1)
+        return ydiv - mppdiv + cor + Krow
+
+    return rhs_folded if fold_divergence else rhs
 
 
 def _make_kernel_mxu(consts: tuple, dt: float, n_steps: int, Nz: int, activation: str, matmul_dtype, loop_unroll: int = 1):
@@ -540,7 +602,7 @@ def fused_wind_mixing_multistep_mxu(model, nns, bcs, x0, dt, n_steps,
     return run(x0)
 
 
-def make_fast_rhs(model, nns, bcs):
+def make_fast_rhs(model, nns, bcs, fold_divergence: bool = False):
     """The MXU-assembly RHS on the plain XLA path (jit/scan/vmap/grad-safe).
 
     Same math as :func:`_make_kernel_mxu` — roll-based packed gradients,
@@ -550,19 +612,30 @@ def make_fast_rhs(model, nns, bcs):
     (non-diurnal, mPP + zero_weights); validated against
     :func:`~climateparameterizations_jl_tpu.models.wind_mixing.wind_mixing_rhs`
     in ``tests/test_fused_rhs.py``. Returns ``rhs(x, t)``.
+
+    ``fold_divergence=True`` precomposes ``Dr`` into the last NN layer and
+    replaces the mPP divergence matmul with the
+    :func:`fold_divergence_constants` roll-subtract (constants folded in
+    f64 before the f32 cast) — same math, one less ``(C, 3 Nz) x (3 Nz,
+    3 Nz)`` matmul per RHS evaluation.
     """
     _assert_fused_config(model)
     Nz = model.Nz
     consts = _scalar_constants(model, bcs)
-    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights(nns, Nz, pad_to_block=True)
-    Dr, Krow, w1, w2 = _assembly_constants(consts, Nz)
+    (A1, b1, A2, b2, A3, b3), _ = _pack_block_weights(nns, Nz, dtype=np.float64, pad_to_block=True)
+    Dr, Krow, w1, w2 = _assembly_constants(consts, Nz, dtype=np.float64)
+    if fold_divergence:
+        C2a, C2b = fold_divergence_constants(consts, Nz, dtype=np.float64)
+        raw = (A1, b1, A2, b2, A3 @ Dr, b3 @ Dr, C2a, C2b, Krow, w1, w2)
+    else:
+        raw = (A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2)
     # Row constants as 1-D vectors: (1, n) rows would broadcast a leading
     # axis onto unbatched (3 Nz,) states.
     mats = tuple(
-        jnp.asarray(a[0] if a.ndim == 2 and a.shape[0] == 1 else a, jnp.float32)
-        for a in (A1, b1, A2, b2, A3, b3, Dr, Krow, w1, w2)
+        jnp.asarray(a[0] if getattr(a, "ndim", 0) == 2 and a.shape[0] == 1 else a, jnp.float32)
+        for a in raw
     )
-    body = _make_mxu_rhs(consts, Nz, nns.uw.activation)
+    body = _make_mxu_rhs(consts, Nz, nns.uw.activation, fold_divergence=fold_divergence)
 
     def rhs(x, t):
         del t

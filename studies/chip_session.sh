@@ -31,7 +31,7 @@ run() { # run <name> <timeout_s> <cmd...>
 #    must outlast bench.py's own tunnel-wedge retry loop (~1380 s worst case:
 #    5 probes x 180 s + 4 sleeps x 120 s) plus the compile and run.
 run bench_sanity 2700 python bench.py || exit 1
-grep -q '"platform": "axon"' "$OUT/bench_sanity.log" || {
+grep -qE '"platform": "(axon|tpu)"' "$OUT/bench_sanity.log" || {
   echo "!!! headline did not run on the TPU — aborting session" | tee -a "$OUT/session.log"
   exit 1
 }

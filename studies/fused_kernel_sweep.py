@@ -112,6 +112,13 @@ def main():
         record(f"xla fast-rhs (mxu twin) unroll={unroll}",
                _bench_xla(model, None, bcs, x0, dt, S, unroll, rhs=fast))
 
+    # Divergence matmul folded away (A3 @ Dr precomposed; mPP divergence as
+    # the C2a/C2b roll-subtract): ~24% fewer matmul FLOPs per RHS.
+    fold = make_fast_rhs(model, nns, bcs, fold_divergence=True)
+    for unroll in (1, 4, 8):
+        record(f"xla fast-rhs fold-divergence unroll={unroll}",
+               _bench_xla(model, None, bcs, x0, dt, S, unroll, rhs=fold))
+
     cbs = sorted({min(cb, C) for cb in (512, 1024, 2048, 4096)})
     for cb in cbs:
         try:

@@ -359,6 +359,20 @@ class TestFastRK4:
         assert a.dtype == jnp.float64 and b.dtype == jnp.float64
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-14)
 
+    def test_fold_rejects_unknown_value(self):
+        import pytest
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import (
+            solve_wind_mixing_nde,
+            solve_wind_mixing_split,
+        )
+
+        model, nns, bcs, x0 = _setup(n_columns=2)
+        with pytest.raises(ValueError, match="fast_assembly"):
+            solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 1, fast_assembly="folded")
+        with pytest.raises(ValueError, match="fast_assembly"):
+            solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 1e-3, 1, fast_assembly="folded")
+
     def test_builds_inside_jit(self):
         # The training loop traces the whole solve under jit: the fast-path
         # builders must not run float() on values jnp ops have turned into
@@ -374,3 +388,120 @@ class TestFastRK4:
         out = run(nns, x0)
         ref = solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 2, n_substeps=2, fast_assembly=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+
+class TestFoldDivergence:
+    """fast_assembly="fold": the divergence matmul precomposed away.
+
+    The NN side rides ``A3f = A3 @ Dr`` (folded once at closure-build time);
+    the mPP side becomes the ``fold_divergence_constants`` roll-subtract.
+    Must match the default path everywhere the plain fast path does.
+    """
+
+    def test_fast_rhs_fold_matches_reference(self):
+        model, nns, bcs, x0 = _setup(n_columns=8)
+        fast = make_fast_rhs(model, nns, bcs, fold_divergence=True)
+        want = wind_mixing_rhs(model, nns, bcs, x0, 0.0)
+        np.testing.assert_allclose(np.asarray(fast(x0, 0.0)), np.asarray(want), rtol=1e-3, atol=1e-4)
+        # unbatched
+        np.testing.assert_allclose(
+            np.asarray(fast(x0[0], 0.0)),
+            np.asarray(wind_mixing_rhs(model, nns, bcs, x0[0], 0.0)),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_fast_rhs_fold_other_Nz(self):
+        # Seam-lane masking via the C2a/C2b zeros (incl. the cross-block
+        # leak of the previous block's seam under the packed roll) must
+        # hold for any Nz.
+        for Nz in (16, 48):
+            model, nns, bcs, x0 = _setup(n_columns=4, Nz=Nz)
+            fast = make_fast_rhs(model, nns, bcs, fold_divergence=True)
+            want = wind_mixing_rhs(model, nns, bcs, x0, 0.0)
+            np.testing.assert_allclose(np.asarray(fast(x0, 0.0)), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+    def test_rk4_fold_matches_default(self):
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=6)
+        args = (model, nns, bcs, x0, 0.0, 1e-4, 3)
+        a = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=False)
+        b = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly="fold")
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_rk4_fold_batched_bcs_and_diurnal(self):
+        import dataclasses
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=5)
+        model = dataclasses.replace(model, diurnal=True)
+        rng = np.random.default_rng(7)
+        bcs = dataclasses.replace(
+            bcs,
+            uw_top=jnp.asarray(rng.normal(size=5) * 0.3, x0.dtype),
+            wT_bot=jnp.asarray(rng.normal(size=5) * 0.1, x0.dtype),
+            diurnal_amplitude=jnp.asarray(np.abs(rng.normal(size=5)) * 2e-5, x0.dtype),
+        )
+        args = (model, nns, bcs, x0, 0.0, 1e-4, 3)
+        a = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=False)
+        b = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly="fold")
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+    def test_split_fold_matches_default(self):
+        import dataclasses
+
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_split
+
+        model, nns, bcs, x0 = _setup(n_columns=6)
+        for variant in ("base", "non_zero_weights", "conv_adj"):
+            m = model
+            if variant == "non_zero_weights":
+                m = dataclasses.replace(model, zero_weights=False)
+            elif variant == "conv_adj":
+                m = dataclasses.replace(model, use_mpp=False, use_conv_adj=True)
+            args = (m, nns, bcs, x0, 0.0, 1e-3, 3)
+            a = solve_wind_mixing_split(*args, n_substeps=4, fast_assembly=False)
+            b = solve_wind_mixing_split(*args, n_substeps=4, fast_assembly="fold")
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7, err_msg=variant
+            )
+
+    def test_gradients_match_both_solvers(self):
+        from climateparameterizations_jl_tpu.models.wind_mixing import (
+            solve_wind_mixing_nde,
+            solve_wind_mixing_split,
+        )
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+
+        def loss_rk4(nns, fast):
+            traj = solve_wind_mixing_nde(model, nns, bcs, x0, 0.0, 1e-4, 2, n_substeps=3, fast_assembly=fast)
+            return jnp.sum(traj[-1] ** 2)
+
+        def loss_split(nns, fast):
+            traj = solve_wind_mixing_split(model, nns, bcs, x0, 0.0, 1e-3, 2, n_substeps=3, fast_assembly=fast)
+            return jnp.sum(traj[-1] ** 2)
+
+        for loss in (loss_rk4, loss_split):
+            g_fold = jax.grad(lambda p: loss(p, "fold"))(nns)
+            g_ref = jax.grad(lambda p: loss(p, False))(nns)
+            for gf, gr in zip(jax.tree_util.tree_leaves(g_fold), jax.tree_util.tree_leaves(g_ref)):
+                np.testing.assert_allclose(
+                    np.asarray(gf), np.asarray(gr), rtol=1e-4,
+                    atol=1e-6 * max(1.0, float(jnp.abs(gr).max())),
+                )
+
+    def test_f64_full_precision(self):
+        # In x64 the fold is exact linear algebra: trajectories must agree
+        # with the default path to near machine-f64 (same contract as the
+        # unfolded fast path).
+        from climateparameterizations_jl_tpu.models.wind_mixing import solve_wind_mixing_nde
+
+        model, nns, bcs, x0 = _setup(n_columns=4)
+        to64 = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), t)  # noqa: E731
+        args = (to64(model), to64(nns), to64(bcs), jnp.asarray(x0, jnp.float64), 0.0, 1e-4, 3)
+        a = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly=False)
+        b = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly="fold")
+        assert b.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-14)
