@@ -211,7 +211,9 @@ def bench_nde_forward(
     twin bakes the NN weights as jit CONSTANTS (its serving posture) while
     the packed path passes them as traced arguments, so the A/B includes
     whatever constant folding buys; requires ``packed=True`` so the scan
-    unroll matches the incumbent configuration.
+    unroll matches the incumbent configuration. ``rhs_variant="fold"`` is
+    the fast twin with the divergence matmul precomposed away
+    (``make_fast_rhs(fold_divergence=True)`` — ~24% fewer matmul FLOPs).
     """
     from __graft_entry__ import _make_setup
 
@@ -219,14 +221,14 @@ def bench_nde_forward(
     from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns, wind_mixing_rhs
 
     model, nns, bcs, x0 = _make_setup(Nz=Nz, n_columns=n_columns)
-    if rhs_variant == "fast":
+    if rhs_variant in ("fast", "fold"):
         if not packed:
-            raise ValueError("rhs_variant='fast' requires packed=True (keeps the scan unroll comparable)")
+            raise ValueError("rhs_variant='fast'/'fold' requires packed=True (keeps the scan unroll comparable)")
         from climateparameterizations_jl_tpu.ops.fused_rhs import make_fast_rhs
 
-        fast_rhs = make_fast_rhs(model, nns, bcs)
+        fast_rhs = make_fast_rhs(model, nns, bcs, fold_divergence=rhs_variant == "fold")
     elif rhs_variant != "packed":
-        raise ValueError(f"rhs_variant must be 'packed' or 'fast', got {rhs_variant!r}")
+        raise ValueError(f"rhs_variant must be 'packed', 'fast' or 'fold', got {rhs_variant!r}")
     if packed:
         nns = pack_flux_nns(nns)
     dt = jnp.float32(1e-5)
@@ -239,7 +241,7 @@ def bench_nde_forward(
 
     @jax.jit
     def run(nns, x):
-        if rhs_variant == "fast":
+        if rhs_variant in ("fast", "fold"):
             rhs = lambda x, t: fast_rhs(x, t)  # noqa: E731
         else:
             rhs = lambda x, t: wind_mixing_rhs(model, nns, bcs, x, t)  # noqa: E731

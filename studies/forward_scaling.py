@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--n-steps", type=int, default=1024)
     ap.add_argument("--chunk-columns", type=int, default=None,
                     help="lax.map the scan over column chunks (VMEM-cliff mitigation)")
+    ap.add_argument("--rhs-variant", default="packed", choices=["packed", "fast", "fold"],
+                    help="packed = incumbent headline path; fast = MXU-assembly twin; "
+                         "fold = fast with the divergence matmul precomposed away")
     ap.add_argument("--out", default=None, help="append JSON lines here")
     args = ap.parse_args(argv)
 
@@ -44,7 +47,7 @@ def main(argv=None):
             try:
                 stats = bench_nde_forward(
                     n_columns=n, n_steps=args.n_steps, unroll=unroll,
-                    chunk_columns=chunk,
+                    chunk_columns=chunk, rhs_variant=args.rhs_variant,
                 )
             except Exception as e:  # one huge config OOMing must not eat the sweep
                 print(json.dumps({"n_columns": n, "unroll": unroll, "chunk_columns": chunk,
@@ -55,6 +58,7 @@ def main(argv=None):
                 "unroll": unroll,
                 "n_steps": args.n_steps,
                 "chunk_columns": chunk,
+                "rhs_variant": args.rhs_variant,
                 "median_s": stats["median_s"],
                 "col_ts_per_s": stats["column_timesteps_per_sec"],
                 "mfu_pct": stats.get("mfu_pct"),
