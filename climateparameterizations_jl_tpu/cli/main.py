@@ -551,9 +551,13 @@ def cmd_train_nn(args) -> int:
 def cmd_train_nde(args) -> int:
     import jax
 
-    # Fail fast on --fast-assembly misconfiguration (before any data loads;
-    # the deep solver check would only fire at the first jit trace).
-    if args.fast_assembly:
+    if args.fast_assembly == "off":
+        args.fast_assembly = False
+    # Fail fast on EXPLICIT --fast-assembly misconfiguration (before any data
+    # loads; the deep solver check would only fire at the first jit trace).
+    # "auto" never errors: it resolves to the default path when unsupported
+    # (models.wind_mixing.resolve_fast_assembly).
+    if args.fast_assembly and args.fast_assembly != "auto":
         if args.smooth_nn:
             raise SystemExit("train-nde: --fast-assembly does not apply the NN smoothing filter; drop --smooth-nn")
         if args.method not in ("split", "rk4"):
@@ -1262,11 +1266,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="split stepper's implicit solve; pcr is 1.35x faster on TPU (PERFORMANCE.md)")
-    p.add_argument("--fast-assembly", nargs="?", const=True, default=False,
-                   choices=[True, False, "fold"],
+    p.add_argument("--fast-assembly", nargs="?", const=True, default="auto",
+                   choices=[True, False, "auto", "off", "fold"],
                    help="matmul-assembled RHS/tendencies for split or rk4 (fewer tiny ops per substep; "
-                        "incompatible with --smooth-nn); pass 'fold' to also precompose the divergence "
-                        "matrix into the last NN layer (one less matmul per RHS)")
+                        "incompatible with --smooth-nn); 'fold' also precomposes the divergence "
+                        "matrix into the last NN layer (one less matmul per RHS). Default 'auto' "
+                        "picks 'fold' when the configuration supports it, else the default path; "
+                        "'off' forces the default stencil path")
     p.set_defaults(fn=cmd_train_nde)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")

@@ -55,7 +55,12 @@ class NDETrainConfig:
     pack_nns: bool = True  # fuse the 3 flux MLPs into one matmul chain (3x faster rk4 steps)
     tridiag_backend: str = "scan"  # "scan" | "pcr" for the split stepper's implicit solve
     split_unroll: int = 1  # substep-scan unroll in the split stepper
-    fast_assembly: bool = False  # matmul-assembled explicit split tendencies (see solve_wind_mixing_split)
+    # "auto" (default) resolves to "fold" — matmul-assembled tendencies with
+    # the divergence matrix precomposed into the packed last NN layer, the
+    # fastest measured train step (21.8 vs 24.3 ms/iter on the 18-sim
+    # flagship, PERFORMANCE.md) — whenever the configuration supports it,
+    # else the default stencil path. False/True/"fold" force a variant.
+    fast_assembly: bool | str = "auto"
     implicit_solve_grad: bool = True  # IFT gradients through the implicit solves (ops.tridiagonal)
 
 
@@ -115,16 +120,19 @@ def solve_with_config(model: WindMixingModel, nns: FluxNNs, bcs, x0, t0, dt_save
     them (a knob silently dropped by one caller is the bug class this
     closes). Returns the raw ``(n_save + 1, ..., 3 Nz)`` trajectory.
     """
+    from climateparameterizations_jl_tpu.models.wind_mixing import resolve_fast_assembly
+
+    fast_assembly = resolve_fast_assembly(model, nns, config.method, config.fast_assembly)
     if config.method == "split":
         return solve_wind_mixing_split(
             model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps,
             tridiag_backend=config.tridiag_backend, unroll=config.split_unroll,
-            fast_assembly=config.fast_assembly,
+            fast_assembly=fast_assembly,
             implicit_solve_grad=config.implicit_solve_grad,
         )
     return solve_wind_mixing_nde(
         model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps,
-        config.method, fast_assembly=config.fast_assembly,
+        config.method, fast_assembly=fast_assembly,
     )
 
 

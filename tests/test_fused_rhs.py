@@ -505,3 +505,67 @@ class TestFoldDivergence:
         b = solve_wind_mixing_nde(*args, n_substeps=4, fast_assembly="fold")
         assert b.dtype == jnp.float64
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-14)
+
+
+class TestAutoFastAssembly:
+    """fast_assembly="auto" resolution (the NDETrainConfig default)."""
+
+    def test_resolves_to_fold_when_supported(self):
+        from climateparameterizations_jl_tpu.models.wind_mixing import resolve_fast_assembly
+
+        model, nns, bcs, x0 = _setup(n_columns=2)
+        assert resolve_fast_assembly(model, nns, "split", "auto") == "fold"
+        assert resolve_fast_assembly(model, nns, "rk4", "auto") == "fold"
+
+    def test_falls_back_on_unsupported_configs(self):
+        import dataclasses
+
+        from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+        from climateparameterizations_jl_tpu.models.wind_mixing import (
+            FluxNNs,
+            resolve_fast_assembly,
+        )
+
+        model, nns, bcs, x0 = _setup(n_columns=2)
+        # NN smoothing: unsupported by the assembly everywhere.
+        smooth = dataclasses.replace(model, smooth_NN=True)
+        assert resolve_fast_assembly(smooth, nns, "split", "auto") is False
+        # rk4 needs the mPP base and no Ri smoothing.
+        conv_adj = dataclasses.replace(model, use_mpp=False, use_conv_adj=True)
+        assert resolve_fast_assembly(conv_adj, nns, "rk4", "auto") is False
+        assert resolve_fast_assembly(conv_adj, nns, "split", "auto") == "fold"
+        smooth_ri = dataclasses.replace(model, smooth_Ri=True)
+        assert resolve_fast_assembly(smooth_ri, nns, "rk4", "auto") is False
+        assert resolve_fast_assembly(smooth_ri, nns, "split", "auto") == "fold"
+        # euler/heun: no assembly path.
+        assert resolve_fast_assembly(model, nns, "euler", "auto") is False
+        # non-packable (wrong-depth) NNs.
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        two_layer = FluxNNs(*(wind_mixing_mlp(k, Nz=model.Nz, hidden=(16,)) for k in keys))
+        assert resolve_fast_assembly(model, two_layer, "split", "auto") is False
+
+    def test_explicit_values_pass_through(self):
+        from climateparameterizations_jl_tpu.models.wind_mixing import resolve_fast_assembly
+
+        model, nns, _, _ = _setup(n_columns=2)
+        for v in (False, True, "fold"):
+            assert resolve_fast_assembly(model, nns, "split", v) == v
+
+    def test_train_config_auto_runs_everywhere(self):
+        # The NDETrainConfig default must train on configurations the
+        # assembly does NOT support (graceful fallback, not an error).
+        import dataclasses
+
+        from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, solve_with_config
+
+        model, nns, bcs, x0 = _setup(n_columns=3)
+        smooth = dataclasses.replace(model, smooth_NN=True)
+        cfg = NDETrainConfig(method="split", n_substeps=2)
+        assert cfg.fast_assembly == "auto"
+        out_fold = solve_with_config(model, nns, bcs, x0, 0.0, 1e-3, 2, cfg)
+        out_smooth = solve_with_config(smooth, nns, bcs, x0, 0.0, 1e-3, 2, cfg)
+        assert np.all(np.isfinite(np.asarray(out_fold)))
+        assert np.all(np.isfinite(np.asarray(out_smooth)))
+        # and the fold path matches an explicit default-path solve
+        ref = solve_with_config(model, nns, bcs, x0, 0.0, 1e-3, 2, dataclasses.replace(cfg, fast_assembly=False))
+        np.testing.assert_allclose(np.asarray(out_fold), np.asarray(ref), rtol=1e-5, atol=1e-7)
