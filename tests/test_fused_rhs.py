@@ -237,11 +237,12 @@ class TestFastSplit:
             )
             args = (model, nns, bcs, x0, 0.0, 5e-4, 2)
             a = solve_wind_mixing_split(*args, n_substeps=3, fast_assembly=False)
-            b = solve_wind_mixing_split(*args, n_substeps=3, fast_assembly=True)
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
-                err_msg=f"trial {trial}: Nz={Nz} batch={batch} zero_weights={model.zero_weights} diurnal={model.diurnal}",
-            )
+            for fast in (True, "fold"):
+                b = solve_wind_mixing_split(*args, n_substeps=3, fast_assembly=fast)
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+                    err_msg=f"trial {trial}: fast={fast} Nz={Nz} batch={batch} zero_weights={model.zero_weights} diurnal={model.diurnal}",
+                )
 
     def test_smooth_nn_rejected(self):
         import dataclasses
