@@ -57,7 +57,7 @@ def _probed_roofline(make_fn, args, n_steps: int, iters: int = 5):
     )
 
 
-def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
+def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288, tridiag_backend: str = "scan"):
     """KPP full-evolution: 2-day column at 600 s steps (Benchmarking.jl:25)."""
     from climateparameterizations_jl_tpu.physics.kpp import (
         KPPForcing,
@@ -78,7 +78,7 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
 
     def make_fn(ns):
         t_save = jnp.linspace(0.0, ns * 600.0, ns + 1)
-        return jax.jit(lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
+        return jax.jit(lambda s: solve_kpp(s, t_save, params, forcing, 256.0, Nz, 1e-4, 9.81, 2e-4, tridiag_backend=tridiag_backend).T)
 
     # Two-point cost probe: the saved trajectory's concatenate is one-time
     # but n-proportional — without the probe it gets multiplied by the trip
@@ -89,7 +89,7 @@ def bench_kpp(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
     return stats
 
 
-def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
+def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288, tridiag_backend: str = "scan"):
     """TKE mass-flux full evolution (Benchmarking.jl:37)."""
     from climateparameterizations_jl_tpu.physics.tke import TKEParameters, TKEState, solve_tke
 
@@ -105,7 +105,7 @@ def bench_tke(n_columns: int = 1024, Nz: int = 32, n_steps: int = 288):
 
     def make_fn(ns):
         t_save = jnp.linspace(0.0, ns * 600.0, ns + 1)
-        return jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4).T)
+        return jax.jit(lambda s: solve_tke(s, t_save, params, Fu, Fb, 256.0, Nz, 1e-4, 9.81, 2e-4, tridiag_backend=tridiag_backend).T)
 
     stats = _probed_roofline(make_fn, (state0,), n_steps)  # see bench_kpp
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]

@@ -46,7 +46,13 @@ run sweep_1k 1800 python studies/fused_kernel_sweep.py --n-columns 1024 --n-step
 run step_noift 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend pcr --no-ift
 run step_ift 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend pcr
 run step_fast 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend pcr --fast-assembly
+run step_fold 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend pcr --fast-assembly fold
 run step_scan 1800 python studies/flagship_training.py --mode step-bench --tridiag-backend scan
+
+# 5. Forward-scaling spot checks of the fold RHS at the MXU-bound sizes
+#    (expected a wash vs packed: serving bakes weights as constants and XLA
+#    constant-folds the chain; the fold pays on the traced training path).
+run fwd_fold 1200 python studies/forward_scaling.py --columns 16384,32768 --rhs-variant fold
 
 # 6. Full suite so the roofline columns regenerate with the corrected
 #    one-time-cost accounting (KPP/TKE bytes were inflated pre-probe).
