@@ -314,7 +314,8 @@ def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32,
     return stats
 
 
-def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 32, advection: str = "weno5"):
+def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 32, advection: str = "weno5",
+                      tridiag_backend: str = "scan"):
     """3-D double gyre with the embedded NN closure (BASELINE.md config).
 
     Every (i, j) column of the basin runs the learned closure as one batched
@@ -342,7 +343,7 @@ def bench_double_gyre(Nx: int = 96, Ny: int = 96, Nz: int = 32, n_steps: int = 3
     fn = jax.jit(
         lambda s: run_double_gyre(
             model, s, 1800.0, n_save=1, save_every=n_steps, nn=nn,
-            T_scaling=Ts, wT_scaling=ws,
+            T_scaling=Ts, wT_scaling=ws, tridiag_backend=tridiag_backend,
             unroll=2,  # pinned: loop_steps below assumes the 2-substep body
         ).T
     )

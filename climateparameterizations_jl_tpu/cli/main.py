@@ -1166,6 +1166,7 @@ def cmd_double_gyre(args) -> int:
         model, state0, dt=args.dt, n_save=max(1, n_steps // save_every), save_every=save_every,
         nn=nn, T_scaling=T_scaling, wT_scaling=wT_scaling, T_remap=T_remap,
         max_steps_per_dispatch=args.max_steps_per_dispatch,
+        tridiag_backend=args.tridiag_backend,
     )
     psi = np.asarray(barotropic_streamfunction(model, traj.u[-1])) / 1e6
     os.makedirs(args.output, exist_ok=True)
@@ -1438,6 +1439,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "scalings), 'none' (raw T), or 'A,B' (the reference hardcodes 19.65,20 "
                         "at double_gyre_nn.jl:155)")
     p.add_argument("--animate", action="store_true")
+    p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"],
+                   help="implicit vertical-mixing solve; pcr is 1.27x faster basin steps on TPU "
+                        "(0.75 -> 0.59 ms/step at 96x96x32, PERFORMANCE.md); scan wins on CPU")
     p.set_defaults(fn=cmd_double_gyre)
 
     p = sub.add_parser("benchmark", help="run the repo benchmark (bench.py) or the full suite")
