@@ -131,7 +131,8 @@ def calibrate_mpp(ds, model, optimizer="lbfgs", maxiters=60, window=200, stride=
     return dataclasses.replace(model, mpp=fitted), info
 
 
-def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5}):
+def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
+              tridiag_backend="scan", fast_assembly="auto"):
     from climateparameterizations_jl_tpu.data.containers import training_tensors
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, train_wind_mixing_nde
 
@@ -146,6 +147,7 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
         config = NDETrainConfig(
             learning_rate=lr, maxiters=maxiters, n_substeps=stride, method="split",
             training_fractions=fractions,
+            tridiag_backend=tridiag_backend, fast_assembly=fast_assembly,
         )
         tsteps = np.arange(0, window, stride)
         batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
@@ -334,7 +336,8 @@ def main(argv=None):
                   f"{mpp_info['loss_initial']:.4e} -> {mpp_info['loss_final']:.4e}; {mpp_info['params']}", flush=True)
         nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else 150)
         print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
-        nns, stages = nde_train(ds, model, nns)
+        nns, stages = nde_train(ds, model, nns, tridiag_backend=args.tridiag_backend,
+                                fast_assembly=args.fast_assembly or "auto")
         if args.save_nns:
             save_nns(nns, args.save_nns)
             print(f"checkpoint saved to {args.save_nns}", flush=True)
