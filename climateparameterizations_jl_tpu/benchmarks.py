@@ -268,7 +268,7 @@ def bench_nde_forward(
 
 
 def bench_nde_train_step(n_sims: int = 8, Nz: int = 32, n_window: int = 32,
-                         method: str = "split", fast_assembly: bool = False,
+                         method: str = "split", fast_assembly: bool | str = "auto",
                          implicit_solve_grad: bool = True, tridiag_backend: str = "scan"):
     """One NDE gradient step (value_and_grad through the scanned solve).
 
