@@ -551,8 +551,11 @@ def cmd_train_nn(args) -> int:
 def cmd_train_nde(args) -> int:
     import jax
 
-    if args.fast_assembly == "off":
+    # Normalize the CLI spellings (config files may also set booleans directly).
+    if args.fast_assembly in ("off", False):
         args.fast_assembly = False
+    elif args.fast_assembly in ("on", True):
+        args.fast_assembly = True
     # Fail fast on EXPLICIT --fast-assembly misconfiguration (before any data
     # loads; the deep solver check would only fire at the first jit trace).
     # "auto" never errors: it resolves to the default path when unsupported
@@ -1267,13 +1270,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="split stepper's implicit solve; pcr is 1.35x faster on TPU (PERFORMANCE.md)")
-    p.add_argument("--fast-assembly", nargs="?", const=True, default="auto",
-                   choices=[True, False, "auto", "off", "fold"],
+    p.add_argument("--fast-assembly", nargs="?", const="on", default="auto",
+                   choices=["on", "off", "auto", "fold"],
                    help="matmul-assembled RHS/tendencies for split or rk4 (fewer tiny ops per substep; "
                         "incompatible with --smooth-nn); 'fold' also precomposes the divergence "
                         "matrix into the last NN layer (one less matmul per RHS). Default 'auto' "
                         "picks 'fold' when the configuration supports it, else the default path; "
-                        "'off' forces the default stencil path")
+                        "'off' forces the default stencil path; bare --fast-assembly means 'on'")
     p.set_defaults(fn=cmd_train_nde)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")

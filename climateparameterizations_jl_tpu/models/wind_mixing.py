@@ -429,20 +429,26 @@ def resolve_fast_assembly(model: WindMixingModel, nns, method: str, value):
     divergence matrix precomposed into the packed last NN layer — the
     fastest measured training configuration, 21.8 vs 24.3 ms/iter on the
     18-sim flagship step) whenever the configuration supports the assembly:
-    three packable 3-layer MLPs, no NN smoothing, and for ``rk4`` also the
-    mPP base with no Ri smoothing. Anything unsupported falls back to the
-    default (per-variable stencil) path, which handles every configuration.
-    Non-``"auto"`` values pass through unchanged (explicit requests keep
-    their hard errors on unsupported configurations).
+    packable MLPs and no NN smoothing; for ``rk4`` additionally the fused
+    RHS body's constraints (3-layer mish/relu chain, mPP base, no Ri
+    smoothing — the split assembly is depth- and activation-generic).
+    Anything unsupported falls back to the default (per-variable stencil)
+    path, which handles every configuration. Non-``"auto"`` values pass
+    through unchanged (explicit requests keep their hard errors on
+    unsupported configurations).
     """
     if value != "auto":
         return value
     packed = nns if isinstance(nns, PackedFluxNNs) else pack_flux_nns(nns)
-    if packed is None or len(packed.matrices) != 3 or model.smooth_NN:
+    if packed is None or model.smooth_NN:
         return False
-    if method == "rk4" and (model.smooth_Ri or not model.use_mpp):
-        return False
-    if method not in ("rk4", "split"):
+    if method == "rk4":
+        if len(packed.matrices) != 3 or packed.activation not in ("mish", "relu"):
+            return False
+        if model.smooth_Ri or not model.use_mpp:
+            return False
+        return "fold"
+    if method != "split":
         return False
     return "fold"
 

@@ -300,14 +300,15 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
     ap.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"])
     ap.add_argument("--split-unroll", type=int, default=1)
-    ap.add_argument("--fast-assembly", nargs="?", const=True, default=False,
-                    choices=[True, False, "fold"],
+    ap.add_argument("--fast-assembly", nargs="?", const="on", default="off",
+                    choices=["on", "off", "fold"],
                     help="matmul-assembled explicit split tendencies (A/B vs default); "
                          "pass 'fold' to also precompose the divergence matrix into the last NN layer")
     ap.add_argument("--no-ift", action="store_true", help="direct autodiff through the implicit solves instead of the IFT default (A/B)")
     ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
     ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
     args = ap.parse_args(argv)
+    args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
     if args.smoke:
         global STAGES
         STAGES = [(w, s, 3, lr) for w, s, _, lr in STAGES]

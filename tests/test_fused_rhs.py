@@ -540,10 +540,20 @@ class TestAutoFastAssembly:
         assert resolve_fast_assembly(smooth_ri, nns, "split", "auto") == "fold"
         # euler/heun: no assembly path.
         assert resolve_fast_assembly(model, nns, "euler", "auto") is False
-        # non-packable (wrong-depth) NNs.
+        # rk4's fused body is mish/relu-only: other activations must fall
+        # back, not crash at the first jit trace; the split assembly is
+        # activation-generic.
+        keys = jax.random.split(jax.random.PRNGKey(1), 3)
+        tanh_nns = FluxNNs(*(wind_mixing_mlp(k, Nz=model.Nz, activation="tanh") for k in keys))
+        assert resolve_fast_assembly(model, tanh_nns, "rk4", "auto") is False
+        assert resolve_fast_assembly(model, tanh_nns, "split", "auto") == "fold"
+        # rk4's fused body is also 3-layer-only; the split assembly is
+        # depth-generic (PackedFluxNNs + _pad_packed_chain), so 'auto' keeps
+        # the fold there.
         keys = jax.random.split(jax.random.PRNGKey(0), 3)
         two_layer = FluxNNs(*(wind_mixing_mlp(k, Nz=model.Nz, hidden=(16,)) for k in keys))
-        assert resolve_fast_assembly(model, two_layer, "split", "auto") is False
+        assert resolve_fast_assembly(model, two_layer, "rk4", "auto") is False
+        assert resolve_fast_assembly(model, two_layer, "split", "auto") == "fold"
 
     def test_explicit_values_pass_through(self):
         from climateparameterizations_jl_tpu.models.wind_mixing import resolve_fast_assembly
@@ -570,3 +580,30 @@ class TestAutoFastAssembly:
         # and the fold path matches an explicit default-path solve
         ref = solve_with_config(model, nns, bcs, x0, 0.0, 1e-3, 2, dataclasses.replace(cfg, fast_assembly=False))
         np.testing.assert_allclose(np.asarray(out_fold), np.asarray(ref), rtol=1e-5, atol=1e-7)
+
+    def test_auto_default_trains_unsupported_rk4_configs(self):
+        # Regression (review find): the NDETrainConfig 'auto' default must
+        # SOLVE (not crash) with a tanh closure under method='rk4' and with
+        # a 2-layer closure under method='split' — both previously resolved
+        # to 'fold' and hit hard errors / crashes at the first jit trace.
+        from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+        from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+        from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, solve_with_config
+
+        model, _, bcs, x0 = _setup(n_columns=3)
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        tanh_nns = FluxNNs(*(wind_mixing_mlp(k, Nz=model.Nz, activation="tanh") for k in keys))
+        out = solve_with_config(model, tanh_nns, bcs, x0, 0.0, 1e-4, 2,
+                                NDETrainConfig(method="rk4", n_substeps=2))
+        assert np.all(np.isfinite(np.asarray(out)))
+        two_layer = FluxNNs(*(wind_mixing_mlp(k, Nz=model.Nz, hidden=(16,)) for k in keys))
+        out = solve_with_config(model, two_layer, bcs, x0, 0.0, 1e-3, 2,
+                                NDETrainConfig(method="split", n_substeps=2))
+        assert np.all(np.isfinite(np.asarray(out)))
+        # and the 2-layer split fold matches its default path
+        ref = solve_with_config(model, two_layer, bcs, x0, 0.0, 1e-3, 2,
+                                NDETrainConfig(method="split", n_substeps=2, fast_assembly=False))
+        np.testing.assert_allclose(
+            np.asarray(solve_with_config(model, two_layer, bcs, x0, 0.0, 1e-3, 2,
+                                         NDETrainConfig(method="split", n_substeps=2))),
+            np.asarray(ref), rtol=1e-5, atol=1e-7)
