@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,8 +74,17 @@ def face_interp_weights(N: int, n: int) -> np.ndarray:
 
 
 def _apply(W: np.ndarray, phi) -> jnp.ndarray:
+    # precision=HIGHEST: coarse-graining is DATA PREPARATION — on TPU the
+    # default f32 matmul precision is reduced (bf16 passes), which shifted
+    # coarse truth profiles by a bf16 half-ulp (~0.06 K at T~19, i.e. 0.3%,
+    # several times the trained closures' own error) relative to CPU-prepared
+    # data. Full precision here costs nothing (one small matmul per load)
+    # and keeps fixtures/training targets platform-consistent.
     phi = jnp.asarray(phi)
-    return jnp.einsum("nk,...k->...n", jnp.asarray(W, phi.dtype), phi)
+    return jnp.einsum(
+        "nk,...k->...n", jnp.asarray(W, phi.dtype), phi,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def coarse_grain_center(phi, n: int) -> jnp.ndarray:

@@ -39,6 +39,24 @@ from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
 NO_NNS = FluxNNs(uw=None, vw=None, wT=None)
 
 
+def _host_cpu_device():
+    """The CPU backend device (always registered alongside accelerator plugins).
+
+    Synthetic stand-ins are data FIXTURES: the same catalog name must produce
+    the same trajectories everywhere. Generated on the active accelerator
+    they do not — the stiff 128-level mPP generator integrated in f32 on the
+    TPU drifts ~0.3% in T (0.06 K) from the CPU trajectories over 8 days
+    (platform transcendental/fusion rounding, amplified by the tanh
+    diffusivity switch), which is several times the coarse models' own error
+    and dominated every cross-platform loss comparison (measured: the
+    held-out diurnal mPP-only loss read 1.2e-3 on CPU vs 4.0e-3 on the chip
+    purely from the truth difference). Pinning generation to the CPU backend
+    makes the fixture platform-deterministic; downstream jits move the data
+    to the accelerator as usual.
+    """
+    return jax.local_devices(backend="cpu")[0]
+
+
 def _identity_scalings(dtype=jnp.float32) -> WindMixingScalings:
     s = ZeroMeanUnitVarianceScaling(jnp.zeros((), dtype), jnp.ones((), dtype))
     return WindMixingScalings(u=s, v=s, T=s, uw=s, vw=s, wT=s)
@@ -81,7 +99,14 @@ def synthetic_wind_mixing_les(
     eastward wind stress), ``Qb`` the surface buoyancy flux [m^2/s^3]
     (positive = cooling); the surface heat flux is ``Qb / (alpha g)``
     matching the LESbrary convention (``lesbrary_data.jl:164-165``).
+
+    Always generated on the CPU backend (see :func:`_host_cpu_device`).
     """
+    with jax.default_device(_host_cpu_device()):
+        return _synthetic_wind_mixing_les(Qu, Qb, f, alpha, g, H, Nz, n_save, dt_save, n_substeps, diurnal, mpp, dtype)
+
+
+def _synthetic_wind_mixing_les(Qu, Qb, f, alpha, g, H, Nz, n_save, dt_save, n_substeps, diurnal, mpp, dtype):
     mpp = mpp if mpp is not None else MPPParameters.default()
     model = WindMixingModel(
         H=jnp.asarray(H, dtype),
@@ -172,7 +197,14 @@ def synthetic_free_convection_les(
     solve — the same operator-split scheme the reference's host-model
     embedding uses (``free_convection/src/oceananigans_nn.jl:13-40``).
     Velocities and momentum fluxes are zero (no mean shear).
+
+    Always generated on the CPU backend (see :func:`_host_cpu_device`).
     """
+    with jax.default_device(_host_cpu_device()):
+        return _synthetic_free_convection_les(Qb, alpha, g, H, Nz, n_save, dt_save, n_substeps, kappa, stratification, dtype)
+
+
+def _synthetic_free_convection_les(Qb, alpha, g, H, Nz, n_save, dt_save, n_substeps, kappa, stratification, dtype):
     from climateparameterizations_jl_tpu.core.operators import d_center_to_face
     from climateparameterizations_jl_tpu.physics.convective_adjustment import (
         convective_adjustment_implicit_step,

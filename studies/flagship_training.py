@@ -57,6 +57,16 @@ TRAIN_FILES = [  # train_NDE_args.jl:39-59
 # test lists draw from these axes, train_NDE_args.jl:230+).
 TEST_FILES = ["wind_-4.5e-4_cooling_2.5e-8", "wind_-2.5e-4_cooling_1.5e-8", "wind_-4.5e-4_heating_-2.5e-8"]
 
+# --suite diurnal: the reference's 8-day diurnal grids (data_containers.jl:8-127
+# registers wind x diurnal-amplitude suites alongside the constant-flux ones);
+# train on the full 3x5 grid, hold out interpolation members of both axes.
+TRAIN_FILES_DIURNAL = [
+    f"wind_{w}_diurnal_{c}"
+    for w in ("-5e-4", "-3.5e-4", "-2e-4")
+    for c in ("1e-8", "2e-8", "3e-8", "3.5e-8", "5e-8")
+]
+TEST_FILES_DIURNAL = ["wind_-4.5e-4_diurnal_4e-8", "wind_-3e-4_diurnal_2e-8", "wind_-2e-4_diurnal_4e-8"]
+
 N_FRAMES = 1153  # 8 days at 600 s saves
 # (window, stride, maxiters, lr): keep dt = stride * 600 / n_substeps = 600 s.
 # Final stage = the reference's flagship 1:9:1153 x 130 iters
@@ -72,7 +82,7 @@ def load_suite(names, Nz=32):
     return _load_suite(names, Nz, None, N_FRAMES - 1, 600.0)
 
 
-def build(Nz=32, seed=0):
+def build(Nz=32, seed=0, diurnal=False):
     import jax
 
     from climateparameterizations_jl_tpu.cli.main import _wind_model
@@ -80,7 +90,7 @@ def build(Nz=32, seed=0):
     from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
 
     ds = load_suite(TRAIN_FILES, Nz)
-    model = _wind_model(ds, Nz)
+    model = _wind_model(ds, Nz, diurnal=diurnal)
     ks = jax.random.split(jax.random.PRNGKey(seed), 3)
     nns = FluxNNs(*[wind_mixing_mlp(k, Nz, scale=1e-5) for k in ks])
     return ds, model, nns
@@ -239,7 +249,8 @@ def save_nns(nns, out_dir):
     """CLI-compatible checkpoint so `evaluate`/`ensemble` can reuse it."""
     from climateparameterizations_jl_tpu.cli.main import _save_nns
 
-    _save_nns(out_dir, nns, {"command": "studies/flagship_training.py", "sims": ",".join(TRAIN_FILES), "nz": 32})
+    _save_nns(out_dir, nns, {"command": "studies/flagship_training.py", "sims": ",".join(TRAIN_FILES),
+                             "nz": 32, "diurnal": all("diurnal" in n for n in TRAIN_FILES)})
     return out_dir
 
 
@@ -295,6 +306,11 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train", choices=["train", "step-bench"])
+    ap.add_argument("--pretrain-epochs", type=int, default=150,
+                    help="flux pre-training epochs per NN (0 skips the phase — the zero-init NDE A/B)")
+    ap.add_argument("--suite", default="standard", choices=["standard", "diurnal"],
+                    help="standard = the 18-sim wind+cooling/heating '_new' suite; "
+                         "diurnal = the 15-sim 8-day diurnal grid (held-out interpolation members)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
@@ -309,6 +325,9 @@ def main(argv=None):
     ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
+    if args.suite == "diurnal":
+        global TRAIN_FILES, TEST_FILES
+        TRAIN_FILES, TEST_FILES = TRAIN_FILES_DIURNAL, TEST_FILES_DIURNAL
     if args.smoke:
         global STAGES
         STAGES = [(w, s, 3, lr) for w, s, _, lr in STAGES]
@@ -328,15 +347,17 @@ def main(argv=None):
     else:
         wall0 = time.perf_counter()
         t0 = time.perf_counter()
-        ds, model, nns = build()
+        ds, model, nns = build(diurnal=args.suite == "diurnal")
         data_s = time.perf_counter() - t0
         mpp_info = None
         if args.calibrate_mpp:
             model, mpp_info = calibrate_mpp(ds, model, maxiters=5 if args.smoke else 60)
             print(f"mPP calibration ({mpp_info['wall_s']:.1f} s, {mpp_info['optimizer']}): "
                   f"{mpp_info['loss_initial']:.4e} -> {mpp_info['loss_final']:.4e}; {mpp_info['params']}", flush=True)
-        nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else 150)
-        print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
+        pre, pre_s = {}, 0.0
+        if args.pretrain_epochs:
+            nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else args.pretrain_epochs)
+            print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
         nns, stages = nde_train(ds, model, nns, tridiag_backend=args.tridiag_backend,
                                 fast_assembly=args.fast_assembly or "auto")
         if args.save_nns:

@@ -231,3 +231,30 @@ class TestRegistry:
     def test_diurnal_flag(self):
         assert simulation_parameters("wind_-5e-4_diurnal_5e-8").diurnal
         assert not simulation_parameters("wind_-5e-4_cooling_3e-8").diurnal
+
+
+class TestFixtureDeterminism:
+    """Synthetic stand-ins are fixtures: platform-deterministic by construction."""
+
+    def test_synthetic_generation_pinned_to_cpu(self):
+        # The generator must place its outputs on the CPU backend regardless
+        # of the session's default device (on TPU sessions the unpinned
+        # generator drifted ~0.3% in T over 8 days — see data/synthetic.py).
+        import jax
+
+        from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
+
+        ds = synthetic_wind_mixing_les(n_save=4, Nz=16)
+        assert all(d.platform == "cpu" for d in ds.T.devices())
+
+    def test_coarse_graining_full_precision(self):
+        # Coarse-graining is data preparation: its matmul must request
+        # HIGHEST precision (TPU default f32 matmuls run reduced-precision
+        # bf16 passes, which shifted coarse truth profiles by ~0.06 K).
+        import jax
+        import jax.numpy as jnp
+
+        from climateparameterizations_jl_tpu.core.coarse_grain import coarse_grain_center
+
+        jaxpr = jax.make_jaxpr(lambda x: coarse_grain_center(x, 4))(jnp.ones(16))
+        assert "Precision.HIGHEST" in str(jaxpr) or "precision=(Highest, Highest)" in str(jaxpr).replace("<", "").replace(">", ""), str(jaxpr)
