@@ -54,6 +54,15 @@ run step_scan 1800 python studies/flagship_training.py --mode step-bench --tridi
 #    constant-folds the chain; the fold pays on the traced training path).
 run fwd_fold 1200 python studies/forward_scaling.py --columns 16384,32768 --rhs-variant fold
 
+# 5b. Reference-scale flagship trainings on the deterministic fixtures
+#     (both ablation arms + the diurnal suite; RESULTS.md section 5).
+run flagship_default 1700 python studies/flagship_training.py --mode train --tridiag-backend pcr \
+    --out docs/flagship_run_fold.json --save-nns runs/wm_flagship_fold
+run flagship_calibrated 1800 python studies/flagship_training.py --mode train --calibrate-mpp \
+    --tridiag-backend pcr --out docs/flagship_run_calibrated_fold.json
+run flagship_diurnal 1700 python studies/flagship_training.py --mode train --suite diurnal \
+    --tridiag-backend pcr --out docs/flagship_run_diurnal.json --save-nns runs/wm_flagship_diurnal
+
 # 6. Full suite so the roofline columns regenerate with the corrected
 #    one-time-cost accounting (KPP/TKE bytes were inflated pre-probe).
 run suite 3600 python -m climateparameterizations_jl_tpu.cli benchmark --suite
