@@ -62,6 +62,8 @@ run flagship_calibrated 1800 python studies/flagship_training.py --mode train --
     --tridiag-backend pcr --out docs/flagship_run_calibrated_fold.json
 run flagship_diurnal 1700 python studies/flagship_training.py --mode train --suite diurnal \
     --tridiag-backend pcr --out docs/flagship_run_diurnal.json --save-nns runs/wm_flagship_diurnal
+run flagship_diurnal_nopre 1700 python studies/flagship_training.py --mode train --suite diurnal \
+    --pretrain-epochs 0 --tridiag-backend pcr --out docs/flagship_run_diurnal_nopre.json
 
 # 6. Full suite so the roofline columns regenerate with the corrected
 #    one-time-cost accounting (KPP/TKE bytes were inflated pre-probe).

@@ -249,12 +249,18 @@ def save_nns(nns, out_dir):
     """CLI-compatible checkpoint so `evaluate`/`ensemble` can reuse it."""
     from climateparameterizations_jl_tpu.cli.main import _save_nns
 
+    from climateparameterizations_jl_tpu.cli.main import _suite_diurnal_flags
+
+    # any(): per-sim amplitudes keep constant members of a mixed suite
+    # frozen, so enabling the cycle whenever ANY member is diurnal is the
+    # CLI's own semantics (cmd_train_nde) — and registry flags, not name
+    # substrings, are the source of truth.
     _save_nns(out_dir, nns, {"command": "studies/flagship_training.py", "sims": ",".join(TRAIN_FILES),
-                             "nz": 32, "diurnal": all("diurnal" in n for n in TRAIN_FILES)})
+                             "nz": 32, "diurnal": any(_suite_diurnal_flags(TRAIN_FILES))})
     return out_dir
 
 
-def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True):
+def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True, diurnal=False):
     """Compile + steady-state time of ONE final-stage train step."""
     import jax
 
@@ -263,7 +269,10 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, _solve, determine_loss_scalings
     import optax
 
-    ds, model, nns = build()
+    # diurnal must reach the model here too or the time-varying top-BC path
+    # is compiled out and the benchmark silently measures different dynamics
+    # than --mode train trains (the CLAUDE.md diurnal rule).
+    ds, model, nns = build(diurnal=diurnal)
     window, stride, _, lr = STAGES[-1]
     config = NDETrainConfig(learning_rate=lr, n_substeps=stride, method="split",
                             training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
@@ -338,7 +347,8 @@ def main(argv=None):
 
     if args.mode == "step-bench":
         result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
-                            fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift)
+                            fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift,
+                            diurnal=args.suite == "diurnal")
         result["tridiag_backend"] = args.tridiag_backend
         result["fast_assembly"] = args.fast_assembly
         result["implicit_solve_grad"] = not args.no_ift

@@ -237,15 +237,26 @@ class TestFixtureDeterminism:
     """Synthetic stand-ins are fixtures: platform-deterministic by construction."""
 
     def test_synthetic_generation_pinned_to_cpu(self):
-        # The generator must place its outputs on the CPU backend regardless
-        # of the session's default device (on TPU sessions the unpinned
+        # The generator must place its outputs on ITS OWN pinned device
+        # regardless of the session's default (on TPU sessions the unpinned
         # generator drifted ~0.3% in T over 8 days — see data/synthetic.py).
+        # The conftest forces an 8-virtual-CPU-device mesh, so point the
+        # session default at a DIFFERENT cpu device: without the internal
+        # pin the outputs would land there, and this assert would catch the
+        # regression (a bare platform check passes vacuously under the
+        # CPU-forced conftest).
         import jax
 
-        from climateparameterizations_jl_tpu.data.synthetic import synthetic_wind_mixing_les
+        from climateparameterizations_jl_tpu.data.synthetic import (
+            _host_cpu_device,
+            synthetic_wind_mixing_les,
+        )
 
-        ds = synthetic_wind_mixing_les(n_save=4, Nz=16)
-        assert all(d.platform == "cpu" for d in ds.T.devices())
+        other = jax.devices()[1]
+        assert other != _host_cpu_device()
+        with jax.default_device(other):
+            ds = synthetic_wind_mixing_les(n_save=4, Nz=16)
+        assert ds.T.devices() == {_host_cpu_device()}
 
     def test_coarse_graining_full_precision(self):
         # Coarse-graining is data preparation: its matmul must request
