@@ -67,6 +67,11 @@ TRAIN_FILES_DIURNAL = [
 ]
 TEST_FILES_DIURNAL = ["wind_-4.5e-4_diurnal_4e-8", "wind_-3e-4_diurnal_2e-8", "wind_-2e-4_diurnal_4e-8"]
 
+# --suite mixed: BOTH families in ONE training run (33 sims on one batch
+# axis; the per-sim diurnal_amplitude keeps constant members' BCs frozen
+# while diurnal members resolve the cycle) — the reference trains these as
+# separate scripts. Held-out: interpolation members of each family.
+
 N_FRAMES = 1153  # 8 days at 600 s saves
 # (window, stride, maxiters, lr): keep dt = stride * 600 / n_substeps = 600 s.
 # Final stage = the reference's flagship 1:9:1153 x 130 iters
@@ -317,9 +322,10 @@ def main(argv=None):
     ap.add_argument("--mode", default="train", choices=["train", "step-bench"])
     ap.add_argument("--pretrain-epochs", type=int, default=150,
                     help="flux pre-training epochs per NN (0 skips the phase — the zero-init NDE A/B)")
-    ap.add_argument("--suite", default="standard", choices=["standard", "diurnal"],
+    ap.add_argument("--suite", default="standard", choices=["standard", "diurnal", "mixed"],
                     help="standard = the 18-sim wind+cooling/heating '_new' suite; "
-                         "diurnal = the 15-sim 8-day diurnal grid (held-out interpolation members)")
+                         "diurnal = the 15-sim 8-day diurnal grid (held-out interpolation members); "
+                         "mixed = both families as ONE 33-sim run (per-sim diurnal amplitudes)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
@@ -334,9 +340,12 @@ def main(argv=None):
     ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
+    global TRAIN_FILES, TEST_FILES
     if args.suite == "diurnal":
-        global TRAIN_FILES, TEST_FILES
         TRAIN_FILES, TEST_FILES = TRAIN_FILES_DIURNAL, TEST_FILES_DIURNAL
+    elif args.suite == "mixed":
+        TRAIN_FILES = TRAIN_FILES + TRAIN_FILES_DIURNAL
+        TEST_FILES = TEST_FILES + TEST_FILES_DIURNAL
     if args.smoke:
         global STAGES
         STAGES = [(w, s, 3, lr) for w, s, _, lr in STAGES]
@@ -348,7 +357,7 @@ def main(argv=None):
     if args.mode == "step-bench":
         result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
                             fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift,
-                            diurnal=args.suite == "diurnal")
+                            diurnal=args.suite in ("diurnal", "mixed"))
         result["tridiag_backend"] = args.tridiag_backend
         result["fast_assembly"] = args.fast_assembly
         result["implicit_solve_grad"] = not args.no_ift
@@ -357,7 +366,7 @@ def main(argv=None):
     else:
         wall0 = time.perf_counter()
         t0 = time.perf_counter()
-        ds, model, nns = build(diurnal=args.suite == "diurnal")
+        ds, model, nns = build(diurnal=args.suite in ("diurnal", "mixed"))
         data_s = time.perf_counter() - t0
         mpp_info = None
         if args.calibrate_mpp:
