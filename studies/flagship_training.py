@@ -337,6 +337,10 @@ def main(argv=None):
                          "pass 'fold' to also precompose the divergence matrix into the last NN layer")
     ap.add_argument("--no-ift", action="store_true", help="direct autodiff through the implicit solves instead of the IFT default (A/B)")
     ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
+    ap.add_argument("--extra-train", default=None,
+                    help="comma-separated catalog names APPENDED to the training suite "
+                         "(grid-augmentation studies, e.g. sampling an extrapolation "
+                         "regime the base grid misses)")
     ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
@@ -346,6 +350,8 @@ def main(argv=None):
     elif args.suite == "mixed":
         TRAIN_FILES = TRAIN_FILES + TRAIN_FILES_DIURNAL
         TEST_FILES = TEST_FILES + TEST_FILES_DIURNAL
+    if args.extra_train:
+        TRAIN_FILES = TRAIN_FILES + [s for s in args.extra_train.split(",") if s]
     if args.smoke:
         global STAGES
         STAGES = [(w, s, 3, lr) for w, s, _, lr in STAGES]
