@@ -1034,6 +1034,11 @@ def cmd_evaluate(args) -> int:
     if getattr(args, "write_jld2", False) and not args.embedded:
         raise SystemExit("--write-jld2 requires --embedded (it writes the embedded pair)")
     os.makedirs(args.output, exist_ok=True)
+    # Early echo: long evals otherwise run minutes with no sign of WHAT is
+    # being evaluated (the --sims / --test-sims split is an easy footgun —
+    # --sims alone changes only the scaling context, not the evaluated sims).
+    print(f"evaluating {len(test_sims)} sim(s) over {len(tsteps)} frames "
+          f"(window {args.n_train_steps}, stride {args.eval_stride}): {', '.join(test_sims)}", flush=True)
 
     # Forcing-space coverage figure (plot_training_regions.jl parity);
     # returns None (no file) if no name parses as a catalog entry.
@@ -1495,3 +1500,9 @@ def main(argv=None) -> int:
         explicit = set(vars(probe.parse_known_args(tokens)[0]))
         _apply_config(args, config, defaults, explicit)
     return args.fn(args)
+
+
+if __name__ == "__main__":  # `python -m climateparameterizations_jl_tpu.cli.main`
+    import sys
+
+    sys.exit(main(sys.argv[1:]))
