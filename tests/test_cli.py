@@ -28,6 +28,21 @@ def test_catalog(capsys):
     assert "strong_wind" in out and "wind_-5e-4_cooling_3e-8_new" in out
 
 
+def test_module_invocation_runs_main():
+    """`python -m ...cli.main` must actually run (it used to import-and-exit 0
+    silently — no __main__ guard — so long evals launched that way were no-ops)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "climateparameterizations_jl_tpu.cli.main", "--help"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0
+    assert "usage" in r.stdout.lower()
+
+
 def test_train_nn_checkpoint(nn_ckpt):
     assert os.path.exists(os.path.join(nn_ckpt, "state.npz"))
     with open(os.path.join(nn_ckpt, "meta.json")) as f:
