@@ -1014,10 +1014,20 @@ def cmd_evaluate(args) -> int:
     from climateparameterizations_jl_tpu.eval.profile import nde_profile
 
     test_sims = _sims(args.test_sims)
-    train_names = _sims(args.sims) if args.sims else test_sims
+    nns, ckpt_meta = _load_nns(args.checkpoint)
+    # Scaling context resolution: evaluation must use the TRAINING suite's
+    # scalings (override-scaling semantics). The checkpoint records its
+    # training sims, so an omitted --sims defaults to those instead of the
+    # evaluated sims — passing a 20-sim training list by hand for every
+    # extrapolation scan was the footgun this closes.
+    if args.sims:
+        train_names, sims_src = _sims(args.sims), "--sims"
+    elif ckpt_meta.get("sims"):
+        train_names, sims_src = _sims(ckpt_meta["sims"]), "checkpoint meta"
+    else:
+        train_names, sims_src = test_sims, "test sims (checkpoint records none)"
     train_ds = _load_suite(train_names, args.nz, args.data_dir, args.n_save, args.dt_save)
     flags = _suite_diurnal_flags(train_names)
-    nns, ckpt_meta = _load_nns(args.checkpoint)
     # The checkpoint records the TRAINING-time diurnal mode (a checkpoint
     # trained on a diurnal suite must evaluate with the cycle even when
     # --sims is left at its default); older checkpoints fall back to the
@@ -1039,6 +1049,7 @@ def cmd_evaluate(args) -> int:
     # --sims alone changes only the scaling context, not the evaluated sims).
     print(f"evaluating {len(test_sims)} sim(s) over {len(tsteps)} frames "
           f"(window {args.n_train_steps}, stride {args.eval_stride}): {', '.join(test_sims)}", flush=True)
+    print(f"scaling context from {sims_src}: {len(train_names)} sim(s)", flush=True)
 
     # Forcing-space coverage figure (plot_training_regions.jl parity);
     # returns None (no file) if no name parses as a catalog entry.
@@ -1410,6 +1421,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("evaluate", help="NDE-profile comparison vs baselines")
     _add_common(p)
+    # --sims here is the SCALING context (training suite), not the evaluated
+    # sims; default None = resolve from the checkpoint's recorded sims.
+    p.set_defaults(sims=None)
     p.add_argument("--test-sims", default="strong_wind_weak_cooling")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--method", default="split", choices=["split", "rk4", "heun", "euler"])

@@ -128,6 +128,23 @@ def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     )
     assert np.all(np.isfinite(ev2["losses_embedded_T"]))
 
+    # Omitting --sims resolves the scaling context from the checkpoint's
+    # recorded training sims (NOT the evaluated sims) — bitwise-identical
+    # summary to the explicit --sims run above.
+    eval_out3 = str(tmp_path / "eval_meta_sims")
+    rc = main([
+        "evaluate", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--checkpoint", out, "--n-train-steps", "8", "--n-substeps", "2",
+        "--eval-stride", "2", "--output", eval_out3,
+    ])
+    assert rc == 0
+    assert "scaling context from checkpoint meta: 1 sim(s)" in capsys.readouterr().out
+    with open(os.path.join(eval_out, "summary.json")) as f:
+        explicit = json.load(f)
+    with open(os.path.join(eval_out3, "summary.json")) as f:
+        from_meta = json.load(f)
+    assert from_meta == explicit
+
 
 def test_train_nde_conv_adj_base_and_evaluate(tmp_path, capsys):
     """--base-closure conv-adj trains the wind-mixing NDE over a convective-
