@@ -1179,6 +1179,19 @@ def cmd_double_gyre(args) -> int:
         T_remap = (a, b)
         print(f"NN T remap: T -> {a:.4g} + T/{b:.4g}")
 
+    nn_stability_gate = None
+    if nn is not None and args.nn_stability_gate != "none":
+        # Multi-decade drift guard (see embed.double_gyre.nn_closure_forcing):
+        # taper the NN flux by sigmoid(-dT/dz / s). "auto" = a tenth of the
+        # basin's bulk stratification (T_south - T_north over the depth), so
+        # even weakly stable columns suppress the convective closure while
+        # unstable/neutral ones keep it at full strength.
+        if args.nn_stability_gate == "auto":
+            nn_stability_gate = 0.1 * float(model.T_south - model.T_north) / float(model.H)
+        else:
+            nn_stability_gate = float(args.nn_stability_gate)
+        print(f"NN stability gate: sigmoid(-dT/dz / {nn_stability_gate:.4g} K/m)")
+
     n_steps = int(args.days * 86400.0 / args.dt)
     save_every = max(1, n_steps // max(args.n_frames, 1))
     traj = run_double_gyre(
@@ -1186,6 +1199,7 @@ def cmd_double_gyre(args) -> int:
         nn=nn, T_scaling=T_scaling, wT_scaling=wT_scaling, T_remap=T_remap,
         max_steps_per_dispatch=args.max_steps_per_dispatch,
         tridiag_backend=args.tridiag_backend,
+        nn_stability_gate=nn_stability_gate,
     )
     psi = np.asarray(barotropic_streamfunction(model, traj.u[-1])) / 1e6
     os.makedirs(args.output, exist_ok=True)
@@ -1460,6 +1474,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="basin-T -> NN-input remap 'a + T/b': 'auto' (derive from checkpoint "
                         "scalings), 'none' (raw T), or 'A,B' (the reference hardcodes 19.65,20 "
                         "at double_gyre_nn.jl:155)")
+    p.add_argument("--nn-stability-gate", default="none",
+                   help="taper the NN flux by sigmoid(-dT/dz / s): 'none' (the reference's "
+                        "ungated behavior), 'auto' (s = 0.1 x bulk basin stratification), or "
+                        "a value s in K/m — the multi-decade drift guard (a free-convection "
+                        "closure should be inactive in stably stratified columns)")
     p.add_argument("--animate", action="store_true")
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"],
                    help="implicit vertical-mixing solve; pcr is 1.27x faster basin steps on TPU "

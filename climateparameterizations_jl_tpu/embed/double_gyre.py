@@ -271,6 +271,7 @@ def nn_closure_forcing(
     T_scaling: ZeroMeanUnitVarianceScaling,
     wT_scaling: ZeroMeanUnitVarianceScaling,
     T_remap=None,
+    stability_gate=None,
 ):
     """``-d/dz(w'T'_NN)`` for every column as one batched MLP call.
 
@@ -285,7 +286,22 @@ def nn_closure_forcing(
     trained on ~1 K free-convection columns, and raw basin temperatures put
     the MLP far outside its training distribution (measured here: the raw-T
     run NaNs the 2-year gyre at day ~160; the remapped run completes it).
+
+    ``stability_gate=s`` (K/m) tapers each interior flux face by
+    ``sigmoid(-dT/dz / s)`` computed from the PHYSICAL (pre-remap) profile:
+    a free-convection closure models convective transport, so its flux is
+    suppressed where the column is stably stratified and untouched where it
+    is unstable/neutral. This is the multi-decade drift guard the reference
+    never needed (it stopped at 1 year): the closure's small flux bias acts
+    as a persistent upward heat pump in the stable deep basin — column heat
+    is conserved (the divergence telescopes, and still does under the gate:
+    the boundary faces stay zero), but the pumped surface heat exits through
+    the restoring BC and the abyss cools without bound (measured: deep T
+    -> -16 C over 20 years ungated).
     """
+    if stability_gate is not None:
+        dTdz_phys = (T[..., 1:] - T[..., :-1]) / model.dz  # interior faces
+        gate = jax.nn.sigmoid(-dTdz_phys / stability_gate)
     if T_remap is not None:
         a, b = T_remap
         T = a + T / b
@@ -294,6 +310,8 @@ def nn_closure_forcing(
     # (free_convection._assemble_wT), so physical flux = sigma * NN + mu;
     # dropping mu would bias every interior face by -mu vs the zero pads.
     interior = wT_scaling.unscale(apply_closure(nn, x))  # dimensional (Ny, Nx, Nz-1)
+    if stability_gate is not None:
+        interior = interior * gate
     zeros = jnp.zeros(interior.shape[:-1] + (1,), interior.dtype)
     wT = jnp.concatenate([zeros, interior, zeros], axis=-1)
     return -(wT[..., 1:] - wT[..., :-1]) / model.dz
@@ -333,6 +351,7 @@ def double_gyre_step(
     wT_scaling: ZeroMeanUnitVarianceScaling | None = None,
     tridiag_backend: str = "scan",
     T_remap=None,
+    nn_stability_gate=None,
 ) -> DoubleGyreState:
     """Advance one step: tracer step -> explicit momentum (pressure from the
     updated tracer: forward-backward internal-wave coupling) -> barotropic
@@ -387,7 +406,7 @@ def double_gyre_step(
     sst_target = model.restoring_sst(dtype)
     GT = GT.at[..., -1].add((sst_target[:, None] - T[..., -1]) / model.t_restore)
     if nn is not None:
-        GT = GT + nn_closure_forcing(model, nn, T, T_scaling, wT_scaling, T_remap)
+        GT = GT + nn_closure_forcing(model, nn, T, T_scaling, wT_scaling, T_remap, nn_stability_gate)
     T_new = T + dt * GT
 
     p = hydrostatic_pressure(model, T_new)
@@ -476,6 +495,7 @@ def run_double_gyre(
     max_frames_per_dispatch: int = 256,
     T_remap=None,
     max_steps_per_dispatch: int | None = None,
+    nn_stability_gate=None,
 ) -> DoubleGyreState:
     """Integrate the basin, saving every ``save_every`` steps.
 
@@ -505,7 +525,8 @@ def run_double_gyre(
     """
 
     def substep(state, _):
-        return double_gyre_step(model, state, dt, nn, T_scaling, wT_scaling, tridiag_backend, T_remap), None
+        return double_gyre_step(model, state, dt, nn, T_scaling, wT_scaling, tridiag_backend, T_remap,
+                                nn_stability_gate), None
 
     def interval(state, _):
         state, _ = jax.lax.scan(substep, state, None, length=save_every, unroll=unroll)

@@ -234,6 +234,37 @@ class TestDoubleGyre:
         assert np.all(np.isfinite(np.asarray(traj_nn.T)))
         assert float(jnp.max(jnp.abs(traj_nn.T[-1] - traj_base.T[-1]))) > 1e-8
 
+    def test_nn_stability_gate(self, spun_up):
+        """The drift guard: gated NN flux vanishes in stably stratified
+        columns, matches the ungated flux in unstable ones, and the forcing
+        stays a conservative redistribution (column sum = 0) either way."""
+        from climateparameterizations_jl_tpu.embed.double_gyre import nn_closure_forcing
+
+        model, _, _ = spun_up
+        nn = free_convection_mlp(jax.random.PRNGKey(3), Nz=8)
+        T_scaling = ZeroMeanUnitVarianceScaling(f32(10.0), f32(5.0))
+        wT_scaling = ZeroMeanUnitVarianceScaling(f32(1e-6), f32(1e-5))
+        dz = float(model.dz)
+        zc = (np.arange(8) + 0.5) * dz
+        # Stable column: dT/dz = +5e-3 K/m everywhere (>> the auto gate scale).
+        T_stable = jnp.asarray(np.broadcast_to(10.0 + 5e-3 * zc, (4, 4, 8)), jnp.float32)
+        # Unstable column: dT/dz = -5e-3 K/m (convective — the training regime).
+        T_unstable = jnp.asarray(np.broadcast_to(10.0 - 5e-3 * zc, (4, 4, 8)), jnp.float32)
+        s = 0.1 * float(model.T_south - model.T_north) / float(model.H)
+        for T in (T_stable, T_unstable):
+            ungated = nn_closure_forcing(model, nn, T, T_scaling, wT_scaling)
+            gated = nn_closure_forcing(model, nn, T, T_scaling, wT_scaling, stability_gate=s)
+            # Conservative redistribution: the divergence telescopes to the
+            # (zero) boundary faces, gate or no gate.
+            np.testing.assert_allclose(np.asarray(jnp.sum(gated, axis=-1)) * dz, 0.0, atol=1e-8)
+            scale = float(jnp.max(jnp.abs(ungated)))
+            assert scale > 0.0
+            if T is T_stable:  # sigmoid(-dTdz/s) = sigmoid(-4.5) suppresses ~100x
+                assert float(jnp.max(jnp.abs(gated))) < 0.05 * scale
+            else:  # unstable: gate ~ 1, flux untouched to ~1%
+                np.testing.assert_allclose(np.asarray(gated), np.asarray(ungated),
+                                           atol=0.02 * scale)
+
 
 class TestDiurnalHostColumn:
     def test_surface_flux_follows_cycle(self):
