@@ -70,3 +70,27 @@ run flagship_diurnal_nopre 1700 python studies/flagship_training.py --mode train
 run suite 3600 python -m climateparameterizations_jl_tpu.cli benchmark --suite
 
 echo "=== chip session complete; logs in $OUT" | tee -a "$OUT/session.log"
+
+# 7. Grid-augmentation repair of the extrapolation corner (RESULTS.md §5
+#    "Extrapolation limits"): two marginal-coverage members repair the
+#    weak-wind/strong-heating corner (0.6x -> 15.0x) without training on it.
+run flagship_aug 1700 python studies/flagship_training.py --mode train --tridiag-backend pcr \
+    --extra-train wind_-1.5e-4_heating_-2e-8,wind_-2e-4_heating_-3.5e-8 \
+    --out docs/flagship_run_aug.json --save-nns runs/wm_flagship_aug
+run flagship_aug_extrap 1700 python -m climateparameterizations_jl_tpu.cli evaluate \
+    --checkpoint runs/wm_flagship_aug \
+    --test-sims "wind_-5.5e-4_cooling_3.5e-8,wind_-1.5e-4_cooling_3.5e-8,wind_-5.5e-4_heating_-3.5e-8,wind_-1.5e-4_heating_-3.5e-8" \
+    --nz 32 --n-save 1152 --dt-save 600 --n-train-steps 1153 --eval-stride 9 \
+    --method split --n-substeps 9 --output runs/wm_flagship_aug_extrap
+# (the scaling context resolves from the checkpoint's recorded 20-sim suite)
+
+# 8. Multi-decade gyre drift guard A/B (RESULTS.md gyre section): the
+#    stability-gated +NN 20-year run vs the ungated runs/gyre96_20yr_nn.
+run gyre_2yr_gated 1700 python -m climateparameterizations_jl_tpu.cli double-gyre \
+    --nx 96 --ny 96 --nz-gyre 32 --days 730 --dt 1800 --n-frames 48 \
+    --checkpoint runs/fc_les3d_conv --nn-stability-gate auto --tridiag-backend pcr \
+    --output runs/gyre96_2yr_nn_gated
+run gyre_20yr_gated 3000 python -m climateparameterizations_jl_tpu.cli double-gyre \
+    --nx 96 --ny 96 --nz-gyre 32 --days 7300 --dt 1800 --n-frames 60 \
+    --checkpoint runs/fc_les3d_conv --nn-stability-gate auto --tridiag-backend pcr \
+    --output runs/gyre96_20yr_nn_gated
