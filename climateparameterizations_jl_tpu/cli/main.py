@@ -1190,6 +1190,12 @@ def cmd_double_gyre(args) -> int:
             nn_stability_gate = 0.1 * float(model.T_south - model.T_north) / float(model.H)
         else:
             nn_stability_gate = float(args.nn_stability_gate)
+        if not nn_stability_gate > 0:
+            # s = 0 makes the sigmoid 0/0 = NaN at exactly-neutral faces
+            # (which every mixed column crosses); s < 0 silently INVERTS the
+            # gate, suppressing the convective regime instead of the stable.
+            raise SystemExit(f"--nn-stability-gate must be a positive stratification scale in K/m "
+                             f"(or 'auto'/'none'); got {nn_stability_gate}")
         print(f"NN stability gate: sigmoid(-dT/dz / {nn_stability_gate:.4g} K/m)")
 
     n_steps = int(args.days * 86400.0 / args.dt)

@@ -66,12 +66,19 @@ def make_sharded_gyre_stepper(
     T_scaling=None,
     wT_scaling=None,
     n_substeps: int = 1,
+    tridiag_backend: str = "scan",
+    T_remap=None,
+    nn_stability_gate=None,
 ):
     """jit the basin step with y-sharded state in/out; GSPMD does the halos.
 
     Returns ``step(state) -> state`` advancing ``n_substeps`` steps; inputs
     and outputs keep the y-sharded layout, so trajectories never gather onto
-    one device.
+    one device. The NN-closure knobs (``T_remap``, ``nn_stability_gate``)
+    mirror :func:`embed.double_gyre.double_gyre_step` — the sharded path must
+    run the SAME closure the single-chip runner does (raw basin temperatures
+    NaN multi-month runs without the remap; multi-decade runs drift without
+    the gate — RESULTS.md gyre section).
     """
     s = state_shardings(mesh)
 
@@ -80,7 +87,8 @@ def make_sharded_gyre_stepper(
         # the whole step graph (compile time explodes at reference-scale
         # save intervals of thousands of steps).
         def body(st, _):
-            return double_gyre_step(model, st, dt, nn, T_scaling, wT_scaling), None
+            return double_gyre_step(model, st, dt, nn, T_scaling, wT_scaling,
+                                    tridiag_backend, T_remap, nn_stability_gate), None
 
         st, _ = jax.lax.scan(body, state, None, length=n_substeps)
         return st
@@ -99,6 +107,9 @@ def run_double_gyre_sharded(
     T_scaling=None,
     wT_scaling=None,
     max_steps_per_dispatch: int | None = None,
+    tridiag_backend: str = "scan",
+    T_remap=None,
+    nn_stability_gate=None,
 ):
     """Sharded counterpart of :func:`embed.double_gyre.run_double_gyre`.
 
@@ -122,7 +133,9 @@ def run_double_gyre_sharded(
     )
     if kind == "subframe":
         steppers = {
-            n: make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=n)
+            n: make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=n,
+                                         tridiag_backend=tridiag_backend, T_remap=T_remap,
+                                         nn_stability_gate=nn_stability_gate)
             for n in sorted(set(plan))
         }
         for _ in range(n_save):
@@ -130,7 +143,9 @@ def run_double_gyre_sharded(
                 state = steppers[n](state)
             frames.append(state)
     else:
-        step = make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=save_every)
+        step = make_sharded_gyre_stepper(model, mesh, dt, nn, T_scaling, wT_scaling, n_substeps=save_every,
+                                         tridiag_backend=tridiag_backend, T_remap=T_remap,
+                                         nn_stability_gate=nn_stability_gate)
         for _ in range(n_save):
             state = step(state)
             frames.append(state)

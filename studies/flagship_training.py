@@ -67,6 +67,12 @@ TRAIN_FILES_DIURNAL = [
 ]
 TEST_FILES_DIURNAL = ["wind_-4.5e-4_diurnal_4e-8", "wind_-3e-4_diurnal_2e-8", "wind_-2e-4_diurnal_4e-8"]
 
+# Frozen copies of the standard suite so main() can resolve --suite/--extra-train
+# from a fixed base each call (the mutable TRAIN_FILES/TEST_FILES globals are
+# what build()/step_bench()/save_nns read).
+TRAIN_FILES_STANDARD = tuple(TRAIN_FILES)
+TEST_FILES_STANDARD = tuple(TEST_FILES)
+
 # --suite mixed: BOTH families in ONE training run (33 sims on one batch
 # axis; the per-sim diurnal_amplitude keeps constant members' BCs frozen
 # while diurnal members resolve the cycle) — the reference trains these as
@@ -317,6 +323,30 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
     )
 
 
+def resolve_suite(suite, extra_train=None):
+    """Resolve ``(train_files, test_files, diurnal)`` from FROZEN base lists.
+
+    Idempotent by construction (a second in-process ``main()`` must not
+    compound the previous call's suite). ``diurnal`` follows suite
+    MEMBERSHIP, not the --suite enum: an ``--extra-train`` diurnal member on
+    the standard suite must still resolve the cycle (otherwise its BC
+    freezes at sin(0)=0 while the checkpoint meta records diurnal=true —
+    the exact train/eval mismatch the cmd_optimise_mpp comment warns about).
+    """
+    from climateparameterizations_jl_tpu.cli.main import _sims, _suite_diurnal_flags
+
+    if suite == "diurnal":
+        train, test = list(TRAIN_FILES_DIURNAL), list(TEST_FILES_DIURNAL)
+    elif suite == "mixed":
+        train = list(TRAIN_FILES_STANDARD) + TRAIN_FILES_DIURNAL
+        test = list(TEST_FILES_STANDARD) + TEST_FILES_DIURNAL
+    else:
+        train, test = list(TRAIN_FILES_STANDARD), list(TEST_FILES_STANDARD)
+    if extra_train:
+        train = train + _sims(extra_train)
+    return train, test, any(_suite_diurnal_flags(train))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train", choices=["train", "step-bench"])
@@ -345,13 +375,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
     global TRAIN_FILES, TEST_FILES
-    if args.suite == "diurnal":
-        TRAIN_FILES, TEST_FILES = TRAIN_FILES_DIURNAL, TEST_FILES_DIURNAL
-    elif args.suite == "mixed":
-        TRAIN_FILES = TRAIN_FILES + TRAIN_FILES_DIURNAL
-        TEST_FILES = TEST_FILES + TEST_FILES_DIURNAL
-    if args.extra_train:
-        TRAIN_FILES = TRAIN_FILES + [s for s in args.extra_train.split(",") if s]
+    TRAIN_FILES, TEST_FILES, suite_diurnal = resolve_suite(args.suite, args.extra_train)
     if args.smoke:
         global STAGES
         STAGES = [(w, s, 3, lr) for w, s, _, lr in STAGES]
@@ -363,7 +387,7 @@ def main(argv=None):
     if args.mode == "step-bench":
         result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
                             fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift,
-                            diurnal=args.suite in ("diurnal", "mixed"))
+                            diurnal=suite_diurnal)
         result["tridiag_backend"] = args.tridiag_backend
         result["fast_assembly"] = args.fast_assembly
         result["implicit_solve_grad"] = not args.no_ift
@@ -372,7 +396,7 @@ def main(argv=None):
     else:
         wall0 = time.perf_counter()
         t0 = time.perf_counter()
-        ds, model, nns = build(diurnal=args.suite in ("diurnal", "mixed"))
+        ds, model, nns = build(diurnal=suite_diurnal)
         data_s = time.perf_counter() - t0
         mpp_info = None
         if args.calibrate_mpp:

@@ -34,10 +34,12 @@ def test_module_invocation_runs_main():
     import subprocess
     import sys
 
+    # NOTE: the container sitecustomize CLOBBERS JAX_PLATFORMS (CLAUDE.md), so
+    # the env var would be inert — force CPU with the CLI's own global flag
+    # (in-process config update, applied before any backend init).
     r = subprocess.run(
-        [sys.executable, "-m", "climateparameterizations_jl_tpu.cli.main", "--help"],
+        [sys.executable, "-m", "climateparameterizations_jl_tpu.cli.main", "--platform", "cpu", "--help"],
         capture_output=True, text=True, timeout=120,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0
     assert "usage" in r.stdout.lower()

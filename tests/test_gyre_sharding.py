@@ -48,6 +48,33 @@ class TestGyreSharding:
             b = np.asarray(getattr(traj_8, field))
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6, err_msg=field)
 
+    def test_nn_knobs_match_unsharded(self, setup):
+        # Regression: the sharded runner used to DROP T_remap /
+        # nn_stability_gate / tridiag_backend, silently running the NN
+        # closure ungated on raw basin temperatures — the exact long runs
+        # the sharded path exists for.
+        from climateparameterizations_jl_tpu.closures.mlp import mlp_init
+        from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+
+        model, state0 = setup
+        mesh = make_gyre_mesh(8)
+        nn = mlp_init(jax.random.PRNGKey(3), [model.Nz, 8, model.Nz - 1])
+        Ts = ZeroMeanUnitVarianceScaling(mu=jnp.float32(19.7), sigma=jnp.float32(0.02))
+        ws = ZeroMeanUnitVarianceScaling(mu=jnp.float32(0.0), sigma=jnp.float32(1e-5))
+        kw = dict(dt=1800.0, n_save=2, save_every=4, nn=nn, T_scaling=Ts, wT_scaling=ws,
+                  T_remap=(18.6, 85.0), nn_stability_gate=0.02, tridiag_backend="pcr")
+        traj_1 = run_double_gyre(model, state0, **kw)
+        traj_8 = run_double_gyre_sharded(model, state0, mesh=mesh, **kw)
+        gate_off = run_double_gyre_sharded(model, state0, mesh=mesh,
+                                           **{**kw, "nn_stability_gate": None})
+        for field in ("u", "v", "T", "eta"):
+            a = np.asarray(getattr(traj_1, field))
+            b = np.asarray(getattr(traj_8, field))
+            assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6, err_msg=field)
+        # the gate must actually change the closure (knob not silently dropped)
+        assert not np.allclose(np.asarray(traj_8.T[-1]), np.asarray(gate_off.T[-1]))
+
     def test_uneven_v_axis_replicated(self, setup):
         # v has Ny+1 = 25 rows (not divisible by 8): stored replicated.
         model, state0 = setup
