@@ -118,9 +118,16 @@ def _base_closure_overrides(name: str) -> dict:
 def _save_nns(output: str, nns, meta: dict):
     from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
 
+    arch_src = nns
+    if meta.get("ensemble"):
+        # Stacked deep ensemble: the arch is per-member (sizes read from the
+        # member-0 slice; the stacked tree itself is what gets saved).
+        import jax as _jax
+
+        arch_src = _jax.tree.map(lambda x: x[0], nns)
     arch = {}
     for name in ("uw", "vw", "wT"):
-        nn = getattr(nns, name, None)
+        nn = getattr(arch_src, name, None)
         if nn is not None:
             arch[name] = {"sizes": list(nn.sizes), "activation": nn.activation}
     save_checkpoint(output, nns, {**meta, "arch": arch})
@@ -146,6 +153,10 @@ def _load_nns(directory: str):
             for name in ("uw", "vw", "wT")
         }
     )
+    if meta.get("ensemble"):
+        from climateparameterizations_jl_tpu.train.deep_ensemble import stack_members
+
+        skeleton = stack_members([skeleton] * int(meta["ensemble"]))
     return load_checkpoint(directory, skeleton)
 
 
@@ -567,6 +578,11 @@ def cmd_train_nde(args) -> int:
             raise SystemExit(f"train-nde: --fast-assembly supports --method split or rk4 (got {args.method!r})")
         if args.method == "rk4" and args.smooth_ri:
             raise SystemExit("train-nde: --fast-assembly with --method rk4 does not apply the Ri smoothing filter; drop --smooth-ri")
+    if getattr(args, "ensemble", 0) and args.optimizer not in ("adam", "sgd"):
+        raise SystemExit(
+            f"train-nde: --ensemble requires an elementwise optimizer (adam/sgd); "
+            f"{args.optimizer} couples members through its shared linesearch"
+        )
 
     from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
     from climateparameterizations_jl_tpu.data.containers import training_tensors
@@ -590,11 +606,25 @@ def cmd_train_nde(args) -> int:
         smooth_NN=args.smooth_nn, smooth_Ri=args.smooth_ri,
         **_base_closure_overrides(args.base_closure),
     )
+    ensemble = int(getattr(args, "ensemble", 0) or 0)
+
+    def _init_member(key):
+        ks = jax.random.split(key, 3)
+        return FluxNNs(*[wind_mixing_mlp(k, args.nz, scale=args.init_scale) for k in ks])
+
     if args.init_from:
-        nns, _ = _load_nns(args.init_from)
+        nns, init_meta = _load_nns(args.init_from)
+        if int(init_meta.get("ensemble", 0) or 0) != ensemble:
+            raise SystemExit(
+                f"train-nde: --init-from checkpoint ensemble size "
+                f"{init_meta.get('ensemble', 0) or 0} does not match --ensemble {ensemble}"
+            )
+    elif ensemble:
+        from climateparameterizations_jl_tpu.train.deep_ensemble import init_ensemble
+
+        nns = init_ensemble(jax.random.PRNGKey(args.seed), ensemble, _init_member)
     else:
-        ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
-        nns = FluxNNs(*[wind_mixing_mlp(k, args.nz, scale=args.init_scale) for k in ks])
+        nns = _init_member(jax.random.PRNGKey(args.seed))
 
     config = NDETrainConfig(
         learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.n_substeps,
@@ -626,8 +656,12 @@ def cmd_train_nde(args) -> int:
 
     from climateparameterizations_jl_tpu.utils.profiling import trace
 
+    if ensemble:
+        from climateparameterizations_jl_tpu.train.deep_ensemble import train_wind_mixing_deep_ensemble as _train
+    else:
+        _train = train_wind_mixing_nde
     with trace(args.trace) if args.trace else contextlib.nullcontext():
-        nns, history = train_wind_mixing_nde(
+        nns, history = _train(
             model, nns, batch, config,
             stages=stages if len(stages) > 1 else None,
             full_batch_fn=batch_fn if len(stages) > 1 else None,
@@ -640,6 +674,7 @@ def cmd_train_nde(args) -> int:
         # evaluate/ensemble must rebuild the EXACT training-time dynamics.
         "smooth_NN": bool(args.smooth_nn), "smooth_Ri": bool(args.smooth_ri),
         "diurnal": bool(diurnal), "base_closure": args.base_closure,
+        "ensemble": ensemble,
     })
     print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
@@ -1015,6 +1050,18 @@ def cmd_evaluate(args) -> int:
 
     test_sims = _sims(args.test_sims)
     nns, ckpt_meta = _load_nns(args.checkpoint)
+    ensemble_nns = None
+    if ckpt_meta.get("ensemble"):
+        # Deep-ensemble checkpoint: member 0 drives the standard per-member
+        # harness (fluxes/Ri are per-member diagnostics); the UQ block below
+        # adds predictive mean/std bands + the ensemble-mean-prediction loss.
+        from climateparameterizations_jl_tpu.train.deep_ensemble import unstack_members
+
+        ensemble_nns = nns
+        nns = unstack_members(nns)[0]
+        print(f"deep-ensemble checkpoint (K={int(ckpt_meta['ensemble'])}): "
+              f"'nde' channels show member 0; uncertainty_*.npz / 'nde_ensemble_mean' "
+              f"carry the ensemble", flush=True)
     # Scaling context resolution: evaluation must use the TRAINING suite's
     # scalings (override-scaling semantics). The checkpoint records its
     # training sims, so an omitted --sims defaults to those instead of the
@@ -1104,6 +1151,21 @@ def cmd_evaluate(args) -> int:
                     theta_top=first(ds.theta_top), theta_bottom=first(ds.theta_bottom),
                 )
                 write_les_profiles(os.path.join(sim_dir, f"{tag}.jld2"), cts)
+        if ensemble_nns is not None:
+            from climateparameterizations_jl_tpu.eval.ensemble_uq import nde_ensemble_uq
+
+            uq = nde_ensemble_uq(
+                model, ensemble_nns, ds, tsteps,
+                solver=args.method, n_substeps=args.n_substeps,
+            )
+            np.savez(os.path.join(args.output, f"uncertainty_{name}.npz"), **uq)
+            matrix.setdefault("nde_ensemble_mean", []).append(float(np.mean(uq["losses_ensemble_mean_T"])))
+            if sim_i == 0:
+                from climateparameterizations_jl_tpu.eval.animations import plot_nde_ensemble_uncertainty
+
+                plot_nde_ensemble_uncertainty(
+                    uq, ev["truth_T"], os.path.join(args.output, "nde_uncertainty.png")
+                )
         for m in members:
             key = f"losses_{m}_T"
             if key in ev.keys():
@@ -1305,6 +1367,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
     p.add_argument("--trace", default=None, help="write a jax profiler trace to this dir (TensorBoard/Perfetto)")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
+    p.add_argument("--ensemble", type=int, default=0, metavar="K",
+                   help="train a K-member deep ensemble (independently-seeded members stacked "
+                        "on a leading axis, all trained by ONE jitted step; evaluate surfaces "
+                        "predictive mean/std bands). 0 = single closure (default)")
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="split stepper's implicit solve; pcr is 1.35x faster on TPU (PERFORMANCE.md)")
     p.add_argument("--fast-assembly", nargs="?", const="on", default="auto",
                    choices=["on", "off", "auto", "fold"],

@@ -164,6 +164,31 @@ def plot_gp_uncertainty(pred, truth, variance, path: str, flux: str = "wT", fram
     return path
 
 
+def plot_nde_ensemble_uncertainty(uq: dict, truth_T, path: str, frame: int = -1):
+    """Deep-ensemble T profile with a +/-2 sigma predictive band vs truth.
+
+    The NN-closure analogue of :func:`plot_gp_uncertainty` (the reference
+    plots uncertainty only for the GP, ``gaussian_process.jl:130-139``).
+    ``uq``: the dict from ``eval.ensemble_uq.nde_ensemble_uq``; ``truth_T``:
+    dimensional ``(Nt, Nz)`` truth profiles on the same window.
+    """
+    mean = np.asarray(uq["ensemble_T_mean"])[frame]
+    sd = np.asarray(uq["ensemble_T_std"])[frame]
+    truth = np.asarray(truth_T)[frame].reshape(-1)
+    zc = np.asarray(uq["zc"])
+    fig, ax = plt.subplots(figsize=(5, 6))
+    ax.fill_betweenx(zc, mean - 2 * sd, mean + 2 * sd, alpha=0.25, label="+/-2 sigma")
+    ax.plot(mean, zc, label=f"ensemble mean (K={int(uq['n_members'])})")
+    ax.plot(truth, zc, "k--", label="truth")
+    ax.set_xlabel("T (degC)")
+    ax.set_ylabel("z (m)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 def plot_epoch_loss(epoch_losses, path: str, label: str = "training loss"):
     """Loss vs training epoch (``testing.jl:34-62``)."""
     fig, ax = plt.subplots(figsize=(6, 4))

@@ -1,0 +1,94 @@
+"""Predictive uncertainty of a deep-ensemble NDE closure on a held-out sim.
+
+Companion to ``train/deep_ensemble.py``: the K trained members' trajectories
+come out of ONE vmapped jitted solve (members ride the batch axis — the same
+axis the perturbed-IC `ensemble` command shards over a mesh), and the
+predictive mean/std bands are the NN-closure analogue of the GP posterior
+bands the reference plots (``src/GaussianProcesses/gaussian_process.jl:130-139``).
+
+Loss conventions match ``eval/profile.nde_profile``: per-timestep channels in
+SCALED space, profiles dimensionalized with the training scalings. Because the
+scalings are affine and MSE is convex, the ensemble-MEAN prediction's loss is
+<= the member-mean loss (Jensen) — tested.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climateparameterizations_jl_tpu.data.containers import ColumnTimeSeries, training_tensors
+from climateparameterizations_jl_tpu.eval.profile import (
+    _grid,
+    _per_timestep_channels,
+    _require_uniform,
+    _solve_scaled,
+)
+from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingModel, split_uvT
+from climateparameterizations_jl_tpu.train.deep_ensemble import ensemble_size
+
+
+def nde_ensemble_uq(
+    model: WindMixingModel,
+    stacked_nns,
+    ds_test: ColumnTimeSeries,
+    tsteps,
+    *,
+    solver: str = "split",
+    n_substeps: int = 4,
+) -> dict:
+    """Member trajectories + predictive mean/std for one held-out simulation.
+
+    Returns a flat dict (numpy arrays):
+
+    - ``t`` (s), ``zc``, ``zf`` — coordinates;
+    - ``ensemble_{u,v,T}_mean`` / ``_std`` — dimensional ``(Nt, Nz)`` bands
+      across members;
+    - ``losses_member_T`` — scaled per-timestep T loss per member ``(K, Nt)``;
+    - ``losses_ensemble_mean_T`` — per-timestep T loss of the MEAN prediction;
+    - ``n_members``.
+    """
+    if ds_test.u.ndim > 2:
+        if ds_test.u.shape[0] != 1:
+            raise ValueError(
+                f"nde_ensemble_uq evaluates ONE held-out simulation; got a stacked "
+                f"suite of {ds_test.u.shape[0]}"
+            )
+        ds_test = jax.tree.map(lambda a: a[0], ds_test)
+    s = model.scalings
+    batch = training_tensors(ds_test, s, tsteps, tau=model.tau, diurnal=model.diurnal)
+    t = batch.t
+    _require_uniform(t, "nde_ensemble_uq")
+    Nz = model.Nz
+    n_members = ensemble_size(stacked_nns)
+
+    @jax.jit
+    def _members(stacked):
+        trajs = jax.vmap(
+            lambda nns: _solve_scaled(model, nns, batch.bcs, batch.x0, t, solver, n_substeps)
+        )(stacked)  # (K, Nt, 3Nz) scaled
+        mean_traj = jnp.mean(trajs, axis=0)
+        member_T = jax.vmap(
+            lambda traj: _per_timestep_channels(traj, batch.targets, Nz, model.dz_hat)["T"]
+        )(trajs)
+        mean_T = _per_timestep_channels(mean_traj, batch.targets, Nz, model.dz_hat)["T"]
+        return trajs, member_T, mean_T
+
+    trajs, member_T, mean_T = jax.device_get(_members(stacked_nns))
+
+    zc, zf = _grid(model)
+    out = {
+        "t": np.asarray(t) * float(model.tau),
+        "zc": zc,
+        "zf": zf,
+        "n_members": np.asarray(n_members),
+        "losses_member_T": np.asarray(member_T),
+        "losses_ensemble_mean_T": np.asarray(mean_T),
+    }
+    u, v, T = split_uvT(jnp.asarray(trajs), Nz)
+    for name, scale, arr in (("u", s.u, u), ("v", s.v, v), ("T", s.T, T)):
+        dim = np.asarray(scale.unscale(arr))  # affine: unscale commutes with the member mean
+        out[f"ensemble_{name}_mean"] = dim.mean(axis=0)
+        out[f"ensemble_{name}_std"] = dim.std(axis=0)
+    return out

@@ -177,6 +177,55 @@ def make_sharded_suite_ensemble_solver(model: WindMixingModel, config: NDETrainC
     return jax.jit(solve, static_argnums=(5,))
 
 
+def shard_ensemble_members(stacked, mesh: Mesh, axis_name: str = "batch"):
+    """Shard the leading MEMBER axis of a stacked deep-ensemble pytree."""
+    split = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), split), stacked)
+
+
+def make_sharded_deep_ensemble_train_step(
+    model: WindMixingModel,
+    batch: TrainingBatch,
+    config: NDETrainConfig,
+    optimizer,
+    stacked_scalings,
+    mesh: Mesh,
+    axis_name: str = "batch",
+):
+    """One jitted MEMBER-parallel deep-ensemble train step.
+
+    The dual of :func:`make_sharded_nde_train_step`: there the batch is split
+    and the params replicated (gradients meet in a ``psum``); here the stacked
+    params/opt-state/scalings are split over the member axis and the batch
+    replicated — each device trains its own K/N members with NO gradient
+    collective (members never interact; the only cross-device op is the
+    scalar member-sum of the loss, for logging). Place params/opt state with
+    :func:`shard_ensemble_members` and the batch with :func:`replicate`.
+
+    As everywhere, the sharded operands enter the jitted step as ARGUMENTS
+    (jit drops closure-captured shardings — the silent-replication trap the
+    compiled-HLO audit pins).
+
+    Returns ``step(stacked_nns, opt_state) -> (stacked_nns, opt_state, total,
+    mean_channels)``.
+    """
+    from climateparameterizations_jl_tpu.train.deep_ensemble import make_ensemble_loss_fn
+
+    @jax.jit
+    def _step(stacked_nns, opt_state, batch, scalings):
+        loss_fn = make_ensemble_loss_fn(model, batch, scalings, config)
+        (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(stacked_nns)
+        updates, opt_state = optimizer.update(grads, opt_state, stacked_nns)
+        stacked_nns = optax.apply_updates(stacked_nns, updates)
+        return stacked_nns, opt_state, total, channels
+
+    def step(stacked_nns, opt_state):
+        return _step(stacked_nns, opt_state, batch, stacked_scalings)
+
+    step.lower = lambda nns, opt_state: _step.lower(nns, opt_state, batch, stacked_scalings)
+    return step
+
+
 def make_sharded_ensemble_solver(model: WindMixingModel, config: NDETrainConfig, mesh: Mesh, axis_name: str = "batch", out_sharding: NamedSharding | None = None):
     """Forward ensemble solver with columns sharded across the mesh.
 

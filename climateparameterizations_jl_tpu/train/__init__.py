@@ -11,6 +11,13 @@ from climateparameterizations_jl_tpu.train.nde import (
     train_free_convection_nde,
     make_wind_mixing_loss_fn,
 )
+from climateparameterizations_jl_tpu.train.deep_ensemble import (
+    init_ensemble,
+    stack_members,
+    unstack_members,
+    ensemble_size,
+    train_wind_mixing_deep_ensemble,
+)
 from climateparameterizations_jl_tpu.train.nn import train_flux_nn, flux_nn_loss
 from climateparameterizations_jl_tpu.train.mpp_calibration import optimise_mpp_parameters
 from climateparameterizations_jl_tpu.train.checkpoint import (
@@ -29,6 +36,11 @@ __all__ = [
     "train_wind_mixing_nde",
     "train_free_convection_nde",
     "make_wind_mixing_loss_fn",
+    "init_ensemble",
+    "stack_members",
+    "unstack_members",
+    "ensemble_size",
+    "train_wind_mixing_deep_ensemble",
     "train_flux_nn",
     "flux_nn_loss",
     "optimise_mpp_parameters",

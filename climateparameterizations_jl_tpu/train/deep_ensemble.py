@@ -1,0 +1,199 @@
+"""Deep-ensemble UQ for the NDE closures: K members trained in ONE jitted step.
+
+The reference quantifies closure uncertainty only on the GP side (posterior
+variance, ``src/GaussianProcesses/gaussian_process.jl:130-139``); its NN
+closures are point estimates. This module adds the NN-side analogue the TPU
+makes cheap: K independently-seeded closures ride a leading member axis of a
+STACKED params pytree, and one jitted train step advances all of them —
+the ensemble loss is the SUM of member losses, so (with an elementwise
+optimizer such as adam/sgd, whose moments stack per member) the gradients and
+updates are *bitwise the member-independent ones* (pinned by
+``tests/test_deep_ensemble.py::test_ensemble_matches_solo_training``).
+Members are also a perfect device-mesh axis: see
+``parallel/sharding.py::make_sharded_deep_ensemble_train_step``.
+
+Evaluation-side UQ (predictive mean/std bands, member spread) lives in
+``eval/ensemble_uq.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from climateparameterizations_jl_tpu.data.containers import TrainingBatch
+from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingModel
+from climateparameterizations_jl_tpu.train.loss import (
+    LossChannels,
+    apply_loss_scalings,
+    calculate_loss_scalings,
+    nde_loss_channels,
+)
+from climateparameterizations_jl_tpu.train.nde import (
+    CurriculumStage,
+    NDETrainConfig,
+    _make_optimizer,
+    _require_uniform,
+    _solve,
+    _train_loop,
+)
+
+
+def stack_members(members: Sequence) -> object:
+    """Stack same-structure pytrees on a new leading member axis."""
+    if not members:
+        raise ValueError("stack_members: need at least one member")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+
+def unstack_members(stacked) -> list:
+    """Inverse of :func:`stack_members`: a list of per-member pytrees."""
+    n = ensemble_size(stacked)
+    return [jax.tree.map(lambda x: x[i], stacked) for i in range(n)]
+
+
+def ensemble_size(stacked) -> int:
+    """Number of members (leading dim of every leaf)."""
+    leaves = jax.tree.leaves(stacked)
+    if not leaves:
+        raise ValueError("ensemble_size: empty pytree")
+    n = leaves[0].shape[0]
+    for leaf in leaves[1:]:
+        if leaf.shape[0] != n:
+            raise ValueError("ensemble_size: inconsistent leading member axis")
+    return int(n)
+
+
+def init_ensemble(key, n_members: int, init_fn: Callable) -> object:
+    """Stack ``n_members`` independently-seeded ``init_fn(subkey)`` pytrees."""
+    if n_members < 1:
+        raise ValueError(f"init_ensemble: n_members must be >= 1 (got {n_members})")
+    keys = jax.random.split(key, n_members)
+    return stack_members([init_fn(k) for k in keys])
+
+
+def _check_independent_optimizer(config: NDETrainConfig):
+    # lbfgs's zoom linesearch picks ONE shared step size from the summed
+    # loss, coupling members — the ensemble would no longer be K independent
+    # trainings. adam/sgd updates are elementwise, so stacked == solo.
+    if config.optimizer not in ("adam", "sgd"):
+        raise ValueError(
+            f"deep ensembles require an elementwise optimizer (adam/sgd); "
+            f"{config.optimizer!r} couples members through its shared linesearch scalar"
+        )
+
+
+def ensemble_loss_scalings(model: WindMixingModel, stacked_nns, batch: TrainingBatch, config: NDETrainConfig) -> LossChannels:
+    """Per-member loss scalings, stacked on the member axis.
+
+    Mirrors ``train.nde.determine_loss_scalings`` member-by-member: each
+    member's auto-balance pre-solve uses its OWN initial params, exactly as K
+    solo trainings would.
+    """
+    n = ensemble_size(stacked_nns)
+    if config.training_fractions is None:
+        ones = LossChannels.ones(config.gradient_scaling if config.train_gradient else 0.0)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), ones)
+
+    def member(nns):
+        pred = _solve(model, nns, batch, config)
+        channels = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
+        return calculate_loss_scalings(channels, config.training_fractions, config.train_gradient)
+
+    return jax.vmap(member)(stacked_nns)
+
+
+def make_ensemble_loss_fn(model: WindMixingModel, batch: TrainingBatch, stacked_scalings: LossChannels, config: NDETrainConfig) -> Callable:
+    """``loss(stacked_nns) -> (sum_of_member_totals, member-mean channels)``.
+
+    The gradient of the member-sum w.r.t. the stacked params has NO cross-
+    member terms, so one ``value_and_grad`` trains all K members exactly as
+    K independent runs would (the aux channels are member-averaged only for
+    history/logging).
+    """
+
+    def member(nns, scalings):
+        pred = _solve(model, nns, batch, config)
+        channels = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
+        scaled = apply_loss_scalings(channels, scalings)
+        return scaled.total(), scaled
+
+    def loss_fn(stacked_nns):
+        totals, channels = jax.vmap(member)(stacked_nns, stacked_scalings)
+        mean_channels = jax.tree.map(lambda x: jnp.mean(x, axis=0), channels)
+        return jnp.sum(totals), mean_channels
+
+    return loss_fn
+
+
+def resume_ensemble_train_state(checkpoint_dir: str, stacked_nns, optimizer):
+    """Restore stacked ``(params, opt_state)`` from an ensemble checkpoint."""
+    from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint
+
+    skeleton = {"params": stacked_nns, "opt_state": optimizer.init(stacked_nns)}
+    state, _ = load_checkpoint(checkpoint_dir, skeleton)
+    return state["params"], state["opt_state"]
+
+
+def train_wind_mixing_deep_ensemble(
+    model: WindMixingModel,
+    stacked_nns,
+    batch: TrainingBatch,
+    config: NDETrainConfig,
+    stages: Sequence[CurriculumStage] | None = None,
+    full_batch_fn: Callable | None = None,
+    callback=None,
+    checkpoint_dir: str | None = None,
+    resume_from: str | None = None,
+):
+    """Train K stacked flux-NN members through the scanned NDE solve at once.
+
+    Same contract as ``train.nde.train_wind_mixing_nde`` (curriculum stages,
+    checkpoint/resume, per-iteration history) but over a stacked params
+    pytree; history entries are member-MEAN :class:`LossChannels`. Returns
+    ``(stacked_nns, history)``.
+    """
+    from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
+
+    _check_independent_optimizer(config)
+    n_members = ensemble_size(stacked_nns)
+
+    opt_state = None
+    if resume_from is not None:
+        stacked_nns, opt_state = resume_ensemble_train_state(resume_from, stacked_nns, _make_optimizer(config))
+
+    def _save(nns, opt_state, stage_idx):
+        if checkpoint_dir is not None:
+            save_checkpoint(
+                checkpoint_dir,
+                {"params": nns, "opt_state": opt_state},
+                {"stage": stage_idx, "optimizer": config.optimizer,
+                 "learning_rate": config.learning_rate, "ensemble": n_members},
+            )
+
+    history_all = []
+    _require_uniform(batch.t, "train_wind_mixing_deep_ensemble")
+    if stages is None:
+        scalings = ensemble_loss_scalings(model, stacked_nns, batch, config)
+        loss_fn = make_ensemble_loss_fn(model, batch, scalings, config)
+        stacked_nns, history_all, opt_state = _train_loop(
+            loss_fn, stacked_nns, _make_optimizer(config), config.maxiters, callback, opt_state
+        )
+        _save(stacked_nns, opt_state, 0)
+        return stacked_nns, history_all
+
+    for i, stage in enumerate(stages):
+        stage_batch = full_batch_fn(stage.tsteps)
+        _require_uniform(stage_batch.t, f"ensemble curriculum stage {i}")
+        stage_config = dataclasses.replace(config, n_substeps=stage.n_substeps) if stage.n_substeps else config
+        scalings = ensemble_loss_scalings(model, stacked_nns, stage_batch, stage_config)
+        loss_fn = make_ensemble_loss_fn(model, stage_batch, scalings, stage_config)
+        stacked_nns, h, opt_state = _train_loop(
+            loss_fn, stacked_nns, _make_optimizer(stage_config, stage.learning_rate), stage.maxiters, callback, opt_state
+        )
+        history_all.extend(h)
+        _save(stacked_nns, opt_state, i)
+    return stacked_nns, history_all

@@ -148,6 +148,51 @@ def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     assert from_meta == explicit
 
 
+def test_train_nde_deep_ensemble_and_evaluate(tmp_path, capsys):
+    out = str(tmp_path / "nde_ens")
+    rc = main([
+        "train-nde", "--sims", "strong_wind", *TINY,
+        "--ensemble", "2", "--init-scale", "1.0",
+        "--maxiters", "2", "--n-train-steps", "8", "--n-substeps", "2",
+        "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f)["ensemble"] == 2
+    capsys.readouterr()
+
+    eval_out = str(tmp_path / "eval_ens")
+    rc = main([
+        "evaluate", "--test-sims", "strong_wind_weak_cooling", *TINY,
+        "--checkpoint", out, "--n-train-steps", "8", "--n-substeps", "2",
+        "--eval-stride", "2", "--output", eval_out,
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "deep-ensemble checkpoint (K=2)" in text
+    summary = json.loads(text.strip().splitlines()[-1])
+    assert "nde_ensemble_mean" in summary and np.isfinite(summary["nde_ensemble_mean"])
+    uq = np.load(os.path.join(eval_out, "uncertainty_strong_wind_weak_cooling.npz"))
+    assert uq["losses_member_T"].shape[0] == 2
+    assert float(uq["ensemble_T_std"].max()) > 0  # distinct members -> real band
+    assert os.path.exists(os.path.join(eval_out, "nde_uncertainty.png"))
+
+    # Warm-starting requires a matching ensemble size.
+    with pytest.raises(SystemExit):
+        main([
+            "train-nde", "--sims", "strong_wind", *TINY,
+            "--ensemble", "3", "--init-from", out,
+            "--maxiters", "1", "--n-train-steps", "8", "--output", str(tmp_path / "x"),
+        ])
+    # lbfgs couples members through its linesearch: refused up front.
+    with pytest.raises(SystemExit):
+        main([
+            "train-nde", "--sims", "strong_wind", *TINY,
+            "--ensemble", "2", "--optimizer", "lbfgs",
+            "--maxiters", "1", "--output", str(tmp_path / "y"),
+        ])
+
+
 def test_train_nde_conv_adj_base_and_evaluate(tmp_path, capsys):
     """--base-closure conv-adj trains the wind-mixing NDE over a convective-
     adjustment base (train_NDE_2DaySuite_SWNH_convective_adjustment.jl) and
