@@ -271,6 +271,10 @@ def _load_fc_nn(directory: str):
         )
     else:
         skeleton = mlp_init(jax.random.PRNGKey(0), arch["sizes"], arch["activation"])
+    if meta.get("ensemble"):
+        from climateparameterizations_jl_tpu.train.deep_ensemble import stack_members
+
+        skeleton = stack_members([skeleton] * int(meta["ensemble"]))
     nn, _ = load_checkpoint(directory, skeleton)
     return nn, meta
 
@@ -291,6 +295,15 @@ def cmd_evaluate_fc(args) -> int:
     from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
 
     nn, meta = _load_fc_nn(args.checkpoint)
+    ensemble_nn = None
+    if meta.get("ensemble"):
+        from climateparameterizations_jl_tpu.train.deep_ensemble import unstack_members
+
+        ensemble_nn = nn
+        nn = unstack_members(nn)[0]
+        print(f"deep-ensemble checkpoint (K={int(meta['ensemble'])}): "
+              f"'nde' channels show member 0; uncertainty_sim*.npz / 'nde_ensemble_mean' "
+              f"carry the ensemble", flush=True)
     ids = [int(s) for s in _sims(args.sim_ids)]
     if getattr(args, "netcdf", False) and not args.embedded:
         raise SystemExit("--netcdf requires --embedded (it writes the embedded pair)")
@@ -345,6 +358,18 @@ def cmd_evaluate_fc(args) -> int:
                 ev["embedded_baseline_T"], ev["embedded_T"], ev["embedded_wT"],
                 attrs={"simulation_id": i},
             )
+        if ensemble_nn is not None:
+            from climateparameterizations_jl_tpu.eval.ensemble_uq import fc_ensemble_uq
+
+            uq = fc_ensemble_uq(model, ensemble_nn, ds, tsteps, n_substeps=args.n_substeps)
+            np.savez(os.path.join(args.output, f"uncertainty_sim{i}.npz"), **uq)
+            matrix.setdefault("nde_ensemble_mean", []).append(float(np.mean(uq["losses_ensemble_mean_T"])))
+            if i == ids[0]:
+                from climateparameterizations_jl_tpu.eval.animations import plot_nde_ensemble_uncertainty
+
+                plot_nde_ensemble_uncertainty(
+                    uq, ev["truth_T"], os.path.join(args.output, "nde_uncertainty.png")
+                )
         for m in members:
             key = f"losses_{m}_T"
             if key in ev.keys():
@@ -380,6 +405,15 @@ def cmd_ensemble(args) -> int:
     ds = _load_suite(names, args.nz, args.data_dir, args.n_save, args.dt_save)
     if args.checkpoint:
         nns, ckpt_meta = _load_nns(args.checkpoint)
+        if ckpt_meta.get("ensemble"):
+            # Deep-ensemble checkpoint: this command quantifies INITIAL-
+            # CONDITION spread, which needs one closure — member 0 (parameter
+            # spread is `evaluate`'s uncertainty_*.npz output).
+            from climateparameterizations_jl_tpu.train.deep_ensemble import unstack_members
+
+            nns = unstack_members(nns)[0]
+            print(f"deep-ensemble checkpoint (K={int(ckpt_meta['ensemble'])}): "
+                  f"perturbed-IC ensemble runs member 0", flush=True)
     else:
         nns, ckpt_meta = FluxNNs(uw=None, vw=None, wT=None), {}
     flags = _suite_diurnal_flags(names)
@@ -728,20 +762,33 @@ def cmd_train_fc_nde(args) -> int:
         top_flux=wT_scaling.scale(first(ds.theta_top)),
         Nz=args.nz, base_closure=args.base_closure,
     )
-    if args.conv > 1:
-        nn = free_convection_conv_mlp(jax.random.PRNGKey(args.seed), args.nz, conv_width=args.conv)
+    ensemble = int(getattr(args, "ensemble", 0) or 0)
+
+    def _init_fc(key):
+        if args.conv > 1:
+            return free_convection_conv_mlp(key, args.nz, conv_width=args.conv)
+        return free_convection_mlp(key, args.nz)
+
+    if ensemble:
+        keys = jax.random.split(jax.random.PRNGKey(args.seed), ensemble)
+        members = [_init_fc(k) for k in keys]
     else:
-        nn = free_convection_mlp(jax.random.PRNGKey(args.seed), args.nz)
+        members = [_init_fc(jax.random.PRNGKey(args.seed))]
 
     if args.pretrain_epochs > 0:
         # Flux pre-training: T -> wT regression before the NDE stage
-        # (train_free_convection_nde.jl:210-216).
+        # (train_free_convection_nde.jl:210-216). Ensemble members pretrain
+        # independently (tiny regressions; a host loop is fine here — the
+        # expensive NDE stage below is the one jitted stacked step).
         x, y = free_convection_regression_pairs(ds, T_scaling, wT_scaling)
-        nn, pre_hist = train_flux_nn(
-            nn, x, y, learning_rate=args.lr, epochs=args.pretrain_epochs,
-            causality=args.spatial_causality,
-        )
-        print(f"train-fc-nde[pretrain]: loss {pre_hist[0]:.4e} -> {pre_hist[-1]:.4e}")
+        for mi in range(len(members)):
+            members[mi], pre_hist = train_flux_nn(
+                members[mi], x, y, learning_rate=args.lr, epochs=args.pretrain_epochs,
+                causality=args.spatial_causality,
+            )
+            tag = f"[pretrain m{mi}]" if ensemble else "[pretrain]"
+            print(f"train-fc-nde{tag}: loss {pre_hist[0]:.4e} -> {pre_hist[-1]:.4e}")
+    nn = members[0]
 
     n_frames = int(ds.t.shape[-1])
 
@@ -753,7 +800,8 @@ def cmd_train_fc_nde(args) -> int:
     if args.spatial_causality == "hard":
         from climateparameterizations_jl_tpu.closures.mlp import apply_spatial_causality_mask
 
-        nn = apply_spatial_causality_mask(nn)
+        members = [apply_spatial_causality_mask(m) for m in members]
+        nn = members[0]
         project = apply_spatial_causality_mask
     elif args.spatial_causality == "soft" and args.pretrain_epochs == 0:
         print("warning: --spatial-causality soft only acts during flux pretraining; set --pretrain-epochs > 0 or it is a no-op")
@@ -776,14 +824,26 @@ def cmd_train_fc_nde(args) -> int:
     # LR (train_free_convection_nde.jl:246-266). Each stage's n_substeps is
     # pre-scaled by its stride (same physical inner step).
     history = []
+    if ensemble:
+        from climateparameterizations_jl_tpu.train.deep_ensemble import (
+            stack_members,
+            train_free_convection_deep_ensemble,
+            unstack_members,
+        )
+
+        nn = stack_members(members)
+        _fc_train = train_free_convection_deep_ensemble
+    else:
+        _fc_train = train_free_convection_nde
     for stage_i, stage in enumerate(stages):
         lr = args.lr * (args.burn_in_lr_decay if stage_i == len(stages) - 1 and len(stages) > 1 else 1.0)
         config = NDETrainConfig(learning_rate=lr, maxiters=args.maxiters, n_substeps=stage.n_substeps, method=args.method)
         T0, targets, t = stage_tensors(stage.tsteps)
-        nn, h = train_free_convection_nde(model, nn, T0, targets, t, config, callback=_history_writer(args.output), project=project)
+        nn, h = _fc_train(model, nn, T0, targets, t, config, callback=_history_writer(args.output), project=project)
         history.extend(h)
     meta = {
         "command": "train-fc-nde", "sim_ids": ids, "conv": args.conv,
+        "ensemble": ensemble,
         # Everything evaluate-fc needs to rebuild the EXACT training-time
         # model: the NN only makes sense under the scalings and base
         # closure it was trained with.
@@ -793,10 +853,11 @@ def cmd_train_fc_nde(args) -> int:
             "wT": {"mu": float(wT_scaling.mu), "sigma": float(wT_scaling.sigma)},
         },
     }
-    if hasattr(nn, "sizes"):
-        meta["arch"] = {"sizes": list(nn.sizes), "activation": nn.activation}
+    arch_src = unstack_members(nn)[0] if ensemble else nn
+    if hasattr(arch_src, "sizes"):
+        meta["arch"] = {"sizes": list(arch_src.sizes), "activation": arch_src.activation}
     else:
-        meta["arch"] = {"sizes": list(nn.mlp.sizes), "activation": nn.mlp.activation, "conv_width": nn.width}
+        meta["arch"] = {"sizes": list(arch_src.mlp.sizes), "activation": arch_src.mlp.activation, "conv_width": arch_src.width}
     save_checkpoint(args.output, nn, meta)
     print(f"train-fc-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
@@ -1459,6 +1520,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-train-steps", type=int, default=32)
     p.add_argument("--curriculum", default=None, help="comma-separated growing window lengths, e.g. 8,16,32")
     p.add_argument("--burn-in-lr-decay", type=float, default=0.1, help="LR factor for the final curriculum stage")
+    p.add_argument("--ensemble", type=int, default=0, metavar="K",
+                   help="train a K-member deep ensemble (stacked members, one jitted NDE step; "
+                        "evaluate-fc surfaces predictive mean/std bands). 0 = single closure")
     p.set_defaults(fn=cmd_train_fc_nde)
 
     p = sub.add_parser("optimise-mpp", help="mPP diffusivity parameter calibration")

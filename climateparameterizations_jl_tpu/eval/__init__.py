@@ -19,7 +19,7 @@ from climateparameterizations_jl_tpu.eval.profile import (
     nde_profile_from_saved,
     free_convection_profile,
 )
-from climateparameterizations_jl_tpu.eval.ensemble_uq import nde_ensemble_uq
+from climateparameterizations_jl_tpu.eval.ensemble_uq import fc_ensemble_uq, nde_ensemble_uq
 from climateparameterizations_jl_tpu.eval.loss_matrix import (
     loss_matrix,
     solution_history,
@@ -40,6 +40,7 @@ __all__ = [
     "nde_profile_from_saved",
     "free_convection_profile",
     "nde_ensemble_uq",
+    "fc_ensemble_uq",
     "loss_matrix",
     "solution_history",
     "training_report",

@@ -29,6 +29,66 @@ from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingModel, 
 from climateparameterizations_jl_tpu.train.deep_ensemble import ensemble_size
 
 
+def fc_ensemble_uq(
+    model,
+    stacked_nn,
+    ds_test: ColumnTimeSeries,
+    tsteps,
+    *,
+    solver: str = "split",
+    n_substeps: int = 2,
+) -> dict:
+    """Free-convection deep-ensemble bands on one held-out simulation.
+
+    Same output schema as :func:`nde_ensemble_uq` restricted to the T
+    channel, so the uncertainty-band plot and summary wiring are shared.
+    """
+    from climateparameterizations_jl_tpu.models.free_convection import solve_free_convection_nde
+
+    if ds_test.T.ndim > 2:
+        if ds_test.T.shape[0] != 1:
+            raise ValueError(
+                f"fc_ensemble_uq evaluates ONE held-out simulation; got a stacked "
+                f"suite of {ds_test.T.shape[0]}"
+            )
+        ds_test = jax.tree.map(lambda a: a[0], ds_test)
+    tsteps = np.asarray(tsteps)
+    T_truth = jnp.take(ds_test.T, jnp.asarray(tsteps), axis=-2)
+    t_row = ds_test.t[0] if ds_test.t.ndim > 1 else ds_test.t
+    t_dim = np.asarray(jnp.take(t_row, jnp.asarray(tsteps)))
+    _require_uniform(t_dim, "fc_ensemble_uq")
+    t_hat = jnp.asarray(t_dim) / model.tau
+    dt_save = t_hat[1] - t_hat[0]
+    n_save = t_hat.shape[0] - 1
+    T0 = model.T_scaling.scale(T_truth[..., 0, :])
+    truth_scaled = model.T_scaling.scale(T_truth)
+    n_members = ensemble_size(stacked_nn)
+
+    @jax.jit
+    def _members(stacked):
+        trajs = jax.vmap(
+            lambda nn: solve_free_convection_nde(model, nn, T0, t_hat[0], dt_save, n_save, n_substeps, solver)
+        )(stacked)  # (K, Nt, Nz)
+        mean_traj = jnp.mean(trajs, axis=0)
+        mse_t = lambda a: jnp.mean((a - truth_scaled) ** 2, axis=-1)  # noqa: E731
+        return trajs, jax.vmap(mse_t)(trajs), mse_t(mean_traj)
+
+    trajs, member_T, mean_T = jax.device_get(_members(stacked_nn))
+
+    zc, zf = _grid(model)
+    dim = np.asarray(model.T_scaling.unscale(jnp.asarray(trajs)))
+    return {
+        "t": t_dim,
+        "zc": zc,
+        "zf": zf,
+        "n_members": np.asarray(n_members),
+        "losses_member_T": np.asarray(member_T),
+        "losses_ensemble_mean_T": np.asarray(mean_T),
+        "ensemble_T_mean": dim.mean(axis=0),
+        "ensemble_T_std": dim.std(axis=0),
+    }
+
+
 def nde_ensemble_uq(
     model: WindMixingModel,
     stacked_nns,

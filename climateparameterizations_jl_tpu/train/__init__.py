@@ -17,6 +17,7 @@ from climateparameterizations_jl_tpu.train.deep_ensemble import (
     unstack_members,
     ensemble_size,
     train_wind_mixing_deep_ensemble,
+    train_free_convection_deep_ensemble,
 )
 from climateparameterizations_jl_tpu.train.nn import train_flux_nn, flux_nn_loss
 from climateparameterizations_jl_tpu.train.mpp_calibration import optimise_mpp_parameters
@@ -41,6 +42,7 @@ __all__ = [
     "unstack_members",
     "ensemble_size",
     "train_wind_mixing_deep_ensemble",
+    "train_free_convection_deep_ensemble",
     "train_flux_nn",
     "flux_nn_loss",
     "optimise_mpp_parameters",

@@ -138,6 +138,49 @@ def resume_ensemble_train_state(checkpoint_dir: str, stacked_nns, optimizer):
     return state["params"], state["opt_state"]
 
 
+def train_free_convection_deep_ensemble(
+    model,
+    stacked_nn,
+    T0,
+    targets,
+    t,
+    config: NDETrainConfig,
+    callback=None,
+    project=None,
+):
+    """Free-convection analogue of :func:`train_wind_mixing_deep_ensemble`.
+
+    Same contract as ``train.nde.train_free_convection_nde`` over a stacked
+    heat-flux-NN pytree: the summed member MSE trains all K members as K
+    independent runs (elementwise optimizer required); ``project`` (e.g. the
+    hard spatial-causality mask) is re-applied per member via vmap. History
+    entries carry the member-MEAN loss in the T channel.
+    """
+    from climateparameterizations_jl_tpu.models.free_convection import solve_free_convection_nde
+
+    _check_independent_optimizer(config)
+    t = jnp.asarray(t)
+    _require_uniform(t, "train_free_convection_deep_ensemble")
+    n_save = t.shape[0] - 1
+    dt_save = (t[-1] - t[0]) / n_save
+
+    def member_loss(nn):
+        traj = solve_free_convection_nde(model, nn, T0, t[0], dt_save, n_save, config.n_substeps, config.method)
+        pred = jnp.moveaxis(traj, 0, -2)  # (S, Nt, Nz)
+        return jnp.mean((pred - targets) ** 2)
+
+    def loss_fn(stacked):
+        totals = jax.vmap(member_loss)(stacked)
+        mean = jnp.mean(totals)
+        zero = jnp.zeros_like(mean)
+        channels = LossChannels(u=zero, v=zero, T=mean, dudz=zero, dvdz=zero, dTdz=zero)
+        return jnp.sum(totals), channels
+
+    proj = None if project is None else (lambda stacked: jax.vmap(project)(stacked))
+    stacked_nn, history, _ = _train_loop(loss_fn, stacked_nn, _make_optimizer(config), config.maxiters, callback, project=proj)
+    return stacked_nn, history
+
+
 def train_wind_mixing_deep_ensemble(
     model: WindMixingModel,
     stacked_nns,

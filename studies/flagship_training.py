@@ -187,6 +187,104 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
     return nns, report
 
 
+def build_ensemble_members(n_members, Nz=32, seed=0):
+    """K independently-seeded flagship FluxNNs triples (same init scale)."""
+    import jax
+
+    from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+
+    members = []
+    for key in jax.random.split(jax.random.PRNGKey(seed), n_members):
+        ks = jax.random.split(key, 3)
+        members.append(FluxNNs(*[wind_mixing_mlp(k, Nz, scale=1e-5) for k in ks]))
+    return members
+
+
+def nde_train_ensemble(ds, model, members, stages=STAGES,
+                       fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
+                       tridiag_backend="scan", fast_assembly="auto"):
+    """Deep-ensemble flagship training: ONE jitted step advances all K members.
+
+    Same staging as :func:`nde_train`; per-stage report carries member-MEAN
+    losses (training is provably member-independent, so each member's curve
+    equals its solo run's).
+    """
+    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.train.deep_ensemble import (
+        stack_members,
+        train_wind_mixing_deep_ensemble,
+    )
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    stacked = stack_members(members)
+    report = []
+    for window, stride, maxiters, lr in stages:
+        config = NDETrainConfig(
+            learning_rate=lr, maxiters=maxiters, n_substeps=stride, method="split",
+            training_fractions=fractions,
+            tridiag_backend=tridiag_backend, fast_assembly=fast_assembly,
+        )
+        tsteps = np.arange(0, window, stride)
+        batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
+        t0 = time.perf_counter()
+        stacked, hist = train_wind_mixing_deep_ensemble(model, stacked, batch, config)
+        wall = time.perf_counter() - t0
+        report.append(dict(
+            window=window, stride=stride, maxiters=maxiters, lr=lr,
+            n_saveat=len(tsteps), inner_steps=int((len(tsteps) - 1) * stride),
+            loss_initial=float(hist[0].total()), loss_final=float(hist[-1].total()),
+            wall_s=wall, s_per_iter=wall / maxiters,
+        ))
+        print(f"[ensemble] stage window={window} stride={stride}: member-mean "
+              f"{report[-1]['loss_initial']:.4e} -> {report[-1]['loss_final']:.4e} "
+              f"in {wall:.1f} s ({wall / maxiters * 1e3:.0f} ms/iter)", flush=True)
+    return stacked, report
+
+
+def evaluate_ensemble(model, stacked, Nz=32):
+    """Held-out deep-ensemble eval: predictive bands + ensemble-mean wins.
+
+    Per held-out sim: member 0 runs the full NDE_profile harness (mPP/KPP
+    baselines come from there), the vmapped UQ solve adds per-member losses,
+    the ensemble-MEAN-prediction loss, and the 2-sigma band coverage of the
+    dimensional truth.
+    """
+    from climateparameterizations_jl_tpu.eval.ensemble_uq import nde_ensemble_uq
+    from climateparameterizations_jl_tpu.eval.profile import nde_profile
+    from climateparameterizations_jl_tpu.train.deep_ensemble import unstack_members
+
+    member0 = unstack_members(stacked)[0]
+    tsteps = np.arange(0, N_FRAMES, 9)
+    out = {}
+    for name in TEST_FILES:
+        ds = load_suite([name], Nz)
+        ev = nde_profile(model, member0, ds, tsteps, solver="split", n_substeps=9,
+                         include_kpp=True, include_embedded=False, kpp_n_substeps=9)
+        uq = nde_ensemble_uq(model, stacked, ds, tsteps, solver="split", n_substeps=9)
+        truth = np.asarray(ev["truth_T"]).reshape(uq["ensemble_T_mean"].shape)
+        band = 2.0 * uq["ensemble_T_std"]
+        row = dict(
+            nde_member0=float(np.mean(ev["losses_nde_T"])),
+            nde_members=[float(v) for v in uq["losses_member_T"].mean(axis=1)],
+            nde_ensemble_mean=float(np.mean(uq["losses_ensemble_mean_T"])),
+            mpp=float(np.mean(ev["losses_mpp_T"])),
+            kpp=float(np.mean(ev["losses_kpp_T"])),
+            coverage_2sigma=float(np.mean(np.abs(truth - uq["ensemble_T_mean"]) <= band)),
+            mean_band_K=float(np.mean(band)),
+        )
+        row["win_vs_mpp"] = row["mpp"] / row["nde_ensemble_mean"]
+        row["win_vs_kpp"] = row["kpp"] / row["nde_ensemble_mean"]
+        row["win_vs_best_member"] = min(row["nde_members"]) / row["nde_ensemble_mean"]
+        out[name] = row
+        print(f"eval[{name}]: ens-mean {row['nde_ensemble_mean']:.4e} "
+              f"(members {min(row['nde_members']):.3e}..{max(row['nde_members']):.3e}, "
+              f"{row['win_vs_best_member']:.2f}x vs best) | mPP {row['win_vs_mpp']:.1f}x, "
+              f"KPP@600s {row['win_vs_kpp']:.1f}x | 2-sigma coverage {row['coverage_2sigma']:.2f} "
+              f"(mean band {row['mean_band_K']:.3f} K)", flush=True)
+    return out
+
+
 def _kpp_loss_at(model, ds, tsteps, kpp_n_substeps):
     """Mean scaled-T MSE of the KPP baseline at the given substepping.
 
@@ -256,7 +354,7 @@ def evaluate(model, nns, Nz=32, include_kpp=True):
     return out
 
 
-def save_nns(nns, out_dir):
+def save_nns(nns, out_dir, ensemble=0):
     """CLI-compatible checkpoint so `evaluate`/`ensemble` can reuse it."""
     from climateparameterizations_jl_tpu.cli.main import _save_nns
 
@@ -267,7 +365,8 @@ def save_nns(nns, out_dir):
     # CLI's own semantics (cmd_train_nde) — and registry flags, not name
     # substrings, are the source of truth.
     _save_nns(out_dir, nns, {"command": "studies/flagship_training.py", "sims": ",".join(TRAIN_FILES),
-                             "nz": 32, "diurnal": any(_suite_diurnal_flags(TRAIN_FILES))})
+                             "nz": 32, "diurnal": any(_suite_diurnal_flags(TRAIN_FILES)),
+                             "ensemble": int(ensemble)})
     return out_dir
 
 
@@ -372,6 +471,9 @@ def main(argv=None):
                          "(grid-augmentation studies, e.g. sampling an extrapolation "
                          "regime the base grid misses)")
     ap.add_argument("--save-nns", default=None, help="save the trained NNs as a CLI-compatible checkpoint dir")
+    ap.add_argument("--ensemble", type=int, default=0,
+                    help="train a K-member deep ensemble at flagship scale (one jitted step "
+                         "advances all members; eval adds predictive bands + coverage)")
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
     global TRAIN_FILES, TEST_FILES
@@ -404,17 +506,36 @@ def main(argv=None):
             print(f"mPP calibration ({mpp_info['wall_s']:.1f} s, {mpp_info['optimizer']}): "
                   f"{mpp_info['loss_initial']:.4e} -> {mpp_info['loss_final']:.4e}; {mpp_info['params']}", flush=True)
         pre, pre_s = {}, 0.0
-        if args.pretrain_epochs:
-            nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else args.pretrain_epochs)
-            print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
-        nns, stages = nde_train(ds, model, nns, tridiag_backend=args.tridiag_backend,
-                                fast_assembly=args.fast_assembly or "auto")
-        if args.save_nns:
-            save_nns(nns, args.save_nns)
-            print(f"checkpoint saved to {args.save_nns}", flush=True)
-        held_out = evaluate(model, nns)
+        if args.ensemble:
+            members = build_ensemble_members(args.ensemble)
+            if args.pretrain_epochs:
+                t0 = time.perf_counter()
+                for mi in range(len(members)):
+                    members[mi], pre_m, _ = pretrain(ds, model, members[mi],
+                                                     epochs=5 if args.smoke else args.pretrain_epochs)
+                    pre[f"m{mi}"] = pre_m
+                pre_s = time.perf_counter() - t0
+                print(f"pretrain x{args.ensemble} ({pre_s:.1f} s)", flush=True)
+            stacked, stages = nde_train_ensemble(ds, model, members,
+                                                 tridiag_backend=args.tridiag_backend,
+                                                 fast_assembly=args.fast_assembly or "auto")
+            if args.save_nns:
+                save_nns(stacked, args.save_nns, ensemble=args.ensemble)
+                print(f"ensemble checkpoint saved to {args.save_nns}", flush=True)
+            held_out = evaluate_ensemble(model, stacked)
+        else:
+            if args.pretrain_epochs:
+                nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else args.pretrain_epochs)
+                print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
+            nns, stages = nde_train(ds, model, nns, tridiag_backend=args.tridiag_backend,
+                                    fast_assembly=args.fast_assembly or "auto")
+            if args.save_nns:
+                save_nns(nns, args.save_nns)
+                print(f"checkpoint saved to {args.save_nns}", flush=True)
+            held_out = evaluate(model, nns)
         result = dict(
             sims=len(TRAIN_FILES), frames=N_FRAMES, data_s=data_s, mpp_calibration=mpp_info,
+            ensemble=args.ensemble,
             pretrain=pre, pretrain_s=pre_s, stages=stages, held_out=held_out,
             total_wall_s=time.perf_counter() - wall0,
         )

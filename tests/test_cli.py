@@ -259,6 +259,34 @@ def test_train_fc_nde(tmp_path):
     assert set(base_vars) == {"T"}
 
 
+def test_train_fc_nde_deep_ensemble_and_evaluate(tmp_path, capsys):
+    out = str(tmp_path / "fc_ens")
+    rc = main([
+        "train-fc-nde", "--nz", "16", "--n-save", "12", "--dt-save", "600",
+        "--ensemble", "2", "--pretrain-epochs", "3",
+        "--maxiters", "2", "--n-train-steps", "8", "--n-substeps", "4", "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f)["ensemble"] == 2
+    capsys.readouterr()
+
+    eval_out = str(tmp_path / "fc_ens_eval")
+    rc = main([
+        "evaluate-fc", "--checkpoint", out, "--sim-ids", "1", "--nz", "16",
+        "--n-save", "12", "--dt-save", "600", "--n-eval-steps", "12",
+        "--eval-stride", "4", "--n-substeps", "4", "--output", eval_out,
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "deep-ensemble checkpoint (K=2)" in text
+    summary = json.loads(text.strip().splitlines()[-1])
+    assert "nde_ensemble_mean" in summary and np.isfinite(summary["nde_ensemble_mean"])
+    uq = np.load(os.path.join(eval_out, "uncertainty_sim1.npz"))
+    assert uq["losses_member_T"].shape[0] == 2
+    assert os.path.exists(os.path.join(eval_out, "nde_uncertainty.png"))
+
+
 def test_generate_les_diurnal_name_carries_cycle(tmp_path, capsys):
     """A diurnal --jld2-name must produce data with the daily flux cycle
     (generate-les infers the flag from the catalog name)."""

@@ -217,6 +217,92 @@ class TestShardedEnsembleTraining:
         assert max(elems, default=0) <= 8
 
 
+class TestFreeConvectionEnsemble:
+    @pytest.fixture(scope="class")
+    def fc_setup(self):
+        from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+        from climateparameterizations_jl_tpu.data.containers import coarsen_dataset
+        from climateparameterizations_jl_tpu.data.synthetic import synthetic_free_convection_les
+        from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
+
+        les = synthetic_free_convection_les(Nz=64, n_save=12, dt_save=600.0)
+        coarse = coarsen_dataset(les, 32)
+        T_scaling = ZeroMeanUnitVarianceScaling.fit(coarse.T)
+        wT_scaling = ZeroMeanUnitVarianceScaling.fit(coarse.wT)
+        model = FreeConvectionModel(
+            H=coarse.H, tau=jnp.abs(coarse.t[-1] - coarse.t[0]),
+            T_scaling=T_scaling, wT_scaling=wT_scaling,
+            bottom_flux=wT_scaling.scale(f32(0.0)),
+            top_flux=wT_scaling.scale(coarse.theta_top),
+            Nz=32,
+        )
+        tsteps = np.arange(0, 8)
+        T_scaled = T_scaling.scale(coarse.T)
+        targets = T_scaled[None, tsteps]
+        T0 = targets[:, 0]
+        t = (coarse.t[tsteps] - coarse.t[0]) / model.tau
+        return model, coarse, T0, targets, t
+
+    def test_fc_ensemble_matches_solo(self, fc_setup):
+        from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+        from climateparameterizations_jl_tpu.train.deep_ensemble import (
+            train_free_convection_deep_ensemble,
+        )
+        from climateparameterizations_jl_tpu.train.nde import train_free_convection_nde
+
+        model, _, T0, targets, t = fc_setup
+        config = NDETrainConfig(learning_rate=1e-3, maxiters=3, n_substeps=2)
+        members = [free_convection_mlp(jax.random.PRNGKey(s), 32) for s in (70, 71)]
+        solo = [train_free_convection_nde(model, m, T0, targets, t, config)[0] for m in members]
+        stacked, history = train_free_convection_deep_ensemble(
+            model, stack_members(members), T0, targets, t, config
+        )
+        for s, e in zip(solo, unstack_members(stacked)):
+            for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(e)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7)
+        assert len(history) == 3
+
+    def test_fc_hard_causality_projection_per_member(self, fc_setup):
+        from climateparameterizations_jl_tpu.closures.mlp import (
+            apply_spatial_causality_mask,
+            free_convection_mlp,
+            spatial_causality_mask,
+        )
+        from climateparameterizations_jl_tpu.train.deep_ensemble import (
+            train_free_convection_deep_ensemble,
+        )
+
+        model, _, T0, targets, t = fc_setup
+        config = NDETrainConfig(learning_rate=1e-3, maxiters=2, n_substeps=2)
+        members = [
+            apply_spatial_causality_mask(free_convection_mlp(jax.random.PRNGKey(s), 32))
+            for s in (72, 73)
+        ]
+        stacked, _ = train_free_convection_deep_ensemble(
+            model, stack_members(members), T0, targets, t, config,
+            project=apply_spatial_causality_mask,
+        )
+        for m in unstack_members(stacked):
+            # mask marks the ACAUSAL (i < j) entries — those must stay zero
+            # through the per-member vmapped projection.
+            for W in m.weights:
+                mask = np.asarray(spatial_causality_mask(W.shape))
+                np.testing.assert_array_equal(np.asarray(W)[mask], 0.0)
+
+    def test_fc_uq(self, fc_setup):
+        from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+        from climateparameterizations_jl_tpu.eval.ensemble_uq import fc_ensemble_uq
+
+        model, coarse, _, _, _ = fc_setup
+        stacked = stack_members([free_convection_mlp(jax.random.PRNGKey(s), 32) for s in (74, 75, 76)])
+        uq = fc_ensemble_uq(model, stacked, coarse, np.arange(0, 8), n_substeps=2)
+        assert uq["ensemble_T_mean"].shape == (8, 32)
+        assert uq["losses_member_T"].shape == (3, 8)
+        assert float(uq["ensemble_T_std"].max()) > 0
+        member_avg = uq["losses_member_T"].mean(axis=0)
+        assert np.all(uq["losses_ensemble_mean_T"] <= member_avg * (1 + 1e-5) + 1e-10)
+
+
 class TestEnsembleUQ:
     @pytest.fixture(scope="class")
     def uq_setup(self):
