@@ -14,6 +14,8 @@ scalings are affine and MSE is convex, the ensemble-MEAN prediction's loss is
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,36 @@ from climateparameterizations_jl_tpu.eval.profile import (
 )
 from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingModel, split_uvT
 from climateparameterizations_jl_tpu.train.deep_ensemble import ensemble_size
+
+
+# Module-level jitted member solves: one compile per (shapes, solver,
+# n_substeps) across a whole multi-sim evaluation — a per-call inner jit
+# would retrace for every simulation (the jit-cache hygiene rule from the
+# round-2 review campaign). Models are registered-dataclass pytrees, so they
+# ride as ordinary (traced) arguments.
+@functools.partial(jax.jit, static_argnames=("solver", "n_substeps"))
+def _wm_members(model, stacked, bcs, x0, targets, t, solver, n_substeps):
+    trajs = jax.vmap(
+        lambda nns: _solve_scaled(model, nns, bcs, x0, t, solver, n_substeps)
+    )(stacked)  # (K, Nt, 3Nz) scaled
+    mean_traj = jnp.mean(trajs, axis=0)
+    member_T = jax.vmap(
+        lambda traj: _per_timestep_channels(traj, targets, model.Nz, model.dz_hat)["T"]
+    )(trajs)
+    mean_T = _per_timestep_channels(mean_traj, targets, model.Nz, model.dz_hat)["T"]
+    return trajs, member_T, mean_T
+
+
+@functools.partial(jax.jit, static_argnames=("n_save", "n_substeps", "solver"))
+def _fc_members(model, stacked, T0, truth_scaled, t0, dt_save, n_save, n_substeps, solver):
+    from climateparameterizations_jl_tpu.models.free_convection import solve_free_convection_nde
+
+    trajs = jax.vmap(
+        lambda nn: solve_free_convection_nde(model, nn, T0, t0, dt_save, n_save, n_substeps, solver)
+    )(stacked)  # (K, Nt, Nz)
+    mean_traj = jnp.mean(trajs, axis=0)
+    mse_t = lambda a: jnp.mean((a - truth_scaled) ** 2, axis=-1)  # noqa: E731
+    return trajs, jax.vmap(mse_t)(trajs), mse_t(mean_traj)
 
 
 def fc_ensemble_uq(
@@ -64,16 +96,9 @@ def fc_ensemble_uq(
     truth_scaled = model.T_scaling.scale(T_truth)
     n_members = ensemble_size(stacked_nn)
 
-    @jax.jit
-    def _members(stacked):
-        trajs = jax.vmap(
-            lambda nn: solve_free_convection_nde(model, nn, T0, t_hat[0], dt_save, n_save, n_substeps, solver)
-        )(stacked)  # (K, Nt, Nz)
-        mean_traj = jnp.mean(trajs, axis=0)
-        mse_t = lambda a: jnp.mean((a - truth_scaled) ** 2, axis=-1)  # noqa: E731
-        return trajs, jax.vmap(mse_t)(trajs), mse_t(mean_traj)
-
-    trajs, member_T, mean_T = jax.device_get(_members(stacked_nn))
+    trajs, member_T, mean_T = jax.device_get(
+        _fc_members(model, stacked_nn, T0, truth_scaled, t_hat[0], dt_save, n_save, n_substeps, solver)
+    )
 
     zc, zf = _grid(model)
     dim = np.asarray(model.T_scaling.unscale(jnp.asarray(trajs)))
@@ -123,19 +148,9 @@ def nde_ensemble_uq(
     Nz = model.Nz
     n_members = ensemble_size(stacked_nns)
 
-    @jax.jit
-    def _members(stacked):
-        trajs = jax.vmap(
-            lambda nns: _solve_scaled(model, nns, batch.bcs, batch.x0, t, solver, n_substeps)
-        )(stacked)  # (K, Nt, 3Nz) scaled
-        mean_traj = jnp.mean(trajs, axis=0)
-        member_T = jax.vmap(
-            lambda traj: _per_timestep_channels(traj, batch.targets, Nz, model.dz_hat)["T"]
-        )(trajs)
-        mean_T = _per_timestep_channels(mean_traj, batch.targets, Nz, model.dz_hat)["T"]
-        return trajs, member_T, mean_T
-
-    trajs, member_T, mean_T = jax.device_get(_members(stacked_nns))
+    trajs, member_T, mean_T = jax.device_get(
+        _wm_members(model, stacked_nns, batch.bcs, batch.x0, batch.targets, t, solver, n_substeps)
+    )
 
     zc, zf = _grid(model)
     out = {
