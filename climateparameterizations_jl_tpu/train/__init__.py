@@ -19,7 +19,7 @@ from climateparameterizations_jl_tpu.train.deep_ensemble import (
     train_wind_mixing_deep_ensemble,
     train_free_convection_deep_ensemble,
 )
-from climateparameterizations_jl_tpu.train.nn import train_flux_nn, flux_nn_loss
+from climateparameterizations_jl_tpu.train.nn import train_flux_nn, train_flux_nn_ensemble, flux_nn_loss
 from climateparameterizations_jl_tpu.train.mpp_calibration import optimise_mpp_parameters
 from climateparameterizations_jl_tpu.train.checkpoint import (
     save_checkpoint,
@@ -44,6 +44,7 @@ __all__ = [
     "train_wind_mixing_deep_ensemble",
     "train_free_convection_deep_ensemble",
     "train_flux_nn",
+    "train_flux_nn_ensemble",
     "flux_nn_loss",
     "optimise_mpp_parameters",
     "save_checkpoint",

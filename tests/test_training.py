@@ -251,6 +251,45 @@ class TestDirectFluxRegression:
         assert history[-1] < history[0]
         assert history[-1] < 0.3 * history[0]  # substantial fit progress
 
+    def test_scanned_path_matches_epoch_loop(self, wm_setup):
+        """The one-dispatch lax.scan fast path (no callback, full batch) is
+        step-for-step the per-epoch jitted loop (a no-op callback forces the
+        loop for the reference side)."""
+        model, suite, scalings, batch = wm_setup
+        x, y = direct_regression_pairs(suite, scalings, "wT")
+        nn0 = wind_mixing_mlp(jax.random.PRNGKey(3), 32, hidden=(16,))
+        fast, h_fast = train_flux_nn(nn0, x, y, learning_rate=1e-3, epochs=8)
+        slow, h_slow = train_flux_nn(nn0, x, y, learning_rate=1e-3, epochs=8, callback=lambda *a: None)
+        np.testing.assert_allclose(np.asarray(h_fast), np.asarray(h_slow), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(fast), jax.tree.leaves(slow)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+
+    def test_ensemble_pretraining_matches_solo(self, wm_setup):
+        """Stacked flux pretraining (members x fluxes on one axis) equals
+        the solo runs net-by-net."""
+        import jax.numpy as jnp
+
+        from climateparameterizations_jl_tpu.train.deep_ensemble import (
+            stack_members,
+            unstack_members,
+        )
+        from climateparameterizations_jl_tpu.train.nn import train_flux_nn_ensemble
+
+        model, suite, scalings, batch = wm_setup
+        x, y_uw = direct_regression_pairs(suite, scalings, "uw")
+        _, y_wT = direct_regression_pairs(suite, scalings, "wT")
+        nets = [wind_mixing_mlp(jax.random.PRNGKey(s), 32, hidden=(16,)) for s in (4, 5)]
+        targets = jnp.stack([y_uw, y_wT])
+        stacked, hist = train_flux_nn_ensemble(stack_members(nets), x, targets, learning_rate=1e-3, epochs=6)
+        assert np.asarray(hist).shape == (2, 6)
+        for net, y_t, h in zip(nets, (y_uw, y_wT), np.asarray(hist)):
+            solo, h_solo = train_flux_nn(net, x, y_t, learning_rate=1e-3, epochs=6)
+            np.testing.assert_allclose(h, np.asarray(h_solo), rtol=1e-5)
+        solo_nets = [train_flux_nn(n, x, t, learning_rate=1e-3, epochs=6)[0] for n, t in zip(nets, (y_uw, y_wT))]
+        for s, e in zip(solo_nets, unstack_members(stacked)):
+            for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(e)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
 
 class TestFreeConvectionNDETraining:
     def test_loss_decreases(self):
