@@ -75,8 +75,6 @@ def fc_ensemble_uq(
     Same output schema as :func:`nde_ensemble_uq` restricted to the T
     channel, so the uncertainty-band plot and summary wiring are shared.
     """
-    from climateparameterizations_jl_tpu.models.free_convection import solve_free_convection_nde
-
     if ds_test.T.ndim > 2:
         if ds_test.T.shape[0] != 1:
             raise ValueError(

@@ -130,12 +130,27 @@ def make_ensemble_loss_fn(model: WindMixingModel, batch: TrainingBatch, stacked_
 
 
 def resume_ensemble_train_state(checkpoint_dir: str, stacked_nns, optimizer):
-    """Restore stacked ``(params, opt_state)`` from an ensemble checkpoint."""
-    from climateparameterizations_jl_tpu.train.checkpoint import load_checkpoint
+    """Restore stacked ``(params, opt_state)`` from an ensemble checkpoint.
 
-    skeleton = {"params": stacked_nns, "opt_state": optimizer.init(stacked_nns)}
-    state, _ = load_checkpoint(checkpoint_dir, skeleton)
-    return state["params"], state["opt_state"]
+    ``train.nde.resume_train_state`` is pytree-generic, so the stacked case
+    delegates to it (one skeleton-building implementation to keep in sync).
+    """
+    from climateparameterizations_jl_tpu.train.nde import resume_train_state
+
+    return resume_train_state(checkpoint_dir, stacked_nns, optimizer)
+
+
+def _member_mean_callback(callback, n_members: int):
+    """Report the member-MEAN loss to the user callback.
+
+    The optimizer objective is the member SUM (exact solo-equivalence needs
+    each member's gradient unscaled), but the aux channels are member means —
+    an unwrapped callback would log ``loss`` K-fold larger than
+    ``sum(channels)``, breaking the invariant solo histories satisfy.
+    """
+    if callback is None:
+        return None
+    return lambda i, total, channels=None, *rest: callback(i, total / n_members, channels, *rest)
 
 
 def train_free_convection_deep_ensemble(
@@ -177,7 +192,8 @@ def train_free_convection_deep_ensemble(
         return jnp.sum(totals), channels
 
     proj = None if project is None else (lambda stacked: jax.vmap(project)(stacked))
-    stacked_nn, history, _ = _train_loop(loss_fn, stacked_nn, _make_optimizer(config), config.maxiters, callback, project=proj)
+    cb = _member_mean_callback(callback, ensemble_size(stacked_nn))
+    stacked_nn, history, _ = _train_loop(loss_fn, stacked_nn, _make_optimizer(config), config.maxiters, cb, project=proj)
     return stacked_nn, history
 
 
@@ -219,11 +235,12 @@ def train_wind_mixing_deep_ensemble(
 
     history_all = []
     _require_uniform(batch.t, "train_wind_mixing_deep_ensemble")
+    cb = _member_mean_callback(callback, n_members)
     if stages is None:
         scalings = ensemble_loss_scalings(model, stacked_nns, batch, config)
         loss_fn = make_ensemble_loss_fn(model, batch, scalings, config)
         stacked_nns, history_all, opt_state = _train_loop(
-            loss_fn, stacked_nns, _make_optimizer(config), config.maxiters, callback, opt_state
+            loss_fn, stacked_nns, _make_optimizer(config), config.maxiters, cb, opt_state
         )
         _save(stacked_nns, opt_state, 0)
         return stacked_nns, history_all
@@ -235,7 +252,7 @@ def train_wind_mixing_deep_ensemble(
         scalings = ensemble_loss_scalings(model, stacked_nns, stage_batch, stage_config)
         loss_fn = make_ensemble_loss_fn(model, stage_batch, scalings, stage_config)
         stacked_nns, h, opt_state = _train_loop(
-            loss_fn, stacked_nns, _make_optimizer(stage_config, stage.learning_rate), stage.maxiters, callback, opt_state
+            loss_fn, stacked_nns, _make_optimizer(stage_config, stage.learning_rate), stage.maxiters, cb, opt_state
         )
         history_all.extend(h)
         _save(stacked_nns, opt_state, i)

@@ -11,6 +11,8 @@ no per-sample loop, no Flux-style per-batch Python iteration.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -45,7 +47,12 @@ def flux_nn_loss(nn: MLP, x, y, gradient_scaling: float = 0.0, dz_hat: float | N
     return loss
 
 
-import functools
+# Host-level chunking bound for the scanned fast path: the TPU tunnel kills
+# any single device program running >60-90 s (CLAUDE.md), and one scanned
+# chunk is epochs x one tiny full-batch step — 10k steps stay well under a
+# second of device time at these sizes while keeping the dispatch count ~1
+# for every realistic epoch count.
+MAX_EPOCHS_PER_DISPATCH = 10_000
 
 
 @functools.partial(jax.jit, static_argnames=("learning_rate", "epochs", "gradient_scaling", "dz_hat", "soft_w", "hard"))
@@ -151,16 +158,25 @@ def train_flux_nn(
         batch_size = min(batch_size, n)
 
     if batch_size is None and callback is None:
-        # Full-batch + no per-epoch callback: scan ALL epochs in ONE jitted
-        # dispatch. The Python-loop path below dispatches (and, worse,
+        # Full-batch + no per-epoch callback: scan the epochs in ONE jitted
+        # dispatch (chunked at the host level — see _train_flux_nn_scanned's
+        # caller note). The Python-loop path below dispatches (and, worse,
         # blocks on float(loss)) once per epoch — each block pays the
         # ~10-30 ms TPU-tunnel round-trip, which made flux pre-training
         # latency-bound (measured 778 s for the 12 member-flux runs of the
         # K=4 flagship ensemble; same step sequence, so identical numerics).
-        nn, history = _train_flux_nn_scanned(
-            nn, x, y, learning_rate, epochs, gradient_scaling, dz_hat, soft_w, causality == "hard"
-        )
-        return nn, [float(h) for h in history]
+        # The tunnel kills single device programs >60-90 s, so very long
+        # epoch counts dispatch in MAX_EPOCHS_PER_DISPATCH chunks (at most
+        # two compiled shapes: full chunk + tail).
+        history = []
+        hard = causality == "hard"
+        for start in range(0, epochs, MAX_EPOCHS_PER_DISPATCH):
+            n_ep = min(MAX_EPOCHS_PER_DISPATCH, epochs - start)
+            nn, h = _train_flux_nn_scanned(
+                nn, x, y, learning_rate, n_ep, gradient_scaling, dz_hat, soft_w, hard
+            )
+            history.append(jax.device_get(h))
+        return nn, [float(v) for v in jnp.concatenate([jnp.asarray(h) for h in history])]
 
     history = []
     key = key if key is not None else jax.random.PRNGKey(0)

@@ -219,8 +219,11 @@ def pretrain_ensemble(ds, model, members, epochs=150, lr=1e-3):
 
     t0 = time.perf_counter()
     fluxes = ("uw", "vw", "wT")
-    x, _ = direct_regression_pairs(ds, model.scalings, "uw")
-    ys = {f: direct_regression_pairs(ds, model.scalings, f)[1] for f in fluxes}
+    ys = {}
+    for i, f in enumerate(fluxes):
+        xf, ys[f] = direct_regression_pairs(ds, model.scalings, f)
+        if i == 0:
+            x = xf  # the predictor block is flux-independent; build it once
     nets = [getattr(m, f) for m in members for f in fluxes]
     targets = jnp.stack([ys[f] for m in members for f in fluxes])
     stacked, hist = train_flux_nn_ensemble(stack_members(nets), x, targets, learning_rate=lr, epochs=epochs)
@@ -301,7 +304,11 @@ def evaluate_ensemble(model, stacked, Nz=32):
         # error cell-by-cell? (Pearson r over all frames x levels; the
         # standard ensemble-forecast calibration diagnostic alongside
         # coverage.)
-        spread_skill = float(np.corrcoef(uq["ensemble_T_std"].ravel(), abs_err.ravel())[0, 1])
+        sd_flat = uq["ensemble_T_std"].ravel()
+        degenerate = float(sd_flat.std()) == 0.0 or float(abs_err.std()) == 0.0
+        # corrcoef of a constant vector is 0/0 = NaN (e.g. K=1 or identical
+        # members); report null instead of poisoning the JSON.
+        spread_skill = None if degenerate else float(np.corrcoef(sd_flat, abs_err.ravel())[0, 1])
         row = dict(
             nde_member0=float(np.mean(ev["losses_nde_T"])),
             nde_members=[float(v) for v in uq["losses_member_T"].mean(axis=1)],
@@ -320,7 +327,8 @@ def evaluate_ensemble(model, stacked, Nz=32):
               f"(members {min(row['nde_members']):.3e}..{max(row['nde_members']):.3e}, "
               f"{row['win_vs_best_member']:.2f}x vs best) | mPP {row['win_vs_mpp']:.1f}x, "
               f"KPP@600s {row['win_vs_kpp']:.1f}x | 2-sigma coverage {row['coverage_2sigma']:.2f} "
-              f"(mean band {row['mean_band_K']:.3f} K, spread-skill r={row['spread_skill_r']:.2f})", flush=True)
+              f"(mean band {row['mean_band_K']:.3f} K, spread-skill r="
+              f"{'n/a' if row['spread_skill_r'] is None else format(row['spread_skill_r'], '.2f')})", flush=True)
     return out
 
 

@@ -95,6 +95,20 @@ class TestEnsembleTraining:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7)
         assert len(history) == 3
 
+    def test_callback_loss_matches_channel_sum(self, setup):
+        """The user callback must receive the member-MEAN loss: the optimizer
+        objective is the member SUM, but channels are member means — an
+        unwrapped total would break history.jsonl's loss == sum(channels)."""
+        model, batch = setup
+        config = NDETrainConfig(n_substeps=2, method="split", maxiters=2, learning_rate=1e-3)
+        seen = []
+        train_wind_mixing_deep_ensemble(
+            model, stack_members([_member(15), _member(16)]), batch, config,
+            callback=lambda i, total, channels, *r: seen.append((float(total), channels)),
+        )
+        for total, channels in seen:
+            np.testing.assert_allclose(total, float(channels.total()), rtol=1e-6)
+
     def test_lbfgs_raises(self, setup):
         model, batch = setup
         config = NDETrainConfig(optimizer="lbfgs", maxiters=1)
