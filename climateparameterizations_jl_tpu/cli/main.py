@@ -714,6 +714,98 @@ def cmd_train_nde(args) -> int:
     return 0
 
 
+def cmd_train_embedded(args) -> int:
+    """A-posteriori training: optimize the flux NNs THROUGH the embedded host
+    column (the model `evaluate --embedded` scores). The reference cannot do
+    this — Zygote does not differentiate through Oceananigans — so its
+    closures always deploy into dynamics they were never trained against.
+    See ``train/embedded.py``.
+    """
+    import jax
+
+    from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
+    from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
+    from climateparameterizations_jl_tpu.train.embedded import train_embedded_wind_mixing
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    init_meta: dict = {}
+    nns = None
+    if args.init_from:
+        nns, init_meta = _load_nns(args.init_from)
+        if int(init_meta.get("ensemble", 0) or 0):
+            raise SystemExit("train-embedded: deep-ensemble checkpoints are not supported yet; extract a member first")
+
+    # Training sims default to the checkpoint's own suite (the common case:
+    # fine-tune a checkpoint against the host on the data it trained on).
+    if args.sims:
+        names = _sims(args.sims)
+    elif init_meta.get("sims"):
+        names = _sims(init_meta["sims"])
+    else:
+        raise SystemExit("train-embedded: pass --sims (or --init-from a checkpoint that records its sims)")
+    ds = _load_suite(names, args.nz, args.data_dir, args.n_save, args.dt_save)
+
+    # Scaling context: the checkpoint's NNs expect their ORIGINAL training
+    # scalings (override-scaling semantics, same resolution as evaluate).
+    if args.scaling_sims:
+        scaling_names, scaling_src = _sims(args.scaling_sims), "--scaling-sims"
+    elif init_meta.get("sims"):
+        scaling_names, scaling_src = _sims(init_meta["sims"]), "checkpoint meta"
+    else:
+        scaling_names, scaling_src = names, "training sims"
+    scaling_ds = ds if scaling_names == names else _load_suite(scaling_names, args.nz, args.data_dir, args.n_save, args.dt_save)
+
+    flags = _suite_diurnal_flags(names)
+    diurnal = bool(init_meta.get("diurnal", any(flags))) or any(flags)
+    base_closure = init_meta.get("base_closure", args.base_closure)
+    model = _wind_model(
+        scaling_ds, args.nz, diurnal=diurnal,
+        smooth_NN=bool(init_meta.get("smooth_NN", False)),
+        smooth_Ri=bool(init_meta.get("smooth_Ri", False)),
+        **_base_closure_overrides(base_closure),
+    )
+    if nns is None:
+        ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
+        nns = FluxNNs(*[wind_mixing_mlp(k, args.nz, scale=args.init_scale) for k in ks])
+
+    config = NDETrainConfig(
+        learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.substeps,
+        gradient_scaling=args.gradient_scaling,
+        optimizer=args.optimizer, tridiag_backend=args.tridiag_backend,
+        training_fractions=(
+            {"T": args.fraction_T, "dTdz": args.fraction_dTdz, "profile": args.fraction_profile}
+            if args.auto_balance
+            else None
+        ),
+    )
+    n_frames = ds.t.reshape(-1, ds.t.shape[-1]).shape[-1] if ds.t.ndim > 1 else ds.t.shape[-1]
+    stages = _parse_curriculum(
+        args.curriculum, n_frames, args.substeps, args.maxiters, args.lr,
+        default_window=args.n_train_steps,
+    )
+    print(f"train-embedded: {len(names)} sim(s), {len(stages)} stage(s), "
+          f"scaling context from {scaling_src} ({len(scaling_names)} sim(s))", flush=True)
+    nns, history = train_embedded_wind_mixing(
+        model, nns, ds, config,
+        stages=stages,
+        callback=_history_writer(args.output),
+        checkpoint_dir=os.path.join(args.output, "train_state"),
+        resume_from=_resolve_train_state(args.resume_from),
+    )
+    _save_nns(args.output, nns, {
+        "command": "train-embedded",
+        # evaluate resolves its scaling context from "sims" — record the
+        # SCALING suite there (the NNs' feature space), training sims aside.
+        "sims": ",".join(scaling_names), "train_sims": ",".join(names), "nz": args.nz,
+        "smooth_NN": bool(init_meta.get("smooth_NN", False)),
+        "smooth_Ri": bool(init_meta.get("smooth_Ri", False)),
+        "diurnal": bool(diurnal), "base_closure": base_closure,
+        "ensemble": 0,
+    })
+    print(f"train-embedded: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
+    return 0
+
+
 def cmd_train_fc_nde(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -1441,6 +1533,37 @@ def build_parser() -> argparse.ArgumentParser:
                         "picks 'fold' when the configuration supports it, else the default path; "
                         "'off' forces the default stencil path; bare --fast-assembly means 'on'")
     p.set_defaults(fn=cmd_train_nde)
+
+    p = sub.add_parser(
+        "train-embedded",
+        help="a-posteriori training: optimize the flux NNs through the embedded host column",
+    )
+    _add_common(p, with_sims=False)
+    p.add_argument("--sims", default=None, help="comma-separated catalog names (default: the --init-from checkpoint's sims)")
+    p.add_argument("--data-dir", default=None, help="root of local LESbrary .jld2 files (synthetic fallback otherwise)")
+    p.add_argument("--nz", type=int, default=32)
+    p.add_argument("--n-save", type=int, default=96, help="LES frames to generate/load")
+    p.add_argument("--dt-save", type=float, default=600.0)
+    p.add_argument("--init-from", default=None, help="checkpoint dir to fine-tune (train-nde output); omit for a fresh init")
+    p.add_argument("--scaling-sims", default=None, help="override the scaling-context suite (default: the checkpoint's recorded sims)")
+    p.add_argument("--init-scale", type=float, default=1e-5)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--maxiters", type=int, default=50)
+    p.add_argument("--substeps", type=int, default=10,
+                   help="host steps per save interval (evaluate --embedded uses 10)")
+    p.add_argument("--n-train-steps", type=int, default=32)
+    p.add_argument("--curriculum", default=None, help="comma-separated window lengths w[:stride], e.g. 8,16,32")
+    p.add_argument("--gradient-scaling", type=float, default=5e-3)
+    p.add_argument("--base-closure", default="mpp", choices=["mpp", "conv-adj", "none"],
+                   help="host base physics for a FRESH init (--init-from checkpoints carry their own)")
+    p.add_argument("--auto-balance", action="store_true")
+    p.add_argument("--fraction-T", type=float, default=0.8)
+    p.add_argument("--fraction-dTdz", type=float, default=0.8)
+    p.add_argument("--fraction-profile", type=float, default=0.5)
+    p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
+    p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="host column's implicit solve")
+    p.set_defaults(fn=cmd_train_embedded)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")
     p.add_argument("--checkpoint", required=True, help="train-fc-nde output dir")

@@ -40,7 +40,7 @@ from climateparameterizations_jl_tpu.core.operators import d_center_to_face, d_f
 from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs, WindMixingScalings
 from climateparameterizations_jl_tpu.ops.tridiagonal import implicit_diffusion_step
 from climateparameterizations_jl_tpu.physics.mpp import MPPParameters, mpp_diffusivity
-from climateparameterizations_jl_tpu.physics.richardson import local_richardson, sanitize_richardson
+from climateparameterizations_jl_tpu.physics.richardson import sanitize_richardson
 
 
 @jax.tree_util.register_dataclass
@@ -64,6 +64,11 @@ class HostColumnModel:
     scalings: WindMixingScalings
     mpp: MPPParameters
     kappa_conv: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
+    # Per-column diurnal heat-flux amplitude for MIXED suites (constant-flux
+    # members carry 0 and keep their frozen ``Ftheta``, mirroring the NDE
+    # path's ``_effective_bcs``). ``None`` falls back to ``Ftheta`` as the
+    # amplitude for every column (the single-diurnal-sim behavior).
+    diurnal_amplitude: jnp.ndarray | None = None
     Nz: int = dataclasses.field(metadata=dict(static=True), default=32)
     closure: str = dataclasses.field(metadata=dict(static=True), default="mpp")
     # NN feature vector: "uvT" (wind-mixing triple-NN embedding) or "T"
@@ -197,10 +202,18 @@ def _diffusivities(model: HostColumnModel, state: HostColumnState):
         kappa = jnp.where(dTdz < 0.0, model.kappa_conv, 0.0)
         nu = jnp.zeros_like(kappa)
     else:
-        dudz = d_center_to_face(state.u, model.dz)
-        dvdz = d_center_to_face(state.v, model.dz)
-        dTdz = d_center_to_face(state.T, model.dz)
-        Ri = sanitize_richardson(local_richardson(dudz, dvdz, dTdz + 1e-12, model.g, model.alpha))
+        # The reference's eps regularizer on every gradient before forming Ri
+        # (``NDE_training.jl:115-119``; the NDE path does the same in scaled
+        # space). The max() floor on the shear keeps the DIVISION's backward
+        # pass finite: at zero shear the raw quotient's VJP is inf*0 = NaN
+        # even though the forward value is masked, which poisoned every
+        # a-posteriori gradient through the host column.
+        eps = jnp.asarray(1e-7, state.T.dtype)
+        dudz = d_center_to_face(state.u, model.dz) + eps
+        dvdz = d_center_to_face(state.v, model.dz) + eps
+        dTdz = d_center_to_face(state.T, model.dz) + eps
+        S2 = jnp.maximum(dudz**2 + dvdz**2, jnp.asarray(1e-20, state.T.dtype))
+        Ri = sanitize_richardson(model.g * model.alpha * dTdz / S2)
         nu = mpp_diffusivity(Ri, model.mpp)
         kappa = nu / model.mpp.Pr
         if model.mpp_conv_adjust:
@@ -231,12 +244,49 @@ def _bottom_bc_kappa(model: HostColumnModel, nu, kappa):
 
 
 def surface_heat_flux(model: HostColumnModel, t):
-    """Instantaneous surface heat flux (diurnal cycle when configured)."""
+    """Instantaneous surface heat flux (diurnal cycle when configured).
+
+    With ``diurnal_amplitude`` set, the cycle is per-column: members with
+    amplitude 0 keep their constant ``Ftheta`` (mixed diurnal/constant
+    suites, the NDE path's ``_effective_bcs`` semantics)."""
     if model.diurnal:
         from climateparameterizations_jl_tpu.core.constants import diurnal_cycle
 
-        return model.Ftheta * diurnal_cycle(t)
+        if model.diurnal_amplitude is None:
+            return model.Ftheta * diurnal_cycle(t)
+        amp = model.diurnal_amplitude
+        return jnp.where(amp != 0.0, amp * diurnal_cycle(t), model.Ftheta)
     return model.Ftheta
+
+
+def host_for_wind_mixing(model, Fu, Ftheta, dTdz_bottom, diurnal_amplitude=None) -> HostColumnModel:
+    """Host column configured from a trained :class:`WindMixingModel`.
+
+    The ONE construction behind the eval harness's embedded run
+    (``eval/profile.nde_profile``) and the a-posteriori trainer
+    (``train/embedded.py``) — the train-time and eval-time hosts can never
+    diverge in base physics, kappa, or NN dimensionalization convention.
+
+    The host's base physics must match the NDE's training-time base (a
+    conv-adj-base checkpoint embedded over an mPP host would hand the NNs a
+    diffusivity they never saw). A base-free model (``use_mpp=use_conv_adj=
+    False``) embeds over a ZERO-physics host: conv-adj with kappa 0. NN
+    faces dimensionalize by the TRAINING convention (``flux/sigma`` in
+    zero-weights mode, affine otherwise) or every interior face is biased
+    by mu. ``Fu``/``Ftheta``/``dTdz_bottom`` may carry leading batch axes
+    (per-simulation BCs).
+    """
+    host_closure = "mpp" if model.use_mpp else "conv_adj"
+    kappa_host = model.kappa if (model.use_mpp or model.use_conv_adj) else jnp.zeros_like(model.kappa)
+    return HostColumnModel(
+        H=model.H, f=model.f, g=model.g, alpha=model.alpha,
+        Fu=Fu, Ftheta=Ftheta, dTdz_bottom=dTdz_bottom,
+        scalings=model.scalings, mpp=model.mpp, Nz=model.Nz, closure=host_closure,
+        kappa_conv=kappa_host,
+        diurnal=model.diurnal,
+        diurnal_amplitude=diurnal_amplitude,
+        nn_dimensionalize="linear" if model.zero_weights else "affine",
+    )
 
 
 def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState, dt, tridiag_backend: str = "scan", t=0.0) -> HostColumnState:
@@ -287,12 +337,16 @@ def run_embedded_column(
     save_every: int = 1,
     tridiag_backend: str = "scan",
     t0=0.0,
+    remat: bool = False,
 ) -> HostColumnState:
     """Run the host column from time ``t0``, saving every ``save_every`` steps.
 
     Returns trajectories with time on the leading axis
     ``(n_save + 1, ..., Nz)``; batches over leading axes of ``state0`` /
-    batched model fields (ensembles, gyre columns).
+    batched model fields (ensembles, gyre columns). ``remat=True``
+    rematerializes each save interval in the backward pass (a-posteriori
+    training over long windows — same granularity as
+    ``models/timestepper.solve_fixed_step``).
     """
 
     def substep(carry, _):
@@ -302,6 +356,9 @@ def run_embedded_column(
     def interval(carry, _):
         carry, _ = jax.lax.scan(substep, carry, None, length=save_every)
         return carry, carry[0]
+
+    if remat:
+        interval = jax.checkpoint(interval)
 
     t_init = jnp.asarray(t0, state0.T.dtype)
     (_, _), frames = jax.lax.scan(interval, (state0, t_init), None, length=n_save)

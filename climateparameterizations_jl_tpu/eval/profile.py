@@ -317,30 +317,18 @@ def nde_profile(
     # the same NNs run inside the host column model, baseline and +NN.
     if include_embedded:
         from climateparameterizations_jl_tpu.embed.column_model import (
-            HostColumnModel,
             HostColumnState,
+            host_for_wind_mixing,
             run_paired_columns,
         )
 
-        # The host's base physics must match the NDE's training-time base
-        # (a conv-adj-base checkpoint embedded over an mPP host would hand
-        # the NNs a diffusivity they never saw). A base-free checkpoint
-        # (use_mpp=use_conv_adj=False, --base-closure none) embeds over a
-        # ZERO-physics host: conv-adj with kappa 0, not the kappa=10
-        # adjustment the NNs never trained against.
-        host_closure = "mpp" if model.use_mpp else "conv_adj"
-        kappa_host = model.kappa if (model.use_mpp or model.use_conv_adj) else jnp.zeros_like(model.kappa)
-        host = HostColumnModel(
-            H=model.H, f=model.f, g=model.g, alpha=model.alpha,
-            Fu=ds_test.u_top, Ftheta=ds_test.theta_top,
-            dTdz_bottom=ds_test.theta_bottom,
-            scalings=s, mpp=model.mpp, Nz=Nz, closure=host_closure,
-            kappa_conv=kappa_host,
-            diurnal=model.diurnal,
-            # The embedded column must dimensionalize NN faces by the SAME
-            # convention the NNs were trained under (affine when
-            # zero_weights=False), or every interior face is biased by mu.
-            nn_dimensionalize="linear" if model.zero_weights else "affine",
+        # Shared train/eval host construction (base physics matches the NDE's
+        # training-time base; NN faces dimensionalize by the training
+        # convention; per-sim diurnal amplitudes keep constant members of a
+        # mixed suite on their frozen flux) — see host_for_wind_mixing.
+        host = host_for_wind_mixing(
+            model, ds_test.u_top, ds_test.theta_top, ds_test.theta_bottom,
+            diurnal_amplitude=ds_test.diurnal_amplitude,
         )
         i0 = int(np.asarray(tsteps)[0])
         state0 = HostColumnState(
