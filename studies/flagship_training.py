@@ -332,6 +332,66 @@ def evaluate_ensemble(model, stacked, Nz=32):
     return out
 
 
+def evaluate_embedded(model, nns, Nz=32, embedded_substeps=10):
+    """Held-out EMBEDDED eval: host column +NN vs its physics-only twin.
+
+    The deployment metric the a-posteriori arm targets — the same
+    ``include_embedded`` harness `evaluate --embedded` uses (dimensional
+    host, implicit mPP, dt = save spacing / substeps), scored on the
+    8-day held-out sims. ``nde`` is recorded alongside so fine-tuning's
+    effect on the training-time NDE metric is visible too."""
+    from climateparameterizations_jl_tpu.eval.profile import nde_profile
+
+    tsteps = np.arange(0, N_FRAMES, 9)
+    out = {}
+    for name in TEST_FILES:
+        ds = load_suite([name], Nz)
+        ev = nde_profile(model, nns, ds, tsteps, solver="split", n_substeps=9,
+                         include_kpp=False, include_embedded=True,
+                         embedded_substeps=embedded_substeps)
+        row = dict(
+            embedded=float(np.mean(ev["losses_embedded_T"])),
+            embedded_twin=float(np.mean(ev["losses_embedded_baseline_T"])),
+            nde=float(np.mean(ev["losses_nde_T"])),
+            mpp=float(np.mean(ev["losses_mpp_T"])),
+        )
+        row["win_vs_twin"] = row["embedded_twin"] / row["embedded"]
+        out[name] = row
+        print(f"embedded[{name}]: +NN {row['embedded']:.4e} vs twin {row['embedded_twin']:.4e} "
+              f"({row['win_vs_twin']:.1f}x) | NDE {row['nde']:.4e}", flush=True)
+    return out
+
+
+def aposteriori_finetune(ds, model, nns, maxiters=60, lr=3e-4, window=N_FRAMES,
+                         stride=9, substeps=10, tridiag_backend="scan"):
+    """Fine-tune the flux NNs THROUGH the embedded host column (the
+    capability the reference lacks — ``train/embedded.py``): same 6-channel
+    auto-balanced loss, full 8-day window, host discretization identical to
+    the eval harness's (substeps=10 -> dt=540 s)."""
+    from climateparameterizations_jl_tpu.train.embedded import train_embedded_wind_mixing
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    config = NDETrainConfig(
+        learning_rate=lr, maxiters=maxiters, n_substeps=substeps,
+        training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
+        tridiag_backend=tridiag_backend,
+    )
+    tsteps = np.arange(0, window, stride)
+    t0 = time.perf_counter()
+    nns, hist = train_embedded_wind_mixing(model, nns, ds, config, tsteps=tsteps)
+    wall = time.perf_counter() - t0
+    info = dict(
+        maxiters=maxiters, lr=lr, window=window, stride=stride, substeps=substeps,
+        n_saveat=len(tsteps), inner_steps=int((len(tsteps) - 1) * substeps),
+        loss_initial=float(hist[0].total()), loss_final=float(hist[-1].total()),
+        wall_s=wall, s_per_iter=wall / maxiters,
+        loss_curve=[float(h.total()) for h in hist[:: max(1, maxiters // 25)]],
+    )
+    print(f"a-posteriori: {info['loss_initial']:.4e} -> {info['loss_final']:.4e} "
+          f"in {wall:.1f} s ({wall / maxiters * 1e3:.0f} ms/iter)", flush=True)
+    return nns, info
+
+
 def _kpp_loss_at(model, ds, tsteps, kpp_n_substeps):
     """Mean scaled-T MSE of the KPP baseline at the given substepping.
 
@@ -495,7 +555,7 @@ def resolve_suite(suite, extra_train=None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="train", choices=["train", "step-bench"])
+    ap.add_argument("--mode", default="train", choices=["train", "step-bench", "aposteriori"])
     ap.add_argument("--pretrain-epochs", type=int, default=150,
                     help="flux pre-training epochs per NN (0 skips the phase — the zero-init NDE A/B)")
     ap.add_argument("--suite", default="standard", choices=["standard", "diurnal", "mixed"],
@@ -524,6 +584,10 @@ def main(argv=None):
     ap.add_argument("--eval-checkpoint", default=None,
                     help="skip training: evaluate a saved (solo or ensemble) checkpoint "
                          "dir against the suite's held-out sims")
+    ap.add_argument("--ft-maxiters", type=int, default=60, help="a-posteriori fine-tune iterations")
+    ap.add_argument("--ft-lr", type=float, default=3e-4)
+    ap.add_argument("--ft-substeps", type=int, default=10,
+                    help="host steps per save interval (match evaluate --embedded's 10)")
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
     global TRAIN_FILES, TEST_FILES
@@ -545,6 +609,47 @@ def main(argv=None):
         result["implicit_solve_grad"] = not args.no_ift
         result["split_unroll"] = args.split_unroll
         print(json.dumps(result))
+    elif args.mode == "aposteriori":
+        # Fine-tune a flagship checkpoint THROUGH the embedded host column
+        # (deployment-model-in-the-loop), held-out embedded eval before/after.
+        from climateparameterizations_jl_tpu.cli.main import _load_nns
+
+        if not args.eval_checkpoint:
+            raise SystemExit("--mode aposteriori needs --eval-checkpoint (the flagship init)")
+        wall0 = time.perf_counter()
+        ds, model, _ = build(diurnal=suite_diurnal)
+        nns, ckpt_meta = _load_nns(args.eval_checkpoint)
+        if int(ckpt_meta.get("ensemble", 0) or 0):
+            raise SystemExit("--mode aposteriori takes a solo checkpoint; extract a member first")
+        print("held-out embedded eval BEFORE fine-tune:", flush=True)
+        before = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
+        nns, ft = aposteriori_finetune(
+            ds, model, nns, maxiters=3 if args.smoke else args.ft_maxiters,
+            lr=args.ft_lr, substeps=args.ft_substeps, tridiag_backend=args.tridiag_backend,
+        )
+        if args.save_nns:
+            save_nns(nns, args.save_nns)
+            print(f"a-posteriori checkpoint saved to {args.save_nns}", flush=True)
+        print("held-out embedded eval AFTER fine-tune:", flush=True)
+        after = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
+        improvement = {
+            name: dict(
+                embedded_before=before[name]["embedded"], embedded_after=after[name]["embedded"],
+                improvement=before[name]["embedded"] / after[name]["embedded"],
+                win_vs_twin_after=after[name]["win_vs_twin"],
+                nde_before=before[name]["nde"], nde_after=after[name]["nde"],
+            )
+            for name in after
+        }
+        for name, row in improvement.items():
+            print(f"a-posteriori[{name}]: embedded {row['embedded_before']:.4e} -> "
+                  f"{row['embedded_after']:.4e} ({row['improvement']:.2f}x better); "
+                  f"NDE {row['nde_before']:.4e} -> {row['nde_after']:.4e}", flush=True)
+        result = dict(
+            init_checkpoint=args.eval_checkpoint, finetune=ft,
+            held_out_before=before, held_out_after=after, improvement=improvement,
+            total_wall_s=time.perf_counter() - wall0,
+        )
     elif args.eval_checkpoint:
         from climateparameterizations_jl_tpu.cli.main import _load_nns
 
