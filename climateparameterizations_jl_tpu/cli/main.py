@@ -289,10 +289,12 @@ def cmd_evaluate_fc(args) -> int:
     import jax.numpy as jnp
 
     from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
-    from climateparameterizations_jl_tpu.data.free_convection import load_free_convection_simulation
+    from climateparameterizations_jl_tpu.data.free_convection import (
+        build_free_convection_model,
+        load_free_convection_simulation,
+    )
     from climateparameterizations_jl_tpu.eval.animations import plot_loss_matrix
     from climateparameterizations_jl_tpu.eval.profile import free_convection_profile
-    from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
 
     nn, meta = _load_fc_nn(args.checkpoint)
     ensemble_nn = None
@@ -333,13 +335,7 @@ def cmd_evaluate_fc(args) -> int:
         else:
             T_scaling = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
             wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
-        t_row = ds.t.reshape(-1, ds.t.shape[-1])[0] if ds.t.ndim > 1 else ds.t
-        model = FreeConvectionModel(
-            H=ds.H, tau=jnp.abs(t_row[-1] - t_row[0]), T_scaling=T_scaling, wT_scaling=wT_scaling,
-            bottom_flux=wT_scaling.scale(ds.wT.reshape(-1, ds.wT.shape[-1])[0, 0]),
-            top_flux=wT_scaling.scale(ds.theta_top.reshape(-1)[0] if hasattr(ds.theta_top, "reshape") else ds.theta_top),
-            Nz=args.nz, base_closure=base_closure,
-        )
+        model = build_free_convection_model(ds, T_scaling, wT_scaling, base_closure=base_closure)
         tsteps = np.arange(0, min(args.n_eval_steps, int(ds.t.shape[-1])), args.eval_stride)
         ev = free_convection_profile(
             model, nn, ds, tsteps, n_substeps=args.n_substeps, include_embedded=args.embedded,
@@ -817,10 +813,10 @@ def cmd_train_fc_nde(args) -> int:
     from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
     from climateparameterizations_jl_tpu.data.containers import stack_datasets
     from climateparameterizations_jl_tpu.data.free_convection import (
+        build_free_convection_model,
         free_convection_regression_pairs,
         load_free_convection_simulation,
     )
-    from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
     from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, train_free_convection_nde
     from climateparameterizations_jl_tpu.train.nn import train_flux_nn
@@ -847,13 +843,9 @@ def cmd_train_fc_nde(args) -> int:
     wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
     t_row = ds.t.reshape(-1, ds.t.shape[-1])[0] if ds.t.ndim > 1 else ds.t
     tau = jnp.abs(t_row[-1] - t_row[0])
-    first = lambda x: x.reshape(-1)[0]  # noqa: E731
-    model = FreeConvectionModel(
-        H=first(ds.H), tau=tau, T_scaling=T_scaling, wT_scaling=wT_scaling,
-        bottom_flux=wT_scaling.scale(ds.wT.reshape(-1, ds.wT.shape[-1])[0, 0]),
-        top_flux=wT_scaling.scale(first(ds.theta_top)),
-        Nz=args.nz, base_closure=args.base_closure,
-    )
+    # Per-sim BC fluxes on the suite axis — each member trains against its
+    # own surface forcing, as the reference's per-simulation NDEs do.
+    model = build_free_convection_model(ds, T_scaling, wT_scaling, base_closure=args.base_closure)
     ensemble = int(getattr(args, "ensemble", 0) or 0)
 
     def _init_fc(key):

@@ -163,6 +163,44 @@ def load_data(ids_train, ids_test, Nz: int = 32, data_dir: str | None = None, **
     return {i: load(i) for i in ids_train}, {i: load(i) for i in ids_test}
 
 
+def build_free_convection_model(
+    ds: ColumnTimeSeries,
+    T_scaling,
+    wT_scaling,
+    base_closure: str = "convective_adjustment",
+):
+    """Constants + scalings + PER-SIM scaled BC fluxes from a dataset.
+
+    The reference builds one NDE per simulation with that simulation's own
+    boundary fluxes (``free_convection_nde.jl:49-62`` packs them into each
+    problem's parameter tail); here a stacked suite gets ``(S,)`` flux arrays
+    that ``pad_faces`` broadcasts LEFT-aligned over the suite axis. Baking
+    sim 0's flux into a shared scalar would train every other member against
+    the wrong surface forcing (Qb spans 1e-8..1e-7 across the suite,
+    ``data.jl:3-12``). ``H``/``tau`` enter the scalar prefactor algebra and
+    must agree across members; raises otherwise.
+    """
+    from climateparameterizations_jl_tpu.models.free_convection import FreeConvectionModel
+
+    H = np.asarray(ds.H).reshape(-1)
+    if not np.allclose(H, H[0]):
+        raise ValueError(f"free-convection suite members disagree on column depth H: {H}")
+    t_rows = np.asarray(ds.t).reshape(-1, ds.t.shape[-1])
+    taus = np.abs(t_rows[:, -1] - t_rows[:, 0])
+    if not np.allclose(taus, taus[0]):
+        raise ValueError(f"free-convection suite members disagree on time span tau: {taus}")
+    return FreeConvectionModel(
+        H=jnp.asarray(H[0], dtype=ds.T.dtype),
+        tau=jnp.asarray(taus[0], dtype=ds.T.dtype),
+        T_scaling=T_scaling,
+        wT_scaling=wT_scaling,
+        bottom_flux=wT_scaling.scale(ds.wT[..., 0, 0]),
+        top_flux=wT_scaling.scale(jnp.asarray(ds.theta_top)),
+        Nz=ds.Nz,
+        base_closure=base_closure,
+    )
+
+
 def free_convection_regression_pairs(ds: ColumnTimeSeries, T_scaling, wT_scaling):
     """Per-snapshot (scaled T profile, scaled wT faces) pairs.
 

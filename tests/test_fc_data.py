@@ -48,6 +48,54 @@ class TestFreeConvectionData:
         assert np.all(np.isfinite(np.asarray(x)))
 
 
+class TestBuildFreeConvectionModel:
+    def test_stacked_suite_uses_per_sim_fluxes(self):
+        """Regression: multi-sim FC training used to bake sim 0's surface
+        flux into a shared scalar, training every other member against the
+        wrong forcing (Qb spans 10x across the suite)."""
+        import dataclasses
+
+        import jax
+
+        from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+        from climateparameterizations_jl_tpu.data.containers import stack_datasets
+        from climateparameterizations_jl_tpu.data.free_convection import build_free_convection_model
+        from climateparameterizations_jl_tpu.models.free_convection import free_convection_rhs
+
+        d1 = load_free_convection_simulation(1, Nz=16, n_save=8)
+        d5 = load_free_convection_simulation(5, Nz=16, n_save=8)
+        ds = stack_datasets([d1, d5])
+        T_s = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
+        wT_s = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
+        stacked = build_free_convection_model(ds, T_s, wT_s)
+        assert stacked.top_flux.shape == (2,) and stacked.bottom_flux.shape == (2,)
+        np.testing.assert_allclose(
+            np.asarray(stacked.top_flux),
+            np.asarray(wT_s.scale(jnp.stack([d1.theta_top, d5.theta_top]))),
+        )
+        assert float(stacked.top_flux[0]) != float(stacked.top_flux[1])
+
+        # The stacked RHS must equal each member's own per-sim model RHS
+        # under the shared suite scalings (the eval path's construction).
+        nn = free_convection_mlp(jax.random.PRNGKey(0), 16)
+        T0 = T_s.scale(jnp.stack([d1.T[0], d5.T[0]]))
+        rhs_stacked = free_convection_rhs(stacked, nn, T0, 0.0)
+        for i, d in enumerate([d1, d5]):
+            m = build_free_convection_model(d, T_s, wT_s)
+            assert m.top_flux.shape == ()
+            np.testing.assert_allclose(
+                np.asarray(rhs_stacked[i]),
+                np.asarray(free_convection_rhs(m, nn, T0[i], 0.0)),
+                rtol=1e-6, atol=1e-8,
+            )
+
+        # Members disagreeing on the scalar-prefactor constants must refuse,
+        # not silently pick member 0.
+        ds_bad = stack_datasets([d1, dataclasses.replace(d5, H=2.0 * d5.H)])
+        with pytest.raises(ValueError, match="column depth H"):
+            build_free_convection_model(ds_bad, T_s, wT_s)
+
+
 class TestFCCLI:
     def test_pretrain_and_conv_variant(self, tmp_path, capsys):
         out = str(tmp_path / "fc_conv")
