@@ -802,6 +802,110 @@ def cmd_train_embedded(args) -> int:
     return 0
 
 
+def cmd_train_embedded_fc(args) -> int:
+    """FC a-posteriori training: optimize the heat-flux NN THROUGH the
+    embedded conv-adj host column (the model ``evaluate-fc --embedded``
+    scores) — the free-convection counterpart of ``train-embedded``. The
+    reference cannot do this (Zygote does not differentiate Oceananigans);
+    see ``train/embedded.py``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+    from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+    from climateparameterizations_jl_tpu.data.containers import stack_datasets
+    from climateparameterizations_jl_tpu.data.free_convection import (
+        FREE_CONVECTION_IDS,
+        build_free_convection_model,
+        load_free_convection_simulation,
+    )
+    from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
+    from climateparameterizations_jl_tpu.train.embedded import train_embedded_free_convection
+    from climateparameterizations_jl_tpu.train.nde import NDETrainConfig
+
+    init_meta: dict = {}
+    nn = None
+    if args.init_from:
+        nn, init_meta = _load_fc_nn(args.init_from)
+        if int(init_meta.get("ensemble", 0) or 0):
+            raise SystemExit("train-embedded-fc: deep-ensemble checkpoints are not supported yet; extract a member first")
+        if init_meta["arch"]["sizes"][-1] + 1 != args.nz:
+            raise SystemExit(
+                f"train-embedded-fc: checkpoint arch is Nz={init_meta['arch']['sizes'][-1] + 1}, got --nz {args.nz}"
+            )
+
+    # Training sims default to the checkpoint's own suite (fine-tune against
+    # the host on the data the NN trained on).
+    if args.sim_ids:
+        ids = [int(s) for s in _sims(args.sim_ids)]
+    elif init_meta.get("sim_ids"):
+        ids = [int(s) for s in init_meta["sim_ids"]]
+    else:
+        raise SystemExit("train-embedded-fc: pass --sim-ids (or --init-from a checkpoint that records its sims)")
+    bad = sorted(set(ids) - set(FREE_CONVECTION_IDS))
+    if bad:
+        print(f"warning: unknown simulation ids {bad} (valid: {sorted(FREE_CONVECTION_IDS)})")
+    datasets = [
+        load_free_convection_simulation(
+            i, args.data_dir, args.nz, n_save=args.n_save, dt_save=args.dt_save,
+            source=args.source, les_cache_dir=args.les_cache_dir,
+        )
+        for i in ids
+    ]
+    ds = stack_datasets(datasets) if len(datasets) > 1 else datasets[0]
+
+    # Scaling context: the checkpoint NN expects its ORIGINAL training
+    # scalings (override-scaling semantics, same resolution as evaluate-fc).
+    saved = init_meta.get("scalings")
+    if saved is not None:
+        T_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["T"]["mu"]), jnp.float32(saved["T"]["sigma"]))
+        wT_scaling = ZeroMeanUnitVarianceScaling(jnp.float32(saved["wT"]["mu"]), jnp.float32(saved["wT"]["sigma"]))
+    else:
+        T_scaling = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
+        wT_scaling = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
+    base_closure = init_meta.get("base_closure", args.base_closure)
+    model = build_free_convection_model(ds, T_scaling, wT_scaling, base_closure=base_closure)
+
+    if nn is None:
+        nn = free_convection_mlp(jax.random.PRNGKey(args.seed), args.nz)
+
+    config = NDETrainConfig(
+        learning_rate=args.lr, maxiters=args.maxiters, n_substeps=args.substeps,
+        optimizer=args.optimizer, tridiag_backend=args.tridiag_backend,
+    )
+    n_frames = int(ds.t.shape[-1])
+    stages = _parse_curriculum(
+        args.curriculum, n_frames, args.substeps, args.maxiters, args.lr,
+        default_window=min(args.n_train_steps, n_frames),
+    )
+    print(f"train-embedded-fc: {len(ids)} sim(s), {len(stages)} stage(s), base '{base_closure}', "
+          f"scalings from {'checkpoint' if saved else 'training sims'}", flush=True)
+    nn, history = train_embedded_free_convection(
+        model, nn, ds, config, stages=stages,
+        callback=_history_writer(args.output),
+        checkpoint_dir=os.path.join(args.output, "train_state"),
+        resume_from=_resolve_train_state(args.resume_from),
+    )
+    # evaluate-fc-compatible checkpoint (same meta layout as train-fc-nde).
+    meta = {
+        "command": "train-embedded-fc", "sim_ids": ids,
+        "conv": init_meta.get("conv", 0), "ensemble": 0,
+        "base_closure": base_closure,
+        "scalings": {
+            "T": {"mu": float(T_scaling.mu), "sigma": float(T_scaling.sigma)},
+            "wT": {"mu": float(wT_scaling.mu), "sigma": float(wT_scaling.sigma)},
+        },
+    }
+    if hasattr(nn, "sizes"):
+        meta["arch"] = {"sizes": list(nn.sizes), "activation": nn.activation}
+    else:
+        meta["arch"] = {"sizes": list(nn.mlp.sizes), "activation": nn.mlp.activation, "conv_width": nn.width}
+    save_checkpoint(args.output, nn, meta)
+    print(f"train-embedded-fc: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
+    return 0
+
+
 def cmd_train_fc_nde(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -1556,6 +1660,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="host column's implicit solve")
     p.set_defaults(fn=cmd_train_embedded)
+
+    p = sub.add_parser(
+        "train-embedded-fc",
+        help="FC a-posteriori training: optimize the heat-flux NN through the embedded conv-adj host column",
+    )
+    _add_common(p, with_sims=False)
+    p.add_argument("--sim-ids", default=None, help="comma-separated free-convection ids (default: the --init-from checkpoint's)")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--source", default="auto", choices=["auto", "synthetic", "les3d"], help="les3d GENERATES the data with the 3-D LES")
+    p.add_argument("--les-cache-dir", default=None,
+                   help="cache dir for les3d-generated profiles (skip identical LES re-runs)")
+    p.add_argument("--nz", type=int, default=32)
+    p.add_argument("--n-save", type=int, default=96)
+    p.add_argument("--dt-save", type=float, default=600.0)
+    p.add_argument("--init-from", default=None, help="train-fc-nde checkpoint to fine-tune; omit for a fresh init")
+    p.add_argument("--base-closure", default="convective_adjustment", choices=["convective_adjustment", "none"],
+                   help="host base physics for a FRESH init (--init-from checkpoints carry their own)")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--maxiters", type=int, default=50)
+    p.add_argument("--substeps", type=int, default=10,
+                   help="host steps per save interval (evaluate-fc --embedded uses 10)")
+    p.add_argument("--n-train-steps", type=int, default=32)
+    p.add_argument("--curriculum", default=None, help="comma-separated window lengths w[:stride], e.g. 8,16,32")
+    p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
+    p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="host column's implicit solve")
+    p.set_defaults(fn=cmd_train_embedded_fc)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")
     p.add_argument("--checkpoint", required=True, help="train-fc-nde output dir")

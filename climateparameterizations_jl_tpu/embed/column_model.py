@@ -289,6 +289,44 @@ def host_for_wind_mixing(model, Fu, Ftheta, dTdz_bottom, diurnal_amplitude=None)
     )
 
 
+def host_for_free_convection(model, f, g, alpha, Ftheta, dTdz_bottom) -> HostColumnModel:
+    """Host column configured from a trained free-convection model.
+
+    The ONE construction behind the eval harness's FC embedded run
+    (``eval/profile.free_convection_profile``) and the FC a-posteriori
+    trainer (``train/embedded.py``) — train-time and deploy-time dynamics
+    cannot diverge. Parity: ``oceananigans_convective_adjustment_nn``
+    (``free_convection/src/oceananigans_nn.jl:42-211``): implicit convective
+    adjustment, heat-flux-only NN fed the scaled T profile
+    (``nn_input="T"``, affine dimensionalization), no momentum forcing.
+
+    ``model`` is duck-typed (``H``, ``kappa``, ``Nz``, ``base_closure``,
+    ``T_scaling``, ``wT_scaling`` — a :class:`FreeConvectionModel`).
+    Base-free checkpoints (``base_closure="none"``) embed over a
+    zero-physics host (kappa 0), matching the base the NN trained against.
+    ``Ftheta``/``dTdz_bottom`` may carry leading batch axes (per-simulation
+    BCs); ``f``/``g``/``alpha`` must be scalars (they enter scalar algebra
+    in the stepper).
+    """
+    from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+
+    dtype = jnp.asarray(model.H).dtype
+    unit = ZeroMeanUnitVarianceScaling(jnp.zeros((), dtype), jnp.ones((), dtype))
+    kappa_host = (
+        model.kappa if model.base_closure == "convective_adjustment" else jnp.zeros_like(model.kappa)
+    )
+    Ftheta = jnp.asarray(Ftheta)
+    return HostColumnModel(
+        H=model.H, f=jnp.asarray(f), g=jnp.asarray(g), alpha=jnp.asarray(alpha),
+        Fu=jnp.zeros_like(Ftheta), Ftheta=Ftheta, dTdz_bottom=jnp.asarray(dTdz_bottom),
+        scalings=WindMixingScalings(
+            u=unit, v=unit, T=model.T_scaling, uw=unit, vw=unit, wT=model.wT_scaling
+        ),
+        mpp=MPPParameters.default(dtype), kappa_conv=kappa_host,
+        Nz=model.Nz, closure="conv_adj", nn_input="T",
+    )
+
+
 def host_column_step(model: HostColumnModel, nns: FluxNNs | None, state: HostColumnState, dt, tridiag_backend: str = "scan", t=0.0) -> HostColumnState:
     """One host-model step at dimensional time ``t``: NN forcing + Coriolis +
     surface fluxes (explicit), then implicit physics diffusion (backward

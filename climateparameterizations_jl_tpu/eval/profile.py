@@ -573,31 +573,18 @@ def free_convection_profile(
     # (``free_convection/src/oceananigans_nn.jl:42-211``) — the trained NN as
     # a forcing in a dimensional column with implicit convective adjustment.
     if include_embedded:
-        from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
         from climateparameterizations_jl_tpu.embed.column_model import (
-            HostColumnModel,
             HostColumnState,
+            host_for_free_convection,
             run_paired_columns,
         )
-        from climateparameterizations_jl_tpu.models.wind_mixing import WindMixingScalings
-        from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
 
         dtype = T_truth.dtype
-        unit = ZeroMeanUnitVarianceScaling(jnp.zeros((), dtype), jnp.ones((), dtype))
-        host = HostColumnModel(
-            H=model.H, f=ds_test.f, g=ds_test.g, alpha=ds_test.alpha,
-            Fu=jnp.zeros_like(ds_test.u_top), Ftheta=ds_test.theta_top,
-            dTdz_bottom=ds_test.theta_bottom,
-            scalings=WindMixingScalings(
-                u=unit, v=unit, T=model.T_scaling, uw=unit, vw=unit, wT=model.wT_scaling
-            ),
-            mpp=MPPParameters.default(dtype),
-            # Base-free checkpoints embed over a zero-physics host (kappa 0),
-            # matching the base the NN was trained against.
-            kappa_conv=(
-                model.kappa if model.base_closure == "convective_adjustment" else jnp.zeros_like(model.kappa)
-            ),
-            Nz=Nz, closure="conv_adj", nn_input="T",
+        # The ONE shared host construction (also the a-posteriori trainer's):
+        # base-free checkpoints embed over a zero-physics host, see builder.
+        host = host_for_free_convection(
+            model, ds_test.f, ds_test.g, ds_test.alpha,
+            Ftheta=ds_test.theta_top, dTdz_bottom=ds_test.theta_bottom,
         )
         state0 = HostColumnState(
             u=jnp.zeros_like(T_truth[..., 0, :]),

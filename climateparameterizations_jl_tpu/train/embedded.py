@@ -36,6 +36,7 @@ from climateparameterizations_jl_tpu.data.containers import ColumnTimeSeries
 from climateparameterizations_jl_tpu.embed.column_model import (
     HostColumnModel,
     HostColumnState,
+    host_for_free_convection,
     host_for_wind_mixing,
     run_embedded_column,
 )
@@ -148,6 +149,127 @@ def determine_embedded_loss_scalings(host: HostColumnModel, nns: FluxNNs, batch:
     pred = _solve_embedded(host, nns, batch, config)
     channels = nde_loss_channels(pred, batch.targets, host.Nz, config.train_gradient)
     return calculate_loss_scalings(channels, config.training_fractions, config.train_gradient)
+
+
+def _scalar_constant(x, name: str):
+    """Reduce a suite-batched physical constant to a scalar, refusing
+    disagreement (it enters scalar algebra in the host stepper)."""
+    arr = np.asarray(x).reshape(-1)
+    if not np.allclose(arr, arr[0]):
+        raise ValueError(f"free-convection suite members disagree on {name}: {arr}")
+    return jnp.asarray(arr[0])
+
+
+def host_from_fc_suite(model, ds: ColumnTimeSeries) -> HostColumnModel:
+    """The FC training host: :func:`host_for_free_convection` over the
+    suite's per-sim surface/bottom BCs (leading ``(S,)`` axes)."""
+    return host_for_free_convection(
+        model,
+        _scalar_constant(ds.f, "f"), _scalar_constant(ds.g, "g"),
+        _scalar_constant(ds.alpha, "alpha"),
+        Ftheta=ds.theta_top, dTdz_bottom=ds.theta_bottom,
+    )
+
+
+def embedded_fc_training_tensors(ds: ColumnTimeSeries, T_scaling, tsteps) -> EmbeddedBatch:
+    """FC a-posteriori training tensors: dimensional initial states (u = v =
+    0, the host column has no momentum forcing) plus SCALED ``(S, Nt, Nz)``
+    temperature targets — the same truth :func:`train.nde.
+    train_free_convection_nde` fits, so losses are comparable."""
+    t_arr = np.asarray(tsteps)
+    n_frames = ds.t.shape[-1]
+    if int(t_arr.max()) >= n_frames or int(t_arr.min()) < 0:
+        raise ValueError(
+            f"tsteps range [{int(t_arr.min())}, {int(t_arr.max())}] out of range for {n_frames} saved frames"
+        )
+    idx = jnp.asarray(t_arr)
+    targets = T_scaling.scale(jnp.take(ds.T, idx, axis=-2))
+    i0 = int(t_arr[0])
+    zeros = jnp.zeros_like(ds.T[..., i0, :])
+    state0 = HostColumnState(u=zeros, v=zeros, T=ds.T[..., i0, :])
+    t_row = ds.t.reshape(-1, n_frames)[0] if ds.t.ndim > 1 else ds.t
+    return EmbeddedBatch(state0=state0, targets=targets, t=jnp.take(t_row, idx))
+
+
+def _solve_embedded_fc(host: HostColumnModel, nn, batch: EmbeddedBatch, config: NDETrainConfig):
+    """Scaled ``(S, Nt, Nz)`` temperature trajectory of the FC host column."""
+    n_save = batch.t.shape[0] - 1
+    dtype = batch.state0.T.dtype
+    dt = jnp.asarray((batch.t[-1] - batch.t[0]) / (n_save * config.n_substeps), dtype)
+    traj = run_embedded_column(
+        host, FluxNNs(uw=None, vw=None, wT=nn), batch.state0, dt, n_save, config.n_substeps,
+        tridiag_backend=config.tridiag_backend, t0=batch.t[0], remat=True,
+    )
+    return jnp.moveaxis(host.scalings.T.scale(traj.T), 0, -2)
+
+
+def make_embedded_fc_loss_fn(host: HostColumnModel, batch: EmbeddedBatch, config: NDETrainConfig) -> Callable:
+    """Plain temperature MSE in scaled space (the FC NDE trainer's loss,
+    ``free_convection/src/training.jl:55-62``); returns ``(total, channels)``."""
+
+    def loss_fn(nn):
+        pred = _solve_embedded_fc(host, nn, batch, config)
+        total = jnp.mean((pred - batch.targets) ** 2)
+        zero = jnp.zeros_like(total)
+        return total, LossChannels(u=zero, v=zero, T=total, dudz=zero, dvdz=zero, dTdz=zero)
+
+    return loss_fn
+
+
+def train_embedded_free_convection(
+    model,
+    nn,
+    ds: ColumnTimeSeries,
+    config: NDETrainConfig,
+    tsteps=None,
+    stages: Sequence[CurriculumStage] | None = None,
+    callback=None,
+    checkpoint_dir: str | None = None,
+    resume_from: str | None = None,
+    project=None,
+):
+    """Train the FC heat-flux NN through the embedded host column.
+
+    The free-convection counterpart of :func:`train_embedded_wind_mixing`:
+    the host is the SAME conv-adj column ``evaluate-fc --embedded`` scores
+    (implicit convective adjustment + NN heat-flux forcing,
+    ``oceananigans_nn.jl:42-211``), built by :func:`host_from_fc_suite` so
+    train/eval dynamics are bit-identical. ``model`` is a
+    :class:`~climateparameterizations_jl_tpu.models.free_convection.
+    FreeConvectionModel` (per-sim BC fluxes unused here — the host owns its
+    dimensional fluxes from the suite). Returns ``(nn, history)``.
+    """
+    from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
+
+    host = host_from_fc_suite(model, ds)
+
+    opt_state = None
+    if resume_from is not None:
+        nn, opt_state = resume_train_state(resume_from, nn, _make_optimizer(config))
+
+    if stages is None:
+        if tsteps is None:
+            raise ValueError("train_embedded_free_convection: pass tsteps or stages")
+        stages = [CurriculumStage(tsteps=tsteps, maxiters=config.maxiters, learning_rate=config.learning_rate)]
+
+    history_all = []
+    for i, stage in enumerate(stages):
+        batch = embedded_fc_training_tensors(ds, model.T_scaling, stage.tsteps)
+        _require_uniform(batch.t, f"train_embedded_free_convection stage {i}")
+        stage_config = dataclasses.replace(config, n_substeps=stage.n_substeps) if stage.n_substeps else config
+        loss_fn = make_embedded_fc_loss_fn(host, batch, stage_config)
+        nn, h, opt_state = _train_loop(
+            loss_fn, nn, _make_optimizer(stage_config, stage.learning_rate), stage.maxiters,
+            callback, opt_state, project=project,
+        )
+        history_all.extend(h)
+        if checkpoint_dir is not None:
+            save_checkpoint(
+                checkpoint_dir,
+                {"params": nn, "opt_state": opt_state},
+                {"stage": i, "optimizer": config.optimizer, "learning_rate": config.learning_rate},
+            )
+    return nn, history_all
 
 
 def train_embedded_wind_mixing(

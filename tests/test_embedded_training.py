@@ -246,6 +246,115 @@ class TestMixedSuiteHost:
         )
 
 
+class TestEmbeddedFreeConvection:
+    """FC a-posteriori counterpart: the host is the SAME conv-adj column
+    evaluate-fc --embedded scores."""
+
+    @pytest.fixture(scope="class")
+    def fc_suite(self):
+        from climateparameterizations_jl_tpu.data.free_convection import (
+            load_free_convection_simulation,
+        )
+
+        return stack_datasets([
+            load_free_convection_simulation(1, Nz=16, n_save=10),
+            load_free_convection_simulation(5, Nz=16, n_save=10),
+        ])
+
+    def _fc_model(self, ds):
+        from climateparameterizations_jl_tpu.core.scalings import ZeroMeanUnitVarianceScaling
+        from climateparameterizations_jl_tpu.data.free_convection import build_free_convection_model
+
+        T_s = ZeroMeanUnitVarianceScaling.fit(ds.T.reshape(-1))
+        wT_s = ZeroMeanUnitVarianceScaling.fit(ds.wT.reshape(-1))
+        return build_free_convection_model(ds, T_s, wT_s)
+
+    def test_trainer_trajectory_equals_eval_embedded(self):
+        from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+        from climateparameterizations_jl_tpu.data.free_convection import (
+            load_free_convection_simulation,
+        )
+        from climateparameterizations_jl_tpu.eval.profile import free_convection_profile
+        from climateparameterizations_jl_tpu.train.embedded import (
+            _solve_embedded_fc,
+            embedded_fc_training_tensors,
+            host_from_fc_suite,
+        )
+
+        ds = load_free_convection_simulation(2, Nz=16, n_save=10)
+        model = self._fc_model(ds)
+        nn = free_convection_mlp(jax.random.PRNGKey(0), 16)
+        tsteps = np.arange(0, 10)
+        ev = free_convection_profile(
+            model, nn, ds, tsteps, n_substeps=2, include_kpp=False, include_tke=False,
+            include_embedded=True, embedded_substeps=4,
+        )
+        batch = embedded_fc_training_tensors(ds, model.T_scaling, tsteps)
+        host = host_from_fc_suite(model, ds)
+        pred = _solve_embedded_fc(host, nn, batch, NDETrainConfig(n_substeps=4))
+        T_pred = model.T_scaling.unscale(pred)
+        np.testing.assert_allclose(np.asarray(T_pred), ev["embedded_T"], rtol=2e-5, atol=2e-6)
+
+    def test_grad_finite_nonzero_and_loss_decreases(self, fc_suite):
+        from climateparameterizations_jl_tpu.closures.mlp import free_convection_mlp
+        from climateparameterizations_jl_tpu.train.embedded import (
+            make_embedded_fc_loss_fn,
+            embedded_fc_training_tensors,
+            host_from_fc_suite,
+            train_embedded_free_convection,
+        )
+
+        model = self._fc_model(fc_suite)
+        host = host_from_fc_suite(model, fc_suite)
+        assert host.Ftheta.shape == (2,)  # per-sim surface fluxes
+        nn = free_convection_mlp(jax.random.PRNGKey(1), 16)
+        batch = embedded_fc_training_tensors(fc_suite, model.T_scaling, np.arange(0, 6))
+        assert batch.targets.shape == (2, 6, 16)
+        config = NDETrainConfig(n_substeps=2)
+        loss_fn = make_embedded_fc_loss_fn(host, batch, config)
+        (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(nn)
+        assert np.isfinite(float(total)) and float(channels.T) == float(total)
+        leaves = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+
+        config = NDETrainConfig(learning_rate=3e-3, maxiters=10, n_substeps=2)
+        _, history = train_embedded_free_convection(model, nn, fc_suite, config, tsteps=np.arange(0, 6))
+        assert min(h.total() for h in history) < history[0].total()
+
+    def test_cli_finetune_round_trip(self, tmp_path):
+        """train-fc-nde -> train-embedded-fc --init-from -> evaluate-fc."""
+        import json
+
+        from climateparameterizations_jl_tpu.cli.main import main
+
+        nde_out = str(tmp_path / "fc_nde")
+        rc = main([
+            "train-fc-nde", "--sim-ids", "1,5", "--nz", "16", "--n-save", "10",
+            "--dt-save", "600", "--maxiters", "2", "--n-train-steps", "8",
+            "--n-substeps", "4", "--output", nde_out,
+        ])
+        assert rc == 0
+        emb_out = str(tmp_path / "fc_emb")
+        rc = main([
+            "train-embedded-fc", "--init-from", nde_out, "--nz", "16",
+            "--n-save", "10", "--dt-save", "600", "--maxiters", "2",
+            "--n-train-steps", "8", "--substeps", "2", "--output", emb_out,
+        ])
+        assert rc == 0
+        with open(os.path.join(emb_out, "meta.json")) as fh:
+            meta = json.load(fh)
+        assert meta["command"] == "train-embedded-fc"
+        assert meta["sim_ids"] == [1, 5]  # suite resolved from the checkpoint
+        ev_out = str(tmp_path / "fc_ev")
+        rc = main([
+            "evaluate-fc", "--checkpoint", emb_out, "--sim-ids", "1", "--nz", "16",
+            "--n-save", "10", "--dt-save", "600", "--n-eval-steps", "10",
+            "--eval-stride", "2", "--n-substeps", "4", "--embedded", "--output", ev_out,
+        ])
+        assert rc == 0
+
+
 class TestTrainEmbeddedCLI:
     def test_fresh_init_smoke(self, tmp_path):
         from climateparameterizations_jl_tpu.cli.main import main
