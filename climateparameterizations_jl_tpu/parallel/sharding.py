@@ -94,6 +94,69 @@ def make_sharded_nde_train_step(model: WindMixingModel, batch: TrainingBatch, co
     return step
 
 
+def shard_embedded_problem(host, batch, mesh: Mesh, axis_name: str = "batch"):
+    """Shard the simulation axis of an a-posteriori (embedded) problem.
+
+    Unlike the NDE path, per-sim data lives in TWO trees: the
+    ``EmbeddedBatch`` (initial states, scaled targets) and the
+    ``HostColumnModel`` itself (per-sim surface/bottom fluxes on the leading
+    ``(S,)`` axis). Leaves whose leading dim equals the simulation count are
+    split over the mesh; physical scalars and save times replicate. Both
+    trees must then enter the jitted step as ARGUMENTS (the closure-capture
+    sharding-drop class, see :func:`make_sharded_nde_train_step`).
+
+    Returns ``(host, batch)`` placed on the mesh.
+    """
+    S = batch.targets.shape[0]
+    split = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == S:
+            return jax.device_put(x, split)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, host), jax.tree.map(place, batch)
+
+
+def make_sharded_embedded_train_step(host, batch, config: NDETrainConfig, optimizer, loss_scalings: LossChannels | None = None, free_convection: bool = False):
+    """One jitted data-parallel a-posteriori training step.
+
+    The wind-mixing flavor steps :func:`train.embedded.make_embedded_loss_fn`
+    (``nns`` is a :class:`FluxNNs` triple); ``free_convection=True`` steps
+    the FC heat-flux loss (``nns`` is the single MLP). ``host``/``batch``
+    must already be placed with :func:`shard_embedded_problem`; parameters
+    and opt state replicated (:func:`replicate`). XLA partitions the host
+    column scan per device shard and inserts one gradient ``psum``.
+
+    Returns ``step(nns, opt_state) -> (nns, opt_state, total, channels)``.
+    """
+    from climateparameterizations_jl_tpu.train.embedded import (
+        make_embedded_fc_loss_fn,
+        make_embedded_loss_fn,
+    )
+
+    scalings = loss_scalings if loss_scalings is not None else LossChannels.ones(config.gradient_scaling)
+
+    @jax.jit
+    def _step(nns, opt_state, host, batch):
+        if free_convection:
+            loss_fn = make_embedded_fc_loss_fn(host, batch, config)
+        else:
+            loss_fn = make_embedded_loss_fn(host, batch, scalings, config)
+        (total, channels), grads = jax.value_and_grad(loss_fn, has_aux=True)(nns)
+        updates, opt_state = optimizer.update(grads, opt_state, nns)
+        nns = optax.apply_updates(nns, updates)
+        return nns, opt_state, total, channels
+
+    def step(nns, opt_state):
+        return _step(nns, opt_state, host, batch)
+
+    step.lower = lambda nns, opt_state: _step.lower(nns, opt_state, host, batch)
+    return step
+
+
 def sharded_kernel_search(
     mesh: Mesh,
     x_train,

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,7 @@ from climateparameterizations_jl_tpu.train.nde import (
 )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EmbeddedBatch:
     """Everything one a-posteriori training step consumes, for ``S`` sims.

@@ -183,3 +183,86 @@ class TestShardedEnsemble:
             jax.block_until_ready(out)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-7)
         assert len(out.sharding.device_set) == 8
+
+
+class TestShardedEmbeddedTrainStep:
+    """A-posteriori (embedded) DP training: per-sim data lives in BOTH the
+    batch and the host model (surface fluxes) — both trees shard."""
+
+    def test_wind_mixing_matches_single_device_step(self):
+        from helpers import make_embedded_wind_problem
+
+        from climateparameterizations_jl_tpu.parallel.sharding import (
+            make_sharded_embedded_train_step,
+            shard_embedded_problem,
+        )
+        from climateparameterizations_jl_tpu.train.embedded import make_embedded_loss_fn
+
+        _, nns, host, batch = make_embedded_wind_problem(8)
+        config = NDETrainConfig(n_substeps=2)
+        optimizer = optax.sgd(1e-3)
+        scalings = LossChannels.ones(config.gradient_scaling)
+
+        loss_fn = make_embedded_loss_fn(host, batch, scalings, config)
+        (total_ref, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(nns)
+        updates, _ = optimizer.update(grads, optimizer.init(nns), nns)
+        nns_ref = optax.apply_updates(nns, updates)
+
+        mesh = make_mesh(8)
+        with mesh:
+            host_sh, batch_sh = shard_embedded_problem(host, batch, mesh)
+            nns_r = replicate(nns, mesh)
+            step = make_sharded_embedded_train_step(host_sh, batch_sh, config, optimizer)
+            nns_sh, _, total_sh, _ = step(nns_r, optimizer.init(nns_r))
+            jax.block_until_ready(nns_sh)
+
+        np.testing.assert_allclose(float(total_sh), float(total_ref), rtol=1e-5)
+        # SGD keeps updates linear in the gradient, so f32 psum
+        # reduction-order noise stays proportional (adam's m/sqrt(v) blows it
+        # up on near-zero gradient components, making one-step compares flaky).
+        for a, b in zip(jax.tree.leaves(nns_sh), jax.tree.leaves(nns_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+    def test_free_convection_matches_single_device_step(self):
+        from helpers import make_embedded_fc_problem
+
+        from climateparameterizations_jl_tpu.parallel.sharding import (
+            make_sharded_embedded_train_step,
+            shard_embedded_problem,
+        )
+        from climateparameterizations_jl_tpu.train.embedded import make_embedded_fc_loss_fn
+
+        nn, host, batch = make_embedded_fc_problem(8)
+        config = NDETrainConfig(n_substeps=2)
+        optimizer = optax.sgd(1e-3)
+
+        loss_fn = make_embedded_fc_loss_fn(host, batch, config)
+        (total_ref, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(nn)
+        updates, _ = optimizer.update(grads, optimizer.init(nn), nn)
+        nn_ref = optax.apply_updates(nn, updates)
+
+        mesh = make_mesh(8)
+        with mesh:
+            host_sh, batch_sh = shard_embedded_problem(host, batch, mesh)
+            nn_r = replicate(nn, mesh)
+            step = make_sharded_embedded_train_step(host_sh, batch_sh, config, optimizer, free_convection=True)
+            nn_sh, _, total_sh, _ = step(nn_r, optimizer.init(nn_r))
+            jax.block_until_ready(nn_sh)
+
+        np.testing.assert_allclose(float(total_sh), float(total_ref), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(nn_sh), jax.tree.leaves(nn_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+    def test_both_trees_actually_sharded(self):
+        from helpers import make_embedded_wind_problem
+
+        from climateparameterizations_jl_tpu.parallel.sharding import shard_embedded_problem
+
+        _, _, host, batch = make_embedded_wind_problem(8)
+        mesh = make_mesh(8)
+        host_sh, batch_sh = shard_embedded_problem(host, batch, mesh)
+        assert len(batch_sh.targets.sharding.device_set) == 8
+        assert len(host_sh.Ftheta.sharding.device_set) == 8
+        # Physical scalars replicate.
+        assert host_sh.H.sharding.is_fully_replicated
+        assert batch_sh.t.sharding.is_fully_replicated
