@@ -14,68 +14,37 @@ save spacing (``k_profile_parameterization.jl:67``), so the 2-day run is
 here reads the run as 1153 steps — GENEROUS to the reference by ~4x, so
 every ``vs_baseline`` this prints is conservative.
 
+Tunnel robustness: the axon TPU tunnel can wedge so hard that backend init
+— or a dispatch mid-benchmark — blocks forever. When the TPU is in play,
+the WHOLE benchmark therefore runs in a child process under a watchdog
+(``python bench.py --child``): the parent retries a few times (wedges are
+often transient; the tunnel serializes clients) and finally falls back to
+an in-process CPU run, so the driver always gets its one JSON line. A
+caller that already forced CPU (e.g. ``climparam --platform cpu
+benchmark`` sets jax_platforms cpu-first before exec'ing main()) keeps the
+direct in-process path — no subprocess, no tunnel.
+
 Prints ONE JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 
 import jax
 
 BASELINE_COLUMN_TIMESTEPS_PER_SEC = 4.5e4
 
-
-def _resolve_platform(timeout_s: float = 180.0) -> str:
-    """Probe the default backend in a SUBPROCESS with a watchdog.
-
-    The axon TPU tunnel can wedge so hard that backend init blocks forever
-    (and holds jax's global backend lock, so an in-process thread probe
-    would deadlock the fallback too). A child process either prints the
-    platform in time or is killed; on timeout/failure this process forces
-    CPU before its own backend ever initializes.
-    """
-    import subprocess
-    import sys
-    import time
-
-    # A caller that already forced CPU (e.g. `climparam --platform cpu
-    # benchmark` sets jax_platforms in-process before exec'ing main()) must
-    # not be second-guessed: probing the DEFAULT backend from a subprocess
-    # would label the headline with a backend the parent never computes on,
-    # and would block for minutes on the excluded TPU tunnel. (The ambient
-    # container default is "axon,cpu", so only a cpu-FIRST value means the
-    # caller opted out of the tunnel.)
-    configured = jax.config.jax_platforms or ""
-    if configured.split(",")[0] == "cpu":
-        return "cpu"
-
-    # The tunnel's wedges are often transient (it serializes clients);
-    # probe a few times before surrendering the round's headline number
-    # to the CPU fallback. Only a TIMEOUT is worth retrying — an instant
-    # non-zero exit (broken install, import error) is deterministic.
-    for attempt in range(5):
-        if attempt:
-            time.sleep(120.0)
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, text=True, timeout=timeout_s,
-            )
-            platform = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-            if out.returncode == 0 and platform:
-                return platform
-            break  # fast deterministic failure: no point sleeping and re-probing
-        except subprocess.TimeoutExpired:
-            pass
-        except OSError:
-            break
-    jax.config.update("jax_platforms", "cpu")
-    return "cpu (tpu unavailable)"
+# One child attempt must cover first-compile (20-40 s) + the pipelined
+# timed run with generous slack; a healthy run finishes in ~1-2 min.
+CHILD_TIMEOUT_S = 600.0
+CHILD_ATTEMPTS = 3
+RETRY_SLEEP_S = 90.0
 
 
-def main():
-    platform = _resolve_platform()
+def _run_headline() -> dict:
+    """Compute the headline stats on the CURRENT default backend."""
     # ONE implementation of the headline configuration: bench_nde_forward
     # (benchmarks.py) runs the identical packed-NN RK4 scan at 1024 columns
     # x 1024 steps with pipelined timing — a second copy here could silently
@@ -83,24 +52,69 @@ def main():
     from climateparameterizations_jl_tpu.benchmarks import bench_nde_forward
 
     stats = bench_nde_forward(n_columns=1024, n_steps=1024, packed=True, unroll=4)
-    column_timesteps_per_sec = stats["column_timesteps_per_sec"]
-    # Label the headline with the backend that actually produced the number
-    # (safe here: the run completed, so the parent's backend is initialized;
-    # the probe's answer could in principle differ from the parent's).
-    actual = jax.devices()[0].platform
-    platform = actual if "unavailable" not in platform else f"{actual} (tpu unavailable)"
-    print(
-        json.dumps(
-            {
-                "metric": "column-timesteps/sec (fwd, mPP+3NN RHS, RK4, 32 levels x 1024 columns)",
-                "value": round(column_timesteps_per_sec, 1),
-                "unit": "column-timesteps/s",
-                "vs_baseline": round(column_timesteps_per_sec / BASELINE_COLUMN_TIMESTEPS_PER_SEC, 2),
-                "platform": platform,
-            }
-        )
-    )
+    return {
+        "value": stats["column_timesteps_per_sec"],
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def _payload(value: float, platform: str) -> dict:
+    return {
+        "metric": "column-timesteps/sec (fwd, mPP+3NN RHS, RK4, 32 levels x 1024 columns)",
+        "value": round(value, 1),
+        "unit": "column-timesteps/s",
+        "vs_baseline": round(value / BASELINE_COLUMN_TIMESTEPS_PER_SEC, 2),
+        "platform": platform,
+    }
+
+
+def _child_main() -> None:
+    r = _run_headline()
+    print(json.dumps(_payload(r["value"], r["platform"])))
+
+
+def main():
+    # A cpu-FIRST jax_platforms means the caller opted out of the tunnel
+    # (the ambient container default is "axon,cpu"): run in-process.
+    configured = jax.config.jax_platforms or ""
+    if configured.split(",")[0] == "cpu":
+        r = _run_headline()
+        print(json.dumps(_payload(r["value"], r["platform"])))
+        return
+
+    import subprocess
+    import time
+
+    for attempt in range(CHILD_ATTEMPTS):
+        if attempt:
+            time.sleep(RETRY_SLEEP_S)
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--child"],
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            continue  # wedged tunnel: transient more often than not — retry
+        except OSError:
+            break
+        lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        # Fast deterministic failure (import error, broken install): no
+        # point burning the retry budget on it.
+        break
+
+    # TPU unreachable: force CPU in THIS process (its backend was never
+    # initialized — only children touched the tunnel) and record the
+    # degradation in the platform label.
+    jax.config.update("jax_platforms", "cpu")
+    r = _run_headline()
+    print(json.dumps(_payload(r["value"], f"{r['platform']} (tpu unavailable)")))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv[1:]:
+        _child_main()
+    else:
+        main()
