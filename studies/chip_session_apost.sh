@@ -28,11 +28,34 @@ run() { # run <name> <timeout_s> <cmd...>
   return $rc
 }
 
-run apost_fold 2700 python studies/flagship_training.py --mode aposteriori \
+wait_tunnel() { # block until the TPU tunnel answers a probe (wedges are transient)
+  local i
+  for i in $(seq 1 20); do
+    if timeout 120 python -c "import jax; print(jax.devices()[0].platform)" 2>/dev/null | grep -q .; then
+      echo "tunnel OK (probe $i)" | tee -a "$OUT/session.log"; return 0
+    fi
+    echo "tunnel probe $i failed; retrying in 60s" | tee -a "$OUT/session.log"
+    sleep 60
+  done
+  echo "tunnel unreachable after 20 probes" | tee -a "$OUT/session.log"; return 1
+}
+
+run_retry() { # run_retry <attempts> <name> <timeout_s> <cmd...> — tunnel can wedge MID-run
+  local tries="$1"; shift
+  local name="$1" t="$2" i
+  for i in $(seq 1 "$tries"); do
+    wait_tunnel || return 1
+    if run "$@"; then return 0; fi
+    echo "=== $name: attempt $i failed" | tee -a "$OUT/session.log"
+  done
+  return 1
+}
+
+run_retry 2 apost_fold 1500 python studies/flagship_training.py --mode aposteriori \
     --eval-checkpoint runs/wm_flagship_fold --ft-maxiters 60 \
     --save-nns runs/wm_flagship_apost --out docs/flagship_run_apost.json
 
-run apost_diurnal 2700 python studies/flagship_training.py --mode aposteriori \
+run_retry 2 apost_diurnal 1500 python studies/flagship_training.py --mode aposteriori \
     --suite diurnal --eval-checkpoint runs/wm_flagship_diurnal --ft-maxiters 60 \
     --save-nns runs/wm_flagship_diurnal_apost --out docs/flagship_run_diurnal_apost.json
 
