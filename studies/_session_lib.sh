@@ -1,0 +1,40 @@
+# Shared helpers for the chip-session runners. Source AFTER setting $OUT:
+#   OUT="studies/chip_session_${TAG}"; mkdir -p "$OUT"
+#   . "$(dirname "$0")/_session_lib.sh"
+#
+# The axon TPU tunnel serializes clients and can wedge transiently (probe
+# before each arm) or MID-run (retry the arm); see CLAUDE.md.
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  echo "=== $name: $* (timeout ${t}s)" | tee -a "$OUT/session.log"
+  local start=$SECONDS
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name: rc=$rc elapsed=$((SECONDS - start))s" | tee -a "$OUT/session.log"
+  tail -5 "$OUT/$name.log" | tee -a "$OUT/session.log"
+  return $rc
+}
+
+wait_tunnel() { # block until the TPU tunnel answers a probe (wedges are transient)
+  local i
+  for i in $(seq 1 20); do
+    if timeout 120 python -c "import jax; print(jax.devices()[0].platform)" 2>/dev/null | grep -q .; then
+      echo "tunnel OK (probe $i)" | tee -a "$OUT/session.log"; return 0
+    fi
+    echo "tunnel probe $i failed; retrying in 60s" | tee -a "$OUT/session.log"
+    sleep 60
+  done
+  echo "tunnel unreachable after 20 probes" | tee -a "$OUT/session.log"; return 1
+}
+
+run_retry() { # run_retry <attempts> <name> <timeout_s> <cmd...> — tunnel can wedge MID-run
+  local tries="$1"; shift
+  local name="$1" i
+  for i in $(seq 1 "$tries"); do
+    wait_tunnel || return 1
+    if run "$@"; then return 0; fi
+    echo "=== $name: attempt $i failed" | tee -a "$OUT/session.log"
+  done
+  return 1
+}

@@ -3,7 +3,8 @@
 # (runs/fc_les3d, trained by chip_session_fc.sh on les3d data) THROUGH the
 # embedded conv-adj host column, with held-out embedded evals before/after
 # (sims 8, 9). Mirrors the wind-mixing arm's discretization: stride-9
-# saveat over the full 1,153-frame window, substeps=10 -> dt=540 s.
+# saveat over the full 1,153-frame window, substeps=10 -> dt=540 s — and
+# the EVALs score at that same stride/substepping (cross-arm like-for-like).
 #
 # Usage: bash studies/chip_session_apost_fc.sh [tag]   (from /root/repo, NO
 # PYTHONPATH override — the axon plugin must register via /root/.axon_site.)
@@ -12,29 +13,19 @@ cd "$(dirname "$0")/.."
 TAG="${1:-apost_fc}"
 OUT="studies/chip_session_${TAG}"
 mkdir -p "$OUT"
-
-run() { # run <name> <timeout_s> <cmd...>
-  local name="$1" t="$2"; shift 2
-  echo "=== $name: $* (timeout ${t}s)" | tee -a "$OUT/session.log"
-  local start=$SECONDS
-  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
-  local rc=$?
-  echo "=== $name: rc=$rc elapsed=$((SECONDS - start))s" | tee -a "$OUT/session.log"
-  tail -5 "$OUT/$name.log" | tee -a "$OUT/session.log"
-  return $rc
-}
+. studies/_session_lib.sh
 
 CACHE=runs/les3d_cache
 CLI="python -m climateparameterizations_jl_tpu.cli"
 DATA="--source les3d --les-cache-dir $CACHE --nz 32 --n-save 1152 --dt-save 600"
-EVAL="$DATA --sim-ids 8,9 --n-eval-steps 1153 --eval-stride 8 --embedded"
+EVAL="$DATA --sim-ids 8,9 --n-eval-steps 1153 --eval-stride 9 --n-substeps 10 --embedded"
 
-run fc_emb_before 1800 $CLI evaluate-fc --checkpoint runs/fc_les3d $EVAL \
+run_retry 2 fc_emb_before 1800 $CLI evaluate-fc --checkpoint runs/fc_les3d $EVAL \
     --output runs/fc_les3d_emb_eval
-run fc_apost 2700 $CLI train-embedded-fc --init-from runs/fc_les3d $DATA \
+run_retry 2 fc_apost 2700 $CLI train-embedded-fc --init-from runs/fc_les3d $DATA \
     --curriculum 1153:9 --substeps 10 --maxiters 60 --lr 3e-4 \
     --output runs/fc_les3d_apost
-run fc_emb_after 1800 $CLI evaluate-fc --checkpoint runs/fc_les3d_apost $EVAL \
+run_retry 2 fc_emb_after 1800 $CLI evaluate-fc --checkpoint runs/fc_les3d_apost $EVAL \
     --output runs/fc_les3d_apost_eval
 
 echo "=== fc apost session complete; logs in $OUT" | tee -a "$OUT/session.log"

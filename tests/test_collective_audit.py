@@ -107,6 +107,42 @@ class TestDataParallelTrainStepHLO:
         assert max(_all_reduce_result_elems(txt)) <= n_params
 
 
+class TestEmbeddedTrainStepHLO:
+    def test_aposteriori_batch_partitioned_and_grads_reduced(self):
+        """The a-posteriori (embedded) DP step: per-sim data lives in BOTH
+        trees (EmbeddedBatch + host surface fluxes). The numerical test
+        (``test_parallel.py::TestShardedEmbeddedTrainStep``) cannot catch the
+        closure-capture silent-replication mode — pin the compiled HLO."""
+        from helpers import make_embedded_wind_problem
+
+        from climateparameterizations_jl_tpu.parallel.sharding import (
+            make_sharded_embedded_train_step,
+            shard_embedded_problem,
+        )
+
+        _, nns, host, batch = make_embedded_wind_problem(8)
+        config = NDETrainConfig(n_substeps=2)
+        optimizer = optax.adam(1e-3)
+        mesh = make_mesh(8)
+        with mesh:
+            host_sh, batch_sh = shard_embedded_problem(host, batch, mesh)
+            nns_r = replicate(nns, mesh)
+            step = make_sharded_embedded_train_step(host_sh, batch_sh, config, optimizer)
+            txt = step.lower(nns_r, optimizer.init(nns_r)).compile().as_text()
+
+        # One-sim shards of the (8, 5, 96) targets / (8, 32) host states;
+        # full-batch shapes reappearing = replicated redundant compute.
+        assert "f32[1,5,96]" in txt and "f32[1,32]" in txt
+        assert "f32[8,5,96]" not in txt and "f32[8,32]" not in txt
+
+        ops = _collective_ops(txt)
+        assert any(op.startswith("all-reduce") for op in ops), "gradient psum missing"
+        assert all(op.startswith("all-reduce") for op in ops), f"unexpected collectives: {ops}"
+
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(nns))
+        assert max(_all_reduce_result_elems(txt)) <= n_params
+
+
 class TestEnsembleSolverHLO:
     def test_embarrassingly_parallel(self, setup):
         model, nns = setup
