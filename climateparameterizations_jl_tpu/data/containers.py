@@ -170,6 +170,10 @@ class TrainingBatch:
     ``bcs``: batched :class:`BoundaryConditions` with ``(S,)`` fields.
     ``t``: ``(Nt_sel,)`` non-dimensional save times (shared across sims).
     ``tau``: time scale used for non-dimensionalization.
+    ``t0``: optional ``(S,)`` per-row absolute start times overriding
+    ``t[0]`` — multiple-shooting batches put every (sim, window) pair on
+    the batch axis, so rows start at different absolute times (the diurnal
+    top-BC phase must track the true window start, not a shared ``t[0]``).
     """
 
     x0: jnp.ndarray
@@ -177,6 +181,7 @@ class TrainingBatch:
     bcs: BoundaryConditions
     t: jnp.ndarray
     tau: jnp.ndarray
+    t0: jnp.ndarray | None = None
 
 
 def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps, tau=None, diurnal: bool | None = None) -> TrainingBatch:
@@ -234,6 +239,106 @@ def training_tensors(ds: ColumnTimeSeries, scalings: WindMixingScalings, tsteps,
         bcs=bcs,
         t=jnp.take(t_row, tsteps) / tau,
         tau=tau,
+    )
+
+
+def multiple_shooting_tensors(
+    ds: ColumnTimeSeries,
+    scalings: WindMixingScalings,
+    tsteps,
+    n_windows: int,
+    tau=None,
+    diurnal: bool | None = None,
+) -> TrainingBatch:
+    """Window-parallel (multiple-shooting) training tensors.
+
+    Splits the saveat ladder ``tsteps`` into ``n_windows`` truth-anchored
+    segments and puts every ``(sim, window)`` pair on the BATCH axis: the
+    sequential scan length per train step drops ``n_windows``-fold while the
+    batch widens ``n_windows``-fold — the TPU-first redesign of the
+    reference's full-window stage (``train_NDE_args.jl:197`` trains
+    ``1:9:1153`` as one 1,152-step sequential solve; the forward path
+    absorbs 32k columns at 36% MFU, so trading scan length for batch width
+    is nearly free on the chip).
+
+    Each window starts from the TRUTH state at its first frame; adjacent
+    windows SHARE their boundary frame, so every window's loss includes the
+    frame the next window is anchored at (continuity-to-truth is penalized
+    without an extra term — the curriculum's early stages train exactly
+    such windows). Per-window BC faces are frozen at the window start
+    (the generalization of ``training_tensors``'s window-start freeze);
+    diurnal members carry per-row absolute start times in ``t0`` so the
+    sinusoidal top BC keeps its true phase in every window.
+
+    ``tsteps`` must be uniformly strided and its interval count divisible
+    by ``n_windows``. Row order is sims-major: row ``s * n_windows + k``.
+    """
+    if diurnal is None:
+        diurnal = ds.diurnal_amplitude is not None and bool(
+            np.any(np.asarray(ds.diurnal_amplitude) != 0.0)
+        )
+    t_arr = np.asarray(tsteps)
+    n_frames = ds.t.shape[-1]
+    if int(t_arr.max()) >= n_frames or int(t_arr.min()) < 0:
+        raise ValueError(
+            f"tsteps range [{int(t_arr.min())}, {int(t_arr.max())}] out of range for {n_frames} saved frames"
+        )
+    strides = np.diff(t_arr)
+    if strides.size == 0 or not np.all(strides == strides[0]):
+        raise ValueError(f"multiple shooting needs a uniformly strided tstep ladder (got strides {strides[:4]}...)")
+    n_intervals = len(t_arr) - 1
+    if n_windows < 1 or n_intervals % n_windows:
+        raise ValueError(
+            f"n_windows={n_windows} must divide the {n_intervals} save intervals of the tstep ladder"
+        )
+    n_int = n_intervals // n_windows  # save intervals per window
+    K, W = n_windows, n_int + 1
+    # (K, W) frame indices; window k covers [k*n_int, (k+1)*n_int] inclusive.
+    idx = t_arr[np.arange(K)[:, None] * n_int + np.arange(W)[None, :]]
+
+    x = scaled_state_array(ds, scalings)  # (S, Nt, 3Nz)
+    if x.ndim == 2:  # single sim: add the suite axis
+        x = x[None]
+        ds = jax.tree.map(lambda a: jnp.asarray(a)[None], ds)
+    S = x.shape[0]
+    uw_s, vw_s, wT_s = scaled_flux_arrays(ds, scalings)
+
+    t_row = ds.t.reshape(-1, ds.t.shape[-1])[0]
+    if tau is None:
+        tau = jnp.abs(t_row[-1] - t_row[0])
+
+    starts = jnp.asarray(idx[:, 0])  # (K,) window-start frames
+    merge = lambda a: a.reshape((S * K,) + a.shape[2:])  # noqa: E731 — sims-major rows
+
+    def at_starts(flux_faces, face):
+        # (S, Nt, Nz+1) -> (S, K) values of the boundary face at each start.
+        return merge(jnp.take(flux_faces[..., face], starts, axis=-1))
+
+    amp = jnp.broadcast_to(
+        jnp.asarray(ds.diurnal_amplitude if ds.diurnal_amplitude is not None else ds.theta_top),
+        (S,),
+    )
+    bcs = BoundaryConditions(
+        uw_bot=at_starts(uw_s, 0),
+        uw_top=at_starts(uw_s, -1),
+        vw_bot=at_starts(vw_s, 0),
+        vw_top=at_starts(vw_s, -1),
+        wT_bot=at_starts(wT_s, 0),
+        wT_top=at_starts(wT_s, -1),
+        diurnal_amplitude=(
+            merge(jnp.broadcast_to(amp[:, None], (S, K))) if diurnal
+            else jnp.zeros((S * K,), x.dtype)
+        ),
+    )
+    targets = merge(jnp.take(x, jnp.asarray(idx.ravel()), axis=-2).reshape(x.shape[0], K, W, x.shape[-1]))
+    t0_nondim = jnp.take(t_row, starts) / tau  # (K,)
+    return TrainingBatch(
+        x0=targets[:, 0, :],
+        targets=targets,
+        bcs=bcs,
+        t=jnp.take(t_row, jnp.asarray(idx[0])) / tau,
+        tau=tau,
+        t0=merge(jnp.broadcast_to(t0_nondim[None, :], (S, K))),
     )
 
 

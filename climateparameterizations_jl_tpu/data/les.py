@@ -76,6 +76,11 @@ class LESConfig:
     # Tracer advection: "weno5" (the reference LES uses WENO5,
     # wind_mixing/wind_mixing.jl:1-143) or "centered" (2nd-order A/B).
     advection: str = dataclasses.field(metadata=dict(static=True), default="weno5")
+    # Momentum advection: "centered" (2nd-order flux form, energy-
+    # conserving — the measured default: see the A/B note in RESULTS.md;
+    # the Smagorinsky SGS supplies the dissipation WENO's upwinding would
+    # add on top) or "weno5" (the reference's model-wide scheme).
+    momentum_advection: str = dataclasses.field(metadata=dict(static=True), default="centered")
 
     @classmethod
     def default(cls, Nx=32, Ny=32, Nz=32, Qu=-5e-4, Qb=3e-8, dtype=jnp.float32, **overrides):
@@ -304,13 +309,28 @@ def _tendencies(config: LESConfig, state: LESState, t, coriolis: bool = True):
     dTdt = dTdt.at[..., 0].add(-kap_c[..., 0] * c.dTdz / dz)
 
     # --- u momentum (x-faces) ----------------------------------------------
-    Fuu = uc * uc  # centers
     u_corner = 0.5 * (u + _ym(u))  # (x-face, y-face)
     v_corner = 0.5 * (v + _xm(v))
-    Fuv = u_corner * v_corner
     u_zf = zface_of_center(u)  # interior z-faces
     w_xf = 0.5 * (w + _xm(w))  # (x-face, z-faces)
-    Fuw = jnp.concatenate([zeros_f, u_zf * w_xf[..., 1:-1], zeros_f], axis=-1)
+    if c.momentum_advection == "weno5":
+        from climateparameterizations_jl_tpu.core.advection import weno5_advective_flux
+
+        # Periodic face k sits between cells k-1 and k; for u advected
+        # along x those "cells" are u-points, so face k is T-center k-1
+        # and its advecting velocity is uc[k-1] — hence the _xm/_xp pair.
+        Fuu = _xp(weno5_advective_flux(_xm(uc), u, axis=1, boundary="periodic"))  # centers
+        Fuv = weno5_advective_flux(v_corner, u, axis=0, boundary="periodic")  # corners
+        Fuw_int = weno5_advective_flux(w_xf[..., 1:-1], u, axis=2, boundary="edge")
+    elif c.momentum_advection == "centered":
+        Fuu = uc * uc  # centers
+        Fuv = u_corner * v_corner
+        Fuw_int = u_zf * w_xf[..., 1:-1]
+    else:
+        raise ValueError(
+            f"unknown momentum advection scheme {c.momentum_advection!r} (expected 'weno5' or 'centered')"
+        )
+    Fuw = jnp.concatenate([zeros_f, Fuw_int, zeros_f], axis=-1)
     adv_u = (Fuu - _xm(Fuu)) / dx + (_yp(Fuv) - Fuv) / dy + (Fuw[..., 1:] - Fuw[..., :-1]) / dz
     v_at_u = 0.5 * (v_corner + _yp(v_corner))
     nu_u = 0.5 * (nu_c + _xm(nu_c))
@@ -319,20 +339,33 @@ def _tendencies(config: LESConfig, state: LESState, t, coriolis: bool = True):
     dudt = dudt.at[..., -1].add(-c.Qu / dz)
 
     # --- v momentum (y-faces) ----------------------------------------------
-    Fvv = vc * vc
-    Fvu = Fuv  # same corner product
     v_zf = zface_of_center(v)
     w_yf = 0.5 * (w + _ym(w))
-    Fvw = jnp.concatenate([zeros_f, v_zf * w_yf[..., 1:-1], zeros_f], axis=-1)
+    if c.momentum_advection == "weno5":
+        Fvv = _yp(weno5_advective_flux(_ym(vc), v, axis=0, boundary="periodic"))
+        # Unlike the centered scheme, the corner flux is direction-specific
+        # (upwinds v along x), so Fuv is not reused.
+        Fvu = weno5_advective_flux(u_corner, v, axis=1, boundary="periodic")
+        Fvw_int = weno5_advective_flux(w_yf[..., 1:-1], v, axis=2, boundary="edge")
+    else:
+        Fvv = vc * vc
+        Fvu = Fuv  # same corner product
+        Fvw_int = v_zf * w_yf[..., 1:-1]
+    Fvw = jnp.concatenate([zeros_f, Fvw_int, zeros_f], axis=-1)
     adv_v = (_xp(Fvu) - Fvu) / dx + (Fvv - _ym(Fvv)) / dy + (Fvw[..., 1:] - Fvw[..., :-1]) / dz
     u_at_v = 0.5 * (u_corner + _xp(u_corner))
     nu_v = 0.5 * (nu_c + _ym(nu_c))
     dvdt = -adv_v - f_u * u_at_v + nu_v * (_lap_xy(v, dx, dy) + _lap_z_neumann(v, dz))
 
     # --- w momentum (interior z-faces) --------------------------------------
-    Fww = w_zc * w_zc  # centers
-    Fwu = u_zf * w_xf[..., 1:-1]  # (x-face, interior z-face)
-    Fwv = v_zf * w_yf[..., 1:-1]
+    if c.momentum_advection == "weno5":
+        Fww = weno5_advective_flux(w_zc, w, axis=2, boundary="edge")  # centers
+        Fwu = weno5_advective_flux(u_zf, w[..., 1:-1], axis=1, boundary="periodic")
+        Fwv = weno5_advective_flux(v_zf, w[..., 1:-1], axis=0, boundary="periodic")
+    else:
+        Fww = w_zc * w_zc  # centers
+        Fwu = u_zf * w_xf[..., 1:-1]  # (x-face, interior z-face)
+        Fwv = v_zf * w_yf[..., 1:-1]
     adv_w = (
         (_xp(Fwu) - Fwu) / dx
         + (_yp(Fwv) - Fwv) / dy

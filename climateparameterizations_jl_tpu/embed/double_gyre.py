@@ -29,8 +29,11 @@ hydrostatic Boussinesq basin model designed for XLA:
   column as ONE ``(Ny*Nx, Nz) @ weights`` matmul per step (MXU), replacing
   the reference's per-(i, j) host loop (``double_gyre_nn.jl:153-163``).
 
-Momentum advection is 2nd-order advective-form (optional — ``linear_momentum``
-gives the classic linear gyre); tracer advection is 2nd-order flux form.
+Advection is WENO5 upwind by default for BOTH tracers and momentum (the
+reference passes ``advection = WENO5()`` model-wide, ``double_gyre.jl:130``);
+the ``advection`` / ``momentum_advection`` knobs keep the 2nd-order schemes
+(flux-form tracer, advective-form momentum) for A/B, and
+``linear_momentum`` gives the classic linear gyre.
 """
 
 from __future__ import annotations
@@ -77,6 +80,10 @@ class DoubleGyreModel:
     # Tracer advection scheme: "weno5" (default; the reference uses WENO5,
     # double_gyre.jl:60-196) or "centered" (2nd-order, kept for A/B).
     advection: str = dataclasses.field(metadata=dict(static=True), default="weno5")
+    # Momentum advection: "weno5" (flux-form upwind faces — the reference
+    # passes WENO5 model-wide, double_gyre.jl:130) or "centered"
+    # (2nd-order advective form). Ignored when ``linear_momentum``.
+    momentum_advection: str = dataclasses.field(metadata=dict(static=True), default="weno5")
 
     @classmethod
     def default(cls, Nx: int = 96, Ny: int = 96, Nz: int = 32, dtype=jnp.float32, **overrides) -> "DoubleGyreModel":
@@ -87,7 +94,11 @@ class DoubleGyreModel:
             kappa_h=1e3, kappa_v=1e-5, kappa_conv=1.0,
             T_north=2.0, T_south=22.0, t_restore=30.0 * 86400.0,
         )
-        static = {k: overrides.pop(k) for k in ("linear_momentum", "advection") if k in overrides}
+        static = {
+            k: overrides.pop(k)
+            for k in ("linear_momentum", "advection", "momentum_advection")
+            if k in overrides
+        }
         vals.update(overrides)
         leaves = {k: jnp.asarray(v, dtype) for k, v in vals.items()}
         return cls(Nx=Nx, Ny=Ny, Nz=Nz, **static, **leaves)
@@ -337,6 +348,59 @@ def _implicit_vertical_mixing(model: DoubleGyreModel, u, v, T, dt, tridiag_backe
     return u, v, T
 
 
+def _u_advection_weno(model: DoubleGyreModel, u, v, w):
+    """Flux-form WENO5 advection divergence for ``u`` at interior x-faces.
+
+    Returns ``(Ny, Nx-1, Nz)``. x-fluxes live at T-cell centers (between
+    u-points), y-fluxes at corners (zero at the walls: v = 0 there), and
+    z-fluxes at z-faces (edge-value products at top/bottom, matching the
+    tracer's convention). Flux form differs from the centered path's
+    advective form by ``u div(U)``, which vanishes with continuity.
+    """
+    from climateparameterizations_jl_tpu.core.advection import weno5_advective_flux
+
+    dx, dy, dz = model.dx, model.dy, model.dz
+    ui = u[:, 1:-1, :]
+    # x: advecting velocity at the Nx centers between the Nx+1 u-points.
+    uc = 0.5 * (u[:, 1:, :] + u[:, :-1, :])
+    Fx = weno5_advective_flux(uc, u, axis=1, boundary="edge")  # (Ny, Nx, Nz)
+    div = (Fx[:, 1:, :] - Fx[:, :-1, :]) / dx
+    # y: v interpolated to the corners above interior u-points.
+    v_corner = 0.5 * (v[:, 1:, :] + v[:, :-1, :])  # (Ny+1, Nx-1, Nz)
+    Fy_int = weno5_advective_flux(v_corner[1:-1], ui, axis=0, boundary="edge")
+    Fy = jnp.pad(Fy_int, ((1, 1), (0, 0), (0, 0)))  # wall faces: v = 0
+    div = div + (Fy[1:, :, :] - Fy[:-1, :, :]) / dy
+    # z: w interpolated to interior u columns.
+    w_u = 0.5 * (w[:, 1:, :] + w[:, :-1, :])  # (Ny, Nx-1, Nz+1)
+    Fz_int = weno5_advective_flux(w_u[..., 1:-1], ui, axis=2, boundary="edge")
+    Fz = jnp.concatenate(
+        [w_u[..., :1] * ui[..., :1], Fz_int, w_u[..., -1:] * ui[..., -1:]], axis=-1
+    )
+    return div + (Fz[..., 1:] - Fz[..., :-1]) / dz
+
+
+def _v_advection_weno(model: DoubleGyreModel, u, v, w):
+    """Flux-form WENO5 advection divergence for ``v`` at interior y-faces;
+    returns ``(Ny-1, Nx, Nz)`` (the mirror of :func:`_u_advection_weno`)."""
+    from climateparameterizations_jl_tpu.core.advection import weno5_advective_flux
+
+    dx, dy, dz = model.dx, model.dy, model.dz
+    vi = v[1:-1, :, :]
+    vc = 0.5 * (v[1:, :, :] + v[:-1, :, :])  # (Ny,) centers between v-points
+    Fy = weno5_advective_flux(vc, v, axis=0, boundary="edge")  # (Ny, Nx, Nz)
+    div = (Fy[1:, :, :] - Fy[:-1, :, :]) / dy
+    u_corner = 0.5 * (u[1:, :, :] + u[:-1, :, :])  # (Ny-1, Nx+1, Nz)
+    Fx_int = weno5_advective_flux(u_corner[:, 1:-1, :], vi, axis=1, boundary="edge")
+    Fx = jnp.pad(Fx_int, ((0, 0), (1, 1), (0, 0)))  # wall faces: u = 0
+    div = div + (Fx[:, 1:, :] - Fx[:, :-1, :]) / dx
+    w_v = 0.5 * (w[1:, :, :] + w[:-1, :, :])  # (Ny-1, Nx, Nz+1)
+    Fz_int = weno5_advective_flux(w_v[..., 1:-1], vi, axis=2, boundary="edge")
+    Fz = jnp.concatenate(
+        [w_v[..., :1] * vi[..., :1], Fz_int, w_v[..., -1:] * vi[..., -1:]], axis=-1
+    )
+    return div + (Fz[..., 1:] - Fz[..., :-1]) / dz
+
+
 # ----------------------------------------------------------------------------
 # one time step
 # ----------------------------------------------------------------------------
@@ -423,15 +487,23 @@ def double_gyre_step(
     Gu = f_c[:, None, None] * v_at_u - dpdx - model.g * detadx
     Gu = Gu + model.Ah * _laplacian_h(u, dx, dy)[:, 1:-1, :]
     if not model.linear_momentum:
-        ui = u[:, 1:-1, :]
-        dudx = (u[:, 2:, :] - u[:, :-2, :]) / (2 * dx)
-        up = jnp.pad(u, ((1, 1), (0, 0), (0, 0)), mode="edge")
-        dudy = (up[2:, 1:-1, :] - up[:-2, 1:-1, :]) / (2 * dy)
-        uz = jnp.pad(u, ((0, 0), (0, 0), (1, 1)), mode="edge")
-        dudz = (uz[:, 1:-1, 2:] - uz[:, 1:-1, :-2]) / (2 * dz)
-        w_at_u = 0.5 * (w[:, 1:, :] + w[:, :-1, :])
-        w_at_u = 0.5 * (w_at_u[..., 1:] + w_at_u[..., :-1])
-        Gu = Gu - (ui * dudx + v_at_u * dudy + w_at_u * dudz)
+        if model.momentum_advection == "weno5":
+            Gu = Gu - _u_advection_weno(model, u, v, w)
+        elif model.momentum_advection == "centered":
+            ui = u[:, 1:-1, :]
+            dudx = (u[:, 2:, :] - u[:, :-2, :]) / (2 * dx)
+            up = jnp.pad(u, ((1, 1), (0, 0), (0, 0)), mode="edge")
+            dudy = (up[2:, 1:-1, :] - up[:-2, 1:-1, :]) / (2 * dy)
+            uz = jnp.pad(u, ((0, 0), (0, 0), (1, 1)), mode="edge")
+            dudz = (uz[:, 1:-1, 2:] - uz[:, 1:-1, :-2]) / (2 * dz)
+            w_at_u = 0.5 * (w[:, 1:, :] + w[:, :-1, :])
+            w_at_u = 0.5 * (w_at_u[..., 1:] + w_at_u[..., :-1])
+            Gu = Gu - (ui * dudx + v_at_u * dudy + w_at_u * dudz)
+        else:
+            raise ValueError(
+                f"unknown momentum advection scheme {model.momentum_advection!r} "
+                "(expected 'weno5' or 'centered')"
+            )
     # Wind stress (top cell) + bottom drag (bottom cell).
     tau_x = model.wind_stress(dtype)
     Gu = Gu.at[..., -1].add(tau_x[:, None] / dz)
@@ -449,15 +521,20 @@ def double_gyre_step(
     Gv = -f_f[1:-1, None, None] * u_at_v - dpdy - model.g * detady
     Gv = Gv + model.Ah * _laplacian_h(v, dx, dy)[1:-1, :, :]
     if not model.linear_momentum:
-        vi = v[1:-1, :, :]
-        dvdy = (v[2:, :, :] - v[:-2, :, :]) / (2 * dy)
-        vp = jnp.pad(v, ((0, 0), (1, 1), (0, 0)), mode="edge")
-        dvdx = (vp[1:-1, 2:, :] - vp[1:-1, :-2, :]) / (2 * dx)
-        vz = jnp.pad(v, ((0, 0), (0, 0), (1, 1)), mode="edge")
-        dvdz = (vz[1:-1, :, 2:] - vz[1:-1, :, :-2]) / (2 * dz)
-        w_at_v = 0.5 * (w[1:, :, :] + w[:-1, :, :])
-        w_at_v = 0.5 * (w_at_v[..., 1:] + w_at_v[..., :-1])
-        Gv = Gv - (u_at_v * dvdx + vi * dvdy + w_at_v * dvdz)
+        if model.momentum_advection == "weno5":
+            # NOTE: advects the pre-rotation v with the pre-step u (the
+            # forward-backward trick applies to the Coriolis term only).
+            Gv = Gv - _v_advection_weno(model, u, v, w)
+        else:  # "centered" (the scheme check already ran in the u block)
+            vi = v[1:-1, :, :]
+            dvdy = (v[2:, :, :] - v[:-2, :, :]) / (2 * dy)
+            vp = jnp.pad(v, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            dvdx = (vp[1:-1, 2:, :] - vp[1:-1, :-2, :]) / (2 * dx)
+            vz = jnp.pad(v, ((0, 0), (0, 0), (1, 1)), mode="edge")
+            dvdz = (vz[1:-1, :, 2:] - vz[1:-1, :, :-2]) / (2 * dz)
+            w_at_v = 0.5 * (w[1:, :, :] + w[:-1, :, :])
+            w_at_v = 0.5 * (w_at_v[..., 1:] + w_at_v[..., :-1])
+            Gv = Gv - (u_at_v * dvdx + vi * dvdy + w_at_v * dvdz)
     Gv = Gv.at[..., 0].add(-model.r_drag * v[1:-1, :, 0])
     v_star = v + dt * _pad_v(Gv)
 

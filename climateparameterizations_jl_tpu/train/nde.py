@@ -148,7 +148,11 @@ def _solve(model: WindMixingModel, nns: FluxNNs, batch: TrainingBatch, config: N
     t = batch.t
     n_save = t.shape[0] - 1
     dt_save = (t[-1] - t[0]) / n_save
-    traj = solve_with_config(model, nns, batch.bcs, batch.x0, t[0], dt_save, n_save, config)
+    # Multiple-shooting batches carry per-row absolute start times (t0 is
+    # (S*K,)); it broadcasts through the steppers' t0 + i*dt_save threading
+    # so e.g. the diurnal top BC keeps its per-window phase.
+    t0 = batch.t0 if batch.t0 is not None else t[0]
+    traj = solve_with_config(model, nns, batch.bcs, batch.x0, t0, dt_save, n_save, config)
     return jnp.moveaxis(traj, 0, -2)  # (S, Nt, 3Nz)
 
 

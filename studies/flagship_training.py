@@ -87,10 +87,27 @@ N_FRAMES = 1153  # 8 days at 600 s saves
 STAGES = [(200, 20, 150, 1e-2), (577, 12, 100, 3e-3), (1153, 9, 130, 1e-3), (1153, 9, 200, 2e-4)]
 
 
+# --data-dir: read reference-layout .jld2 files (e.g. the 3-D-LES-generated
+# suite from studies/generate_wm_les.sh) instead of the synthetic stand-ins.
+DATA_DIR = None
+
+
 def load_suite(names, Nz=32):
     from climateparameterizations_jl_tpu.cli.main import _load_suite
 
-    return _load_suite(names, Nz, None, N_FRAMES - 1, 600.0)
+    if DATA_DIR is not None:
+        import os
+
+        from climateparameterizations_jl_tpu.data.registry import lesbrary_relative_path
+
+        missing = [n for n in names if not os.path.exists(os.path.join(DATA_DIR, lesbrary_relative_path(n)))]
+        if missing:
+            raise SystemExit(
+                f"--data-dir {DATA_DIR}: {len(missing)} suite members missing "
+                f"(e.g. {missing[0]}); generate them with studies/generate_wm_les.sh "
+                "— silently falling back to synthetic stand-ins would fake the provenance"
+            )
+    return _load_suite(names, Nz, DATA_DIR, N_FRAMES - 1, 600.0)
 
 
 def build(Nz=32, seed=0, diurnal=False):
@@ -153,8 +170,11 @@ def calibrate_mpp(ds, model, optimizer="lbfgs", maxiters=60, window=200, stride=
 
 
 def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
-              tridiag_backend="scan", fast_assembly="auto"):
-    from climateparameterizations_jl_tpu.data.containers import training_tensors
+              tridiag_backend="scan", fast_assembly="auto", shooting=0):
+    from climateparameterizations_jl_tpu.data.containers import (
+        multiple_shooting_tensors,
+        training_tensors,
+    )
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, train_wind_mixing_nde
 
     # Staging is hand-rolled here (rather than train_wind_mixing_nde's
@@ -171,18 +191,27 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
             tridiag_backend=tridiag_backend, fast_assembly=fast_assembly,
         )
         tsteps = np.arange(0, window, stride)
-        batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
+        # --shooting K: window-parallel final stages — every (sim, window)
+        # pair on the batch axis, truth-anchored (VERDICT r2 item 2). Only
+        # the full-window stages qualify (K must divide their intervals).
+        K = shooting if (shooting and window == N_FRAMES and (len(tsteps) - 1) % shooting == 0) else 0
+        if K:
+            batch = multiple_shooting_tensors(ds, model.scalings, tsteps, K, tau=model.tau)
+        else:
+            batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
         t0 = time.perf_counter()
         nns, hist = train_wind_mixing_nde(model, nns, batch, config)
         wall = time.perf_counter() - t0
+        inner = int((len(tsteps) - 1) * stride)
         report.append(dict(
-            window=window, stride=stride, maxiters=maxiters, lr=lr,
-            n_saveat=len(tsteps), inner_steps=int((len(tsteps) - 1) * stride),
+            window=window, stride=stride, maxiters=maxiters, lr=lr, shooting=K,
+            n_saveat=len(tsteps), inner_steps=inner // K if K else inner,
             loss_initial=float(hist[0].total()), loss_final=float(hist[-1].total()),
             wall_s=wall, s_per_iter=wall / maxiters,
             loss_curve=[float(h.total()) for h in hist[:: max(1, maxiters // 25)]],
         ))
-        print(f"stage window={window} stride={stride}: {report[-1]['loss_initial']:.4e} -> "
+        print(f"stage window={window} stride={stride}{f' shooting={K}' if K else ''}: "
+              f"{report[-1]['loss_initial']:.4e} -> "
               f"{report[-1]['loss_final']:.4e} in {wall:.1f} s ({wall / maxiters * 1e3:.0f} ms/iter)", flush=True)
     return nns, report
 
@@ -284,14 +313,24 @@ def evaluate_ensemble(model, stacked, Nz=32):
     baselines come from there), the vmapped UQ solve adds per-member losses,
     the ensemble-MEAN-prediction loss, and the 2-sigma band coverage of the
     dimensional truth.
+
+    Band calibration (VERDICT r2 item 4): the FIRST held-out sim is the
+    VALIDATION member — a scalar variance inflation is fit on its T bands
+    (``eval/uq_calibration.py``) and applied unchanged to the remaining
+    (test) sims, whose before/after coverage is reported.
     """
     from climateparameterizations_jl_tpu.eval.ensemble_uq import nde_ensemble_uq
     from climateparameterizations_jl_tpu.eval.profile import nde_profile
+    from climateparameterizations_jl_tpu.eval.uq_calibration import (
+        band_report,
+        fit_band_calibration,
+    )
     from climateparameterizations_jl_tpu.train.deep_ensemble import unstack_members
 
     member0 = unstack_members(stacked)[0]
     tsteps = np.arange(0, N_FRAMES, 9)
     out = {}
+    calibration = None
     for name in TEST_FILES:
         ds = load_suite([name], Nz)
         ev = nde_profile(model, member0, ds, tsteps, solver="split", n_substeps=9,
@@ -322,12 +361,24 @@ def evaluate_ensemble(model, stacked, Nz=32):
         row["win_vs_mpp"] = row["mpp"] / row["nde_ensemble_mean"]
         row["win_vs_kpp"] = row["kpp"] / row["nde_ensemble_mean"]
         row["win_vs_best_member"] = min(row["nde_members"]) / row["nde_ensemble_mean"]
+        if calibration is None:
+            # First held-out sim = the calibration validation member.
+            calibration = fit_band_calibration(truth, uq["ensemble_T_mean"], uq["ensemble_T_std"])
+            row["calibration_role"] = "validation (inflation fit here)"
+            row["lam_nll"] = calibration.lam_nll
+            row["lam_coverage"] = calibration.lam_coverage
+        else:
+            row["calibration_role"] = "test"
+        row["calibrated"] = band_report(
+            truth, uq["ensemble_T_mean"], uq["ensemble_T_std"], lam=calibration.lam
+        )
         out[name] = row
         print(f"eval[{name}]: ens-mean {row['nde_ensemble_mean']:.4e} "
               f"(members {min(row['nde_members']):.3e}..{max(row['nde_members']):.3e}, "
               f"{row['win_vs_best_member']:.2f}x vs best) | mPP {row['win_vs_mpp']:.1f}x, "
               f"KPP@600s {row['win_vs_kpp']:.1f}x | 2-sigma coverage {row['coverage_2sigma']:.2f} "
-              f"(mean band {row['mean_band_K']:.3f} K, spread-skill r="
+              f"-> {row['calibrated']['coverage']:.2f} calibrated (lam={calibration.lam:.2f}, "
+              f"{row['calibration_role'].split(' ')[0]}; mean band {row['mean_band_K']:.3f} K, spread-skill r="
               f"{'n/a' if row['spread_skill_r'] is None else format(row['spread_skill_r'], '.2f')})", flush=True)
     return out
 
@@ -477,11 +528,14 @@ def save_nns(nns, out_dir, ensemble=0):
     return out_dir
 
 
-def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True, diurnal=False):
+def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True, diurnal=False, shooting=0):
     """Compile + steady-state time of ONE final-stage train step."""
     import jax
 
-    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.data.containers import (
+        multiple_shooting_tensors,
+        training_tensors,
+    )
     from climateparameterizations_jl_tpu.train.loss import apply_loss_scalings, nde_loss_channels
     from climateparameterizations_jl_tpu.train.nde import NDETrainConfig, _solve, determine_loss_scalings
     import optax
@@ -495,7 +549,11 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
                             training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
                             tridiag_backend=tridiag_backend, split_unroll=split_unroll,
                             fast_assembly=fast_assembly, implicit_solve_grad=implicit_solve_grad)
-    batch = training_tensors(ds, model.scalings, np.arange(0, window, stride), tau=model.tau)
+    tsteps = np.arange(0, window, stride)
+    if shooting:
+        batch = multiple_shooting_tensors(ds, model.scalings, tsteps, shooting, tau=model.tau)
+    else:
+        batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
     scalings = determine_loss_scalings(model, nns, batch, config)
 
     def loss_fn(nns):
@@ -521,10 +579,12 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
         nns, state, loss = step(nns, state)
     jax.block_until_ready(loss)
     per_iter = (time.perf_counter() - t0) / n_timed
-    sims, inner = len(TRAIN_FILES), (len(np.arange(0, window, stride)) - 1) * stride
+    # Work per iteration is shooting-invariant: S*K windows x inner/K steps
+    # = S x inner column-timesteps, so throughput stays comparable.
+    sims, inner = len(TRAIN_FILES), (len(tsteps) - 1) * stride
     return dict(
         backend=jax.default_backend(), compile_s=compile_s, s_per_iter=per_iter,
-        sims=sims, inner_steps=inner,
+        sims=sims, inner_steps=inner, shooting=shooting,
         column_timesteps_per_s=sims * inner / per_iter,
     )
 
@@ -573,6 +633,14 @@ def main(argv=None):
                          "pass 'fold' to also precompose the divergence matrix into the last NN layer")
     ap.add_argument("--no-ift", action="store_true", help="direct autodiff through the implicit solves instead of the IFT default (A/B)")
     ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
+    ap.add_argument("--shooting", type=int, default=0,
+                    help="window-parallel (multiple-shooting) FINAL stages: split the "
+                         "1:9:1153 window into K truth-anchored segments batched with the "
+                         "sims (K must divide 128). 0 = the sequential reference staging")
+    ap.add_argument("--data-dir", default=None,
+                    help="read the suite from reference-layout .jld2 files under this dir "
+                         "(e.g. runs/les3d_wm from studies/generate_wm_les.sh) instead of "
+                         "synthetic stand-ins; missing members are an error")
     ap.add_argument("--extra-train", default=None,
                     help="comma-separated catalog names APPENDED to the training suite "
                          "(grid-augmentation studies, e.g. sampling an extrapolation "
@@ -590,7 +658,8 @@ def main(argv=None):
                     help="host steps per save interval (match evaluate --embedded's 10)")
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
-    global TRAIN_FILES, TEST_FILES
+    global TRAIN_FILES, TEST_FILES, DATA_DIR
+    DATA_DIR = args.data_dir
     TRAIN_FILES, TEST_FILES, suite_diurnal = resolve_suite(args.suite, args.extra_train)
     if args.smoke:
         global STAGES
@@ -603,7 +672,7 @@ def main(argv=None):
     if args.mode == "step-bench":
         result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
                             fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift,
-                            diurnal=suite_diurnal)
+                            diurnal=suite_diurnal, shooting=args.shooting)
         result["tridiag_backend"] = args.tridiag_backend
         result["fast_assembly"] = args.fast_assembly
         result["implicit_solve_grad"] = not args.no_ift
@@ -691,14 +760,15 @@ def main(argv=None):
                 nns, pre, pre_s = pretrain(ds, model, nns, epochs=5 if args.smoke else args.pretrain_epochs)
                 print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
             nns, stages = nde_train(ds, model, nns, tridiag_backend=args.tridiag_backend,
-                                    fast_assembly=args.fast_assembly or "auto")
+                                    fast_assembly=args.fast_assembly or "auto",
+                                    shooting=args.shooting)
             if args.save_nns:
                 save_nns(nns, args.save_nns)
                 print(f"checkpoint saved to {args.save_nns}", flush=True)
             held_out = evaluate(model, nns)
         result = dict(
             sims=len(TRAIN_FILES), frames=N_FRAMES, data_s=data_s, mpp_calibration=mpp_info,
-            ensemble=args.ensemble,
+            ensemble=args.ensemble, shooting=args.shooting, data_dir=DATA_DIR,
             pretrain=pre, pretrain_s=pre_s, stages=stages, held_out=held_out,
             total_wall_s=time.perf_counter() - wall0,
         )

@@ -287,6 +287,72 @@ class TestDiurnalHostColumn:
         assert float(T_diur[-1].sum()) > float(T_const[-1].sum())
 
 
+class TestGyreMomentumAdvection:
+    """WENO5 flux-form momentum (the reference passes WENO5 model-wide,
+    double_gyre.jl:130) vs the 2nd-order advective form, behind
+    ``momentum_advection``."""
+
+    def _smooth_state(self, model, amp=0.5):
+        """Wall-respecting smooth flow: psi = sin(pi x/Lx) sin(pi y/Ly)."""
+        from climateparameterizations_jl_tpu.embed.double_gyre import DoubleGyreState
+
+        Lx, Ly = float(model.Lx), float(model.Ly)
+        xf = np.arange(model.Nx + 1) * float(model.dx)
+        xc = (np.arange(model.Nx) + 0.5) * float(model.dx)
+        yf = np.arange(model.Ny + 1) * float(model.dy)
+        yc = (np.arange(model.Ny) + 0.5) * float(model.dy)
+        zc = np.ones(model.Nz)
+        u = amp * np.sin(np.pi * xf / Lx)[None, :, None] * np.cos(np.pi * yc / Ly)[:, None, None] * zc
+        v = -amp * np.cos(np.pi * xc / Lx)[None, :, None] * np.sin(np.pi * yf / Ly)[:, None, None] * zc
+        T = 10.0 + 8.0 * (np.arange(model.Nz) + 0.5) / model.Nz * np.ones((model.Ny, model.Nx, 1))
+        return DoubleGyreState(
+            u=jnp.asarray(u, jnp.float64), v=jnp.asarray(v, jnp.float64),
+            T=jnp.asarray(T, jnp.float64), eta=jnp.zeros((model.Ny, model.Nx), jnp.float64),
+        )
+
+    def _operator_error(self, N):
+        from climateparameterizations_jl_tpu.embed.double_gyre import (
+            DoubleGyreModel,
+            _u_advection_weno,
+            vertical_velocity,
+        )
+
+        model = DoubleGyreModel.default(Nx=N, Ny=N, Nz=4, dtype=jnp.float64)
+        state = self._smooth_state(model)
+        w = vertical_velocity(model, state.u, state.v)
+        adv = np.asarray(_u_advection_weno(model, state.u, state.v, w))
+        # Analytic flux divergence of u for psi = (A L / pi) sin(pi x/L) sin(pi y/L)
+        # (divergence-free, square basin): adv_u = A^2 k sin(kx) cos(kx), k = pi/L.
+        A, L = 0.5, float(model.Lx)
+        k = np.pi / L
+        xf = np.arange(1, model.Nx) * float(model.dx)  # interior u faces
+        exact = (A * A * k * np.sin(k * xf) * np.cos(k * xf))[None, :, None]
+        err = np.abs(adv - exact)
+        m = 3  # clear the edge-padded WENO stencils at the walls
+        return err[m:-m, m:-m, :].max()
+
+    def test_weno_operator_converges_to_analytic_advection(self):
+        """The flux-form WENO5 u-advection divergence converges to the
+        analytic advection of a smooth divergence-free flow at ~2nd order
+        (limited by the advecting-velocity interpolation). A misaligned
+        face indexing leaves an O(h) error and fails the ratio."""
+        e16 = self._operator_error(16)
+        e32 = self._operator_error(32)
+        assert e32 < e16 / 3.0, (e16, e32)
+
+    def test_weno5_default_and_unknown_raises(self):
+        from climateparameterizations_jl_tpu.embed.double_gyre import (
+            DoubleGyreModel,
+            DoubleGyreState,
+            double_gyre_step,
+        )
+
+        assert DoubleGyreModel.default(Nx=8, Ny=8, Nz=4).momentum_advection == "weno5"
+        model = DoubleGyreModel.default(Nx=8, Ny=8, Nz=4, momentum_advection="WENO5")
+        with pytest.raises(ValueError, match="momentum advection"):
+            double_gyre_step(model, DoubleGyreState.rest(model), 600.0)
+
+
 class TestSverdrupBalance:
     def test_linear_gyre_transport_matches_sverdrup(self):
         """Golden physics: after barotropic spin-up the linear double gyre

@@ -159,6 +159,86 @@ class TestAdvectionDispatch:
             double_gyre_step(model, state, 1800.0)
 
 
+class TestMomentumAdvection:
+    """WENO5 flux-form momentum vs the 2nd-order centered scheme."""
+
+    def _smooth_state(self, c, amp=0.05):
+        """Divergence-free smooth velocity field on the MAC grid (z-independent
+        horizontal streamfunction flow, so w stays 0) + stratified T."""
+        kx = 2 * np.pi / float(c.Lx)
+        ky = 2 * np.pi / float(c.Ly)
+        # u = d(psi)/dy, v = -d(psi)/dx with psi = (amp/k) sin(kx x) sin(ky y):
+        # analytically divergence-free; on the MAC grid the discrete
+        # divergence of the exact samples is O(h^2) which the projection in
+        # les_step would remove — the tendencies here are evaluated raw.
+        xf = np.arange(c.Nx) * float(c.dx)
+        xc = xf + 0.5 * float(c.dx)
+        yf = np.arange(c.Ny) * float(c.dy)
+        yc = yf + 0.5 * float(c.dy)
+        zc = (np.arange(c.Nz) + 0.5) * float(c.dz)
+        u = amp * np.sin(kx * xf)[None, :, None] * np.cos(ky * yc)[:, None, None] * np.ones_like(zc)
+        v = -amp * np.cos(kx * xc)[None, :, None] * np.sin(ky * yf)[:, None, None] * np.ones_like(zc)
+        w = np.zeros((c.Ny, c.Nx, c.Nz + 1))
+        T = np.asarray(19.0 + 0.01 * (zc - float(c.H)))[None, None, :] * np.ones((c.Ny, c.Nx, 1))
+        dt = np.float64 if c.T_surface.dtype == jnp.float64 else np.float32
+        return LESState(u=jnp.asarray(u, dt), v=jnp.asarray(v, dt), w=jnp.asarray(w, dt), T=jnp.asarray(T, dt))
+
+    def _tendency_diff(self, N):
+        from climateparameterizations_jl_tpu.data.les import _tendencies
+
+        diffs = []
+        for scheme in ("centered", "weno5"):
+            c = small_config(Nx=N, Ny=N, Nz=8, momentum_advection=scheme)
+            out = _tendencies(c, self._smooth_state(c), 0.0)
+            diffs.append(out)
+        du = np.asarray(diffs[0][0] - diffs[1][0])
+        dv = np.asarray(diffs[0][1] - diffs[1][1])
+        return max(np.abs(du).max(), np.abs(dv).max())
+
+    def test_uniform_flow_identical_tendencies(self):
+        """Advection of a uniform flow is exactly zero for both schemes, so
+        the full tendencies must agree to roundoff (alignment guard: an
+        off-by-one stencil shift would advect the uniform field)."""
+        from climateparameterizations_jl_tpu.data.les import _tendencies
+
+        outs = []
+        for scheme in ("centered", "weno5"):
+            c = small_config(momentum_advection=scheme)
+            state = LESState(
+                u=jnp.full((8, 8, 16), 0.05, jnp.float64),
+                v=jnp.full((8, 8, 16), -0.03, jnp.float64),
+                w=jnp.zeros((8, 8, 17), jnp.float64),
+                T=jnp.broadcast_to(
+                    19.0 + 0.01 * (jnp.arange(16, dtype=jnp.float64) + 0.5) * c.dz, (8, 8, 16)
+                ),
+            )
+            outs.append(_tendencies(c, state, 0.0))
+        for a, b in zip(outs[0][:3], outs[1][:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_smooth_field_schemes_converge_together(self):
+        """On a smooth flow the WENO5 and centered tendencies differ by the
+        centered scheme's O(h^2) truncation: refining the grid 2x must
+        shrink the difference ~4x. A misaligned WENO stencil (off-by-one
+        face indexing) leaves an O(1)/O(h) difference and fails this."""
+        d8 = self._tendency_diff(8)
+        d16 = self._tendency_diff(16)
+        assert d16 < d8 / 3.0, (d8, d16)
+
+    def test_weno5_momentum_step_runs_finite(self):
+        c = small_config(momentum_advection="weno5", Qu=-5e-4, Qb=3e-8)
+        state = initial_state(c, key=jax.random.PRNGKey(0))
+        dt = stable_dt(c)
+        for _ in range(4):
+            state = les_step(c, state, dt)
+        assert bool(jnp.isfinite(state.T).all() and jnp.isfinite(state.u).all())
+
+    def test_unknown_momentum_scheme_raises(self):
+        c = small_config(momentum_advection="weno")
+        with pytest.raises(ValueError, match="momentum advection"):
+            les_step(c, initial_state(c, noise=0.0), 1.0)
+
+
 class TestLESOutput:
     @pytest.fixture(scope="class")
     def dataset(self):
