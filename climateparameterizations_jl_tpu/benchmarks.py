@@ -192,6 +192,7 @@ def bench_gp_ml2_step(n_train: int = 1024, n_features: int = 96, backend: str = 
 def bench_nde_forward(
     n_columns: int = 1024, Nz: int = 32, n_steps: int = 1024, packed: bool = True,
     unroll: int = 4, chunk_columns: int | None = None, rhs_variant: str = "packed",
+    repeats: int = 1,
 ):
     """The headline forward benchmark (same path as bench.py).
 
@@ -262,8 +263,11 @@ def bench_nde_forward(
     # holds the whole time scan), else chunked rows report FLOPs/MFU
     # n_chunks-fold low.
     n_chunks = n_columns // chunk_columns if chunk_columns is not None and n_columns > chunk_columns else 1
-    stats = timed_roofline(run, nns, x0, iters=5, loop_steps=(n_steps // (unroll if packed else 1)) * n_chunks)
+    stats = timed_roofline(run, nns, x0, iters=5, loop_steps=(n_steps // (unroll if packed else 1)) * n_chunks, repeats=repeats)
     stats["column_timesteps_per_sec"] = n_columns * n_steps / stats["median_s"]
+    if repeats > 1:
+        stats["column_timesteps_per_sec_max"] = n_columns * n_steps / stats["min_s"]
+        stats["column_timesteps_per_sec_min"] = n_columns * n_steps / stats["max_s"]
     return stats
 
 

@@ -1454,7 +1454,10 @@ def cmd_double_gyre(args) -> int:
         run_double_gyre,
     )
 
-    model = DoubleGyreModel.default(Nx=args.nx, Ny=args.ny, Nz=args.nz_gyre)
+    model = DoubleGyreModel.default(
+        Nx=args.nx, Ny=args.ny, Nz=args.nz_gyre,
+        advection=args.advection, momentum_advection=args.momentum_advection,
+    )
     state0 = DoubleGyreState.rest(model)
     nn = T_scaling = wT_scaling = None
     if args.checkpoint:
@@ -1865,6 +1868,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"],
                    help="implicit vertical-mixing solve; pcr is 1.27x faster basin steps on TPU "
                         "(0.75 -> 0.59 ms/step at 96x96x32, PERFORMANCE.md); scan wins on CPU")
+    p.add_argument("--advection", default="weno5", choices=["weno5", "centered"],
+                   help="tracer advection scheme (the reference passes WENO5 model-wide)")
+    p.add_argument("--momentum-advection", default="weno5", choices=["weno5", "centered"],
+                   help="momentum advection scheme (A/B: 2nd-order advective form vs WENO5 flux form)")
     p.set_defaults(fn=cmd_double_gyre)
 
     p = sub.add_parser("benchmark", help="run the repo benchmark (bench.py) or the full suite")

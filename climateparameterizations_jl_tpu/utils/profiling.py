@@ -175,7 +175,7 @@ def attach_roofline(stats: dict, fn, *args, loop_steps: int = 1, probe=None, **k
     return stats
 
 
-def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps: int = 1, probe=None) -> dict:
+def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps: int = 1, probe=None, repeats: int = 1) -> dict:
     """``time_fn`` + ``attach_roofline`` with ONE XLA compilation.
 
     AOT-compiles ``fn`` once, times the compiled executable, and reads the
@@ -186,6 +186,12 @@ def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps
     two-call path if AOT lowering fails. ``compile_s`` is the wall time of
     the AOT compile itself (time_fn's first call would otherwise mislabel a
     warm execution as the compile). ``probe``: see :func:`attach_roofline`.
+
+    ``repeats > 1`` re-runs the timed block that many times on the SAME
+    compiled executable and reports the per-repeat medians in
+    ``repeat_median_s`` with ``median_s``/``min_s`` aggregated across
+    repeats — the axon tunnel's run-to-run spread is +-15% (CLAUDE.md), so
+    single-shot numbers under-specify the measurement.
     """
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
     try:
@@ -197,6 +203,16 @@ def timed_roofline(fn, *args, iters: int = 5, pipelined: bool = True, loop_steps
         return attach_roofline(stats, fn, *args, loop_steps=loop_steps, probe=probe)
     stats = time_fn(compiled, *args, iters=iters, pipelined=pipelined)
     stats["compile_s"] = compile_s
+    if repeats > 1:
+        import numpy as _np
+
+        vals = [stats["median_s"]]
+        for _ in range(repeats - 1):
+            vals.append(time_fn(compiled, *args, iters=iters, warmup=0, pipelined=pipelined)["median_s"])
+        stats["repeat_median_s"] = vals
+        stats["median_s"] = float(_np.median(vals))
+        stats["min_s"] = float(min(vals))
+        stats["max_s"] = float(max(vals))
     return attach_roofline(stats, compiled, *args, loop_steps=loop_steps, probe=probe)
 
 

@@ -1,0 +1,314 @@
+"""GP family at reference scale (VERDICT r2 item 5).
+
+The reference's GP experiments live on the 8-day suites
+(``wind_mixing/run_GP_DE.jl:103-213``: 3 exact flux GPs on all training
+snapshots, kernel search, GP-closure DE integration; build timing in
+``Benchmarking.jl:55``). Round 2 measured the TPU GP stack only to
+n = 1,024-2,048; this study takes it to the flagship suite's full
+n = 18 sims x 1,153 frames ~ 20.8k snapshot pairs:
+
+1. kernel-family selection (ids 1-4 + rational-quadratic 5 + spectral-
+   mixture 6) on SUBSAMPLED leave-out splits — the reference's own sweep
+   subsamples too (``optimize_GP_kernels.jl:41-62``);
+2. exact-GP build timings vs n, f32 (dtype-aware jitter) and f64 (the
+   reference's precision; TPU f64 is emulated, so sizes are probed with an
+   n^3 projection and stopped before the tunnel's ~60 s program killer);
+3. f32-vs-f64 fidelity at a common n (justifies the f32 at-scale path);
+4. Pallas MXU Gram vs XLA Gram forward at large n (chip only);
+5. final 3-flux fit at FULL n + held-out flux MSE + posterior-variance
+   band calibration (``eval/uq_calibration.band_report`` — the same schema
+   the deep-ensemble bands report, so RESULTS puts both UQ families in one
+   table);
+6. GP-closure DE integration over the full 1,153-frame horizon on a
+   held-out sim (``run_GP_DE.jl:181-192``), for the GP-DE vs NDE trajectory
+   comparison at the reference's own horizon.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from studies import flagship_training as F
+
+
+def _pairs(ds, scalings, flux, dtype):
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.data.containers import direct_regression_pairs
+
+    x, y = direct_regression_pairs(ds, scalings, flux)
+    return jnp.asarray(x, dtype), jnp.asarray(y, dtype)
+
+
+def select_kernels(ds, scalings, z, kernel_ids=(1, 2, 3, 4, 5, 6), n_splits=6, stride=20):
+    """Leakage-free family selection on subsampled leave-one-out splits."""
+    import jax
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.closures.gp import error_per_gamma, select_best_kernel
+    from climateparameterizations_jl_tpu.data.containers import (
+        direct_regression_pairs,
+        fit_wind_mixing_scalings,
+    )
+
+    S = ds.T.shape[0]
+    log_gammas = np.linspace(-1.5, 1.5, 10)
+    t0 = time.perf_counter()
+    out = {}
+    for flux in ("uw", "vw", "wT"):
+        errors = {kid: np.zeros(len(log_gammas)) for kid in kernel_ids}
+        for i in range(0, S, max(1, S // n_splits)):
+            keep = np.array([j for j in range(S) if j != i])
+            sub = jax.tree.map(lambda a, k=keep: a[k], ds)
+            held = jax.tree.map(lambda a, idx=i: a[idx], ds)
+            sub_scl = fit_wind_mixing_scalings(sub)
+            xs, ys = direct_regression_pairs(sub, sub_scl, flux)
+            xv, yv = direct_regression_pairs(held, sub_scl, flux)
+            xs, ys = xs[::stride], ys[::stride]
+            z_arr = jnp.linspace(0.0, 1.0, xs.shape[-1])
+            for kid in kernel_ids:
+                errors[kid] += np.asarray(error_per_gamma(xs, ys, xv, yv, z_arr, kid, log_gammas))
+        kernel, err = select_best_kernel(errors, log_gammas, "euclidean", 0.0, jnp.float64)
+        fam = getattr(kernel, "family", "spectral_mixture")
+        out[flux] = (kernel, fam, float(err))
+        print(f"select[{flux}]: {fam} (val mse {err:.4e})", flush=True)
+    return out, time.perf_counter() - t0
+
+
+def _subset(x, n):
+    """Strided size-n subset: consecutive frames are near-duplicates, and a
+    contiguous [:n] slice makes the Gram catastrophically ill-conditioned
+    (measured: the f64 fit on such a slice predicts garbage while f32's
+    larger dtype-aware jitter happens to regularize it). Striding spreads
+    the subset over sims and times."""
+    step = max(1, x.shape[0] // n)
+    return x[::step][:n]
+
+
+def _timed_fit(x, ys, kernels, z, n, repeats=3):
+    """Build time for the fused 3-flux fit at size n (pipelined-ish: one
+    block, jitted once)."""
+    import jax
+
+    from climateparameterizations_jl_tpu.closures.gp import gp_fit_multi
+
+    x_n, ys_n = _subset(x, n), [_subset(y, n) for y in ys]
+
+    @jax.jit
+    def build(x, y1, y2, y3):
+        models = gp_fit_multi(x, [y1, y2, y3], kernels, z)
+        return tuple(m.alpha for m in models)
+
+    t0 = time.perf_counter()
+    out = build(x_n, *ys_n)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    vals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = build(x_n, *ys_n)
+        jax.block_until_ready(out)
+        vals.append(time.perf_counter() - t0)
+    return dict(n=int(n), compile_s=compile_s, median_s=float(np.median(vals)), min_s=float(min(vals)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--smoke", action="store_true", help="tiny sizes, CPU-friendly correctness flush")
+    ap.add_argument("--max-program-s", type=float, default=45.0,
+                    help="skip f64 sizes whose projected build exceeds this (tunnel kills ~60 s programs)")
+    ap.add_argument("--skip-pallas", action="store_true")
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    # The f64 arm is the point of the precision study — without x64 the
+    # "f64" builds silently truncate to f32 and the comparison is vacuous.
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.closures.gp import (
+        get_kernel,
+        gp_fit_multi,
+        gp_predict,
+        gp_uncertainty,
+    )
+    from climateparameterizations_jl_tpu.eval.uq_calibration import band_report, fit_band_calibration
+
+    F.DATA_DIR = args.data_dir
+    wall0 = time.perf_counter()
+    result = {"data_dir": args.data_dir, "backend": None}
+
+    ds, model, _ = F.build()
+    result["backend"] = jax.default_backend()
+    scalings = model.scalings
+    d = 3 * model.Nz
+    z = jnp.linspace(0.0, 1.0, d)
+
+    # 1. kernel-family selection (subsampled; includes SM id 6).
+    sel, sel_s = select_kernels(
+        ds, scalings, z,
+        kernel_ids=(1, 2, 3, 4, 5, 6),
+        n_splits=2 if args.smoke else 6,
+        stride=200 if args.smoke else 20,
+    )
+    result["selection"] = {f: dict(kernel=fam, val_mse=err) for f, (k, fam, err) in sel.items()}
+    result["selection_wall_s"] = sel_s
+
+    # Training pairs at full scale.
+    x32, ys32 = None, []
+    for flux in ("uw", "vw", "wT"):
+        xf, yf = _pairs(ds, scalings, flux, jnp.float32)
+        if x32 is None:
+            x32 = xf
+        ys32.append(yf)
+    n_full = int(x32.shape[0])
+    if args.smoke:
+        n_full = min(n_full, 2048)
+        x32, ys32 = _subset(x32, n_full), [_subset(y, n_full) for y in ys32]
+    result["n_full"] = n_full
+    kernels32 = [
+        get_kernel(1, 0.0, 0.0, "euclidean", dtype=jnp.float32) if fam == "spectral_mixture"
+        else jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), k)
+        for k, fam, _ in (sel[f] for f in ("uw", "vw", "wT"))
+    ]
+
+    # 2. build timings vs n: f32 to full scale; f64 probed with n^3 projection.
+    sizes32 = [s for s in (4096, 8192, 16384, n_full) if s <= n_full] or [n_full]
+    result["build_f32"] = [_timed_fit(x32, ys32, kernels32, z, n) for n in sorted(set(sizes32))]
+    for row in result["build_f32"]:
+        print(f"build f32 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
+
+    x64 = jnp.asarray(x32, jnp.float64)
+    ys64 = [jnp.asarray(y, jnp.float64) for y in ys32]
+    kernels64 = [jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), k) for k in kernels32]
+    result["build_f64"] = []
+    projected = 0.0
+    for n in [1024, 2048, 4096, 8192, 16384, n_full]:
+        if n > n_full:
+            break
+        if projected > args.max_program_s:
+            result["build_f64"].append(dict(n=int(n), skipped=f"projected {projected:.0f} s > {args.max_program_s} s"))
+            print(f"build f64 n={n}: SKIPPED (projected {projected:.0f} s)", flush=True)
+            break
+        row = _timed_fit(x64, ys64, kernels64, z, n, repeats=2)
+        result["build_f64"].append(row)
+        print(f"build f64 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
+        projected = row["median_s"] * 8.0  # next size doubles n -> ~8x cholesky
+
+    # 3. f32 vs f64 fidelity at a common n.
+    n_fid = min(4096, n_full)
+    held = F.load_suite([F.TEST_FILES[0]])
+    xh32, yh32 = _pairs(held, scalings, "wT", jnp.float32)
+    m32 = gp_fit_multi(_subset(x32, n_fid), [_subset(ys32[2], n_fid)], [kernels32[2]], z)[0]
+    m64 = gp_fit_multi(_subset(x64, n_fid), [_subset(ys64[2], n_fid)], [kernels64[2]], z)[0]
+    p32 = np.asarray(gp_predict(m32, xh32))
+    p64 = np.asarray(gp_predict(m64, jnp.asarray(xh32, jnp.float64)))
+    yh = np.asarray(yh32)
+    result["fidelity_n"] = int(n_fid)
+    result["f32_vs_f64"] = dict(
+        max_abs_pred_diff=float(np.abs(p32 - p64).max()),
+        rms_pred=float(np.sqrt(np.mean(p64**2))),
+        mse_f32=float(np.mean((p32 - yh) ** 2)),
+        mse_f64=float(np.mean((p64 - yh) ** 2)),
+    )
+    print(f"f32 vs f64 @ n={n_fid}: max|dpred| {result['f32_vs_f64']['max_abs_pred_diff']:.3e} "
+          f"(rms {result['f32_vs_f64']['rms_pred']:.3e}); held-out mse {result['f32_vs_f64']['mse_f32']:.4e} "
+          f"vs {result['f32_vs_f64']['mse_f64']:.4e}", flush=True)
+
+    # 4. Pallas MXU Gram vs XLA at large n (forward build; chip only).
+    if not args.skip_pallas and jax.default_backend() == "tpu":
+        from climateparameterizations_jl_tpu.benchmarks import bench_gp
+
+        n_gram = min(16384, n_full)
+        result["gram_xla"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="xla").items() if isinstance(v, (int, float))}
+        result["gram_pallas"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="pallas").items() if isinstance(v, (int, float))}
+        result["gram_n"] = n_gram
+        print(f"gram @ n={n_gram}: xla {result['gram_xla']['median_s']*1e3:.1f} ms vs "
+              f"pallas {result['gram_pallas']['median_s']*1e3:.1f} ms", flush=True)
+
+    # 4b. jitter (noise-floor) sweep at n_fid: the dtype-default jitter is a
+    # numerical floor, not a noise model — with near-duplicate snapshot rows
+    # the Gram is close to singular and the residuals carry real LES noise,
+    # so validating the ridge level fixes both conditioning and (partly) the
+    # overconfident posterior. The reference's robust Cholesky escalates
+    # jitter until SPD (gaussian_process.jl:60-74); here the level is picked
+    # on the VALIDATION sim by MSE.
+    jitter_rows = []
+    for js in (None, 1e-4, 1e-3, 1e-2):
+        m = gp_fit_multi(_subset(x32, n_fid), [_subset(ys32[2], n_fid)], [kernels32[2]], z, jitter_scale=js)[0]
+        mse = float(np.mean((np.asarray(gp_predict(m, xh32)) - yh) ** 2))
+        jitter_rows.append(dict(jitter_scale=js if js is not None else "dtype-default", val_mse=mse))
+    best_jitter = min(jitter_rows, key=lambda r: r["val_mse"])["jitter_scale"]
+    best_jitter = None if best_jitter == "dtype-default" else best_jitter
+    result["jitter_sweep"] = jitter_rows
+    result["jitter_used"] = best_jitter if best_jitter is not None else "dtype-default"
+    print(f"jitter sweep @ n={n_fid}: " + ", ".join(f"{r['jitter_scale']}: {r['val_mse']:.4e}" for r in jitter_rows), flush=True)
+
+    # 5. final full-n f32 fit: held-out MSE + posterior-band calibration.
+    models = gp_fit_multi(x32, ys32, kernels32, z, jitter_scale=best_jitter)
+    gp_rows = {}
+    for flux, m in zip(("uw", "vw", "wT"), models):
+        xh, yh_f = _pairs(held, scalings, flux, jnp.float32)
+        pred = np.asarray(gp_predict(m, xh))
+        var = np.asarray(gp_uncertainty(m, xh))  # per-snapshot posterior variance
+        std = np.sqrt(np.maximum(var, 0.0))[:, None] * np.ones_like(pred)
+        truth = np.asarray(yh_f)
+        cal = fit_band_calibration(truth, pred, std)
+        gp_rows[flux] = dict(
+            mse=float(np.mean((pred - truth) ** 2)),
+            mean_posterior_std=float(std.mean()),
+            band_raw=band_report(truth, pred, std),
+            band_calibrated=band_report(truth, pred, std, lam=cal.lam),
+            lam=cal.lam,
+        )
+        print(f"gp[{flux}] @ n={n_full}: held-out mse {gp_rows[flux]['mse']:.4e}, "
+              f"2-sigma coverage {gp_rows[flux]['band_raw']['coverage']:.2f} -> "
+              f"{gp_rows[flux]['band_calibrated']['coverage']:.2f} (lam {cal.lam:.2f})", flush=True)
+    result["gp_full"] = gp_rows
+
+    # 6. GP-closure DE over the full 8-day horizon on the held-out sim.
+    from climateparameterizations_jl_tpu.data.containers import scaled_state_array
+    from climateparameterizations_jl_tpu.models.gp_closure import FluxGPs, solve_gp_closure
+
+    x_true = scaled_state_array(held, scalings)
+    x_true = x_true.reshape(-1, x_true.shape[-2], x_true.shape[-1])[0]
+    n_frames = int(x_true.shape[0] - 1) if not args.smoke else min(48, x_true.shape[0] - 1)
+    t_row = held.t.reshape(-1, held.t.shape[-1])[0] if held.t.ndim > 1 else held.t
+    dt_hat = float((t_row[1] - t_row[0]) / model.tau)
+    t0 = time.perf_counter()
+    traj = solve_gp_closure(model, FluxGPs(uw=models[0], vw=models[1], wT=models[2]), x_true[0], 0.0, dt_hat, n_frames, n_substeps=2)
+    jax.block_until_ready(traj)
+    de_wall = time.perf_counter() - t0
+    Nz = model.Nz
+    mse_T = float(jnp.mean((traj[:, 2 * Nz :] - x_true[: n_frames + 1, 2 * Nz :]) ** 2))
+    result["gp_de"] = dict(
+        frames=int(n_frames + 1), wall_s=de_wall,
+        trajectory_mse=float(jnp.mean((traj - x_true[: n_frames + 1]) ** 2)),
+        trajectory_mse_T=mse_T, held_out=F.TEST_FILES[0],
+    )
+    print(f"gp-de[{F.TEST_FILES[0]}]: {n_frames + 1} frames, T mse {mse_T:.4e} ({de_wall:.1f} s)", flush=True)
+
+    result["total_wall_s"] = time.perf_counter() - wall0
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()
