@@ -1428,7 +1428,7 @@ def cmd_evaluate(args) -> int:
             )
             if args.animate:
                 anim_models = ("truth", "nde", "mpp", "kpp") + (("embedded",) if args.embedded else ())
-                animate_profiles_fluxes_comparison(ev, os.path.join(args.output, "comparison.gif"), stride=args.gif_stride, models=anim_models)
+                animate_profiles_fluxes_comparison(ev, os.path.join(args.output, f"comparison.{args.animation_format}"), stride=args.gif_stride, models=anim_models)
 
     plot_final_profiles(all_evs, os.path.join(args.output, "final_profiles.png"))
     if len(test_sims) > 1:
@@ -1531,7 +1531,7 @@ def cmd_double_gyre(args) -> int:
     if args.animate:
         from climateparameterizations_jl_tpu.eval.animations import animate_double_gyre
 
-        animate_double_gyre(traj, model, os.path.join(args.output, "double_gyre.gif"))
+        animate_double_gyre(traj, model, os.path.join(args.output, f"double_gyre.{args.animation_format}"))
     print(json.dumps({"psi_min_Sv": float(psi.min()), "psi_max_Sv": float(psi.max()), "frames": int(traj.T.shape[0])}))
     return 0
 
@@ -1566,6 +1566,9 @@ def _add_common(p, with_sims=True):
         p.add_argument("--dt-save", type=float, default=600.0)
     p.add_argument("--output", default="runs/latest")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--animation-format", default="gif", choices=["gif", "mp4"],
+                   help="container for animation outputs (mp4 via OpenCV — the "
+                        "reference's animation suite writes mp4, animation.jl:14-56)")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -9,8 +9,11 @@ Replaces the reference's Plots.jl / CairoMakie figure suite:
 - :func:`plot_loss_matrix`                  -> ``free_convection/src/testing.jl:186-231``
 - :func:`plot_epoch_loss`                   -> ``free_convection/src/testing.jl:34-62``
 
-All figures render headless (Agg); animations are GIFs (pillow writer — the
-only writer guaranteed in this image). Everything takes plain arrays, so the
+All figures render headless (Agg). Animations dispatch on the output
+extension: ``.gif`` uses the pillow writer, ``.mp4`` an OpenCV
+``VideoWriter`` (the reference's animation suite writes mp4 videos,
+``wind_mixing/src/animation.jl:14-56,832-962``; this image has no ffmpeg,
+but OpenCV encodes mp4 natively). Everything takes plain arrays, so the
 hot path never imports this module.
 """
 
@@ -23,6 +26,51 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.animation as manimation  # noqa: E402
 import matplotlib.pyplot as plt  # noqa: E402
+
+
+class _CV2Writer(manimation.AbstractMovieWriter):
+    """Minimal mp4 writer over ``cv2.VideoWriter`` (no ffmpeg in this image).
+
+    Implements the AbstractMovieWriter contract ``setup/grab_frame/finish``
+    that ``Animation.save`` drives through its ``saving()`` context manager.
+    """
+
+    def __init__(self, fps: int = 15):
+        super().__init__(fps=fps)
+        self._writer = None
+
+    def setup(self, fig, outfile, dpi=None):
+        super().setup(fig, outfile, dpi=dpi)
+        self._frame_size = None
+
+    def grab_frame(self, **savefig_kwargs):
+        import cv2
+
+        self.fig.canvas.draw()
+        buf = np.asarray(self.fig.canvas.buffer_rgba())[..., :3]
+        if self._writer is None:
+            h, w = buf.shape[:2]
+            self._frame_size = (w, h)
+            self._writer = cv2.VideoWriter(
+                str(self.outfile), cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+            )
+            if not self._writer.isOpened():
+                raise RuntimeError(f"cv2.VideoWriter failed to open {self.outfile!r}")
+        self._writer.write(cv2.cvtColor(buf, cv2.COLOR_RGB2BGR))
+
+    def finish(self):
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+
+def save_animation(anim, path: str, fps: int):
+    """Write ``anim`` to ``path``, dispatching on the extension
+    (``.mp4`` -> OpenCV, anything else -> pillow GIF)."""
+    if str(path).lower().endswith(".mp4"):
+        anim.save(path, writer=_CV2Writer(fps=fps))
+    else:
+        anim.save(path, writer=manimation.PillowWriter(fps=fps))
 
 
 def animate_profiles(profiles: dict, z, t, path: str, xlabel: str = "", fps: int = 15, stride: int = 1):
@@ -62,7 +110,7 @@ def animate_profiles(profiles: dict, z, t, path: str, xlabel: str = "", fps: int
         return list(lines.values())
 
     anim = manimation.FuncAnimation(fig, update, frames=frames, blit=False)
-    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    save_animation(anim, path, fps)
     plt.close(fig)
     return path
 
@@ -116,7 +164,7 @@ def animate_profiles_fluxes_comparison(ev, path: str, fps: int = 15, stride: int
         return list(lines.values())
 
     anim = manimation.FuncAnimation(fig, update, frames=frames, blit=False)
-    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    save_animation(anim, path, fps)
     plt.close(fig)
     return path
 
@@ -263,7 +311,7 @@ def animate_nde_loss(per_timestep_losses, t, path: str, fps: int = 10, ylabel: s
         return [line]
 
     anim = manimation.FuncAnimation(fig, update, frames=range(curves.shape[0]), blit=False)
-    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    save_animation(anim, path, fps)
     plt.close(fig)
     return path
 
@@ -297,7 +345,7 @@ def animate_polynomial_decomposition(f_values, x, path: str, kind: str = "legend
         return [line]
 
     anim = manimation.FuncAnimation(fig, update, frames=range(n_max), blit=False)
-    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    save_animation(anim, path, fps)
     plt.close(fig)
     return path
 
@@ -335,7 +383,7 @@ def animate_les_slices(T_frames, w_frames, H: float, path: str, fps: int = 8):
         return ims
 
     anim = manimation.FuncAnimation(fig, update, frames=range(T.shape[0]), blit=False)
-    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    save_animation(anim, path, fps)
     plt.close(fig)
     return path
 
@@ -376,7 +424,7 @@ def animate_double_gyre(traj, model, path: str, fps: int = 8):
         return ims
 
     anim = manimation.FuncAnimation(fig, update, frames=range(T.shape[0]), blit=False)
-    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    save_animation(anim, path, fps)
     plt.close(fig)
     return path
 
@@ -513,6 +561,6 @@ def animate_les_3d(T_frames, H: float, path: str, iso: float | None = None, fps:
         return []
 
     anim = manimation.FuncAnimation(fig, draw, frames=frames, blit=False)
-    anim.save(path, writer=manimation.PillowWriter(fps=fps))
+    save_animation(anim, path, fps)
     plt.close(fig)
     return path

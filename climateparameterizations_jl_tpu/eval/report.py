@@ -45,6 +45,7 @@ def training_report(
     include_embedded: bool = True,
     animate: bool = True,
     gif_stride: int = 4,
+    animation_format: str = "gif",
 ) -> dict:
     """Produce the full post-training report for one held-out simulation.
 
@@ -80,7 +81,7 @@ def training_report(
                 summary[f"{m}_{solver}"] = float(np.mean(ev[f"losses_{m}_T"]))
         if animate and solver == solvers[0]:
             outputs["comparison"] = animate_profiles_fluxes_comparison(
-                ev, os.path.join(output_dir, "comparison.gif"), stride=gif_stride
+                ev, os.path.join(output_dir, f"comparison.{animation_format}"), stride=gif_stride
             )
 
     outputs["summary"] = summary
