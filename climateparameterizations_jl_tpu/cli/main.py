@@ -615,7 +615,7 @@ def cmd_train_nde(args) -> int:
         )
 
     from climateparameterizations_jl_tpu.closures.mlp import wind_mixing_mlp
-    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.data.containers import multiple_shooting_tensors, training_tensors
     from climateparameterizations_jl_tpu.models.wind_mixing import FluxNNs
     from climateparameterizations_jl_tpu.train.nde import (
         CurriculumStage,
@@ -679,7 +679,18 @@ def cmd_train_nde(args) -> int:
         import dataclasses as _dc
 
         config = _dc.replace(config, n_substeps=stages[0].n_substeps)
-    batch_fn = lambda tsteps: training_tensors(ds, model.scalings, tsteps, tau=model.tau, diurnal=diurnal)  # noqa: E731
+    def batch_fn(tsteps):
+        # --shooting K: window-parallel (multiple-shooting) batches for
+        # stages whose save-interval count K divides — every (sim, window)
+        # pair rides the batch axis instead of one long sequential scan
+        # (the curriculum's SHORT stages keep the plain batch: splitting a
+        # 10-interval window is all overhead).
+        t_arr = np.asarray(tsteps)
+        K = getattr(args, "shooting", 0)
+        if K and len(t_arr) > K and (len(t_arr) - 1) % K == 0:
+            return multiple_shooting_tensors(ds, model.scalings, t_arr, K, tau=model.tau, diurnal=diurnal)
+        return training_tensors(ds, model.scalings, tsteps, tau=model.tau, diurnal=diurnal)
+
     batch = batch_fn(stages[0].tsteps)
 
     import contextlib
@@ -1609,6 +1620,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="split", choices=["split", "rk4", "heun", "euler"])
     p.add_argument("--n-train-steps", type=int, default=32)
     p.add_argument("--curriculum", default=None, help="comma-separated window lengths, e.g. 8,16,32")
+    p.add_argument("--shooting", type=int, default=0, metavar="K",
+                   help="window-parallel (multiple-shooting) training: split stages whose "
+                        "save-interval count K divides into K truth-anchored segments batched "
+                        "with the sims (trades sequential scan length for batch width — the "
+                        "chip absorbs it; see PERFORMANCE.md). 0 = sequential (default)")
     p.add_argument("--gradient-scaling", type=float, default=5e-3)
     p.add_argument("--smooth-nn", action="store_true", help="tri-band running-mean filter on the NN flux outputs (smooth_NN)")
     p.add_argument("--smooth-ri", action="store_true", help="same filter on the Ri profile before the mPP diffusivity (smooth_Ri)")

@@ -70,6 +70,23 @@ def test_train_nde_strided_curriculum(tmp_path, capsys):
     assert np.isfinite(sum(v for v in last.values() if isinstance(v, float)))
 
 
+def test_train_nde_shooting(tmp_path, capsys):
+    # --shooting K applies window-parallel batches to stages whose interval
+    # count K divides (here the 12:2 stage: 5 intervals... no — 12:2 gives
+    # 6 saveat points = 5 intervals; use 11:2 -> 6 points, 5 intervals —
+    # pick K that divides; 13:2 -> 7 points, 6 intervals, K=3 divides).
+    out = str(tmp_path / "nde_shoot")
+    rc = main([
+        "train-nde", "--sims", "strong_wind", *TINY,
+        "--maxiters", "2", "--curriculum", "6,13:2", "--shooting", "3",
+        "--n-substeps", "2", "--output", out,
+    ])
+    assert rc == 0
+    assert "train-nde: loss" in capsys.readouterr().out
+    last = [json.loads(ln) for ln in open(os.path.join(out, "history.jsonl"))][-1]
+    assert np.isfinite(sum(v for v in last.values() if isinstance(v, float)))
+
+
 def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     out = str(tmp_path / "nde")
     rc = main([
