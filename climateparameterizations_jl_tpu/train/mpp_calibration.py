@@ -16,6 +16,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from climateparameterizations_jl_tpu.data.containers import TrainingBatch
@@ -89,6 +90,20 @@ def optimise_mpp_parameters(
     # loss at the pre-update theta, so the post-final-update parameters were
     # never evaluated and (with lbfgs especially) a last linesearch
     # overshoot can leave them worse than min(history).
+    if callback is None:
+        # Pipelined: keep (loss, theta) pairs on device and pick the best
+        # iterate in ONE transfer at the end — the per-iteration float()
+        # blocked the dispatch queue on a tunnel round-trip per step (the
+        # same latency wall as train.nde._train_loop's pipelined branch).
+        pending = []
+        for _ in range(config.maxiters):
+            new_theta, opt_state, total, channels = step(theta, opt_state)
+            pending.append((total, theta))
+            theta = new_theta
+        pairs = jax.device_get(pending)
+        history = [(float(t), jax.tree.map(float, unscale(jnp.asarray(th)))) for t, th in pairs]
+        best_i = int(np.argmin([t for t, _ in pairs]))
+        return unscale(pending[best_i][1]), history
     history = []
     best_loss, best_theta = float("inf"), theta
     for i in range(config.maxiters):
@@ -96,8 +111,7 @@ def optimise_mpp_parameters(
         history.append((float(total), jax.tree.map(float, unscale(theta))))
         if float(total) < best_loss:
             best_loss, best_theta = float(total), theta
-        if callback is not None:
-            callback(i, float(total), unscale(theta))
+        callback(i, float(total), unscale(theta))
         theta = new_theta
     return unscale(best_theta), history
 

@@ -208,6 +208,21 @@ def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_st
         return params, opt_state, total, channels
 
     history = []
+    if callback is None:
+        # PIPELINED loop: issue every step back-to-back and fetch the loss
+        # history ONCE at the end. A per-iteration device_get blocks the
+        # dispatch queue on a ~10-30 ms tunnel round-trip, which DOMINATES
+        # the train step (measured on the r3 flagship: the 16x-shorter
+        # multiple-shooting step timed the same ~93 ms/iter as the full
+        # sequential one under the old blocking loop — the device was idle
+        # most of every iteration). The per-iter scalars are tiny; holding
+        # them on device costs nothing.
+        pending = []
+        for _ in range(maxiters):
+            params, opt_state, total, channels = step(params, opt_state)
+            pending.append(channels)
+        history = [jax.tree.map(float, ch) for ch in jax.device_get(pending)]
+        return params, history, opt_state
     for i in range(maxiters):
         params, opt_state, total, channels = step(params, opt_state)
         # ONE device->host transfer for all channels + the total (device_get
@@ -215,8 +230,7 @@ def _train_loop(loss_fn, params, optimizer, maxiters: int, callback=None, opt_st
         # a ~10-30 ms tunnel round-trip (CLAUDE.md).
         total_h, channels_h = jax.device_get((total, channels))
         history.append(jax.tree.map(float, channels_h))
-        if callback is not None:
-            callback(i, float(total_h), channels_h, params)
+        callback(i, float(total_h), channels_h, params)
     return params, history, opt_state
 
 
