@@ -115,6 +115,40 @@ def _base_closure_overrides(name: str) -> dict:
         raise SystemExit(f"unknown base closure {name!r} (expected one of {sorted(table)})") from None
 
 
+_MPP_FIELDS = ("nu_0", "nu_minus", "Ri_c", "delta_Ri", "Pr")
+
+
+def _mpp_meta(model) -> dict:
+    """The model's mPP parameters as plain floats for checkpoint meta.
+
+    Always recorded: a checkpoint trained over CALIBRATED mPP parameters is
+    a different closure than the same NNs over the defaults — evaluating it
+    over a default-mPP model silently scores garbage (caught on the r3
+    flagship: the calibrated-base fold checkpoint evaluated 500x worse under
+    the rebuilt default base)."""
+    return {k: float(getattr(model.mpp, k)) for k in _MPP_FIELDS}
+
+
+def _restore_mpp(meta: dict, override_path: str | None = None) -> dict:
+    """``_wind_model`` overrides restoring the TRAINING-time mPP parameters.
+
+    ``override_path`` (an ``optimise-mpp`` ``mpp_parameters.json``) wins over
+    the checkpoint meta; absent both, returns {} (defaults)."""
+    import jax.numpy as jnp
+
+    from climateparameterizations_jl_tpu.physics.mpp import MPPParameters
+
+    params = None
+    if override_path:
+        with open(override_path) as f:
+            params = json.load(f)
+    elif meta.get("mpp"):
+        params = meta["mpp"]
+    if params is None:
+        return {}
+    return {"mpp": MPPParameters(**{k: jnp.float32(params[k]) for k in _MPP_FIELDS})}
+
+
 def _save_nns(output: str, nns, meta: dict):
     from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
 
@@ -425,6 +459,7 @@ def cmd_ensemble(args) -> int:
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
         smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
         **_base_closure_overrides(ckpt_meta.get("base_closure", "mpp")),
+        **_restore_mpp(ckpt_meta, getattr(args, "mpp_params", None)),
     )
     from climateparameterizations_jl_tpu.models.wind_mixing import pack_flux_nns
 
@@ -635,6 +670,10 @@ def cmd_train_nde(args) -> int:
         ds, args.nz, diurnal=diurnal,
         smooth_NN=args.smooth_nn, smooth_Ri=args.smooth_ri,
         **_base_closure_overrides(args.base_closure),
+        # --mpp-params (an optimise-mpp json) trains over the CALIBRATED
+        # base closure; the parameters are recorded in the checkpoint meta
+        # so evaluate/ensemble rebuild the same dynamics.
+        **_restore_mpp({}, getattr(args, "mpp_params", None)),
     )
     ensemble = int(getattr(args, "ensemble", 0) or 0)
 
@@ -715,7 +754,7 @@ def cmd_train_nde(args) -> int:
         # evaluate/ensemble must rebuild the EXACT training-time dynamics.
         "smooth_NN": bool(args.smooth_nn), "smooth_Ri": bool(args.smooth_ri),
         "diurnal": bool(diurnal), "base_closure": args.base_closure,
-        "ensemble": ensemble,
+        "ensemble": ensemble, "mpp": _mpp_meta(model),
     })
     print(f"train-nde: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
@@ -770,6 +809,7 @@ def cmd_train_embedded(args) -> int:
         smooth_NN=bool(init_meta.get("smooth_NN", False)),
         smooth_Ri=bool(init_meta.get("smooth_Ri", False)),
         **_base_closure_overrides(base_closure),
+        **_restore_mpp(init_meta, getattr(args, "mpp_params", None)),
     )
     if nns is None:
         ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
@@ -807,7 +847,7 @@ def cmd_train_embedded(args) -> int:
         "smooth_NN": bool(init_meta.get("smooth_NN", False)),
         "smooth_Ri": bool(init_meta.get("smooth_Ri", False)),
         "diurnal": bool(diurnal), "base_closure": base_closure,
-        "ensemble": 0,
+        "ensemble": 0, "mpp": _mpp_meta(model),
     })
     print(f"train-embedded: loss {history[0].total():.4e} -> {history[-1].total():.4e}; saved to {args.output}")
     return 0
@@ -1346,6 +1386,7 @@ def cmd_evaluate(args) -> int:
         smooth_NN=bool(ckpt_meta.get("smooth_NN", False)),
         smooth_Ri=bool(ckpt_meta.get("smooth_Ri", False)),
         **_base_closure_overrides(ckpt_meta.get("base_closure", "mpp")),
+        **_restore_mpp(ckpt_meta, getattr(args, "mpp_params", None)),
     )
     tsteps = np.arange(0, args.n_train_steps, args.eval_stride)
     if getattr(args, "write_jld2", False) and not args.embedded:
@@ -1612,6 +1653,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("train-nde", help="wind-mixing triple-NN NDE training")
     _add_common(p)
+    p.add_argument("--mpp-params", default=None, metavar="JSON",
+                   help="optimise-mpp mpp_parameters.json: build the base closure from these "
+                        "calibrated parameters (checkpoints record/restore them)")
     p.add_argument("--init-from", default=None, help="checkpoint dir to warm-start NNs")
     p.add_argument("--init-scale", type=float, default=1e-5)
     p.add_argument("--lr", type=float, default=2e-2)
@@ -1657,6 +1701,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="a-posteriori training: optimize the flux NNs through the embedded host column",
     )
     _add_common(p, with_sims=False)
+    p.add_argument("--mpp-params", default=None, metavar="JSON",
+                   help="optimise-mpp mpp_parameters.json: build the base closure from these "
+                        "calibrated parameters (checkpoints record/restore them)")
     p.add_argument("--sims", default=None, help="comma-separated catalog names (default: the --init-from checkpoint's sims)")
     p.add_argument("--data-dir", default=None, help="root of local LESbrary .jld2 files (synthetic fallback otherwise)")
     p.add_argument("--nz", type=int, default=32)
@@ -1734,6 +1781,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("ensemble", help="sharded perturbed-IC column-ensemble forward run (UQ)")
     _add_common(p)
+    p.add_argument("--mpp-params", default=None, metavar="JSON",
+                   help="optimise-mpp mpp_parameters.json: build the base closure from these "
+                        "calibrated parameters (checkpoints record/restore them)")
     p.add_argument("--checkpoint", default=None, help="trained NNs (default: physics-only)")
     p.add_argument("--n-members", type=int, default=256)
     p.add_argument("--perturbation", type=float, default=1e-2, help="IC noise in scaled units")
@@ -1839,6 +1889,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("evaluate", help="NDE-profile comparison vs baselines")
     _add_common(p)
+    p.add_argument("--mpp-params", default=None, metavar="JSON",
+                   help="optimise-mpp mpp_parameters.json: build the base closure from these "
+                        "calibrated parameters (checkpoints record/restore them)")
     # --sims here is the SCALING context (training suite), not the evaluated
     # sims; default None = resolve from the checkpoint's recorded sims.
     p.set_defaults(sims=None)

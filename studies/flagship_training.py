@@ -170,7 +170,7 @@ def calibrate_mpp(ds, model, optimizer="lbfgs", maxiters=60, window=200, stride=
 
 
 def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
-              tridiag_backend="scan", fast_assembly="auto", shooting=0):
+              tridiag_backend="scan", fast_assembly="auto", shooting=0, shooting_hybrid=False):
     from climateparameterizations_jl_tpu.data.containers import (
         multiple_shooting_tensors,
         training_tensors,
@@ -184,7 +184,7 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
     # scripts, which construct a fresh optimizer per training stage
     # (train_free_convection_nde.jl:246-266 re-enters train! per epoch block).
     report = []
-    for window, stride, maxiters, lr in stages:
+    for i, (window, stride, maxiters, lr) in enumerate(stages):
         config = NDETrainConfig(
             learning_rate=lr, maxiters=maxiters, n_substeps=stride, method="split",
             training_fractions=fractions,
@@ -195,6 +195,12 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
         # pair on the batch axis, truth-anchored (VERDICT r2 item 2). Only
         # the full-window stages qualify (K must divide their intervals).
         K = shooting if (shooting and window == N_FRAMES and (len(tsteps) - 1) % shooting == 0) else 0
+        if shooting_hybrid and i == len(stages) - 1:
+            # Hybrid: window-parallel for the bulk full-window stage(s),
+            # SEQUENTIAL final burn-in — short windows fit 10x lower train
+            # loss but generalize worse to full-horizon rollouts (measured,
+            # r3 A/B); the cheap burn-in restores the rollout objective.
+            K = 0
         if K:
             batch = multiple_shooting_tensors(ds, model.scalings, tsteps, K, tau=model.tau)
         else:
@@ -283,7 +289,7 @@ def nde_train_ensemble(ds, model, members, stages=STAGES,
 
     stacked = stack_members(members)
     report = []
-    for window, stride, maxiters, lr in stages:
+    for i, (window, stride, maxiters, lr) in enumerate(stages):
         config = NDETrainConfig(
             learning_rate=lr, maxiters=maxiters, n_substeps=stride, method="split",
             training_fractions=fractions,
@@ -512,9 +518,9 @@ def evaluate(model, nns, Nz=32, include_kpp=True):
     return out
 
 
-def save_nns(nns, out_dir, ensemble=0):
+def save_nns(nns, out_dir, ensemble=0, model=None):
     """CLI-compatible checkpoint so `evaluate`/`ensemble` can reuse it."""
-    from climateparameterizations_jl_tpu.cli.main import _save_nns
+    from climateparameterizations_jl_tpu.cli.main import _mpp_meta, _save_nns
 
     from climateparameterizations_jl_tpu.cli.main import _suite_diurnal_flags
 
@@ -522,9 +528,15 @@ def save_nns(nns, out_dir, ensemble=0):
     # frozen, so enabling the cycle whenever ANY member is diurnal is the
     # CLI's own semantics (cmd_train_nde) — and registry flags, not name
     # substrings, are the source of truth.
-    _save_nns(out_dir, nns, {"command": "studies/flagship_training.py", "sims": ",".join(TRAIN_FILES),
-                             "nz": 32, "diurnal": any(_suite_diurnal_flags(TRAIN_FILES)),
-                             "ensemble": int(ensemble)})
+    meta = {"command": "studies/flagship_training.py", "sims": ",".join(TRAIN_FILES),
+            "nz": 32, "diurnal": any(_suite_diurnal_flags(TRAIN_FILES)),
+            "ensemble": int(ensemble)}
+    if model is not None:
+        # A checkpoint trained over CALIBRATED mPP must record it — the r3
+        # a-posteriori arm evaluated a calibrated-base checkpoint over the
+        # rebuilt DEFAULT base and scored 500x worse (wrong closure).
+        meta["mpp"] = _mpp_meta(model)
+    _save_nns(out_dir, nns, meta)
     return out_dir
 
 
@@ -633,6 +645,9 @@ def main(argv=None):
                          "pass 'fold' to also precompose the divergence matrix into the last NN layer")
     ap.add_argument("--no-ift", action="store_true", help="direct autodiff through the implicit solves instead of the IFT default (A/B)")
     ap.add_argument("--calibrate-mpp", action="store_true", help="pre-calibrate the 5 mPP parameters (the reference's pipeline order)")
+    ap.add_argument("--shooting-hybrid", action="store_true",
+                    help="with --shooting K: keep the FINAL burn-in stage sequential "
+                         "(windows fit easier but rollout worse; the burn-in restores it)")
     ap.add_argument("--shooting", type=int, default=0,
                     help="window-parallel (multiple-shooting) FINAL stages: split the "
                          "1:9:1153 window into K truth-anchored segments batched with the "
@@ -690,6 +705,13 @@ def main(argv=None):
         nns, ckpt_meta = _load_nns(args.eval_checkpoint)
         if int(ckpt_meta.get("ensemble", 0) or 0):
             raise SystemExit("--mode aposteriori takes a solo checkpoint; extract a member first")
+        if ckpt_meta.get("mpp"):
+            import dataclasses as _dc
+
+            from climateparameterizations_jl_tpu.cli.main import _restore_mpp
+
+            model = _dc.replace(model, **_restore_mpp(ckpt_meta))
+            print(f"restored TRAINING-time mPP parameters from checkpoint meta: {ckpt_meta['mpp']}", flush=True)
         print("held-out embedded eval BEFORE fine-tune:", flush=True)
         before = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
         nns, ft = aposteriori_finetune(
@@ -697,7 +719,7 @@ def main(argv=None):
             lr=args.ft_lr, substeps=args.ft_substeps, tridiag_backend=args.tridiag_backend,
         )
         if args.save_nns:
-            save_nns(nns, args.save_nns)
+            save_nns(nns, args.save_nns, model=model)
             print(f"a-posteriori checkpoint saved to {args.save_nns}", flush=True)
         print("held-out embedded eval AFTER fine-tune:", flush=True)
         after = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
@@ -724,6 +746,13 @@ def main(argv=None):
 
         _, model, _ = build(diurnal=suite_diurnal)
         loaded, ckpt_meta = _load_nns(args.eval_checkpoint)
+        if ckpt_meta.get("mpp"):
+            import dataclasses as _dc
+
+            from climateparameterizations_jl_tpu.cli.main import _restore_mpp
+
+            model = _dc.replace(model, **_restore_mpp(ckpt_meta))
+            print(f"restored TRAINING-time mPP parameters from checkpoint meta: {ckpt_meta['mpp']}", flush=True)
         if ckpt_meta.get("ensemble"):
             held_out = evaluate_ensemble(model, loaded)
         else:
@@ -752,7 +781,7 @@ def main(argv=None):
                                                  tridiag_backend=args.tridiag_backend,
                                                  fast_assembly=args.fast_assembly or "auto")
             if args.save_nns:
-                save_nns(stacked, args.save_nns, ensemble=args.ensemble)
+                save_nns(stacked, args.save_nns, ensemble=args.ensemble, model=model)
                 print(f"ensemble checkpoint saved to {args.save_nns}", flush=True)
             held_out = evaluate_ensemble(model, stacked)
         else:
@@ -761,9 +790,9 @@ def main(argv=None):
                 print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
             nns, stages = nde_train(ds, model, nns, tridiag_backend=args.tridiag_backend,
                                     fast_assembly=args.fast_assembly or "auto",
-                                    shooting=args.shooting)
+                                    shooting=args.shooting, shooting_hybrid=args.shooting_hybrid)
             if args.save_nns:
-                save_nns(nns, args.save_nns)
+                save_nns(nns, args.save_nns, model=model)
                 print(f"checkpoint saved to {args.save_nns}", flush=True)
             held_out = evaluate(model, nns)
         result = dict(

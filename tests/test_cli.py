@@ -87,6 +87,38 @@ def test_train_nde_shooting(tmp_path, capsys):
     assert np.isfinite(sum(v for v in last.values() if isinstance(v, float)))
 
 
+def test_mpp_params_checkpoint_roundtrip(tmp_path, capsys):
+    # Regression (r3 flagship): a checkpoint trained over CALIBRATED mPP
+    # evaluated over the rebuilt DEFAULT base scores garbage (wrong
+    # closure). train-nde --mpp-params must record the parameters in meta,
+    # and evaluate must restore them.
+    mpp_file = tmp_path / "mpp_parameters.json"
+    calibrated = {"nu_0": 2.5e-4, "nu_minus": 0.05, "Ri_c": 0.3, "delta_Ri": 0.8, "Pr": 1.2}
+    with open(mpp_file, "w") as f:
+        json.dump(calibrated, f)
+    out = str(tmp_path / "nde_mpp")
+    rc = main([
+        "train-nde", "--sims", "strong_wind", *TINY,
+        "--maxiters", "1", "--mpp-params", str(mpp_file), "--output", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    for k, v in calibrated.items():
+        assert meta["mpp"][k] == pytest.approx(v, rel=1e-6)
+    # evaluate restores the training-time base from meta (no flag needed).
+    from climateparameterizations_jl_tpu.cli.main import _restore_mpp
+
+    restored = _restore_mpp(meta)["mpp"]
+    for k, v in calibrated.items():
+        assert float(getattr(restored, k)) == pytest.approx(v, rel=1e-6)
+    rc = main([
+        "evaluate", "--checkpoint", out, "--test-sims", "strong_wind", *TINY,
+        "--n-train-steps", "6", "--eval-stride", "2", "--output", str(tmp_path / "ev_mpp"),
+    ])
+    assert rc == 0
+
+
 def test_train_nde_and_evaluate(tmp_path, nn_ckpt, capsys):
     out = str(tmp_path / "nde")
     rc = main([
