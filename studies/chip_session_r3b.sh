@@ -33,4 +33,9 @@ run_retry 2 apost_fold2 2400 $FLAG --mode aposteriori --eval-checkpoint runs/wm_
 run_retry 2 apost_lr2 2400 $FLAG --mode aposteriori --eval-checkpoint runs/wm_les_fold \
     --ft-lr 1e-4 --ft-maxiters 120 --out docs/flagship_run_les_apost_lr1e-4.json
 
+# GP at scale re-run (the first pass OOM'd the f64 16384 3-flux fit; the
+# study now has an HBM guard).
+run_retry 2 gp_scale2 2400 python -u studies/gp_at_scale.py --data-dir $D \
+    --out docs/gp_at_scale_r3.json
+
 echo "=== r3b chip session complete; logs in $OUT" | tee -a "$OUT/session.log"

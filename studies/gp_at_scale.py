@@ -198,8 +198,16 @@ def main(argv=None):
     kernels64 = [jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), k) for k in kernels32]
     result["build_f64"] = []
     projected = 0.0
+    # HBM guard: the fused 3-flux f64 fit holds ~(dist + 3 K + 3 chol) n^2
+    # doubles ~ 56 n^2 bytes; the v5e chip has 16 GB (measured: n=16384
+    # f64 OOM-killed the first r3 session arm).
+    f64_hbm_cap = int((10e9 / 56) ** 0.5)
     for n in [1024, 2048, 4096, 8192, 16384, n_full]:
         if n > n_full:
+            break
+        if jax.default_backend() == "tpu" and n > f64_hbm_cap:
+            result["build_f64"].append(dict(n=int(n), skipped=f"~{56 * n * n / 1e9:.0f} GB f64 working set > HBM"))
+            print(f"build f64 n={n}: SKIPPED (HBM)", flush=True)
             break
         if projected > args.max_program_s:
             result["build_f64"].append(dict(n=int(n), skipped=f"projected {projected:.0f} s > {args.max_program_s} s"))
