@@ -153,6 +153,14 @@ def main(argv=None):
     wall0 = time.perf_counter()
     result = {"data_dir": args.data_dir, "backend": None}
 
+    def dump():
+        # Incremental: a crash in a later phase must not lose the earlier
+        # measured rows (the first r3 chip attempt died after the builds).
+        result["total_wall_s"] = time.perf_counter() - wall0
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(result, f, indent=2)
+
     ds, model, _ = F.build()
     result["backend"] = jax.default_backend()
     scalings = model.scalings
@@ -168,6 +176,7 @@ def main(argv=None):
     )
     result["selection"] = {f: dict(kernel=fam, val_mse=err) for f, (k, fam, err) in sel.items()}
     result["selection_wall_s"] = sel_s
+    dump()
 
     # Training pairs at full scale.
     x32, ys32 = None, []
@@ -192,6 +201,7 @@ def main(argv=None):
     result["build_f32"] = [_timed_fit(x32, ys32, kernels32, z, n) for n in sorted(set(sizes32))]
     for row in result["build_f32"]:
         print(f"build f32 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
+    dump()
 
     x64 = jnp.asarray(x32, jnp.float64)
     ys64 = [jnp.asarray(y, jnp.float64) for y in ys32]
@@ -217,6 +227,7 @@ def main(argv=None):
         result["build_f64"].append(row)
         print(f"build f64 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
         projected = row["median_s"] * 8.0  # next size doubles n -> ~8x cholesky
+        dump()
 
     # 3. f32 vs f64 fidelity at a common n.
     n_fid = min(4096, n_full)
@@ -237,17 +248,23 @@ def main(argv=None):
     print(f"f32 vs f64 @ n={n_fid}: max|dpred| {result['f32_vs_f64']['max_abs_pred_diff']:.3e} "
           f"(rms {result['f32_vs_f64']['rms_pred']:.3e}); held-out mse {result['f32_vs_f64']['mse_f32']:.4e} "
           f"vs {result['f32_vs_f64']['mse_f64']:.4e}", flush=True)
+    dump()
 
     # 4. Pallas MXU Gram vs XLA at large n (forward build; chip only).
     if not args.skip_pallas and jax.default_backend() == "tpu":
-        from climateparameterizations_jl_tpu.benchmarks import bench_gp
+        try:
+            from climateparameterizations_jl_tpu.benchmarks import bench_gp
 
-        n_gram = min(16384, n_full)
-        result["gram_xla"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="xla").items() if isinstance(v, (int, float))}
-        result["gram_pallas"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="pallas").items() if isinstance(v, (int, float))}
-        result["gram_n"] = n_gram
-        print(f"gram @ n={n_gram}: xla {result['gram_xla']['median_s']*1e3:.1f} ms vs "
-              f"pallas {result['gram_pallas']['median_s']*1e3:.1f} ms", flush=True)
+            n_gram = min(16384, n_full)
+            result["gram_xla"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="xla").items() if isinstance(v, (int, float))}
+            result["gram_pallas"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="pallas").items() if isinstance(v, (int, float))}
+            result["gram_n"] = n_gram
+            print(f"gram @ n={n_gram}: xla {result['gram_xla']['median_s']*1e3:.1f} ms vs "
+                  f"pallas {result['gram_pallas']['median_s']*1e3:.1f} ms", flush=True)
+        except Exception as e:  # keep the later phases
+            result["gram_error"] = repr(e)[:300]
+            print(f"gram A/B failed: {e!r}", flush=True)
+        dump()
 
     # 4b. jitter (noise-floor) sweep at n_fid: the dtype-default jitter is a
     # numerical floor, not a noise model — with near-duplicate snapshot rows
@@ -265,6 +282,7 @@ def main(argv=None):
     best_jitter = None if best_jitter == "dtype-default" else best_jitter
     result["jitter_sweep"] = jitter_rows
     result["jitter_used"] = best_jitter if best_jitter is not None else "dtype-default"
+    dump()
     print(f"jitter sweep @ n={n_fid}: " + ", ".join(f"{r['jitter_scale']}: {r['val_mse']:.4e}" for r in jitter_rows), flush=True)
 
     # 5. final full-n f32 fit: held-out MSE + posterior-band calibration.
@@ -288,6 +306,7 @@ def main(argv=None):
               f"2-sigma coverage {gp_rows[flux]['band_raw']['coverage']:.2f} -> "
               f"{gp_rows[flux]['band_calibrated']['coverage']:.2f} (lam {cal.lam:.2f})", flush=True)
     result["gp_full"] = gp_rows
+    dump()
 
     # 6. GP-closure DE over the full 8-day horizon on the held-out sim.
     from climateparameterizations_jl_tpu.data.containers import scaled_state_array
@@ -311,10 +330,7 @@ def main(argv=None):
     )
     print(f"gp-de[{F.TEST_FILES[0]}]: {n_frames + 1} frames, T mse {mse_T:.4e} ({de_wall:.1f} s)", flush=True)
 
-    result["total_wall_s"] = time.perf_counter() - wall0
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(result, f, indent=2)
+    dump()
     return result
 
 
