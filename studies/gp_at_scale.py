@@ -78,8 +78,13 @@ def select_kernels(ds, scalings, z, kernel_ids=(1, 2, 3, 4, 5, 6), n_splits=6, s
                 errors[kid] += np.asarray(error_per_gamma(xs, ys, xv, yv, z_arr, kid, log_gammas))
         kernel, err = select_best_kernel(errors, log_gammas, "euclidean", 0.0, jnp.float64)
         fam = getattr(kernel, "family", "spectral_mixture")
-        out[flux] = (kernel, fam, float(err))
-        print(f"select[{flux}]: {fam} (val mse {err:.4e})", flush=True)
+        # Runner-up among the NON-spectral-mixture families: the f32
+        # fallback when the SM winner's f32 Gram goes non-finite at scale
+        # (measured on the chip: SM in f32 NaNs; its f64 path is fine).
+        rest = {kid: errors[kid] for kid in errors if kid != 6}
+        k2, err2 = select_best_kernel(rest, log_gammas, "euclidean", 0.0, jnp.float64)
+        out[flux] = (kernel, fam, float(err), k2, getattr(k2, "family", "?"), float(err2))
+        print(f"select[{flux}]: {fam} (val mse {err:.4e}; runner-up {out[flux][4]} {err2:.4e})", flush=True)
     return out, time.perf_counter() - t0
 
 
@@ -174,7 +179,10 @@ def main(argv=None):
         n_splits=2 if args.smoke else 6,
         stride=200 if args.smoke else 20,
     )
-    result["selection"] = {f: dict(kernel=fam, val_mse=err) for f, (k, fam, err) in sel.items()}
+    result["selection"] = {
+        f: dict(kernel=fam, val_mse=err, runner_up=fam2, runner_up_mse=err2)
+        for f, (k, fam, err, k2, fam2, err2) in sel.items()
+    }
     result["selection_wall_s"] = sel_s
     dump()
 
@@ -190,11 +198,9 @@ def main(argv=None):
         n_full = min(n_full, 2048)
         x32, ys32 = _subset(x32, n_full), [_subset(y, n_full) for y in ys32]
     result["n_full"] = n_full
-    kernels32 = [
-        get_kernel(1, 0.0, 0.0, "euclidean", dtype=jnp.float32) if fam == "spectral_mixture"
-        else jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), k)
-        for k, fam, _ in (sel[f] for f in ("uw", "vw", "wT"))
-    ]
+    to32 = lambda k: jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), k)  # noqa: E731
+    kernels32 = [to32(sel[f][0]) for f in ("uw", "vw", "wT")]
+    fallback32 = [to32(sel[f][3]) for f in ("uw", "vw", "wT")]
 
     # 2. build timings vs n: f32 to full scale; f64 probed with n^3 projection.
     sizes32 = [s for s in (4096, 8192, 16384, n_full) if s <= n_full] or [n_full]
@@ -244,7 +250,17 @@ def main(argv=None):
         rms_pred=float(np.sqrt(np.mean(p64**2))),
         mse_f32=float(np.mean((p32 - yh) ** 2)),
         mse_f64=float(np.mean((p64 - yh) ** 2)),
+        winner_kernel=result["selection"]["wT"]["kernel"],
     )
+    f32_winner_finite = bool(np.isfinite(p32).all())
+    if not f32_winner_finite:
+        # SM in f32 is non-finite at this n (its trig/exp mixture underflows
+        # f32; f64 is fine) — the f32 AT-SCALE path falls back to the best
+        # non-SM family, recorded as such.
+        print("f32 winner non-finite -> falling back to runner-up families for the at-scale f32 fit", flush=True)
+        kernels32 = fallback32
+        result["f32_at_scale_kernel"] = "runner-up (winner non-finite in f32)"
+    del m32, m64, p32, p64
     print(f"f32 vs f64 @ n={n_fid}: max|dpred| {result['f32_vs_f64']['max_abs_pred_diff']:.3e} "
           f"(rms {result['f32_vs_f64']['rms_pred']:.3e}); held-out mse {result['f32_vs_f64']['mse_f32']:.4e} "
           f"vs {result['f32_vs_f64']['mse_f64']:.4e}", flush=True)
@@ -255,7 +271,9 @@ def main(argv=None):
         try:
             from climateparameterizations_jl_tpu.benchmarks import bench_gp
 
-            n_gram = min(16384, n_full)
+                    # n=16384 hits a Mosaic compile limit (i64 index legalization)
+            # in the fused kernel — measured; 8192 is the validated ceiling.
+            n_gram = min(8192, n_full)
             result["gram_xla"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="xla").items() if isinstance(v, (int, float))}
             result["gram_pallas"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="pallas").items() if isinstance(v, (int, float))}
             result["gram_n"] = n_gram
@@ -278,7 +296,9 @@ def main(argv=None):
         m = gp_fit_multi(_subset(x32, n_fid), [_subset(ys32[2], n_fid)], [kernels32[2]], z, jitter_scale=js)[0]
         mse = float(np.mean((np.asarray(gp_predict(m, xh32)) - yh) ** 2))
         jitter_rows.append(dict(jitter_scale=js if js is not None else "dtype-default", val_mse=mse))
-    best_jitter = min(jitter_rows, key=lambda r: r["val_mse"])["jitter_scale"]
+        del m
+    finite_rows = [r for r in jitter_rows if np.isfinite(r["val_mse"])] or [{"jitter_scale": "dtype-default"}]
+    best_jitter = min(finite_rows, key=lambda r: r.get("val_mse", np.inf))["jitter_scale"]
     best_jitter = None if best_jitter == "dtype-default" else best_jitter
     result["jitter_sweep"] = jitter_rows
     result["jitter_used"] = best_jitter if best_jitter is not None else "dtype-default"
