@@ -72,7 +72,10 @@ def select_kernels(ds, scalings, z, kernel_ids=(1, 2, 3, 4, 5, 6), n_splits=6, s
             sub_scl = fit_wind_mixing_scalings(sub)
             xs, ys = direct_regression_pairs(sub, sub_scl, flux)
             xv, yv = direct_regression_pairs(held, sub_scl, flux)
-            xs, ys = xs[::stride], ys[::stride]
+            # f64 selection (the reference's precision): on LES data the f32
+            # batched Cholesky went non-finite for EVERY non-SM family.
+            xs, ys = jnp.asarray(xs[::stride], jnp.float64), jnp.asarray(ys[::stride], jnp.float64)
+            xv, yv = jnp.asarray(xv, jnp.float64), jnp.asarray(yv, jnp.float64)
             z_arr = jnp.linspace(0.0, 1.0, xs.shape[-1])
             for kid in kernel_ids:
                 errors[kid] += np.asarray(error_per_gamma(xs, ys, xv, yv, z_arr, kid, log_gammas))
@@ -82,7 +85,10 @@ def select_kernels(ds, scalings, z, kernel_ids=(1, 2, 3, 4, 5, 6), n_splits=6, s
         # fallback when the SM winner's f32 Gram goes non-finite at scale
         # (measured on the chip: SM in f32 NaNs; its f64 path is fine).
         rest = {kid: errors[kid] for kid in errors if kid != 6}
-        k2, err2 = select_best_kernel(rest, log_gammas, "euclidean", 0.0, jnp.float64)
+        try:
+            k2, err2 = select_best_kernel(rest, log_gammas, "euclidean", 0.0, jnp.float64)
+        except ValueError:  # every non-SM point non-finite: no fallback exists
+            k2, err2 = kernel, err
         out[flux] = (kernel, fam, float(err), k2, getattr(k2, "family", "?"), float(err2))
         print(f"select[{flux}]: {fam} (val mse {err:.4e}; runner-up {out[flux][4]} {err2:.4e})", flush=True)
     return out, time.perf_counter() - t0
