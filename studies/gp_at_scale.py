@@ -140,6 +140,10 @@ def main(argv=None):
     ap.add_argument("--max-program-s", type=float, default=45.0,
                     help="skip f64 sizes whose projected build exceeds this (tunnel kills ~60 s programs)")
     ap.add_argument("--skip-pallas", action="store_true")
+    ap.add_argument("--selection-stride", type=int, default=20)
+    ap.add_argument("--ladders-from", default=None,
+                    help="splice the build_f32/build_f64 ladders from a prior partial "
+                         "result json instead of re-measuring them (compile-heavy)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -183,10 +187,17 @@ def main(argv=None):
         ds, scalings, z,
         kernel_ids=(1, 2, 3, 4, 5, 6),
         n_splits=2 if args.smoke else 6,
-        stride=200 if args.smoke else 20,
+        stride=200 if args.smoke else args.selection_stride,
     )
+    import numpy as _np
+
+    def _gamma(k):
+        g = getattr(k, "gamma", None)
+        return None if g is None else float(_np.log10(float(g)))
+
     result["selection"] = {
-        f: dict(kernel=fam, val_mse=err, runner_up=fam2, runner_up_mse=err2)
+        f: dict(kernel=fam, val_mse=err, log_gamma=_gamma(k),
+                runner_up=fam2, runner_up_mse=err2, runner_up_log_gamma=_gamma(k2))
         for f, (k, fam, err, k2, fam2, err2) in sel.items()
     }
     result["selection_wall_s"] = sel_s
@@ -209,7 +220,14 @@ def main(argv=None):
     fallback32 = [to32(sel[f][3]) for f in ("uw", "vw", "wT")]
 
     # 2. build timings vs n: f32 to full scale; f64 probed with n^3 projection.
-    sizes32 = [s for s in (4096, 8192, 16384, n_full) if s <= n_full] or [n_full]
+    if args.ladders_from:
+        prior = json.load(open(args.ladders_from))
+        result["build_f32"] = prior["build_f32"]
+        result["build_f64"] = prior["build_f64"]
+        result["ladders_from"] = args.ladders_from
+        print("build ladders spliced from", args.ladders_from, flush=True)
+        dump()
+    sizes32 = [] if args.ladders_from else ([s for s in (4096, 8192, 16384, n_full) if s <= n_full] or [n_full])
     result["build_f32"] = [_timed_fit(x32, ys32, kernels32, z, n) for n in sorted(set(sizes32))]
     for row in result["build_f32"]:
         print(f"build f32 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
@@ -218,13 +236,13 @@ def main(argv=None):
     x64 = jnp.asarray(x32, jnp.float64)
     ys64 = [jnp.asarray(y, jnp.float64) for y in ys32]
     kernels64 = [jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), k) for k in kernels32]
-    result["build_f64"] = []
+    result.setdefault("build_f64", [])
     projected = 0.0
     # HBM guard: the fused 3-flux f64 fit holds ~(dist + 3 K + 3 chol) n^2
     # doubles ~ 56 n^2 bytes; the v5e chip has 16 GB (measured: n=16384
     # f64 OOM-killed the first r3 session arm).
     f64_hbm_cap = int((10e9 / 56) ** 0.5)
-    for n in [1024, 2048, 4096, 8192, 16384, n_full]:
+    for n in ([] if args.ladders_from else [1024, 2048, 4096, 8192, 16384, n_full]):
         if n > n_full:
             break
         if jax.default_backend() == "tpu" and n > f64_hbm_cap:
