@@ -292,11 +292,17 @@ def main(argv=None):
 
     # 4. Pallas MXU Gram vs XLA at large n (forward build; chip only).
     if not args.skip_pallas and jax.default_backend() == "tpu":
+        # Under x64 the Pallas Gram traces i64 indices, which Mosaic cannot
+        # legalize (measured: 'failed to legalize func.return (i64)') — the
+        # A/B runs as a separate x64-off process (studies/chip_session_r3b
+        # gram arm) and its numbers are spliced into this JSON.
+        result["gram_note"] = "run separately with x64 off (Mosaic i64 legalization)"
         try:
             from climateparameterizations_jl_tpu.benchmarks import bench_gp
 
                     # n=16384 hits a Mosaic compile limit (i64 index legalization)
             # in the fused kernel — measured; 8192 is the validated ceiling.
+            raise RuntimeError("skipped in-process: x64-traced Pallas (see gram_note)")
             n_gram = min(8192, n_full)
             result["gram_xla"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="xla").items() if isinstance(v, (int, float))}
             result["gram_pallas"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="pallas").items() if isinstance(v, (int, float))}
@@ -338,21 +344,28 @@ def main(argv=None):
     # non-finite in f32 here, so the honest at-scale configuration is the
     # reference's: f64, n = 8192 strided (plus the full-n f32 timing rows
     # above showing the 448 ms build the precision wall forecloses).
+    import gc
+
     n_final, final_dtype = n_full, "f32"
+
+    def _fit(x, ys_, ks_, js):
+        # Under jit: planned memory (the eager path materializes every
+        # intermediate and OOMs where the identical jitted build fits).
+        return jax.jit(lambda a, b1, b2, b3: gp_fit_multi(a, [b1, b2, b3], ks_, z, jitter_scale=js))(x, *ys_)
+
     try:
-        models = gp_fit_multi(x32, ys32, kernels32, z, jitter_scale=best_jitter)
+        models = _fit(x32, ys32, kernels32, best_jitter)
         finite = all(bool(jnp.isfinite(m.alpha).all()) for m in models)
     except Exception as e:
         result["f32_full_fit_error"] = repr(e)[:200]
         finite = False
     if not finite:
         result["f32_full_fit"] = "non-finite/OOM (measured; see f32_vs_f64 + jitter_sweep)"
+        models = None
+        gc.collect()  # drop the failed f32 attempt's device buffers first
         n_final = min(8192, n_full)
         final_dtype = "f64"
-        models = gp_fit_multi(
-            _subset(x64, n_final), [_subset(y, n_final) for y in ys64],
-            kernels64, z, jitter_scale=best_jitter,
-        )
+        models = _fit(_subset(x64, n_final), [_subset(y, n_final) for y in ys64], kernels64, best_jitter)
     result["final_fit"] = dict(n=int(n_final), dtype=final_dtype,
                                jitter=best_jitter if best_jitter is not None else "dtype-default")
     print(f"final fit: {final_dtype} @ n={n_final}", flush=True)
