@@ -353,12 +353,19 @@ def main(argv=None):
         # intermediate and OOMs where the identical jitted build fits).
         return jax.jit(lambda a, b1, b2, b3: gp_fit_multi(a, [b1, b2, b3], ks_, z, jitter_scale=js))(x, *ys_)
 
-    try:
-        models = _fit(x32, ys32, kernels32, best_jitter)
-        finite = all(bool(jnp.isfinite(m.alpha).all()) for m in models)
-    except Exception as e:
-        result["f32_full_fit_error"] = repr(e)[:200]
-        finite = False
+    finite = False
+    if f32_winner_finite:
+        # Only attempt the full-n f32 fit when the n=4096 fidelity fit was
+        # finite — a doomed 12 GB attempt exhausts HBM in a way the f64
+        # fallback then cannot recover from (measured).
+        try:
+            models = _fit(x32, ys32, kernels32, best_jitter)
+            finite = all(bool(jnp.isfinite(m.alpha).all()) for m in models)
+        except Exception as e:
+            result["f32_full_fit_error"] = repr(e)[:200]
+            finite = False
+    else:
+        result["f32_full_fit_error"] = "skipped: n=4096 f32 fit already non-finite (see f32_vs_f64)"
     if not finite:
         result["f32_full_fit"] = "non-finite/OOM (measured; see f32_vs_f64 + jitter_sweep)"
         models = None
