@@ -64,6 +64,12 @@ def _run_headline() -> dict:
         },
         "extra": {},
     }
+    # The peak + train-step rows are TPU-capability rows: on a CPU fallback
+    # they would add nothing the headline doesn't and can burn the whole
+    # child timeout per attempt (a down tunnel turned the ~1-2 min fallback
+    # into a multi-hour CPU run — advisor r3).
+    if out["platform"] == "cpu":
+        return out
     # Chip-peak row: 32k columns is the measured throughput peak (36% MFU;
     # 65k+ hits the VMEM cliff unless chunked — PERFORMANCE.md). BASELINE's
     # north star is the chip's capability, which the latency-bound
@@ -88,12 +94,24 @@ def _run_headline() -> dict:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from studies.flagship_training import step_bench
 
-        seq = step_bench(n_timed=5)
-        shoot = step_bench(n_timed=5, shooting=16)
+        # The resolved PRODUCTION config (fast_assembly auto -> fold, PCR
+        # tridiagonal on TPU — the repo's documented best step), with
+        # min/median/max over repeated timing blocks: BENCH_r03 ran the
+        # non-default scan/False config and reported 46.7 ms where the
+        # production step measures ~22 ms (VERDICT r3 weak #3).
+        kw = dict(n_timed=5, n_repeats=3, tridiag_backend="pcr", fast_assembly="auto")
+        seq = step_bench(**kw)
+        shoot = step_bench(shooting=16, **kw)
         out["extra"]["train_step_flagship"] = {
+            "config": "pcr + fast_assembly=auto (production defaults)",
             "sequential_ms_per_iter": round(seq["s_per_iter"] * 1e3, 2),
+            "sequential_ms_min": round(seq["s_per_iter_min"] * 1e3, 2),
+            "sequential_ms_max": round(seq["s_per_iter_max"] * 1e3, 2),
             "shooting16_ms_per_iter": round(shoot["s_per_iter"] * 1e3, 2),
+            "shooting16_ms_min": round(shoot["s_per_iter_min"] * 1e3, 2),
+            "shooting16_ms_max": round(shoot["s_per_iter_max"] * 1e3, 2),
             "shooting_speedup": round(seq["s_per_iter"] / shoot["s_per_iter"], 2),
+            "repeats": seq["n_repeats"],
             "sims": seq["sims"],
             "inner_steps": seq["inner_steps"],
         }

@@ -56,6 +56,13 @@ class _CV2Writer(manimation.AbstractMovieWriter):
             )
             if not self._writer.isOpened():
                 raise RuntimeError(f"cv2.VideoWriter failed to open {self.outfile!r}")
+        if (buf.shape[1], buf.shape[0]) != self._frame_size:
+            # cv2.VideoWriter.write silently DROPS mismatched frames (e.g. a
+            # figure/dpi resize mid-animation), truncating the mp4 with no error.
+            raise RuntimeError(
+                f"frame size changed mid-animation: {(buf.shape[1], buf.shape[0])} "
+                f"vs initial {self._frame_size}"
+            )
         self._writer.write(cv2.cvtColor(buf, cv2.COLOR_RGB2BGR))
 
     def finish(self):

@@ -9,10 +9,19 @@ run() { # run <name> <timeout_s> <cmd...>
   local name="$1" t="$2"; shift 2
   echo "=== $name: $* (timeout ${t}s)" | tee -a "$OUT/session.log"
   local start=$SECONDS
-  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  # Per-invocation log files: a retry must never overwrite the failed
+  # attempt's traceback (the r3b GP crash lost its only evidence exactly
+  # this way — run_retry attempt 2 clobbered attempt 1's log).
+  local log="$OUT/$name.log"
+  if [ -e "$log" ]; then
+    local i=2
+    while [ -e "$OUT/$name.attempt$i.log" ]; do i=$((i + 1)); done
+    log="$OUT/$name.attempt$i.log"
+  fi
+  timeout "$t" "$@" >"$log" 2>&1
   local rc=$?
-  echo "=== $name: rc=$rc elapsed=$((SECONDS - start))s" | tee -a "$OUT/session.log"
-  tail -5 "$OUT/$name.log" | tee -a "$OUT/session.log"
+  echo "=== $name: rc=$rc elapsed=$((SECONDS - start))s log=$log" | tee -a "$OUT/session.log"
+  tail -5 "$log" | tee -a "$OUT/session.log"
   return $rc
 }
 

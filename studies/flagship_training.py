@@ -170,7 +170,8 @@ def calibrate_mpp(ds, model, optimizer="lbfgs", maxiters=60, window=200, stride=
 
 
 def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
-              tridiag_backend="scan", fast_assembly="auto", shooting=0, shooting_hybrid=False):
+              tridiag_backend="scan", fast_assembly="auto", shooting=0, shooting_hybrid=False,
+              host_matched_substeps=False):
     from climateparameterizations_jl_tpu.data.containers import (
         multiple_shooting_tensors,
         training_tensors,
@@ -185,8 +186,15 @@ def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "
     # (train_free_convection_nde.jl:246-266 re-enters train! per epoch block).
     report = []
     for i, (window, stride, maxiters, lr) in enumerate(stages):
+        # --host-matched-substeps: train at the EMBEDDED HOST's time
+        # discretization (dt ~ 540 s, i.e. 10 substeps per stride-9 save
+        # interval) instead of the reference's dt = 600 s — the r4 ablation
+        # isolating whether the a-posteriori 0.3x "NN hurts the host"
+        # finding is a substep/dt mismatch or a solver-formulation gap
+        # (VERDICT r3 item 2b).
+        n_sub = max(stride + 1, round(stride * 10 / 9)) if host_matched_substeps else stride
         config = NDETrainConfig(
-            learning_rate=lr, maxiters=maxiters, n_substeps=stride, method="split",
+            learning_rate=lr, maxiters=maxiters, n_substeps=n_sub, method="split",
             training_fractions=fractions,
             tridiag_backend=tridiag_backend, fast_assembly=fast_assembly,
         )
@@ -273,14 +281,21 @@ def pretrain_ensemble(ds, model, members, epochs=150, lr=1e-3):
 
 def nde_train_ensemble(ds, model, members, stages=STAGES,
                        fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
-                       tridiag_backend="scan", fast_assembly="auto"):
+                       tridiag_backend="scan", fast_assembly="auto",
+                       shooting=0, shooting_hybrid=False):
     """Deep-ensemble flagship training: ONE jitted step advances all K members.
 
     Same staging as :func:`nde_train`; per-stage report carries member-MEAN
     losses (training is provably member-independent, so each member's curve
-    equals its solo run's).
+    equals its solo run's). ``shooting``/``shooting_hybrid`` compose the
+    window-parallel batches with the member axis (VERDICT r3 item 4: the
+    chip's batch dimension takes sims x K windows x M members at once —
+    ``_solve`` is batch-shape-agnostic and the member vmap sits outside it).
     """
-    from climateparameterizations_jl_tpu.data.containers import training_tensors
+    from climateparameterizations_jl_tpu.data.containers import (
+        multiple_shooting_tensors,
+        training_tensors,
+    )
     from climateparameterizations_jl_tpu.train.deep_ensemble import (
         stack_members,
         train_wind_mixing_deep_ensemble,
@@ -296,18 +311,25 @@ def nde_train_ensemble(ds, model, members, stages=STAGES,
             tridiag_backend=tridiag_backend, fast_assembly=fast_assembly,
         )
         tsteps = np.arange(0, window, stride)
-        batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
+        K = shooting if (shooting and window == N_FRAMES and (len(tsteps) - 1) % shooting == 0) else 0
+        if shooting_hybrid and i == len(stages) - 1:
+            K = 0  # sequential burn-in restores the rollout objective (r3 A/B)
+        if K:
+            batch = multiple_shooting_tensors(ds, model.scalings, tsteps, K, tau=model.tau)
+        else:
+            batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
         t0 = time.perf_counter()
         stacked, hist = train_wind_mixing_deep_ensemble(model, stacked, batch, config)
         wall = time.perf_counter() - t0
+        inner = int((len(tsteps) - 1) * stride)
         report.append(dict(
-            window=window, stride=stride, maxiters=maxiters, lr=lr,
-            n_saveat=len(tsteps), inner_steps=int((len(tsteps) - 1) * stride),
+            window=window, stride=stride, maxiters=maxiters, lr=lr, shooting=K,
+            n_saveat=len(tsteps), inner_steps=inner // K if K else inner,
             loss_initial=float(hist[0].total()), loss_final=float(hist[-1].total()),
             wall_s=wall, s_per_iter=wall / maxiters,
         ))
-        print(f"[ensemble] stage window={window} stride={stride}: member-mean "
-              f"{report[-1]['loss_initial']:.4e} -> {report[-1]['loss_final']:.4e} "
+        print(f"[ensemble] stage window={window} stride={stride}{f' shooting={K}' if K else ''}: "
+              f"member-mean {report[-1]['loss_initial']:.4e} -> {report[-1]['loss_final']:.4e} "
               f"in {wall:.1f} s ({wall / maxiters * 1e3:.0f} ms/iter)", flush=True)
     return stacked, report
 
@@ -540,8 +562,18 @@ def save_nns(nns, out_dir, ensemble=0, model=None):
     return out_dir
 
 
-def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True, diurnal=False, shooting=0):
-    """Compile + steady-state time of ONE final-stage train step."""
+def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True, diurnal=False, shooting=0, n_repeats=1, ensemble=0):
+    """Compile + steady-state time of ONE final-stage train step.
+
+    ``n_repeats`` > 1 re-times the ``n_timed``-iteration block that many
+    times and reports min/median/max of the per-iteration time — the tunnel's
+    run-to-run swing on this step measured 45% between sessions (VERDICT r3
+    weak #3), so a single block is not an honest number.
+
+    ``ensemble=M`` composes M stacked members with the (optionally shooting)
+    batch: the r4 batch-axis scaling measurement (sims x K windows x M
+    members in one step).
+    """
     import jax
 
     from climateparameterizations_jl_tpu.data.containers import (
@@ -566,12 +598,26 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
         batch = multiple_shooting_tensors(ds, model.scalings, tsteps, shooting, tau=model.tau)
     else:
         batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
-    scalings = determine_loss_scalings(model, nns, batch, config)
+    if ensemble:
+        from climateparameterizations_jl_tpu.train.deep_ensemble import (
+            ensemble_loss_scalings,
+            make_ensemble_loss_fn,
+            stack_members,
+        )
 
-    def loss_fn(nns):
-        pred = _solve(model, nns, batch, config)
-        ch = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
-        return apply_loss_scalings(ch, scalings).total()
+        nns = stack_members(build_ensemble_members(ensemble))
+        scalings = ensemble_loss_scalings(model, nns, batch, config)
+        ens_loss = make_ensemble_loss_fn(model, batch, scalings, config)
+
+        def loss_fn(nns):
+            return ens_loss(nns)[0]
+    else:
+        scalings = determine_loss_scalings(model, nns, batch, config)
+
+        def loss_fn(nns):
+            pred = _solve(model, nns, batch, config)
+            ch = nde_loss_channels(pred, batch.targets, model.Nz, config.train_gradient)
+            return apply_loss_scalings(ch, scalings).total()
 
     opt = optax.adam(lr)
     state = opt.init(nns)
@@ -586,18 +632,25 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
     nns, state, loss = step(nns, state)
     jax.block_until_ready(loss)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        nns, state, loss = step(nns, state)
-    jax.block_until_ready(loss)
-    per_iter = (time.perf_counter() - t0) / n_timed
+    samples = []
+    for _ in range(max(1, n_repeats)):
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            nns, state, loss = step(nns, state)
+        jax.block_until_ready(loss)
+        samples.append((time.perf_counter() - t0) / n_timed)
+    per_iter = float(np.median(samples))
     # Work per iteration is shooting-invariant: S*K windows x inner/K steps
-    # = S x inner column-timesteps, so throughput stays comparable.
+    # = S x inner column-timesteps, so throughput stays comparable; each
+    # ensemble member multiplies the column work.
     sims, inner = len(TRAIN_FILES), (len(tsteps) - 1) * stride
     return dict(
         backend=jax.default_backend(), compile_s=compile_s, s_per_iter=per_iter,
-        sims=sims, inner_steps=inner, shooting=shooting,
-        column_timesteps_per_s=sims * inner / per_iter,
+        s_per_iter_min=float(min(samples)), s_per_iter_max=float(max(samples)),
+        n_repeats=len(samples),
+        sims=sims, inner_steps=inner, shooting=shooting, ensemble=ensemble,
+        batch_columns=sims * max(1, shooting) * max(1, ensemble),
+        column_timesteps_per_s=sims * inner * max(1, ensemble) / per_iter,
     )
 
 
@@ -627,7 +680,8 @@ def resolve_suite(suite, extra_train=None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="train", choices=["train", "step-bench", "aposteriori"])
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "step-bench", "aposteriori", "embedded-eval"])
     ap.add_argument("--pretrain-epochs", type=int, default=150,
                     help="flux pre-training epochs per NN (0 skips the phase — the zero-init NDE A/B)")
     ap.add_argument("--suite", default="standard", choices=["standard", "diurnal", "mixed"],
@@ -670,7 +724,19 @@ def main(argv=None):
     ap.add_argument("--ft-maxiters", type=int, default=60, help="a-posteriori fine-tune iterations")
     ap.add_argument("--ft-lr", type=float, default=3e-4)
     ap.add_argument("--ft-substeps", type=int, default=10,
-                    help="host steps per save interval (match evaluate --embedded's 10)")
+                    help="host steps per save interval (match evaluate --embedded's 10; "
+                         "9 = the NDE's own dt=600s discretization, the r4 ablation arm)")
+    ap.add_argument("--bench-repeats", type=int, default=3,
+                    help="step-bench timing blocks (min/median/max reported)")
+    ap.add_argument("--host-matched-substeps", action="store_true",
+                    help="train the NDE at the embedded host's dt (~540 s, 10 substeps per "
+                         "stride-9 save) instead of the reference's 600 s — the r4 ablation "
+                         "arm isolating the a-posteriori 0.3x discretization hypothesis")
+    ap.add_argument("--finish-aposteriori", action="store_true",
+                    help="end the training pipeline with the a-posteriori (through-the-host) "
+                         "fine-tune so the SHIPPED checkpoint is the one that helps its "
+                         "deployment host (the NDE-stage checkpoint is kept alongside as "
+                         "<save-nns>_nde_stage)")
     args = ap.parse_args(argv)
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
     global TRAIN_FILES, TEST_FILES, DATA_DIR
@@ -687,12 +753,37 @@ def main(argv=None):
     if args.mode == "step-bench":
         result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
                             fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift,
-                            diurnal=suite_diurnal, shooting=args.shooting)
+                            diurnal=suite_diurnal, shooting=args.shooting,
+                            ensemble=args.ensemble, n_repeats=args.bench_repeats)
         result["tridiag_backend"] = args.tridiag_backend
         result["fast_assembly"] = args.fast_assembly
         result["implicit_solve_grad"] = not args.no_ift
         result["split_unroll"] = args.split_unroll
         print(json.dumps(result))
+    elif args.mode == "embedded-eval":
+        # Eval-only a-posteriori ablation arm (VERDICT r3 item 2a): score a
+        # checkpoint in the embedded host at an ARBITRARY host substep count
+        # (--ft-substeps 9 = the NDE's own dt = 600 s) without fine-tuning,
+        # to separate "the host's dt differs" from "the host's solver
+        # formulation differs" as the cause of the pre-fine-tune 0.3x.
+        from climateparameterizations_jl_tpu.cli.main import _load_nns
+
+        if not args.eval_checkpoint:
+            raise SystemExit("--mode embedded-eval needs --eval-checkpoint")
+        _, model, _ = build(diurnal=suite_diurnal)
+        nns, ckpt_meta = _load_nns(args.eval_checkpoint)
+        if ckpt_meta.get("mpp"):
+            import dataclasses as _dc
+
+            from climateparameterizations_jl_tpu.cli.main import _restore_mpp
+
+            model = _dc.replace(model, **_restore_mpp(ckpt_meta))
+            print(f"restored TRAINING-time mPP parameters from checkpoint meta: {ckpt_meta['mpp']}", flush=True)
+        print(f"held-out embedded eval at substeps={args.ft_substeps} "
+              f"(dt={9 * 600 / args.ft_substeps:.0f} s):", flush=True)
+        held_out = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
+        result = dict(eval_checkpoint=args.eval_checkpoint,
+                      embedded_substeps=args.ft_substeps, held_out=held_out)
     elif args.mode == "aposteriori":
         # Fine-tune a flagship checkpoint THROUGH the embedded host column
         # (deployment-model-in-the-loop), held-out embedded eval before/after.
@@ -779,7 +870,9 @@ def main(argv=None):
                 print(f"pretrain x{args.ensemble} ({pre_s:.1f} s, one vmapped scan)", flush=True)
             stacked, stages = nde_train_ensemble(ds, model, members,
                                                  tridiag_backend=args.tridiag_backend,
-                                                 fast_assembly=args.fast_assembly or "auto")
+                                                 fast_assembly=args.fast_assembly or "auto",
+                                                 shooting=args.shooting,
+                                                 shooting_hybrid=args.shooting_hybrid)
             if args.save_nns:
                 save_nns(stacked, args.save_nns, ensemble=args.ensemble, model=model)
                 print(f"ensemble checkpoint saved to {args.save_nns}", flush=True)
@@ -790,17 +883,49 @@ def main(argv=None):
                 print(f"pretrain ({pre_s:.1f} s): " + ", ".join(f"{k} {a:.3e}->{b:.3e}" for k, (a, b) in pre.items()), flush=True)
             nns, stages = nde_train(ds, model, nns, tridiag_backend=args.tridiag_backend,
                                     fast_assembly=args.fast_assembly or "auto",
-                                    shooting=args.shooting, shooting_hybrid=args.shooting_hybrid)
+                                    shooting=args.shooting, shooting_hybrid=args.shooting_hybrid,
+                                    host_matched_substeps=args.host_matched_substeps)
             if args.save_nns:
-                save_nns(nns, args.save_nns, model=model)
-                print(f"checkpoint saved to {args.save_nns}", flush=True)
+                nde_stage_dir = args.save_nns + ("_nde_stage" if args.finish_aposteriori else "")
+                save_nns(nns, nde_stage_dir if args.finish_aposteriori else args.save_nns, model=model)
+                print(f"{'NDE-stage ' if args.finish_aposteriori else ''}checkpoint saved to "
+                      f"{nde_stage_dir if args.finish_aposteriori else args.save_nns}", flush=True)
             held_out = evaluate(model, nns)
         result = dict(
             sims=len(TRAIN_FILES), frames=N_FRAMES, data_s=data_s, mpp_calibration=mpp_info,
             ensemble=args.ensemble, shooting=args.shooting, data_dir=DATA_DIR,
+            host_matched_substeps=args.host_matched_substeps,
             pretrain=pre, pretrain_s=pre_s, stages=stages, held_out=held_out,
             total_wall_s=time.perf_counter() - wall0,
         )
+        if args.finish_aposteriori:
+            # Deployment-first pipeline (VERDICT r3 item 2): the flagship's
+            # FINAL stage is the through-the-host fine-tune, so the shipped
+            # checkpoint is the one that HELPS the deployment host (the
+            # NDE-stage checkpoint measured 0.3-0.4x vs its physics twin on
+            # LES data before this stage).
+            if args.ensemble:
+                raise SystemExit("--finish-aposteriori takes a solo run (extract an ensemble member first)")
+            print("held-out embedded eval BEFORE the a-posteriori stage:", flush=True)
+            before = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
+            nns, ft = aposteriori_finetune(
+                ds, model, nns, maxiters=3 if args.smoke else args.ft_maxiters,
+                lr=args.ft_lr, substeps=args.ft_substeps, tridiag_backend=args.tridiag_backend,
+            )
+            if args.save_nns:
+                save_nns(nns, args.save_nns, model=model)
+                print(f"deployment (a-posteriori) checkpoint saved to {args.save_nns}", flush=True)
+            print("held-out embedded eval AFTER the a-posteriori stage:", flush=True)
+            after = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
+            result["aposteriori"] = dict(
+                finetune=ft, held_out_before=before, held_out_after=after,
+                improvement={name: dict(
+                    embedded_before=before[name]["embedded"], embedded_after=after[name]["embedded"],
+                    improvement=before[name]["embedded"] / after[name]["embedded"],
+                    win_vs_twin_after=after[name]["win_vs_twin"],
+                ) for name in after},
+            )
+            result["total_wall_s"] = time.perf_counter() - wall0
         print(f"TOTAL wall: {result['total_wall_s']:.1f} s")
     if args.out:
         with open(args.out, "w") as f:

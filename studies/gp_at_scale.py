@@ -144,12 +144,46 @@ def main(argv=None):
     ap.add_argument("--ladders-from", default=None,
                     help="splice the build_f32/build_f64 ladders from a prior partial "
                          "result json instead of re-measuring them (compile-heavy)")
+    ap.add_argument("--gram-only", action="store_true",
+                    help="run ONLY the Pallas-vs-XLA Gram A/B, with x64 OFF (the fused "
+                         "Pallas kernel cannot trace i64 indices under x64 — Mosaic "
+                         "legalization, measured), and dump it to --out. The main run "
+                         "splices the resulting json via --gram-from.")
+    ap.add_argument("--gram-from", default=None,
+                    help="splice a prior --gram-only json into this result")
+    ap.add_argument("--de-chunk", type=int, default=128,
+                    help="GP-DE saves per device dispatch — the tunnel kills any single "
+                         "program running longer than ~60-90 s (CLAUDE.md), and the "
+                         "un-chunked 1,152-step f64 scan is exactly such a program")
+    ap.add_argument("--seq-f64-n", type=int, default=16384,
+                    help="per-flux sequential f64 fallback size: fitting flux-by-flux "
+                         "holds ONE kernel+Cholesky (~32 n^2 bytes, vs the fused "
+                         "3-flux fit's ~56 n^2), lifting the HBM wall from 8k to 16k")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    if args.gram_only:
+        # x64 stays OFF: this is the separate process the main run's
+        # gram_note points at (VERDICT r3 missing #2 — the A/B was promised
+        # and never recorded as an artifact).
+        from climateparameterizations_jl_tpu.benchmarks import bench_gp
+
+        # 8192 = the validated Mosaic ceiling; smoke = tiny (off-TPU the
+        # Pallas kernel runs in interpret mode, which is minutes per tile).
+        n_gram = 256 if args.smoke else 8192
+        out = {"backend": jax.default_backend(), "gram_n": n_gram, "x64": False}
+        for backend in ("xla", "pallas"):
+            rows = bench_gp(n_train=n_gram, n_features=96, backend=backend)
+            out[f"gram_{backend}"] = {k: v for k, v in rows.items() if isinstance(v, (int, float))}
+            print(f"gram[{backend}] @ n={n_gram}: {out[f'gram_{backend}']}", flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=2)
+        return out
 
     # The f64 arm is the point of the precision study — without x64 the
     # "f64" builds silently truncate to f32 and the comparison is vacuous.
@@ -227,11 +261,12 @@ def main(argv=None):
         result["ladders_from"] = args.ladders_from
         print("build ladders spliced from", args.ladders_from, flush=True)
         dump()
-    sizes32 = [] if args.ladders_from else ([s for s in (4096, 8192, 16384, n_full) if s <= n_full] or [n_full])
-    result["build_f32"] = [_timed_fit(x32, ys32, kernels32, z, n) for n in sorted(set(sizes32))]
-    for row in result["build_f32"]:
-        print(f"build f32 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
-    dump()
+    if not args.ladders_from:  # (an else-branch would clobber the spliced rows)
+        sizes32 = [s for s in (4096, 8192, 16384, n_full) if s <= n_full] or [n_full]
+        result["build_f32"] = [_timed_fit(x32, ys32, kernels32, z, n) for n in sorted(set(sizes32))]
+        for row in result["build_f32"]:
+            print(f"build f32 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
+        dump()
 
     x64 = jnp.asarray(x32, jnp.float64)
     ys64 = [jnp.asarray(y, jnp.float64) for y in ys32]
@@ -242,7 +277,10 @@ def main(argv=None):
     # doubles ~ 56 n^2 bytes; the v5e chip has 16 GB (measured: n=16384
     # f64 OOM-killed the first r3 session arm).
     f64_hbm_cap = int((10e9 / 56) ** 0.5)
-    for n in ([] if args.ladders_from else [1024, 2048, 4096, 8192, 16384, n_full]):
+    # 4 sizes, not 6: each fused f64 build is a 1.5-5 min COMPILE on the
+    # chip (r3 logs: 90 s at n=1k, 160 s at 2k), and the n>13.4k sizes only
+    # ever record the HBM-guard skip row.
+    for n in ([] if args.ladders_from else [1024, 4096, 8192, n_full]):
         if n > n_full:
             break
         if jax.default_backend() == "tpu" and n > f64_hbm_cap:
@@ -290,28 +328,23 @@ def main(argv=None):
           f"vs {result['f32_vs_f64']['mse_f64']:.4e}", flush=True)
     dump()
 
-    # 4. Pallas MXU Gram vs XLA at large n (forward build; chip only).
-    if not args.skip_pallas and jax.default_backend() == "tpu":
-        # Under x64 the Pallas Gram traces i64 indices, which Mosaic cannot
-        # legalize (measured: 'failed to legalize func.return (i64)') — the
-        # A/B runs as a separate x64-off process (studies/chip_session_r3b
-        # gram arm) and its numbers are spliced into this JSON.
-        result["gram_note"] = "run separately with x64 off (Mosaic i64 legalization)"
-        try:
-            from climateparameterizations_jl_tpu.benchmarks import bench_gp
-
-                    # n=16384 hits a Mosaic compile limit (i64 index legalization)
-            # in the fused kernel — measured; 8192 is the validated ceiling.
-            raise RuntimeError("skipped in-process: x64-traced Pallas (see gram_note)")
-            n_gram = min(8192, n_full)
-            result["gram_xla"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="xla").items() if isinstance(v, (int, float))}
-            result["gram_pallas"] = {k: v for k, v in bench_gp(n_train=n_gram, n_features=d, backend="pallas").items() if isinstance(v, (int, float))}
-            result["gram_n"] = n_gram
-            print(f"gram @ n={n_gram}: xla {result['gram_xla']['median_s']*1e3:.1f} ms vs "
-                  f"pallas {result['gram_pallas']['median_s']*1e3:.1f} ms", flush=True)
-        except Exception as e:  # keep the later phases
-            result["gram_error"] = repr(e)[:300]
-            print(f"gram A/B failed: {e!r}", flush=True)
+    # 4. Pallas MXU Gram vs XLA at large n: this process runs under x64
+    # (the precision study's point), and the fused Pallas kernel cannot
+    # trace under x64 (Mosaic i64 legalization, measured) — so the A/B runs
+    # as a SEPARATE x64-off process (`--gram-only`) whose json is spliced
+    # in here, making the committed artifact self-contained.
+    if not args.skip_pallas:
+        result["gram_note"] = ("measured by a separate x64-off process: "
+                               "studies/gp_at_scale.py --gram-only (Mosaic cannot "
+                               "legalize the i64 indices an x64 trace produces)")
+        if args.gram_from and os.path.exists(args.gram_from):
+            result["gram_ab"] = json.load(open(args.gram_from))
+            result["gram_ab"]["source"] = args.gram_from
+            g = result["gram_ab"]
+            if "gram_xla" in g and "gram_pallas" in g:
+                print(f"gram A/B spliced from {args.gram_from}: "
+                      f"xla {g['gram_xla'].get('median_s', 0) * 1e3:.1f} ms vs "
+                      f"pallas {g['gram_pallas'].get('median_s', 0) * 1e3:.1f} ms @ n={g.get('gram_n')}", flush=True)
         dump()
 
     # 4b. jitter (noise-floor) sweep at n_fid: the dtype-default jitter is a
@@ -354,6 +387,7 @@ def main(argv=None):
         return jax.jit(lambda a, b1, b2, b3: gp_fit_multi(a, [b1, b2, b3], ks_, z, jitter_scale=js))(x, *ys_)
 
     finite = False
+    fit_mode = "fused 3-flux"
     if f32_winner_finite:
         # Only attempt the full-n f32 fit when the n=4096 fidelity fit was
         # finite — a doomed 12 GB attempt exhausts HBM in a way the f64
@@ -370,32 +404,62 @@ def main(argv=None):
         result["f32_full_fit"] = "non-finite/OOM (measured; see f32_vs_f64 + jitter_sweep)"
         models = None
         gc.collect()  # drop the failed f32 attempt's device buffers first
-        n_final = min(8192, n_full)
+        # Honest-precision fallback, now PER-FLUX SEQUENTIAL (VERDICT r3
+        # item 7): the fused 3-flux f64 fit holds ~56 n^2 bytes (measured
+        # OOM at 16k), but one flux at a time holds only dist + K + chol
+        # ~ 32 n^2 — n = 16,384 fits in ~8.6 GB of the 16 GB chip. The
+        # price is recomputing the shared distance matrix 3x (seconds).
+        n_final = min(args.seq_f64_n, n_full)
         final_dtype = "f64"
-        models = _fit(_subset(x64, n_final), [_subset(y, n_final) for y in ys64], kernels64, best_jitter)
-    result["final_fit"] = dict(n=int(n_final), dtype=final_dtype,
+        fit_mode = "per-flux sequential"
+        models, seq_walls = [], []
+        x_fit = _subset(x64, n_final)
+        for i, flux in enumerate(("uw", "vw", "wT")):
+            t0 = time.perf_counter()
+            m = jax.jit(
+                lambda a, b, k=kernels64[i]: gp_fit_multi(a, [b], [k], z, jitter_scale=best_jitter)[0]
+            )(x_fit, _subset(ys64[i], n_final))
+            jax.block_until_ready(m.alpha)
+            seq_walls.append(time.perf_counter() - t0)
+            models.append(m)
+            gc.collect()
+        result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
+    result["final_fit"] = dict(n=int(n_final), dtype=final_dtype, mode=fit_mode,
                                jitter=best_jitter if best_jitter is not None else "dtype-default")
-    print(f"final fit: {final_dtype} @ n={n_final}", flush=True)
+    print(f"final fit: {final_dtype} @ n={n_final} ({fit_mode})", flush=True)
     fdt = jnp.float32 if final_dtype == "f32" else jnp.float64
+
+    # Held-out band discipline, SAME as the deep-ensemble table (VERDICT r3
+    # weak #5): the inflation is fit on the FIRST held-out sim (validation)
+    # and coverage is REPORTED on the other two (test) sims, roles marked.
+    test_sets = {name: (held if j == 0 else F.load_suite([name])) for j, name in enumerate(F.TEST_FILES)}
     gp_rows = {}
     for flux, m in zip(("uw", "vw", "wT"), models):
-        xh, yh_f = _pairs(held, scalings, flux, fdt)
-        pred = np.asarray(gp_predict(m, xh))
-        var = np.asarray(gp_uncertainty(m, xh))  # per-snapshot posterior variance
-        std = np.sqrt(np.maximum(var, 0.0))[:, None] * np.ones_like(pred)
-        truth = np.asarray(yh_f)
-        cal = fit_band_calibration(truth, pred, std)
-        gp_rows[flux] = dict(
-            n=int(n_final), dtype=final_dtype,
-            mse=float(np.mean((pred - truth) ** 2)),
-            mean_posterior_std=float(std.mean()),
-            band_raw=band_report(truth, pred, std),
-            band_calibrated=band_report(truth, pred, std, lam=cal.lam),
-            lam=cal.lam,
-        )
-        print(f"gp[{flux}] @ n={n_final} {final_dtype}: held-out mse {gp_rows[flux]['mse']:.4e}, "
-              f"2-sigma coverage {gp_rows[flux]['band_raw']['coverage']:.2f} -> "
-              f"{gp_rows[flux]['band_calibrated']['coverage']:.2f} (lam {cal.lam:.2f})", flush=True)
+        cal = None
+        sims = {}
+        for j, name in enumerate(F.TEST_FILES):
+            xh, yh_f = _pairs(test_sets[name], scalings, flux, fdt)
+            pred = np.asarray(gp_predict(m, xh))
+            var = np.asarray(gp_uncertainty(m, xh))  # per-snapshot posterior variance
+            std = np.sqrt(np.maximum(var, 0.0))[:, None] * np.ones_like(pred)
+            truth = np.asarray(yh_f)
+            row = dict(
+                mse=float(np.mean((pred - truth) ** 2)),
+                mean_posterior_std=float(std.mean()),
+            )
+            if cal is None:
+                cal = fit_band_calibration(truth, pred, std)
+                row["calibration_role"] = "validation (inflation fit here)"
+            else:
+                row["calibration_role"] = "test"
+            row["band_raw"] = band_report(truth, pred, std)
+            row["band_calibrated"] = band_report(truth, pred, std, lam=cal.lam)
+            sims[name] = row
+            print(f"gp[{flux}][{name}] @ n={n_final} {final_dtype}: mse {row['mse']:.4e}, "
+                  f"2-sigma coverage {row['band_raw']['coverage']:.2f} -> "
+                  f"{row['band_calibrated']['coverage']:.2f} calibrated "
+                  f"({row['calibration_role'].split(' ')[0]}, lam {cal.lam:.2f})", flush=True)
+        gp_rows[flux] = dict(n=int(n_final), dtype=final_dtype, lam=cal.lam, sims=sims)
     result["gp_full"] = gp_rows
     dump()
 
@@ -408,18 +472,53 @@ def main(argv=None):
     n_frames = int(x_true.shape[0] - 1) if not args.smoke else min(48, x_true.shape[0] - 1)
     t_row = held.t.reshape(-1, held.t.shape[-1])[0] if held.t.ndim > 1 else held.t
     dt_hat = float((t_row[1] - t_row[0]) / model.tau)
+    gps = FluxGPs(uw=models[0], vw=models[1], wT=models[2])
+    # Host-chunked dispatch: one 1,152-save f64 scan is a single device
+    # program well past the tunnel's ~60-90 s killer (the r3b crash that
+    # destroyed this stage twice); equal-size chunks reuse one compile.
+    chunk = max(1, args.de_chunk)
+
+    @jax.jit
+    def _de_chunk(x0, t0_hat):
+        return solve_gp_closure(model, gps, x0, t0_hat, dt_hat, chunk, n_substeps=2)
+
     t0 = time.perf_counter()
-    traj = solve_gp_closure(model, FluxGPs(uw=models[0], vw=models[1], wT=models[2]), x_true[0], 0.0, dt_hat, n_frames, n_substeps=2)
-    jax.block_until_ready(traj)
+    pieces = [x_true[:1]]
+    x_cur, t_cur, done = x_true[0], 0.0, 0
+    while done < n_frames:
+        n = min(chunk, n_frames - done)
+        if n == chunk:
+            traj_c = _de_chunk(x_cur, t_cur)
+        else:  # final partial chunk: one extra compile at its own shape
+            traj_c = solve_gp_closure(model, gps, x_cur, t_cur, dt_hat, n, n_substeps=2)
+        jax.block_until_ready(traj_c)
+        pieces.append(traj_c[1:])
+        x_cur, t_cur, done = traj_c[-1], t_cur + n * dt_hat, done + n
+    traj = jnp.concatenate(pieces, axis=0)
     de_wall = time.perf_counter() - t0
     Nz = model.Nz
     mse_T = float(jnp.mean((traj[:, 2 * Nz :] - x_true[: n_frames + 1, 2 * Nz :]) ** 2))
+    # Stride-9 sampling of the same trajectory: the NDE's held-out numbers
+    # (flagship_run_les.json) are means over the 1:9:1153 saveat, so the
+    # like-for-like GP-DE vs NDE comparison reads THIS key.
+    idx9 = np.arange(0, n_frames + 1, 9)
+    mse_T_9 = float(jnp.mean((traj[idx9, 2 * Nz :] - x_true[idx9, 2 * Nz :]) ** 2))
+    nde_mse = None
+    try:  # the NDE trajectory MSE on the same held-out sim, same metric
+        flag = json.load(open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                           "docs", "flagship_run_les.json")))
+        nde_mse = float(flag["held_out"][F.TEST_FILES[0]]["nde"])
+    except Exception:
+        pass
     result["gp_de"] = dict(
-        frames=int(n_frames + 1), wall_s=de_wall,
+        frames=int(n_frames + 1), wall_s=de_wall, chunk=chunk,
         trajectory_mse=float(jnp.mean((traj - x_true[: n_frames + 1]) ** 2)),
-        trajectory_mse_T=mse_T, held_out=F.TEST_FILES[0],
+        trajectory_mse_T=mse_T, trajectory_mse_T_stride9=mse_T_9,
+        nde_mse_T_same_sim=nde_mse, held_out=F.TEST_FILES[0],
     )
-    print(f"gp-de[{F.TEST_FILES[0]}]: {n_frames + 1} frames, T mse {mse_T:.4e} ({de_wall:.1f} s)", flush=True)
+    print(f"gp-de[{F.TEST_FILES[0]}]: {n_frames + 1} frames, T mse {mse_T:.4e} "
+          f"(stride-9 {mse_T_9:.4e} vs NDE {nde_mse if nde_mse is None else format(nde_mse, '.4e')}; "
+          f"{de_wall:.1f} s in {chunk}-save chunks)", flush=True)
 
     dump()
     return result

@@ -167,3 +167,33 @@ class TestTraining:
         nns2, hist = train_wind_mixing_nde(model, nns, ms, config)
         assert np.isfinite(float(hist[-1].total()))
         assert float(hist[-1].total()) < float(hist[0].total())
+
+
+class TestComposedEnsembleShooting:
+    def test_stacked_members_on_shooting_batch_match_solo(self, wm):
+        """The r4 batch-axis composition (sims x K windows x M members in ONE
+        jitted step): training M stacked members over a multiple-shooting
+        batch must equal the M independent solo trainings over the SAME
+        batch — the member vmap sits outside the batch-shape-agnostic
+        ``_solve``, so neither axis may couple."""
+        from climateparameterizations_jl_tpu.train.deep_ensemble import (
+            stack_members,
+            train_wind_mixing_deep_ensemble,
+            unstack_members,
+        )
+
+        suite, model, scalings, tau = wm
+        tsteps = np.arange(0, 25, 2)
+        ms = multiple_shooting_tensors(suite, scalings, tsteps, n_windows=4, tau=tau)
+        members = [_nns(3), _nns(4)]
+        config = NDETrainConfig(
+            learning_rate=1e-3, maxiters=3, n_substeps=2, method="split",
+            training_fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
+        )
+        solo = [train_wind_mixing_nde(model, m, ms, config)[0] for m in members]
+        stacked, hist = train_wind_mixing_deep_ensemble(model, stack_members(members), ms, config)
+        ens = unstack_members(stacked)
+        for s, e in zip(solo, ens):
+            for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(e)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7)
+        assert np.isfinite(float(hist[-1].total()))
