@@ -151,6 +151,11 @@ def main(argv=None):
                          "splices the resulting json via --gram-from.")
     ap.add_argument("--gram-from", default=None,
                     help="splice a prior --gram-only json into this result")
+    ap.add_argument("--selection-from", default=None,
+                    help="splice the kernel-family selection from a prior (possibly "
+                         "partial) result json instead of re-running the ~6-split f64 "
+                         "grid search (tunnel-latency-dominated; kernels are rebuilt "
+                         "from the recorded family + log_gamma)")
     ap.add_argument("--de-chunk", type=int, default=128,
                     help="GP-DE saves per device dispatch — the tunnel kills any single "
                          "program running longer than ~60-90 s (CLAUDE.md), and the "
@@ -217,12 +222,39 @@ def main(argv=None):
     z = jnp.linspace(0.0, 1.0, d)
 
     # 1. kernel-family selection (subsampled; includes SM id 6).
-    sel, sel_s = select_kernels(
-        ds, scalings, z,
-        kernel_ids=(1, 2, 3, 4, 5, 6),
-        n_splits=2 if args.smoke else 6,
-        stride=200 if args.smoke else args.selection_stride,
-    )
+    if args.selection_from:
+        # Rebuild the (winner, runner-up) kernels from a prior dump's
+        # (family, log_gamma) — the selection grid is deterministic given
+        # the suite, and a wedged-tunnel rerun must not pay its ~10 f64
+        # compiles again. An SM winner without a recorded scalar length
+        # scale cannot be reconstructed; fall back to the runner-up.
+        _ids = {"squared_exponential": 1, "matern12": 2, "matern32": 3,
+                "matern52": 4, "rational_quadratic": 5, "spectral_mixture": 6}
+
+        def _rebuild(fam, lg):
+            if lg is None:
+                return None
+            return get_kernel(_ids[fam], lg, 0.0, "euclidean", dtype=jnp.float64)
+
+        prior_sel = json.load(open(args.selection_from))["selection"]
+        sel = {}
+        for f, row in prior_sel.items():
+            k2 = _rebuild(row["runner_up"], row["runner_up_log_gamma"])
+            k = _rebuild(row["kernel"], row["log_gamma"]) or k2
+            if k is None:
+                raise SystemExit(f"--selection-from: cannot rebuild either kernel for {f}")
+            fam = row["kernel"] if row["log_gamma"] is not None else row["runner_up"]
+            sel[f] = (k, fam, row["val_mse"], k2 or k, row["runner_up"], row["runner_up_mse"])
+            print(f"select[{f}] spliced from {args.selection_from}: {fam}", flush=True)
+        sel_s = 0.0
+        result["selection_from"] = args.selection_from
+    else:
+        sel, sel_s = select_kernels(
+            ds, scalings, z,
+            kernel_ids=(1, 2, 3, 4, 5, 6),
+            n_splits=2 if args.smoke else 6,
+            stride=200 if args.smoke else args.selection_stride,
+        )
     import numpy as _np
 
     def _gamma(k):
@@ -254,25 +286,40 @@ def main(argv=None):
     fallback32 = [to32(sel[f][3]) for f in ("uw", "vw", "wT")]
 
     # 2. build timings vs n: f32 to full scale; f64 probed with n^3 projection.
+    # The splice is KEY-WISE: a prior PARTIAL dump (e.g. a timed-out attempt)
+    # may hold only the f32 ladder — reuse what exists, re-measure the rest.
+    have_f32 = have_f64 = False
     if args.ladders_from:
         prior = json.load(open(args.ladders_from))
-        result["build_f32"] = prior["build_f32"]
-        result["build_f64"] = prior["build_f64"]
+        have_f32 = bool(prior.get("build_f32"))
+        have_f64 = bool(prior.get("build_f64"))
+        if have_f32:
+            result["build_f32"] = prior["build_f32"]
+        if have_f64:
+            result["build_f64"] = prior["build_f64"]
         result["ladders_from"] = args.ladders_from
-        print("build ladders spliced from", args.ladders_from, flush=True)
+        print(f"build ladders spliced from {args.ladders_from} "
+              f"(f32: {have_f32}, f64: {have_f64})", flush=True)
         dump()
-    if not args.ladders_from:  # (an else-branch would clobber the spliced rows)
+    if not have_f32:
         sizes32 = [s for s in (4096, 8192, 16384, n_full) if s <= n_full] or [n_full]
-        result["build_f32"] = [_timed_fit(x32, ys32, kernels32, z, n) for n in sorted(set(sizes32))]
-        for row in result["build_f32"]:
+        result["build_f32"] = []
+        for n in sorted(set(sizes32)):
+            row = _timed_fit(x32, ys32, kernels32, z, n)
+            result["build_f32"].append(row)
             print(f"build f32 n={row['n']}: {row['median_s']*1e3:.1f} ms (compile {row['compile_s']:.1f} s)", flush=True)
-        dump()
+            dump()  # per-row: a killed attempt keeps its measured rows
 
     x64 = jnp.asarray(x32, jnp.float64)
     ys64 = [jnp.asarray(y, jnp.float64) for y in ys32]
     kernels64 = [jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), k) for k in kernels32]
     result.setdefault("build_f64", [])
-    projected = 0.0
+    # Resume-aware: a spliced partial ladder contributes its measured rows
+    # and the loop continues from the first MISSING size (seeding the
+    # projection guard from the last measured row).
+    measured64 = {r["n"] for r in result["build_f64"] if "n" in r}
+    timed64 = [r for r in result["build_f64"] if "median_s" in r]
+    projected = timed64[-1]["median_s"] * 8.0 if timed64 else 0.0
     # HBM guard: the fused 3-flux f64 fit holds ~(dist + 3 K + 3 chol) n^2
     # doubles ~ 56 n^2 bytes; the v5e chip has 16 GB (measured: n=16384
     # f64 OOM-killed the first r3 session arm).
@@ -280,9 +327,9 @@ def main(argv=None):
     # 4 sizes, not 6: each fused f64 build is a 1.5-5 min COMPILE on the
     # chip (r3 logs: 90 s at n=1k, 160 s at 2k), and the n>13.4k sizes only
     # ever record the HBM-guard skip row.
-    for n in ([] if args.ladders_from else [1024, 4096, 8192, n_full]):
-        if n > n_full:
-            break
+    for n in sorted({s for s in (1024, 4096, 8192, n_full) if s <= n_full}):
+        if n in measured64:
+            continue
         if jax.default_backend() == "tpu" and n > f64_hbm_cap:
             result["build_f64"].append(dict(n=int(n), skipped=f"~{56 * n * n / 1e9:.0f} GB f64 working set > HBM"))
             print(f"build f64 n={n}: SKIPPED (HBM)", flush=True)
