@@ -23,6 +23,7 @@ cp docs/gp_at_scale_r4.json "$OUT/gp_partial_attempt1.json"
 run_retry 2 gp_scale 5400 $GP --data-dir $D \
     --selection-from "$OUT/gp_partial_attempt1.json" \
     --ladders-from "$OUT/gp_partial_attempt1.json" \
+    --fidelity-from "$OUT/gp_partial_attempt1.json" \
     --gram-from docs/gp_gram_ab_r4.json \
     --out docs/gp_at_scale_r4.json
 

@@ -151,6 +151,9 @@ def main(argv=None):
                          "splices the resulting json via --gram-from.")
     ap.add_argument("--gram-from", default=None,
                     help="splice a prior --gram-only json into this result")
+    ap.add_argument("--fidelity-from", default=None,
+                    help="splice the f32-vs-f64 fidelity + jitter-sweep results from a "
+                         "prior (possibly partial) result json")
     ap.add_argument("--selection-from", default=None,
                     help="splice the kernel-family selection from a prior (possibly "
                          "partial) result json instead of re-running the ~6-split f64 "
@@ -344,35 +347,53 @@ def main(argv=None):
         projected = row["median_s"] * 8.0  # next size doubles n -> ~8x cholesky
         dump()
 
-    # 3. f32 vs f64 fidelity at a common n.
+    # 3. f32 vs f64 fidelity at a common n (spliceable: the fidelity +
+    # jitter stages are several chip-minutes of f64 compiles a resumed
+    # attempt must not pay twice).
     n_fid = min(4096, n_full)
     held = F.load_suite([F.TEST_FILES[0]])
     xh32, yh32 = _pairs(held, scalings, "wT", jnp.float32)
-    m32 = gp_fit_multi(_subset(x32, n_fid), [_subset(ys32[2], n_fid)], [kernels32[2]], z)[0]
-    m64 = gp_fit_multi(_subset(x64, n_fid), [_subset(ys64[2], n_fid)], [kernels64[2]], z)[0]
-    p32 = np.asarray(gp_predict(m32, xh32))
-    p64 = np.asarray(gp_predict(m64, jnp.asarray(xh32, jnp.float64)))
     yh = np.asarray(yh32)
-    result["fidelity_n"] = int(n_fid)
-    result["f32_vs_f64"] = dict(
-        max_abs_pred_diff=float(np.abs(p32 - p64).max()),
-        rms_pred=float(np.sqrt(np.mean(p64**2))),
-        mse_f32=float(np.mean((p32 - yh) ** 2)),
-        mse_f64=float(np.mean((p64 - yh) ** 2)),
-        winner_kernel=result["selection"]["wT"]["kernel"],
-    )
-    f32_winner_finite = bool(np.isfinite(p32).all())
-    if not f32_winner_finite:
-        # SM in f32 is non-finite at this n (its trig/exp mixture underflows
-        # f32; f64 is fine) — the f32 AT-SCALE path falls back to the best
-        # non-SM family, recorded as such.
-        print("f32 winner non-finite -> falling back to runner-up families for the at-scale f32 fit", flush=True)
-        kernels32 = fallback32
-        result["f32_at_scale_kernel"] = "runner-up (winner non-finite in f32)"
-    del m32, m64, p32, p64
-    print(f"f32 vs f64 @ n={n_fid}: max|dpred| {result['f32_vs_f64']['max_abs_pred_diff']:.3e} "
-          f"(rms {result['f32_vs_f64']['rms_pred']:.3e}); held-out mse {result['f32_vs_f64']['mse_f32']:.4e} "
-          f"vs {result['f32_vs_f64']['mse_f64']:.4e}", flush=True)
+    fid_prior = None
+    if args.fidelity_from:
+        fid_prior = json.load(open(args.fidelity_from))
+        if "f32_vs_f64" not in fid_prior:
+            fid_prior = None
+    if fid_prior is not None:
+        result["fidelity_n"] = fid_prior["fidelity_n"]
+        result["f32_vs_f64"] = fid_prior["f32_vs_f64"]
+        result["fidelity_from"] = args.fidelity_from
+        f32_winner_finite = bool(np.isfinite(fid_prior["f32_vs_f64"]["mse_f32"]))
+        if not f32_winner_finite:
+            kernels32 = fallback32
+            result["f32_at_scale_kernel"] = fid_prior.get(
+                "f32_at_scale_kernel", "runner-up (winner non-finite in f32)")
+        print(f"fidelity spliced from {args.fidelity_from} (f32 finite: {f32_winner_finite})", flush=True)
+    else:
+        m32 = gp_fit_multi(_subset(x32, n_fid), [_subset(ys32[2], n_fid)], [kernels32[2]], z)[0]
+        m64 = gp_fit_multi(_subset(x64, n_fid), [_subset(ys64[2], n_fid)], [kernels64[2]], z)[0]
+        p32 = np.asarray(gp_predict(m32, xh32))
+        p64 = np.asarray(gp_predict(m64, jnp.asarray(xh32, jnp.float64)))
+        result["fidelity_n"] = int(n_fid)
+        result["f32_vs_f64"] = dict(
+            max_abs_pred_diff=float(np.abs(p32 - p64).max()),
+            rms_pred=float(np.sqrt(np.mean(p64**2))),
+            mse_f32=float(np.mean((p32 - yh) ** 2)),
+            mse_f64=float(np.mean((p64 - yh) ** 2)),
+            winner_kernel=result["selection"]["wT"]["kernel"],
+        )
+        f32_winner_finite = bool(np.isfinite(p32).all())
+        if not f32_winner_finite:
+            # SM in f32 is non-finite at this n (its trig/exp mixture underflows
+            # f32; f64 is fine) — the f32 AT-SCALE path falls back to the best
+            # non-SM family, recorded as such.
+            print("f32 winner non-finite -> falling back to runner-up families for the at-scale f32 fit", flush=True)
+            kernels32 = fallback32
+            result["f32_at_scale_kernel"] = "runner-up (winner non-finite in f32)"
+        del m32, m64, p32, p64
+        print(f"f32 vs f64 @ n={n_fid}: max|dpred| {result['f32_vs_f64']['max_abs_pred_diff']:.3e} "
+              f"(rms {result['f32_vs_f64']['rms_pred']:.3e}); held-out mse {result['f32_vs_f64']['mse_f32']:.4e} "
+              f"vs {result['f32_vs_f64']['mse_f64']:.4e}", flush=True)
     dump()
 
     # 4. Pallas MXU Gram vs XLA at large n: this process runs under x64
@@ -401,23 +422,29 @@ def main(argv=None):
     # overconfident posterior. The reference's robust Cholesky escalates
     # jitter until SPD (gaussian_process.jl:60-74); here the level is picked
     # on the VALIDATION sim by MSE.
-    jitter_rows = []
-    for js in (None, 1e-4, 1e-3, 1e-2):
-        # f64: the slowly-decaying selected kernels (RQ at gamma ~ 0.07,
-        # matern12) are numerically non-SPD beyond f32 on the near-duplicate
-        # snapshot rows — measured: every f32 jitter level NaN'd. This is
-        # the reference's own regime (f64 robust Cholesky).
-        m = gp_fit_multi(_subset(x64, n_fid), [_subset(ys64[2], n_fid)], [kernels64[2]], z, jitter_scale=js)[0]
-        mse = float(np.mean((np.asarray(gp_predict(m, jnp.asarray(xh32, jnp.float64))) - yh) ** 2))
-        jitter_rows.append(dict(jitter_scale=js if js is not None else "dtype-default", val_mse=mse))
-        del m
-    finite_rows = [r for r in jitter_rows if np.isfinite(r["val_mse"])] or [{"jitter_scale": "dtype-default"}]
-    best_jitter = min(finite_rows, key=lambda r: r.get("val_mse", np.inf))["jitter_scale"]
-    best_jitter = None if best_jitter == "dtype-default" else best_jitter
-    result["jitter_sweep"] = jitter_rows
-    result["jitter_used"] = best_jitter if best_jitter is not None else "dtype-default"
-    dump()
-    print(f"jitter sweep @ n={n_fid}: " + ", ".join(f"{r['jitter_scale']}: {r['val_mse']:.4e}" for r in jitter_rows), flush=True)
+    if fid_prior is not None and "jitter_sweep" in fid_prior:
+        result["jitter_sweep"] = fid_prior["jitter_sweep"]
+        result["jitter_used"] = fid_prior["jitter_used"]
+        best_jitter = None if result["jitter_used"] == "dtype-default" else float(result["jitter_used"])
+        print(f"jitter sweep spliced: using {result['jitter_used']}", flush=True)
+    else:
+        jitter_rows = []
+        for js in (None, 1e-4, 1e-3, 1e-2):
+            # f64: the slowly-decaying selected kernels (RQ at gamma ~ 0.07,
+            # matern12) are numerically non-SPD beyond f32 on the near-duplicate
+            # snapshot rows — measured: every f32 jitter level NaN'd. This is
+            # the reference's own regime (f64 robust Cholesky).
+            m = gp_fit_multi(_subset(x64, n_fid), [_subset(ys64[2], n_fid)], [kernels64[2]], z, jitter_scale=js)[0]
+            mse = float(np.mean((np.asarray(gp_predict(m, jnp.asarray(xh32, jnp.float64))) - yh) ** 2))
+            jitter_rows.append(dict(jitter_scale=js if js is not None else "dtype-default", val_mse=mse))
+            del m
+        finite_rows = [r for r in jitter_rows if np.isfinite(r["val_mse"])] or [{"jitter_scale": "dtype-default"}]
+        best_jitter = min(finite_rows, key=lambda r: r.get("val_mse", np.inf))["jitter_scale"]
+        best_jitter = None if best_jitter == "dtype-default" else best_jitter
+        result["jitter_sweep"] = jitter_rows
+        result["jitter_used"] = best_jitter if best_jitter is not None else "dtype-default"
+        dump()
+        print(f"jitter sweep @ n={n_fid}: " + ", ".join(f"{r['jitter_scale']}: {r['val_mse']:.4e}" for r in jitter_rows), flush=True)
 
     # 5. final at-scale fit: f32 at full n if it is finite (fast path),
     # else f64 at the largest HBM-feasible n — the selected kernels measured
@@ -470,7 +497,9 @@ def main(argv=None):
             seq_walls.append(time.perf_counter() - t0)
             models.append(m)
             gc.collect()
-        result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
+            result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
+            print(f"seq f64 fit[{flux}] @ n={n_final}: {seq_walls[-1]:.1f} s (incl. compile)", flush=True)
+            dump()
     result["final_fit"] = dict(n=int(n_final), dtype=final_dtype, mode=fit_mode,
                                jitter=best_jitter if best_jitter is not None else "dtype-default")
     print(f"final fit: {final_dtype} @ n={n_final} ({fit_mode})", flush=True)
@@ -481,6 +510,7 @@ def main(argv=None):
     # and coverage is REPORTED on the other two (test) sims, roles marked.
     test_sets = {name: (held if j == 0 else F.load_suite([name])) for j, name in enumerate(F.TEST_FILES)}
     gp_rows = {}
+    result["gp_full"] = gp_rows  # filled + dumped per flux (crash insurance)
     for flux, m in zip(("uw", "vw", "wT"), models):
         cal = None
         sims = {}
@@ -507,8 +537,7 @@ def main(argv=None):
                   f"{row['band_calibrated']['coverage']:.2f} calibrated "
                   f"({row['calibration_role'].split(' ')[0]}, lam {cal.lam:.2f})", flush=True)
         gp_rows[flux] = dict(n=int(n_final), dtype=final_dtype, lam=cal.lam, sims=sims)
-    result["gp_full"] = gp_rows
-    dump()
+        dump()
 
     # 6. GP-closure DE over the full 8-day horizon on the held-out sim.
     from climateparameterizations_jl_tpu.data.containers import scaled_state_array
