@@ -483,23 +483,42 @@ def main(argv=None):
         # OOM at 16k), but one flux at a time holds only dist + K + chol
         # ~ 32 n^2 — n = 16,384 fits in ~8.6 GB of the 16 GB chip. The
         # price is recomputing the shared distance matrix 3x (seconds).
-        n_final = min(args.seq_f64_n, n_full)
+        #
+        # Self-healing size ladder: the axon tunnel's REMOTE-COMPILE service
+        # 500s on the largest f64 programs (r4b, captured: "INTERNAL:
+        # .../remote_compile: HTTP 500" from compile_and_load — THE crash
+        # that killed both r3b attempts, then unexplained) — on failure,
+        # drop to the next size and record the error instead of dying.
         final_dtype = "f64"
         fit_mode = "per-flux sequential"
-        models, seq_walls = [], []
-        x_fit = _subset(x64, n_final)
-        for i, flux in enumerate(("uw", "vw", "wT")):
-            t0 = time.perf_counter()
-            m = jax.jit(
-                lambda a, b, k=kernels64[i]: gp_fit_multi(a, [b], [k], z, jitter_scale=best_jitter)[0]
-            )(x_fit, _subset(ys64[i], n_final))
-            jax.block_until_ready(m.alpha)
-            seq_walls.append(time.perf_counter() - t0)
-            models.append(m)
-            gc.collect()
-            result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
-            print(f"seq f64 fit[{flux}] @ n={n_final}: {seq_walls[-1]:.1f} s (incl. compile)", flush=True)
-            dump()
+        models = None
+        result["seq_f64_errors"] = {}
+        for n_try in [n for n in dict.fromkeys((min(args.seq_f64_n, n_full), 12288, 10240, 8192)) if n <= n_full]:
+            try:
+                trial, seq_walls = [], []
+                x_fit = _subset(x64, n_try)
+                for i, flux in enumerate(("uw", "vw", "wT")):
+                    t0 = time.perf_counter()
+                    m = jax.jit(
+                        lambda a, b, k=kernels64[i]: gp_fit_multi(a, [b], [k], z, jitter_scale=best_jitter)[0]
+                    )(x_fit, _subset(ys64[i], n_try))
+                    jax.block_until_ready(m.alpha)
+                    seq_walls.append(time.perf_counter() - t0)
+                    trial.append(m)
+                    gc.collect()
+                    result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
+                    print(f"seq f64 fit[{flux}] @ n={n_try}: {seq_walls[-1]:.1f} s (incl. compile)", flush=True)
+                    dump()
+                models, n_final = trial, n_try
+                break
+            except Exception as e:
+                result["seq_f64_errors"][str(n_try)] = repr(e)[:300]
+                print(f"seq f64 fit @ n={n_try} FAILED ({e!r:.200}); dropping a size", flush=True)
+                del trial
+                gc.collect()
+                dump()
+        if models is None:
+            raise SystemExit("per-flux f64 fit failed at every ladder size (see seq_f64_errors)")
     result["final_fit"] = dict(n=int(n_final), dtype=final_dtype, mode=fit_mode,
                                jitter=best_jitter if best_jitter is not None else "dtype-default")
     print(f"final fit: {final_dtype} @ n={n_final} ({fit_mode})", flush=True)
