@@ -26,15 +26,21 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 wait_tunnel() { # block until the TPU tunnel answers a probe (wedges are transient)
+  # The probe COMPILES AND RUNS a tiny jitted program end-to-end:
+  # `jax.devices()` alone can succeed while the remote-compile service is
+  # wedged (measured r4b: device probes passed, then every arm hung at its
+  # first compile for its whole timeout).
   local i
-  for i in $(seq 1 20); do
-    if timeout 120 python -c "import jax; print(jax.devices()[0].platform)" 2>/dev/null | grep -q .; then
-      echo "tunnel OK (probe $i)" | tee -a "$OUT/session.log"; return 0
+  for i in $(seq 1 45); do  # wedges can last hours (CLAUDE.md); ~50 min of patience
+    if timeout 180 python -c "
+import jax, jax.numpy as jnp
+print(float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128)))), jax.devices()[0].platform)" 2>/dev/null | grep -q tpu; then
+      echo "tunnel OK (compile probe $i)" | tee -a "$OUT/session.log"; return 0
     fi
-    echo "tunnel probe $i failed; retrying in 60s" | tee -a "$OUT/session.log"
+    echo "tunnel compile-probe $i failed; retrying in 60s" | tee -a "$OUT/session.log"
     sleep 60
   done
-  echo "tunnel unreachable after 20 probes" | tee -a "$OUT/session.log"; return 1
+  echo "tunnel unreachable after 45 probes" | tee -a "$OUT/session.log"; return 1
 }
 
 run_retry() { # run_retry <attempts> <name> <timeout_s> <cmd...> — tunnel can wedge MID-run
