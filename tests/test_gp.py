@@ -356,6 +356,15 @@ class TestGPClosureDE:
         err = float(jnp.mean((traj - x[:11]) ** 2))
         assert err < 0.1
 
+        # Host-chunked dispatch equivalence (the tunnel-safe pattern
+        # studies/gp_at_scale.py stage 6 relies on): chaining two 5-save
+        # solves through the carried state and advanced t0 must reproduce
+        # the single 10-save solve exactly.
+        first = solve_gp_closure(model, gps, x[0], 0.0, dt_save, 5, n_substeps=2)
+        second = solve_gp_closure(model, gps, first[-1], 5 * dt_save, dt_save, 5, n_substeps=2)
+        chunked = jnp.concatenate([first, second[1:]], axis=0)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(traj), rtol=1e-12, atol=1e-12)
+
 
 class TestSpectralMixtureKernel:
     def _kernel(self, D=None):
