@@ -460,80 +460,18 @@ def main(argv=None):
         # intermediate and OOMs where the identical jitted build fits).
         return jax.jit(lambda a, b1, b2, b3: gp_fit_multi(a, [b1, b2, b3], ks_, z, jitter_scale=js))(x, *ys_)
 
-    finite = False
-    fit_mode = "fused 3-flux"
-    if f32_winner_finite:
-        # Only attempt the full-n f32 fit when the n=4096 fidelity fit was
-        # finite — a doomed 12 GB attempt exhausts HBM in a way the f64
-        # fallback then cannot recover from (measured).
-        try:
-            models = _fit(x32, ys32, kernels32, best_jitter)
-            finite = all(bool(jnp.isfinite(m.alpha).all()) for m in models)
-        except Exception as e:
-            result["f32_full_fit_error"] = repr(e)[:200]
-            finite = False
-    else:
-        result["f32_full_fit_error"] = "skipped: n=4096 f32 fit already non-finite (see f32_vs_f64)"
-    if not finite:
-        result["f32_full_fit"] = "non-finite/OOM (measured; see f32_vs_f64 + jitter_sweep)"
-        models = None
-        gc.collect()  # drop the failed f32 attempt's device buffers first
-        # Honest-precision fallback, now PER-FLUX SEQUENTIAL (VERDICT r3
-        # item 7): the fused 3-flux f64 fit holds ~56 n^2 bytes (measured
-        # OOM at 16k), but one flux at a time holds only dist + K + chol
-        # ~ 32 n^2 — n = 16,384 fits in ~8.6 GB of the 16 GB chip. The
-        # price is recomputing the shared distance matrix 3x (seconds).
-        #
-        # Self-healing size ladder: the axon tunnel's REMOTE-COMPILE service
-        # 500s on the largest f64 programs (r4b, captured: "INTERNAL:
-        # .../remote_compile: HTTP 500" from compile_and_load — THE crash
-        # that killed both r3b attempts, then unexplained) — on failure,
-        # drop to the next size and record the error instead of dying.
-        final_dtype = "f64"
-        fit_mode = "per-flux sequential"
-        models = None
-        result["seq_f64_errors"] = {}
-        for n_try in [n for n in dict.fromkeys((min(args.seq_f64_n, n_full), 12288, 10240, 8192)) if n <= n_full]:
-            try:
-                trial, seq_walls = [], []
-                x_fit = _subset(x64, n_try)
-                for i, flux in enumerate(("uw", "vw", "wT")):
-                    t0 = time.perf_counter()
-                    m = jax.jit(
-                        lambda a, b, k=kernels64[i]: gp_fit_multi(a, [b], [k], z, jitter_scale=best_jitter)[0]
-                    )(x_fit, _subset(ys64[i], n_try))
-                    jax.block_until_ready(m.alpha)
-                    seq_walls.append(time.perf_counter() - t0)
-                    trial.append(m)
-                    gc.collect()
-                    result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
-                    print(f"seq f64 fit[{flux}] @ n={n_try}: {seq_walls[-1]:.1f} s (incl. compile)", flush=True)
-                    dump()
-                models, n_final = trial, n_try
-                break
-            except Exception as e:
-                result["seq_f64_errors"][str(n_try)] = repr(e)[:300]
-                print(f"seq f64 fit @ n={n_try} FAILED ({e!r:.200}); dropping a size", flush=True)
-                del trial
-                gc.collect()
-                dump()
-        if models is None:
-            raise SystemExit("per-flux f64 fit failed at every ladder size (see seq_f64_errors)")
-    result["final_fit"] = dict(n=int(n_final), dtype=final_dtype, mode=fit_mode,
-                               jitter=best_jitter if best_jitter is not None else "dtype-default")
-    print(f"final fit: {final_dtype} @ n={n_final} ({fit_mode})", flush=True)
-    fdt = jnp.float32 if final_dtype == "f32" else jnp.float64
-
     # Held-out band discipline, SAME as the deep-ensemble table (VERDICT r3
     # weak #5): the inflation is fit on the FIRST held-out sim (validation)
     # and coverage is REPORTED on the other two (test) sims, roles marked.
     test_sets = {name: (held if j == 0 else F.load_suite([name])) for j, name in enumerate(F.TEST_FILES)}
     gp_rows = {}
     result["gp_full"] = gp_rows  # filled + dumped per flux (crash insurance)
-    for flux, m in zip(("uw", "vw", "wT"), models):
+
+    def _eval_flux_bands(flux, m, n_final, final_dtype):
+        fdt = jnp.float32 if final_dtype == "f32" else jnp.float64
         cal = None
         sims = {}
-        for j, name in enumerate(F.TEST_FILES):
+        for name in F.TEST_FILES:
             xh, yh_f = _pairs(test_sets[name], scalings, flux, fdt)
             pred = np.asarray(gp_predict(m, xh))
             var = np.asarray(gp_uncertainty(m, xh))  # per-snapshot posterior variance
@@ -557,6 +495,87 @@ def main(argv=None):
                   f"({row['calibration_role'].split(' ')[0]}, lam {cal.lam:.2f})", flush=True)
         gp_rows[flux] = dict(n=int(n_final), dtype=final_dtype, lam=cal.lam, sims=sims)
         dump()
+
+    def _strip_chol(m):
+        # gp_predict and the GP-DE RHS only need (kernel, x_train, alpha);
+        # chol is an n^2 buffer (1.2 GB at n=12k f64) that only the band
+        # stage's gp_uncertainty touches. Retaining finished fluxes' chols
+        # while fitting the next flux is what OOM'd the r4c first attempt
+        # (12k uw ok -> vw ResourceExhausted -> every smaller size poisoned).
+        import dataclasses as dc
+
+        return dc.replace(m, chol=None)
+
+    finite = False
+    fit_mode = "fused 3-flux"
+    if f32_winner_finite:
+        # Only attempt the full-n f32 fit when the n=4096 fidelity fit was
+        # finite — a doomed 12 GB attempt exhausts HBM in a way the f64
+        # fallback then cannot recover from (measured).
+        try:
+            models = _fit(x32, ys32, kernels32, best_jitter)
+            finite = all(bool(jnp.isfinite(m.alpha).all()) for m in models)
+        except Exception as e:
+            result["f32_full_fit_error"] = repr(e)[:200]
+            finite = False
+    else:
+        result["f32_full_fit_error"] = "skipped: n=4096 f32 fit already non-finite (see f32_vs_f64)"
+    if finite:
+        out_models = []
+        for flux, m in zip(("uw", "vw", "wT"), models):
+            _eval_flux_bands(flux, m, n_final, final_dtype)
+            out_models.append(_strip_chol(m))
+        models = out_models
+        gc.collect()
+    else:
+        result["f32_full_fit"] = "non-finite/OOM (measured; see f32_vs_f64 + jitter_sweep)"
+        models = None
+        gc.collect()  # drop the failed f32 attempt's device buffers first
+        # Honest-precision fallback, now PER-FLUX SEQUENTIAL (VERDICT r3
+        # item 7): the fused 3-flux f64 fit holds ~56 n^2 bytes (measured
+        # OOM at 16k), but one flux at a time holds only dist + K + chol
+        # ~ 32 n^2. Each flux is fit -> band-scored -> chol-stripped before
+        # the next starts, so only ONE n^2 factor is ever live.
+        #
+        # Self-healing size ladder: the axon tunnel's REMOTE-COMPILE service
+        # 500s on the largest f64 programs (r4b, captured: "INTERNAL:
+        # .../remote_compile: HTTP 500" from compile_and_load — THE crash
+        # that killed both r3b attempts, then unexplained) — on failure,
+        # drop to the next size and record the error instead of dying.
+        final_dtype = "f64"
+        fit_mode = "per-flux sequential"
+        result["seq_f64_errors"] = {}
+        for n_try in [n for n in dict.fromkeys((min(args.seq_f64_n, n_full), 12288, 10240, 8192)) if n <= n_full]:
+            trial = []
+            try:
+                seq_walls = []
+                x_fit = _subset(x64, n_try)
+                for i, flux in enumerate(("uw", "vw", "wT")):
+                    t0 = time.perf_counter()
+                    m = jax.jit(
+                        lambda a, b, k=kernels64[i]: gp_fit_multi(a, [b], [k], z, jitter_scale=best_jitter)[0]
+                    )(x_fit, _subset(ys64[i], n_try))
+                    jax.block_until_ready(m.alpha)
+                    seq_walls.append(time.perf_counter() - t0)
+                    result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
+                    print(f"seq f64 fit[{flux}] @ n={n_try}: {seq_walls[-1]:.1f} s (incl. compile)", flush=True)
+                    _eval_flux_bands(flux, m, n_try, final_dtype)
+                    trial.append(_strip_chol(m))
+                    del m
+                    gc.collect()
+                models, n_final = trial, n_try
+                break
+            except Exception as e:
+                result["seq_f64_errors"][str(n_try)] = repr(e)[:300]
+                print(f"seq f64 fit @ n={n_try} FAILED ({e!r:.200}); dropping a size", flush=True)
+                del trial
+                gc.collect()
+                dump()
+        if models is None:
+            raise SystemExit("per-flux f64 fit failed at every ladder size (see seq_f64_errors)")
+    result["final_fit"] = dict(n=int(n_final), dtype=final_dtype, mode=fit_mode,
+                               jitter=best_jitter if best_jitter is not None else "dtype-default")
+    print(f"final fit: {final_dtype} @ n={n_final} ({fit_mode})", flush=True)
 
     # 6. GP-closure DE over the full 8-day horizon on the held-out sim.
     from climateparameterizations_jl_tpu.data.containers import scaled_state_array
