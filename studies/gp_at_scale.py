@@ -583,6 +583,10 @@ def main(argv=None):
 
     x_true = scaled_state_array(held, scalings)
     x_true = x_true.reshape(-1, x_true.shape[-2], x_true.shape[-1])[0]
+    # Integrate in the MODELS' dtype: an f32 carry with f64 GP predictions
+    # is a scan carry-type mismatch (and silently downcasting the GP would
+    # undo the precision the f64 fit paid for).
+    x_true = jnp.asarray(x_true, jnp.float64 if final_dtype == "f64" else jnp.float32)
     n_frames = int(x_true.shape[0] - 1) if not args.smoke else min(48, x_true.shape[0] - 1)
     t_row = held.t.reshape(-1, held.t.shape[-1])[0] if held.t.ndim > 1 else held.t
     dt_hat = float((t_row[1] - t_row[0]) / model.tau)
