@@ -85,22 +85,37 @@ class BandCalibration:
     lam_nll: float
     lam_coverage: float
     nominal: float = 0.95
+    floor: float = 1.0
 
     @property
     def lam(self) -> float:
         """The inflation applied downstream: the coverage-matching fit (it
         targets the quantity RESULTS reports; the NLL fit is logged for the
-        tails-vs-band tradeoff discussion)."""
-        return self.lam_coverage
+        tails-vs-band tradeoff discussion), floored at ``floor``.
+
+        The floor defaults to 1.0 — ONLY-INFLATE. Measured rationale
+        (round 4, `docs/gp_at_scale_r4.json` gp_full): when the validation
+        sim OVER-covers (GP raw coverage 1.00 on vw/wT), the quantile fit
+        shrinks the bands (lam 0.35/0.25) and the shrink transfers
+        catastrophically to a harder held-out sim (2-sigma coverage
+        0.74 -> 0.49, 0.70 -> 0.51 against nominal 0.95). Shrinking below
+        the raw band on one sim's evidence trades conservative
+        over-coverage for harmful under-coverage; inflation (the
+        deep-ensemble case, lam = 8.3) transfers safely. Pass floor=0.0 to
+        recover the unfloored fit.
+        """
+        return max(self.lam_coverage, self.floor)
 
 
-def fit_band_calibration(truth, mean, std, nominal: float = 0.95) -> BandCalibration:
+def fit_band_calibration(truth, mean, std, nominal: float = 0.95,
+                         floor: float = 1.0) -> BandCalibration:
     """Fit both inflation rules on one validation sim's bands."""
     z = standardized_errors(truth, mean, std)
     return BandCalibration(
         lam_nll=fit_inflation_nll(z),
         lam_coverage=fit_inflation_coverage(z, nominal),
         nominal=nominal,
+        floor=floor,
     )
 
 

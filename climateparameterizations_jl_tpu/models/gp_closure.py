@@ -54,6 +54,57 @@ def _share_gram(gps: FluxGPs) -> bool:
     return True
 
 
+def share_train_inputs(gps: FluxGPs) -> FluxGPs:
+    """Rebind value-equal training inputs to ONE object so `_share_gram` fires.
+
+    Per-flux SEQUENTIAL fits (the at-scale f64 path, `studies/
+    gp_at_scale.py`) pass the same predictors through three separate jit
+    calls, so the fitted models' ``x_train``/``z`` leaves are distinct
+    device arrays and `_share_gram`'s identity checks can never succeed —
+    the GP-DE then pays three cross-Gram matrices per RK4 stage where one
+    suffices. This host-side canonicalization compares the leaves by VALUE
+    (once, outside jit) and rebinds equal ones to a shared object; kernels
+    are likewise shared only when type- and field-equal. Models that do not
+    match are returned unchanged, so this is always safe to call.
+    """
+    import dataclasses as dc
+
+    import numpy as np
+
+    ms = (gps.uw, gps.vw, gps.wT)
+    x0, z0 = ms[0].x_train, ms[0].z
+    if not all(m.x_train.shape == x0.shape and m.z.shape == z0.shape for m in ms[1:]):
+        return gps
+    if not all(
+        np.array_equal(np.asarray(m.x_train), np.asarray(x0))
+        and np.array_equal(np.asarray(m.z), np.asarray(z0))
+        for m in ms[1:]
+    ):
+        return gps
+    k0 = ms[0].kernel
+
+    def _kernel_equal(k) -> bool:
+        if type(k) is not type(k0):
+            return False
+        for f in dc.fields(k0):
+            v0, v = getattr(k0, f.name), getattr(k, f.name)
+            if isinstance(v0, (str, bool)):
+                if v0 != v:
+                    return False
+            elif not np.array_equal(np.asarray(v0), np.asarray(v)):
+                return False
+        return True
+
+    all_kernels_equal = all(_kernel_equal(m.kernel) for m in ms[1:])
+    rebound = []
+    for m in ms:
+        m = dc.replace(m, x_train=x0, z=z0)
+        if all_kernels_equal:
+            m = dc.replace(m, kernel=k0)
+        rebound.append(m)
+    return FluxGPs(*rebound)
+
+
 def gp_closure_rhs(model: WindMixingModel, gps: FluxGPs, x, t):
     """``dx/dt_hat`` with GP-predicted scaled flux faces; batches over rows.
 

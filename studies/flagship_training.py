@@ -738,6 +738,11 @@ def main(argv=None):
                          "deployment host (the NDE-stage checkpoint is kept alongside as "
                          "<save-nns>_nde_stage)")
     args = ap.parse_args(argv)
+    if args.finish_aposteriori and args.ensemble:
+        # Fail in milliseconds, not after the chip-hours ensemble pipeline:
+        # the late check (post-training) used to discard the run it just paid
+        # for (ADVICE r4).
+        ap.error("--finish-aposteriori takes a solo run (extract an ensemble member first)")
     args.fast_assembly = {"on": True, "off": False}.get(args.fast_assembly, args.fast_assembly)
     global TRAIN_FILES, TEST_FILES, DATA_DIR
     DATA_DIR = args.data_dir
@@ -904,8 +909,6 @@ def main(argv=None):
             # checkpoint is the one that HELPS the deployment host (the
             # NDE-stage checkpoint measured 0.3-0.4x vs its physics twin on
             # LES data before this stage).
-            if args.ensemble:
-                raise SystemExit("--finish-aposteriori takes a solo run (extract an ensemble member first)")
             print("held-out embedded eval BEFORE the a-posteriori stage:", flush=True)
             before = evaluate_embedded(model, nns, embedded_substeps=args.ft_substeps)
             nns, ft = aposteriori_finetune(

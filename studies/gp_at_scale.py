@@ -240,18 +240,26 @@ def main(argv=None):
             return get_kernel(_ids[fam], lg, 0.0, "euclidean", dtype=jnp.float64)
 
         prior_sel = json.load(open(args.selection_from))["selection"]
-        sel = {}
+        sel, rebuilt_from_runner_up = {}, set()
         for f, row in prior_sel.items():
             k2 = _rebuild(row["runner_up"], row["runner_up_log_gamma"])
             k = _rebuild(row["kernel"], row["log_gamma"]) or k2
             if k is None:
                 raise SystemExit(f"--selection-from: cannot rebuild either kernel for {f}")
-            fam = row["kernel"] if row["log_gamma"] is not None else row["runner_up"]
-            sel[f] = (k, fam, row["val_mse"], k2 or k, row["runner_up"], row["runner_up_mse"])
+            if row["log_gamma"] is not None:
+                fam, err = row["kernel"], row["val_mse"]
+            else:
+                # SM winner unreconstructable -> the runner-up IS the spliced
+                # model; pair its name with ITS val mse (not the winner's) so
+                # the re-dumped selection row stays self-consistent.
+                fam, err = row["runner_up"], row["runner_up_mse"]
+                rebuilt_from_runner_up.add(f)
+            sel[f] = (k, fam, err, k2 or k, row["runner_up"], row["runner_up_mse"])
             print(f"select[{f}] spliced from {args.selection_from}: {fam}", flush=True)
         sel_s = 0.0
         result["selection_from"] = args.selection_from
     else:
+        rebuilt_from_runner_up = set()
         sel, sel_s = select_kernels(
             ds, scalings, z,
             kernel_ids=(1, 2, 3, 4, 5, 6),
@@ -266,7 +274,8 @@ def main(argv=None):
 
     result["selection"] = {
         f: dict(kernel=fam, val_mse=err, log_gamma=_gamma(k),
-                runner_up=fam2, runner_up_mse=err2, runner_up_log_gamma=_gamma(k2))
+                runner_up=fam2, runner_up_mse=err2, runner_up_log_gamma=_gamma(k2),
+                **({"rebuilt_from": "runner_up"} if f in rebuilt_from_runner_up else {}))
         for f, (k, fam, err, k2, fam2, err2) in sel.items()
     }
     result["selection_wall_s"] = sel_s
@@ -493,7 +502,11 @@ def main(argv=None):
                   f"2-sigma coverage {row['band_raw']['coverage']:.2f} -> "
                   f"{row['band_calibrated']['coverage']:.2f} calibrated "
                   f"({row['calibration_role'].split(' ')[0]}, lam {cal.lam:.2f})", flush=True)
-        gp_rows[flux] = dict(n=int(n_final), dtype=final_dtype, lam=cal.lam, sims=sims)
+        # lam is the APPLIED inflation (only-inflate floor, round 5 —
+        # shrinking on one over-dispersed validation sim measured 0.49/0.51
+        # held-out coverage in r4); the unfloored fit stays recorded.
+        gp_rows[flux] = dict(n=int(n_final), dtype=final_dtype, lam=cal.lam,
+                             lam_fit_unfloored=cal.lam_coverage, sims=sims)
         dump()
 
     def _strip_chol(m):
@@ -579,7 +592,12 @@ def main(argv=None):
 
     # 6. GP-closure DE over the full 8-day horizon on the held-out sim.
     from climateparameterizations_jl_tpu.data.containers import scaled_state_array
-    from climateparameterizations_jl_tpu.models.gp_closure import FluxGPs, solve_gp_closure
+    from climateparameterizations_jl_tpu.models.gp_closure import (
+        FluxGPs,
+        _share_gram,
+        share_train_inputs,
+        solve_gp_closure,
+    )
 
     x_true = scaled_state_array(held, scalings)
     x_true = x_true.reshape(-1, x_true.shape[-2], x_true.shape[-1])[0]
@@ -590,7 +608,13 @@ def main(argv=None):
     n_frames = int(x_true.shape[0] - 1) if not args.smoke else min(48, x_true.shape[0] - 1)
     t_row = held.t.reshape(-1, held.t.shape[-1])[0] if held.t.ndim > 1 else held.t
     dt_hat = float((t_row[1] - t_row[0]) / model.tau)
-    gps = FluxGPs(uw=models[0], vw=models[1], wT=models[2])
+    # Per-flux sequential fits leave x_train/z as distinct jit outputs, so
+    # the fused-Gram fast path's identity checks can never fire; rebind
+    # value-equal leaves to one object (no-op for the fused fit, whose
+    # leaves already share). With MIXED selected kernels the three
+    # cross-Grams per stage remain — recorded in the gp_de row.
+    gps = share_train_inputs(FluxGPs(uw=models[0], vw=models[1], wT=models[2]))
+    gram_shared = _share_gram(gps)
     # Host-chunked dispatch: one 1,152-save f64 scan is a single device
     # program well past the tunnel's ~60-90 s killer (the r3b crash that
     # destroyed this stage twice); equal-size chunks reuse one compile.
@@ -633,6 +657,9 @@ def main(argv=None):
         trajectory_mse=float(jnp.mean((traj - x_true[: n_frames + 1]) ** 2)),
         trajectory_mse_T=mse_T, trajectory_mse_T_stride9=mse_T_9,
         nde_mse_T_same_sim=nde_mse, held_out=F.TEST_FILES[0],
+        fused_gram=bool(gram_shared),
+        gram_cost_note=None if gram_shared else
+        "mixed selected kernels: 3 cross-Grams per RK4 stage (no fused path)",
     )
     print(f"gp-de[{F.TEST_FILES[0]}]: {n_frames + 1} frames, T mse {mse_T:.4e} "
           f"(stride-9 {mse_T_9:.4e} vs NDE {nde_mse if nde_mse is None else format(nde_mse, '.4e')}; "

@@ -365,6 +365,28 @@ class TestGPClosureDE:
         chunked = jnp.concatenate([first, second[1:]], axis=0)
         np.testing.assert_allclose(np.asarray(chunked), np.asarray(traj), rtol=1e-12, atol=1e-12)
 
+        # share_train_inputs: per-flux SEQUENTIAL fits (distinct jit outputs
+        # for x_train/z, value-equal) must be rebindable onto the fused-Gram
+        # fast path — the ADVICE r4 finding that the at-scale GP-DE paid
+        # three cross-Grams per stage for identical kernels.
+        import jax as _jax
+
+        from climateparameterizations_jl_tpu.models.gp_closure import share_train_inputs
+
+        fit_j = _jax.jit(lambda xx, yy: gp_fit(xx, yy, k, z))
+        seq = FluxGPs(uw=fit_j(x, uw_s), vw=fit_j(x, vw_s), wT=fit_j(x, wT_s))
+        assert not _share_gram(seq)  # distinct jit outputs: identity fails
+        shared = share_train_inputs(seq)
+        assert _share_gram(shared)
+        r_seq = gp_closure_rhs(model, seq, x[0], 0.0)
+        r_shared = gp_closure_rhs(model, shared, x[0], 0.0)
+        np.testing.assert_allclose(np.asarray(r_shared), np.asarray(r_seq), rtol=1e-10)
+        # Value-UNEQUAL training sets must be returned unchanged (safety);
+        # `broken` (same values, different object) is exactly what the
+        # helper exists to repair, so it uses shifted values instead.
+        unequal = FluxGPs(uw=gps.uw, vw=dc.replace(gps.vw, x_train=gps.vw.x_train + 1.0), wT=gps.wT)
+        assert share_train_inputs(unequal) == unequal
+
 
 class TestSpectralMixtureKernel:
     def _kernel(self, D=None):

@@ -55,11 +55,33 @@ class TestFitting:
         rep = band_report(truth, mean, std, lam=cal.lam)
         assert abs(rep["coverage"] - 0.95) < 5e-3
 
-    def test_overdispersed_deflates(self):
+    def test_overdispersed_fit_deflates_but_applied_lam_floors_at_one(self):
+        """The raw quantile fit on an over-dispersed validation set is < 1,
+        but the APPLIED lam floors at 1 (only-inflate, round-5 default):
+        shrinking on one sim's evidence transferred to 0.49/0.51 held-out
+        coverage in the round-4 GP study (gp_at_scale_r4.json)."""
         rng = np.random.default_rng(4)
         truth, mean, std = _gaussian_bands(rng, understate=0.5)
         cal = fit_band_calibration(truth, mean, std)
-        assert cal.lam < 0.6
+        assert cal.lam_coverage < 0.6  # the unfloored fit is recorded
+        assert cal.lam == 1.0  # ...but never applied as a shrink
+        unfloored = fit_band_calibration(truth, mean, std, floor=0.0)
+        assert unfloored.lam == unfloored.lam_coverage < 0.6
+
+    def test_only_inflate_transfer(self):
+        """The measured GP failure mode in miniature: validation bands
+        over-dispersed (raw coverage ~1.0), test bands roughly calibrated.
+        The unfloored shrink drives the test set UNDER nominal; the floored
+        policy keeps it at its (adequate) raw coverage."""
+        rng = np.random.default_rng(7)
+        val = _gaussian_bands(rng, understate=0.4)   # validation over-covers
+        test = _gaussian_bands(rng, understate=1.0)  # test is calibrated
+        unfloored = fit_band_calibration(*val, floor=0.0)
+        floored = fit_band_calibration(*val)
+        cov_shrunk = band_report(*test, lam=unfloored.lam)["coverage"]
+        cov_floored = band_report(*test, lam=floored.lam)["coverage"]
+        assert cov_shrunk < 0.7  # the harmful transfer
+        assert cov_floored > 0.93  # only-inflate preserves raw coverage
 
 
 class TestReport:
