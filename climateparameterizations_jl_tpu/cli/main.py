@@ -1686,7 +1686,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train a K-member deep ensemble (independently-seeded members stacked "
                         "on a leading axis, all trained by ONE jitted step; evaluate surfaces "
                         "predictive mean/std bands). 0 = single closure (default)")
-    p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="split stepper's implicit solve; pcr is 1.35x faster on TPU (PERFORMANCE.md)")
+    p.add_argument("--tridiag-backend", default="auto", choices=["auto", "scan", "pcr"],
+                   help="split stepper's implicit solve; auto resolves per window length "
+                        "(PCR for long sequential windows, scan for short shooting windows; "
+                        "train.nde.resolve_tridiag_backend)")
     p.add_argument("--fast-assembly", nargs="?", const="on", default="auto",
                    choices=["on", "off", "auto", "fold"],
                    help="matmul-assembled RHS/tendencies for split or rk4 (fewer tiny ops per substep; "
@@ -1727,7 +1730,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fraction-profile", type=float, default=0.5)
     p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
-    p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="host column's implicit solve")
+    p.add_argument("--tridiag-backend", default="auto", choices=["auto", "scan", "pcr"],
+                   help="host column's implicit solve (auto: per-window resolution)")
     p.set_defaults(fn=cmd_train_embedded)
 
     p = sub.add_parser(
@@ -1754,7 +1758,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--curriculum", default=None, help="comma-separated window lengths w[:stride], e.g. 8,16,32")
     p.add_argument("--resume-from", default=None, help="checkpoint dir with params + optimizer state to resume")
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd", "lbfgs"])
-    p.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"], help="host column's implicit solve")
+    p.add_argument("--tridiag-backend", default="auto", choices=["auto", "scan", "pcr"],
+                   help="host column's implicit solve (auto: per-window resolution)")
     p.set_defaults(fn=cmd_train_embedded_fc)
 
     p = sub.add_parser("evaluate-fc", help="free-convection comparison across sim ids + loss matrix")

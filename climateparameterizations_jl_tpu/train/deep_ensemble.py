@@ -129,6 +129,53 @@ def make_ensemble_loss_fn(model: WindMixingModel, batch: TrainingBatch, stacked_
     return loss_fn
 
 
+def make_folded_ensemble_loss_fn(model: WindMixingModel, batch: TrainingBatch, stacked_scalings: LossChannels, config: NDETrainConfig) -> Callable:
+    """Member-FOLDED ensemble loss: same contract as
+    :func:`make_ensemble_loss_fn`, different lowering.
+
+    Instead of vmapping the whole scanned solve over the member axis (M
+    op-issues of tiny batched matmuls per RHS — the measured reason the
+    member axis scaled far worse than the sim axis, VERDICT r4 weak #8),
+    the members ride the solve's native batch dimension: ONE solve over
+    states ``(..., M, 3 Nz)`` with a single block-diagonal
+    :class:`~climateparameterizations_jl_tpu.models.wind_mixing.
+    MemberPackedFluxNNs` matmul chain (built once per loss call, hoisted
+    out of the time scan). Exact up to matmul reduction order
+    (``tests/test_deep_ensemble.py::TestMemberFold``); the loss itself is
+    computed per member (vmap over the already-solved trajectory — cheap).
+    """
+    import dataclasses as dc
+
+    from climateparameterizations_jl_tpu.models.wind_mixing import pack_member_flux_nns
+    from climateparameterizations_jl_tpu.train.nde import _solve as _solve_nde
+
+    def loss_fn(stacked_nns):
+        folded = pack_member_flux_nns(stacked_nns)
+        if folded is None:
+            raise ValueError("member fold requires packable (same-depth, same-activation) MLP members")
+        M = folded.n_members
+        x0 = jnp.broadcast_to(
+            batch.x0[..., None, :], batch.x0.shape[:-1] + (M, batch.x0.shape[-1])
+        )
+        # pack_nns=False: the members are already fused; _solve must not
+        # try to re-pack the (non-FluxNNs) folded chain.
+        pred = _solve_nde(model, folded, dc.replace(batch, x0=x0),
+                          dc.replace(config, pack_nns=False))
+        # _solve returns (batch..., Nt, 3 Nz) with batch = (S[, K], M).
+        pred_m = jnp.moveaxis(pred, -3, 0)  # (M, S[, K], Nt, 3 Nz)
+
+        def member(p, scalings):
+            channels = nde_loss_channels(p, batch.targets, model.Nz, config.train_gradient)
+            scaled = apply_loss_scalings(channels, scalings)
+            return scaled.total(), scaled
+
+        totals, channels = jax.vmap(member)(pred_m, stacked_scalings)
+        mean_channels = jax.tree.map(lambda x: jnp.mean(x, axis=0), channels)
+        return jnp.sum(totals), mean_channels
+
+    return loss_fn
+
+
 def resume_ensemble_train_state(checkpoint_dir: str, stacked_nns, optimizer):
     """Restore stacked ``(params, opt_state)`` from an ensemble checkpoint.
 
@@ -207,16 +254,21 @@ def train_wind_mixing_deep_ensemble(
     callback=None,
     checkpoint_dir: str | None = None,
     resume_from: str | None = None,
+    member_fold: bool = False,
 ):
     """Train K stacked flux-NN members through the scanned NDE solve at once.
 
     Same contract as ``train.nde.train_wind_mixing_nde`` (curriculum stages,
     checkpoint/resume, per-iteration history) but over a stacked params
     pytree; history entries are member-MEAN :class:`LossChannels`. Returns
-    ``(stacked_nns, history)``.
+    ``(stacked_nns, history)``. ``member_fold=True`` lowers the member axis
+    into the solve's native batch dimension via one block-diagonal chain
+    (:func:`make_folded_ensemble_loss_fn`) instead of the member vmap —
+    same math, measured-faster layout on TPU.
     """
     from climateparameterizations_jl_tpu.train.checkpoint import save_checkpoint
 
+    make_loss = make_folded_ensemble_loss_fn if member_fold else make_ensemble_loss_fn
     _check_independent_optimizer(config)
     n_members = ensemble_size(stacked_nns)
 
@@ -238,7 +290,7 @@ def train_wind_mixing_deep_ensemble(
     cb = _member_mean_callback(callback, n_members)
     if stages is None:
         scalings = ensemble_loss_scalings(model, stacked_nns, batch, config)
-        loss_fn = make_ensemble_loss_fn(model, batch, scalings, config)
+        loss_fn = make_loss(model, batch, scalings, config)
         stacked_nns, history_all, opt_state = _train_loop(
             loss_fn, stacked_nns, _make_optimizer(config), config.maxiters, cb, opt_state
         )
@@ -250,7 +302,7 @@ def train_wind_mixing_deep_ensemble(
         _require_uniform(stage_batch.t, f"ensemble curriculum stage {i}")
         stage_config = dataclasses.replace(config, n_substeps=stage.n_substeps) if stage.n_substeps else config
         scalings = ensemble_loss_scalings(model, stacked_nns, stage_batch, stage_config)
-        loss_fn = make_ensemble_loss_fn(model, stage_batch, scalings, stage_config)
+        loss_fn = make_loss(model, stage_batch, scalings, stage_config)
         stacked_nns, h, opt_state = _train_loop(
             loss_fn, stacked_nns, _make_optimizer(stage_config, stage.learning_rate), stage.maxiters, cb, opt_state
         )

@@ -58,6 +58,7 @@ from climateparameterizations_jl_tpu.train.nde import (
     _make_optimizer,
     _require_uniform,
     _train_loop,
+    resolve_tridiag_backend,
     resume_train_state,
 )
 
@@ -124,7 +125,9 @@ def _solve_embedded(host: HostColumnModel, nns: FluxNNs, batch: EmbeddedBatch, c
     dt = jnp.asarray((batch.t[-1] - batch.t[0]) / (n_save * config.n_substeps), dtype)
     traj = run_embedded_column(
         host, nns, batch.state0, dt, n_save, config.n_substeps,
-        tridiag_backend=config.tridiag_backend, t0=batch.t[0], remat=True,
+        tridiag_backend=resolve_tridiag_backend(
+            config.tridiag_backend, n_save * config.n_substeps),
+        t0=batch.t[0], remat=True,
     )
     s = host.scalings
     scaled = join_uvT(s.u.scale(traj.u), s.v.scale(traj.v), s.T.scale(traj.T))
@@ -200,7 +203,9 @@ def _solve_embedded_fc(host: HostColumnModel, nn, batch: EmbeddedBatch, config: 
     dt = jnp.asarray((batch.t[-1] - batch.t[0]) / (n_save * config.n_substeps), dtype)
     traj = run_embedded_column(
         host, FluxNNs(uw=None, vw=None, wT=nn), batch.state0, dt, n_save, config.n_substeps,
-        tridiag_backend=config.tridiag_backend, t0=batch.t[0], remat=True,
+        tridiag_backend=resolve_tridiag_backend(
+            config.tridiag_backend, n_save * config.n_substeps),
+        t0=batch.t[0], remat=True,
     )
     return jnp.moveaxis(host.scalings.T.scale(traj.T), 0, -2)
 

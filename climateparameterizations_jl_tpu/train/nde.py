@@ -53,7 +53,14 @@ class NDETrainConfig:
     training_fractions: dict | None = None  # {"T":, "dTdz":, "profile":}
     optimizer: str = "adam"
     pack_nns: bool = True  # fuse the 3 flux MLPs into one matmul chain (3x faster rk4 steps)
-    tridiag_backend: str = "scan"  # "scan" | "pcr" for the split stepper's implicit solve
+    # "scan" | "pcr" | "auto" for the split stepper's implicit solve. "auto"
+    # resolves PER WINDOW LENGTH (resolve_tridiag_backend): PCR's log-depth
+    # solve wins the long sequential windows (1,152 inner steps: 25.3 vs
+    # 32.2 ms/iter) but its extra log-steps LOSE on the short windows the
+    # shooting decomposition produces (K=16 -> 72 inner steps: 10.9 vs
+    # 6.2 ms/iter, BENCH_r04 vs step_bench_r3_k16) — the r4 lesson that one
+    # global backend is the wrong config for one of the two modes.
+    tridiag_backend: str = "auto"
     split_unroll: int = 1  # substep-scan unroll in the split stepper
     # "auto" (default) resolves to "fold" — matmul-assembled tendencies with
     # the divergence matrix precomposed into the packed last NN layer, the
@@ -112,6 +119,29 @@ def _require_uniform(t, where: str):
         raise ValueError(f"{where}: tsteps must be uniformly spaced (got save intervals {dt.ravel()[:4]}...)")
 
 
+# Provisional scan/PCR crossover in INNER STEPS per solve window, between the
+# two chip-measured anchors: K=16 shooting windows (72 steps, scan wins 6.2
+# vs 10.9 ms) and sequential (1,152 steps, PCR wins 25.3 vs 32.2 ms).
+# Refined by the round-5 K-sweep (studies/chip_session_r5).
+PCR_MIN_INNER_STEPS = 512
+
+
+def resolve_tridiag_backend(backend: str, n_inner_steps: int) -> str:
+    """Resolve ``"auto"`` to the measured-best solve backend for a window.
+
+    CPU always resolves to scan (PCR's extra flops lose there: 532 vs
+    443 ms single-core, PERFORMANCE.md); on TPU, PCR for long sequential
+    windows, scan for the short windows multiple shooting produces.
+    """
+    if backend != "auto":
+        return backend
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return "scan"
+    return "pcr" if n_inner_steps >= PCR_MIN_INNER_STEPS else "scan"
+
+
 def solve_with_config(model: WindMixingModel, nns: FluxNNs, bcs, x0, t0, dt_save, n_save: int, config: NDETrainConfig):
     """Dispatch to the configured solver, honoring EVERY solver knob.
 
@@ -126,7 +156,9 @@ def solve_with_config(model: WindMixingModel, nns: FluxNNs, bcs, x0, t0, dt_save
     if config.method == "split":
         return solve_wind_mixing_split(
             model, nns, bcs, x0, t0, dt_save, n_save, config.n_substeps,
-            tridiag_backend=config.tridiag_backend, unroll=config.split_unroll,
+            tridiag_backend=resolve_tridiag_backend(
+                config.tridiag_backend, n_save * config.n_substeps),
+            unroll=config.split_unroll,
             fast_assembly=fast_assembly,
             implicit_solve_grad=config.implicit_solve_grad,
         )

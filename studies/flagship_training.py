@@ -170,7 +170,7 @@ def calibrate_mpp(ds, model, optimizer="lbfgs", maxiters=60, window=200, stride=
 
 
 def nde_train(ds, model, nns, stages=STAGES, fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
-              tridiag_backend="scan", fast_assembly="auto", shooting=0, shooting_hybrid=False,
+              tridiag_backend="auto", fast_assembly="auto", shooting=0, shooting_hybrid=False,
               host_matched_substeps=False):
     from climateparameterizations_jl_tpu.data.containers import (
         multiple_shooting_tensors,
@@ -281,8 +281,8 @@ def pretrain_ensemble(ds, model, members, epochs=150, lr=1e-3):
 
 def nde_train_ensemble(ds, model, members, stages=STAGES,
                        fractions={"T": 0.8, "dTdz": 0.8, "profile": 0.5},
-                       tridiag_backend="scan", fast_assembly="auto",
-                       shooting=0, shooting_hybrid=False):
+                       tridiag_backend="auto", fast_assembly="auto",
+                       shooting=0, shooting_hybrid=False, member_fold=False):
     """Deep-ensemble flagship training: ONE jitted step advances all K members.
 
     Same staging as :func:`nde_train`; per-stage report carries member-MEAN
@@ -319,7 +319,8 @@ def nde_train_ensemble(ds, model, members, stages=STAGES,
         else:
             batch = training_tensors(ds, model.scalings, tsteps, tau=model.tau)
         t0 = time.perf_counter()
-        stacked, hist = train_wind_mixing_deep_ensemble(model, stacked, batch, config)
+        stacked, hist = train_wind_mixing_deep_ensemble(model, stacked, batch, config,
+                                                        member_fold=member_fold)
         wall = time.perf_counter() - t0
         inner = int((len(tsteps) - 1) * stride)
         report.append(dict(
@@ -442,7 +443,7 @@ def evaluate_embedded(model, nns, Nz=32, embedded_substeps=10):
 
 
 def aposteriori_finetune(ds, model, nns, maxiters=60, lr=3e-4, window=N_FRAMES,
-                         stride=9, substeps=10, tridiag_backend="scan"):
+                         stride=9, substeps=10, tridiag_backend="auto"):
     """Fine-tune the flux NNs THROUGH the embedded host column (the
     capability the reference lacks — ``train/embedded.py``): same 6-channel
     auto-balanced loss, full 8-day window, host discretization identical to
@@ -562,7 +563,7 @@ def save_nns(nns, out_dir, ensemble=0, model=None):
     return out_dir
 
 
-def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly=False, implicit_solve_grad=True, diurnal=False, shooting=0, n_repeats=1, ensemble=0):
+def step_bench(n_timed=10, tridiag_backend="auto", split_unroll=1, fast_assembly=False, implicit_solve_grad=True, diurnal=False, shooting=0, n_repeats=1, ensemble=0, member_fold=False):
     """Compile + steady-state time of ONE final-stage train step.
 
     ``n_repeats`` > 1 re-times the ``n_timed``-iteration block that many
@@ -602,12 +603,14 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
         from climateparameterizations_jl_tpu.train.deep_ensemble import (
             ensemble_loss_scalings,
             make_ensemble_loss_fn,
+            make_folded_ensemble_loss_fn,
             stack_members,
         )
 
         nns = stack_members(build_ensemble_members(ensemble))
         scalings = ensemble_loss_scalings(model, nns, batch, config)
-        ens_loss = make_ensemble_loss_fn(model, batch, scalings, config)
+        make_loss = make_folded_ensemble_loss_fn if member_fold else make_ensemble_loss_fn
+        ens_loss = make_loss(model, batch, scalings, config)
 
         def loss_fn(nns):
             return ens_loss(nns)[0]
@@ -644,8 +647,14 @@ def step_bench(n_timed=10, tridiag_backend="scan", split_unroll=1, fast_assembly
     # = S x inner column-timesteps, so throughput stays comparable; each
     # ensemble member multiplies the column work.
     sims, inner = len(TRAIN_FILES), (len(tsteps) - 1) * stride
+    from climateparameterizations_jl_tpu.train.nde import resolve_tridiag_backend
+
+    # What "auto" actually ran as, for this mode's window length (the solve
+    # sees batch.t's per-window save count x stride inner steps).
+    resolved = resolve_tridiag_backend(tridiag_backend, (batch.t.shape[0] - 1) * stride)
     return dict(
         backend=jax.default_backend(), compile_s=compile_s, s_per_iter=per_iter,
+        tridiag_backend_resolved=resolved,
         s_per_iter_min=float(min(samples)), s_per_iter_max=float(max(samples)),
         n_repeats=len(samples),
         sims=sims, inner_steps=inner, shooting=shooting, ensemble=ensemble,
@@ -691,7 +700,7 @@ def main(argv=None):
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--smoke", action="store_true", help="3-iteration stages (correctness flush before the real run)")
-    ap.add_argument("--tridiag-backend", default="scan", choices=["scan", "pcr"])
+    ap.add_argument("--tridiag-backend", default="auto", choices=["auto", "scan", "pcr"])
     ap.add_argument("--split-unroll", type=int, default=1)
     ap.add_argument("--fast-assembly", nargs="?", const="on", default="off",
                     choices=["on", "off", "fold"],
@@ -718,6 +727,10 @@ def main(argv=None):
     ap.add_argument("--ensemble", type=int, default=0,
                     help="train a K-member deep ensemble at flagship scale (one jitted step "
                          "advances all members; eval adds predictive bands + coverage)")
+    ap.add_argument("--member-fold", action="store_true",
+                    help="lower the ensemble member axis into the solve's native batch "
+                         "dimension via one block-diagonal chain (MemberPackedFluxNNs) "
+                         "instead of the member vmap — same math, faster layout on TPU")
     ap.add_argument("--eval-checkpoint", default=None,
                     help="skip training: evaluate a saved (solo or ensemble) checkpoint "
                          "dir against the suite's held-out sims")
@@ -759,7 +772,8 @@ def main(argv=None):
         result = step_bench(tridiag_backend=args.tridiag_backend, split_unroll=args.split_unroll,
                             fast_assembly=args.fast_assembly, implicit_solve_grad=not args.no_ift,
                             diurnal=suite_diurnal, shooting=args.shooting,
-                            ensemble=args.ensemble, n_repeats=args.bench_repeats)
+                            ensemble=args.ensemble, n_repeats=args.bench_repeats,
+                            member_fold=args.member_fold)
         result["tridiag_backend"] = args.tridiag_backend
         result["fast_assembly"] = args.fast_assembly
         result["implicit_solve_grad"] = not args.no_ift
@@ -877,7 +891,8 @@ def main(argv=None):
                                                  tridiag_backend=args.tridiag_backend,
                                                  fast_assembly=args.fast_assembly or "auto",
                                                  shooting=args.shooting,
-                                                 shooting_hybrid=args.shooting_hybrid)
+                                                 shooting_hybrid=args.shooting_hybrid,
+                                                 member_fold=args.member_fold)
             if args.save_nns:
                 save_nns(stacked, args.save_nns, ensemble=args.ensemble, model=model)
                 print(f"ensemble checkpoint saved to {args.save_nns}", flush=True)
