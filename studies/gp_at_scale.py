@@ -167,6 +167,24 @@ def main(argv=None):
                     help="per-flux sequential f64 fallback size: fitting flux-by-flux "
                          "holds ONE kernel+Cholesky (~32 n^2 bytes, vs the fused "
                          "3-flux fit's ~56 n^2), lifting the HBM wall from 8k to 16k")
+    ap.add_argument("--blocked-above", type=int, default=16000,
+                    help="per-flux f64 fits at n >= this use the BLOCKED fit "
+                         "(ops/blocked_gp.py: tile-sized programs only) — the "
+                         "single-program fit dies in the tunnel's remote-compile "
+                         "service at n = 16,384 (HTTP 500, gp_at_scale_r4.json)")
+    ap.add_argument("--blocked-block", type=int, default=4096,
+                    help="tile size for the blocked f64 fit")
+    ap.add_argument("--force-seq-f64", action="store_true",
+                    help="skip the full-n f32 fit attempt and go straight to the "
+                         "per-flux sequential f64 path (the honest at-scale config "
+                         "on the LES data, where f32 is measured non-finite; also "
+                         "how the CPU smoke exercises the seq/blocked/splice path)")
+    ap.add_argument("--gp-full-from", default=None,
+                    help="splice completed per-flux f64 fits from a prior result json "
+                         "(+ its .alphas.npz side file): spliced fluxes skip their "
+                         "~600-1000 s Cholesky AND their band eval; only missing fluxes "
+                         "are fit. A retry must never re-pay a finished fit (VERDICT r4 "
+                         "next-round #1a). Fresh fits dump alphas to --out's side file.")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -199,6 +217,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from climateparameterizations_jl_tpu.closures.gp import (
+        GPModel,
         get_kernel,
         gp_fit_multi,
         gp_predict,
@@ -476,14 +495,20 @@ def main(argv=None):
     gp_rows = {}
     result["gp_full"] = gp_rows  # filled + dumped per flux (crash insurance)
 
-    def _eval_flux_bands(flux, m, n_final, final_dtype):
+    def _eval_flux_bands(flux, m, n_final, final_dtype, tiles=None):
+        from climateparameterizations_jl_tpu.ops.blocked_gp import gp_uncertainty_blocked
+
         fdt = jnp.float32 if final_dtype == "f32" else jnp.float64
         cal = None
         sims = {}
         for name in F.TEST_FILES:
             xh, yh_f = _pairs(test_sets[name], scalings, flux, fdt)
             pred = np.asarray(gp_predict(m, xh))
-            var = np.asarray(gp_uncertainty(m, xh))  # per-snapshot posterior variance
+            # per-snapshot posterior variance (tiled factor for blocked fits)
+            var = np.asarray(
+                gp_uncertainty_blocked(m, tiles, xh, block=args.blocked_block)
+                if tiles is not None else gp_uncertainty(m, xh)
+            )
             std = np.sqrt(np.maximum(var, 0.0))[:, None] * np.ones_like(pred)
             truth = np.asarray(yh_f)
             row = dict(
@@ -521,6 +546,9 @@ def main(argv=None):
 
     finite = False
     fit_mode = "fused 3-flux"
+    if args.force_seq_f64:
+        f32_winner_finite = False
+        result["f32_full_fit_error"] = "skipped: --force-seq-f64"
     if f32_winner_finite:
         # Only attempt the full-n f32 fit when the n=4096 fidelity fit was
         # finite — a doomed 12 GB attempt exhausts HBM in a way the f64
@@ -532,7 +560,8 @@ def main(argv=None):
             result["f32_full_fit_error"] = repr(e)[:200]
             finite = False
     else:
-        result["f32_full_fit_error"] = "skipped: n=4096 f32 fit already non-finite (see f32_vs_f64)"
+        result.setdefault("f32_full_fit_error",
+                          "skipped: n=4096 f32 fit already non-finite (see f32_vs_f64)")
     if finite:
         out_models = []
         for flux, m in zip(("uw", "vw", "wT"), models):
@@ -558,23 +587,89 @@ def main(argv=None):
         final_dtype = "f64"
         fit_mode = "per-flux sequential"
         result["seq_f64_errors"] = {}
-        for n_try in [n for n in dict.fromkeys((min(args.seq_f64_n, n_full), 12288, 10240, 8192)) if n <= n_full]:
+
+        # --gp-full-from: completed fits splice in as (band rows + alpha);
+        # the rebuilt GPModel (kernel + deterministic strided x_train +
+        # persisted alpha) is everything gp_predict and the GP-DE need.
+        splice = {}
+        if args.gp_full_from:
+            try:
+                pj = json.load(open(args.gp_full_from))
+                side = np.load(args.gp_full_from + ".alphas.npz")
+                for fl in ("uw", "vw", "wT"):
+                    row = pj.get("gp_full", {}).get(fl)
+                    if (row and row.get("dtype") == "f64" and f"alpha_{fl}" in side
+                            and int(side[f"n_{fl}"]) == int(row["n"])):
+                        splice[fl] = (int(row["n"]), np.asarray(side[f"alpha_{fl}"]), row)
+                ns = {v[0] for v in splice.values()}
+                if len(ns) > 1:  # mixed-size splices cannot share one ladder rung
+                    keep = max(ns)
+                    splice = {fl: v for fl, v in splice.items() if v[0] == keep}
+                if splice:
+                    print(f"gp_full splice from {args.gp_full_from}: "
+                          f"{sorted(splice)} @ n={next(iter(splice.values()))[0]}", flush=True)
+            except Exception as e:
+                print(f"--gp-full-from: no usable splice ({e!r})"[:200], flush=True)
+        alphas_out = {}
+
+        def _dump_alphas():
+            if args.out:
+                np.savez(args.out + ".alphas.npz", **alphas_out)
+
+        ladder = [n for n in dict.fromkeys((min(args.seq_f64_n, n_full), 12288, 10240, 8192)) if n <= n_full]
+        if splice:
+            n_spl = next(iter(splice.values()))[0]
+            ladder = [n_spl] + [n for n in ladder if n < n_spl]
+        for n_try in ladder:
             trial = []
             try:
                 seq_walls = []
                 x_fit = _subset(x64, n_try)
+                blocked = n_try >= args.blocked_above
                 for i, flux in enumerate(("uw", "vw", "wT")):
+                    if flux in splice and splice[flux][0] == n_try:
+                        n_spl, alpha_spl, row_spl = splice[flux]
+                        m = GPModel(kernel=kernels64[i], x_train=_subset(x64, n_try), z=z,
+                                    alpha=jnp.asarray(alpha_spl, jnp.float64), chol=None)
+                        gp_rows[flux] = dict(row_spl, spliced_from=args.gp_full_from)
+                        alphas_out[f"alpha_{flux}"] = np.asarray(alpha_spl)
+                        alphas_out[f"n_{flux}"] = n_try
+                        seq_walls.append(0.0)
+                        trial.append(m)
+                        print(f"seq f64 fit[{flux}] @ n={n_try}: SPLICED "
+                              f"(bands + alpha from {args.gp_full_from})", flush=True)
+                        dump()
+                        continue
                     t0 = time.perf_counter()
-                    m = jax.jit(
-                        lambda a, b, k=kernels64[i]: gp_fit_multi(a, [b], [k], z, jitter_scale=best_jitter)[0]
-                    )(x_fit, _subset(ys64[i], n_try))
+                    if blocked:
+                        # Tile-sized programs only: the single-program fit's
+                        # remote compile 500s at this n (r4, measured).
+                        from climateparameterizations_jl_tpu.ops.blocked_gp import gp_fit_blocked
+
+                        m, tiles = gp_fit_blocked(
+                            x_fit, _subset(ys64[i], n_try), kernels64[i], z,
+                            block=args.blocked_block, jitter_scale=best_jitter,
+                        )
+                    else:
+                        m = jax.jit(
+                            lambda a, b, k=kernels64[i]: gp_fit_multi(a, [b], [k], z, jitter_scale=best_jitter)[0]
+                        )(x_fit, _subset(ys64[i], n_try))
+                        tiles = None
                     jax.block_until_ready(m.alpha)
                     seq_walls.append(time.perf_counter() - t0)
                     result["seq_f64_fit_walls_s"] = [float(w) for w in seq_walls]
-                    print(f"seq f64 fit[{flux}] @ n={n_try}: {seq_walls[-1]:.1f} s (incl. compile)", flush=True)
-                    _eval_flux_bands(flux, m, n_try, final_dtype)
+                    result["seq_f64_fit_mode"] = (
+                        f"blocked (tile {args.blocked_block})" if blocked else "single-program")
+                    print(f"seq f64 fit[{flux}] @ n={n_try}"
+                          f"{' [blocked]' if blocked else ''}: {seq_walls[-1]:.1f} s (incl. compile)", flush=True)
+                    _eval_flux_bands(flux, m, n_try, final_dtype, tiles=tiles)
                     trial.append(_strip_chol(m))
-                    del m
+                    # Persist this flux's posterior weights: a retry splices
+                    # them (--gp-full-from) instead of re-paying the fit.
+                    alphas_out[f"alpha_{flux}"] = np.asarray(m.alpha)
+                    alphas_out[f"n_{flux}"] = n_try
+                    _dump_alphas()
+                    del m, tiles
                     gc.collect()
                 models, n_final = trial, n_try
                 break
