@@ -778,6 +778,7 @@ def main(argv=None):
         result["fast_assembly"] = args.fast_assembly
         result["implicit_solve_grad"] = not args.no_ift
         result["split_unroll"] = args.split_unroll
+        result["member_fold"] = args.member_fold
         print(json.dumps(result))
     elif args.mode == "embedded-eval":
         # Eval-only a-posteriori ablation arm (VERDICT r3 item 2a): score a

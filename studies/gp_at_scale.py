@@ -616,7 +616,8 @@ def main(argv=None):
             if args.out:
                 np.savez(args.out + ".alphas.npz", **alphas_out)
 
-        ladder = [n for n in dict.fromkeys((min(args.seq_f64_n, n_full), 12288, 10240, 8192)) if n <= n_full]
+        ladder = [n for n in dict.fromkeys((min(args.seq_f64_n, n_full), 16384, 12288, 10240, 8192))
+                  if n <= min(n_full, args.seq_f64_n)]
         if splice:
             n_spl = next(iter(splice.values()))[0]
             ladder = [n_spl] + [n for n in ladder if n < n_spl]
