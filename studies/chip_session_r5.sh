@@ -27,6 +27,7 @@ SB="python -u studies/flagship_training.py --mode step-bench --fast-assembly fol
 # --- item 4: forward-headline A/B, HEAD vs the r3 bench commit, one session.
 run_retry 2 bench_head 1500 python -u bench.py
 grep -h '^{"metric"' "$OUT"/bench_head*.log | tail -1 > docs/bench_head_r5.json || true
+git worktree prune >>"$OUT/session.log" 2>&1 || true  # container resets wipe /tmp
 if [ ! -d /tmp/r3bench ]; then
   git worktree add -f /tmp/r3bench 6d3331a >>"$OUT/session.log" 2>&1 || true
 fi
@@ -56,6 +57,16 @@ run_retry 2 sb_mixed_m4_fold 2400 $SB --suite mixed --shooting 16 --ensemble 4 -
 run_retry 2 sb_mixed_m8_fold 2400 $SB --suite mixed --shooting 16 --ensemble 8 --member-fold \
     --bench-repeats 3 --out docs/step_bench_r5_mixed_k16_m8_fold.json
 
+# --- prerequisite for the data-dependent arms: the LES suite is gitignored
+# (regenerable) and container resets wipe it; the generator skips members
+# that already exist, so this is a no-op when the suite is present.
+bash studies/generate_wm_les.sh wm_les_r5 2>&1 | tail -3 | tee -a "$OUT/session.log"
+
+# --- item 6 quality guard: full composed training run with the fold.
+run_retry 2 composed_fold 3000 $FLAG --suite mixed --ensemble 4 --shooting 16 \
+    --shooting-hybrid --member-fold \
+    --save-nns runs/wm_les_composed_fold --out docs/flagship_run_les_composed_fold.json
+
 # --- item 8 stretch: blocked f64 GP at full n (ladder 20754 -> 16384 -> ...).
 # Self-splicing: attempt 2 reads attempt 1's completed per-flux fits from
 # its own --out (+ .alphas.npz), so a mid-run death never re-pays a fit.
@@ -68,10 +79,5 @@ run_retry 3 gp_scale 7200 $GP \
     --force-seq-f64 --seq-f64-n 20754 --blocked-above 16000 \
     --gp-full-from docs/gp_at_scale_r5.json \
     --out docs/gp_at_scale_r5.json
-
-# --- item 6 quality guard: full composed training run with the fold.
-run_retry 2 composed_fold 3000 $FLAG --suite mixed --ensemble 4 --shooting 16 \
-    --shooting-hybrid --member-fold \
-    --save-nns runs/wm_les_composed_fold --out docs/flagship_run_les_composed_fold.json
 
 echo "=== r5 chip session complete; logs in $OUT" | tee -a "$OUT/session.log"
