@@ -119,11 +119,16 @@ def _require_uniform(t, where: str):
         raise ValueError(f"{where}: tsteps must be uniformly spaced (got save intervals {dt.ravel()[:4]}...)")
 
 
-# Provisional scan/PCR crossover in INNER STEPS per solve window, between the
-# two chip-measured anchors: K=16 shooting windows (72 steps, scan wins 6.2
-# vs 10.9 ms) and sequential (1,152 steps, PCR wins 25.3 vs 32.2 ms).
-# Refined by the round-5 K-sweep (studies/chip_session_r5).
-PCR_MIN_INNER_STEPS = 512
+# Scan/PCR crossover in INNER STEPS per solve window, set by the round-5
+# chip K-sweep (docs/step_bench_r5_k{0,4,16,64}_{scan,pcr}.json, 3 timing
+# blocks each, flagship 18-sim config): K=0/1,152 steps PCR 21.2 vs scan
+# 28.6 ms; K=4/288 steps PCR 8.89 vs 9.71; K=16/72 steps SCAN 5.92 vs 7.33;
+# K=64/18 steps PCR 3.71 vs scan 4.01. The crossover is NON-monotonic (PCR
+# edges scan again at the tiny-window/large-batch K=64 corner by 8%); a
+# single threshold at 128 picks the measured winner everywhere except that
+# corner, where the miss costs 8% on a mode rarely used for quality reasons
+# (RESULTS.md shooting ablation) — force `tridiag_backend="pcr"` there.
+PCR_MIN_INNER_STEPS = 128
 
 
 def resolve_tridiag_backend(backend: str, n_inner_steps: int) -> str:
