@@ -81,3 +81,14 @@ run_retry 3 gp_scale 7200 $GP \
     --out docs/gp_at_scale_r5.json
 
 echo "=== r5 chip session complete; logs in $OUT" | tee -a "$OUT/session.log"
+
+# --- r5 extra (appended mid-session): composed-throughput probes toward the
+# 2e7 col-ts/s target. Bench rows only — the K=32 window-quality claim is
+# NOT made (RESULTS' shooting-quality A/B stands).
+run_retry 2 sb_mixed_m4_k32_fold 1800 $SB --suite mixed --shooting 32 --ensemble 4 --member-fold \
+    --bench-repeats 3 --out docs/step_bench_r5_mixed_k32_m4_fold.json
+run_retry 2 sb_mixed_m4_k32_fold_pcr 1800 $SB --suite mixed --shooting 32 --ensemble 4 --member-fold \
+    --tridiag-backend pcr --bench-repeats 3 --out docs/step_bench_r5_mixed_k32_m4_fold_pcr.json
+run_retry 2 sb_mixed_m4_k16_fold_pcr 1800 $SB --suite mixed --shooting 16 --ensemble 4 --member-fold \
+    --tridiag-backend pcr --bench-repeats 3 --out docs/step_bench_r5_mixed_k16_m4_fold_pcr.json
+echo "=== r5 extra arms complete" | tee -a "$OUT/session.log"
